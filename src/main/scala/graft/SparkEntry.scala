@@ -1,13 +1,189 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a thin wiring of a library operator from
+  * `graft.operators` / `graft.functions`; `oracleSql` carries the equivalent
+  * DuckDB SQL. Floating-point aggregates are integerized per row (exact
+  * cents) or rounded after bit-stable mirrored arithmetic so the driver's
+  * hash compare is deterministic across engines and partition orders.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: text-analysis scoring over documents on sf=0.001 (rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TextAnalysis.docStats(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Relational.pricingSummary _),
+    "q_f1_time_window" -> (Relational.timeWindowAgg _),
+    "q_s3_point" -> (Relational.pointLookup _),
+    "q_s4_page" -> (Relational.page _),
+    "q_j_broadcast_brand" -> (Relational.brandRevenue _),
+    "q_j_semi_anti" -> (Relational.semiAntiCustomers _),
+    "q_j1_topk_per_group" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "q_a5_hour_hist" -> (Relational.hourHistogram _),
+    "q_a6_word_freq" -> ((s, d) => Relational.wordFrequency(s, d)),
+    "q_e1_trailing_window" -> (Relational.trailingWindowCount _),
+    "q_set_except" -> (Relational.setDiffCustomers _),
+    "q_j6_multihop" -> (Relational.multiHopRevenue _),
+    "q_dedup_exact" -> (Dedup.exactDupGroups _),
+    "q_dedup_fingerprint" -> (Dedup.fingerprintDedup _),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashGroups(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q_sim_bucket_pairs" -> ((s, d) => Similarity.bucketedNearDupPairs(s, d)),
+    "q_text_stats" -> (TextAnalysis.docStats _),
+    "q_lang_id" -> (TextAnalysis.langPrediction _),
+    "q_q3_keyword" -> (TextAnalysis.keywordSearch _),
+  )
+
+  private val centsSum: String => String = e =>
+    s"CAST(sum(CAST(round(($e) * 100) AS BIGINT)) AS BIGINT)"
+
+  private val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         ${centsSum("l_extendedprice * (1.0 - l_discount)")} AS revenue_cents,
+         round((avg(l_quantity)) + 1e-9, 4) AS avg_qty, count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_f1_time_window" ->
+      s"""SELECT event_type, count(*) AS n, ${centsSum("value")} AS value_cents
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+         GROUP BY 1 ORDER BY 1""",
+    "q_s3_point" ->
+      "SELECT * FROM customer WHERE c_custkey = 1",
+    "q_s4_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 20""",
+    "q_j_broadcast_brand" ->
+      s"""SELECT p_brand,
+         ${centsSum("l_extendedprice * (1.0 - l_discount)")} AS revenue_cents,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_j_semi_anti" ->
+      """SELECT * FROM (
+         SELECT c_mktsegment, count(*) AS n, TRUE AS has_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1
+         UNION ALL
+         SELECT c_mktsegment, count(*) AS n, FALSE AS has_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1
+         ) ORDER BY c_mktsegment, has_orders""",
+    "q_j1_topk_per_group" ->
+      """SELECT o_custkey, c_name, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+         FROM orders) t JOIN customer ON o_custkey = c_custkey
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_a5_hour_hist" ->
+      """SELECT CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+         round((avg(value)) + 1e-9, 4) AS avg_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_a6_word_freq" ->
+      s"""SELECT token, count(*) AS n FROM (
+         SELECT unnest($toks) AS token FROM documents) t
+         WHERE length(token) >= 3
+         GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""",
+    "q_e1_trailing_window" ->
+      """SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
+           ORDER BY epoch_ms(ts)
+           RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING) AS n_prior_7d
+         FROM events ORDER BY event_id""",
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "q_j6_multihop" ->
+      s"""SELECT c_mktsegment, p_brand, ${centsSum("l_extendedprice")} AS gross_cents,
+         count(*) AS n
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_dup, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_dedup_fingerprint" ->
+      """SELECT doc_id, fp, n_chars FROM (
+         SELECT doc_id, n_chars,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS fp,
+           row_number() OVER (
+             PARTITION BY substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64)
+             ORDER BY n_chars DESC, doc_id ASC) AS rn
+         FROM documents) t WHERE rn = 1 ORDER BY doc_id""",
+    "q_dedup_minhash" ->
+      s"""SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
+         SELECT doc_id, concat_ws('|',
+           list_aggregate(list_transform(list_distinct($toks), t -> md5(t || '#1')), 'min'),
+           list_aggregate(list_transform(list_distinct($toks), t -> md5(t || '#2')), 'min'),
+           list_aggregate(list_transform(list_distinct($toks), t -> md5(t || '#3')), 'min'),
+           list_aggregate(list_transform(list_distinct($toks), t -> md5(t || '#4')), 'min')) AS sig
+         FROM documents) t
+         GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $toks AS tk FROM documents),
+         pos AS (SELECT doc_id, lang, source, tk,
+             unnest(range(1, len(tk) - 1)) AS i FROM t WHERE len(tk) >= 3),
+         shex AS (SELECT DISTINCT doc_id, lang, source,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           FROM shex a JOIN shex b ON a.lang = b.lang AND a.source = b.source
+             AND a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a_id, b_id,
+             round((inter * 1.0 / (ca.n_sh + cb.n_sh - inter)) + 1e-9, 4) AS jaccard
+           FROM pairs JOIN counts ca ON ca.doc_id = a_id
+           JOIN counts cb ON cb.doc_id = b_id) j
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "q_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         px AS (SELECT e.vec_id, e.label,
+             unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+           FROM embeddings e, q),
+         s AS (SELECT vec_id, label, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+           FROM px GROUP BY 1, 2)
+         SELECT vec_id, label,
+           round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+         FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_sim_bucket_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+           (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+           (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+           (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+           (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+           (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+           (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+           (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             a.embedding AS ae, b.embedding AS be
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         px AS (SELECT a_id, b_id, unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
+           FROM pairs),
+         s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+           FROM px GROUP BY 1, 2)
+         SELECT a_id, b_id, sim FROM (
+           SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+         WHERE sim >= 0.9 ORDER BY a_id, b_id""",
+    "q_text_stats" -> TextAnalysis.docStatsSql,
+    "q_lang_id" -> TextAnalysis.langPredictionSql,
+    "q_q3_keyword" -> TextAnalysis.keywordSearchSql,
+  )
 }

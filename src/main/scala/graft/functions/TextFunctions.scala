@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders: tokenization, fingerprinting, language-ID,
+  * quality scoring, keyword scoring, MinHash signatures. All pure
+  * `org.apache.spark.sql.functions` compositions (whole-stage codegen), no
+  * UDFs. Reference semantics: keyword extraction/scoring
+  * `/root/reference/automem/utils/text.py:81-101` +
+  * `automem/search/runtime_recall_helpers.py:595-724`; content fingerprint
+  * `automem/api/recall.py:310-323`; tag-prefix expansion
+  * `automem/utils/tags.py:23-48`.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish token count: letter runs, single digits, and single
+    * non-alphanumeric glyphs each count as one token.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Normalized content fingerprint: lowercase, strip non-alphanumerics, first
+    * `n` chars (reference uses 320, `recall.py:310-323`).
+    */
+  def fingerprint(text: Column, n: Int = 320): Column =
+    substring(regexp_replace(lower(text), "[^a-z0-9]", ""), 1, n)
+
+  /** Count of sentence punctuation characters. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]"))
+
+  private val StopwordsSeq = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Number of tokens that are english stopwords (not distinct — each
+    * occurrence counts).
+    */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(StopwordsSeq: _*)))
+
+  /** Heuristic document quality score in [0,1]:
+    * 0.4 * min(1, tokens/200) + 0.3 * min(1, 5*stopRatio)
+    * + 0.3 * (1 - min(1, 10*punctRatio)).
+    * Deterministic arithmetic mirrored by the DuckDB oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = when(nTok === 0, 0.0).otherwise(stopwordCount(text) / nTok)
+    val punctRatio = when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text))
+    round4(
+      least(lit(1.0), nTok / 200.0) * 0.4 +
+        least(lit(1.0), stopRatio * 5.0) * 0.3 +
+        (lit(1.0) - least(lit(1.0), punctRatio * 10.0)) * 0.3)
+  }
+
+  /** Marker words per language for the n-gram-free language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  /** Distinct-marker-hit count for one language. */
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)), array(markers.map(lit): _*)))
+
+  /** Argmax language by marker hits; ties break in `LangMarkers` order;
+    * zero hits everywhere → "unknown".
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, markers) => lang -> langHits(text, markers) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // Wrap from last to first so the first language's `when` is outermost
+    // (earlier languages win ties).
+    hits.reverse.foldLeft(lit("unknown")) { case (acc, (lang, h)) =>
+      when(best > 0 && h === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Keyword channel score (graph keyword search, Q3): +2 per keyword
+    * contained in lowercased content, +2 whole-phrase bonus. Normalization to
+    * 0-1 by the max raw score happens over the result set (window), as in
+    * `runtime_recall_helpers.py:655-659`.
+    */
+  def keywordRawScore(text: Column, keywords: Seq[String], phrase: String): Column = {
+    val lc = lower(text)
+    val kwScore = keywords.map(k => when(lc.contains(k.toLowerCase), lit(2)).otherwise(lit(0)))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val phraseBonus = when(lc.contains(phrase.toLowerCase), lit(2)).otherwise(lit(0))
+    kwScore + phraseBonus
+  }
+
+  /** MinHash signature component `s`: the lexicographic min of
+    * `md5(token + "#" + s)` over the distinct tokens. A string-valued minhash
+    * — portable across engines (md5 is bit-identical everywhere), no
+    * engine-specific integer hash.
+    */
+  def minhashComponent(text: Column, seed: Int): Column =
+    array_min(transform(array_distinct(tokens(text)), t => md5(concat(t, lit("#" + seed)))))
+
+  /** Full MinHash signature as a single concatenated string of `k` components. */
+  def minhashSignature(text: Column, k: Int): Column =
+    concat_ws("|", (1 to k).map(minhashComponent(text, _)): _*)
+
+  /** Word n-gram shingles (distinct) for Jaccard near-dup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array())
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Every ':'-delimited prefix of every lowercased tag
+    * (`project:foo:bar` → `[project, project:foo, project:foo:bar]`);
+    * materialized at write time (reference `utils/tags.py:23-48`).
+    */
+  def tagPrefixes(tags: Column): Column = {
+    array_distinct(flatten(transform(tags, t => {
+      val parts = split(lower(t), ":")
+      transform(sequence(lit(1), size(parts)),
+        i => array_join(slice(parts, lit(1), i), ":"))
+    })))
+  }
+}

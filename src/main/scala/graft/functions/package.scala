@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, round}
+
+package object functions {
+  /** Engine-stable 4-decimal rounding. Spark rounds the binary double
+    * (HALF_UP on its exact binary value) while DuckDB rounds decimally, so a
+    * value landing exactly on a .xxxx5 boundary (common for scores built from
+    * small-integer ratios) rounds differently. Nudging by +1e-9 moves
+    * boundary values consistently to the upper side in both engines; mirrored
+    * by `sqlRound4`.
+    */
+  def round4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** DuckDB mirror of [[round4]]. */
+  def sqlRound4(e: String): String = s"round(($e) + 1e-9, 4)"
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.round4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generic relational operator shapes from SURVEY.md §2 (scans, filters,
+  * joins, aggregations, windows, set ops) expressed over the driver test
+  * tables. Each method is a self-contained, Catalyst-optimizable plan:
+  * filters/projections push to the parquet scan, small dimension sides are
+  * broadcast, per-group top-k is a window (no self-join), and money aggregates
+  * are integerized per row (exact cents) so results are bit-stable across
+  * engines and partition orders — which also makes them safe for AQE
+  * re-planning at cluster scale.
+  */
+object Relational {
+
+  /** Exact money sum: per-row round to cents -> bigint, sum in int64. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long"))
+
+  /** A1-style pricing summary over lineitem (reference count-by-type + avg
+    * aggregate, `automem/api/recall.py:2756-2768`).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue_cents"),
+        round4(avg(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** F1: time-window filter + aggregate over the events table
+    * (`runtime_recall_helpers.py:408-418`).
+    */
+  def timeWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-15").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), cents(col("value")).as("value_cents"))
+      .orderBy("event_type")
+
+  /** S3: point lookup by id (`automem/api/memory.py:756-787`). */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_custkey") === 1)
+
+  /** S4: filtered page with deterministic sort + offset/limit pagination
+    * (`automem/api/memory.py:285-323`).
+    */
+  def page(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .offset(20).limit(50)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Broadcast dimension join + aggregate: revenue by part brand. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** Semi/anti join: customers with vs without orders, counted by segment
+    * (seen-id semantics, SURVEY §2.8).
+    */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("has_orders", lit(true))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("has_orders", lit(false))
+    withO.unionByName(withoutO).orderBy("c_mktsegment", "has_orders")
+  }
+
+  /** J1 shape: per-key top-k by rank — window row_number, then broadcast-join
+    * the dimension after the cut (join-after-limit plan shape,
+    * `automem/search/runtime_relations.py:21-76`).
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val top = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    top.join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** A5: hour-of-day histogram (`automem/api/recall.py:2809-2833`). */
+  def hourHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"), round4(avg(col("value"))).as("avg_value"))
+      .orderBy("hr")
+
+  /** A6: token frequency top-50 (`automem/api/recall.py:2837-2865`). */
+  def wordFrequency(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 3)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(topN)
+
+  /** E1: temporal-link counting — events by the same user in the trailing 7
+    * days, as a range-frame window (no self-join; the reference's one
+    * non-equi join, `enrichment/runtime_helpers.py:15-71`).
+    */
+  def trailingWindowCount(spark: SparkSession, dir: String): DataFrame = {
+    val sevenDaysMs = 7L * 24 * 3600 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-sevenDaysMs, -1)
+    Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("n_prior_7d", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_prior_7d"))
+      .orderBy("event_id")
+  }
+
+  /** Set ops: customers with 'O' orders EXCEPT customers with 'F' orders
+    * (sync-diff shape, `automem/sync/accounting.py:44-111`).
+    */
+  def setDiffCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val openC = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fullC = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    openC.except(fullC).orderBy("o_custkey")
+  }
+
+  /** J6 shape: bounded multi-hop traversal customer -> orders -> lineitem ->
+    * part, aggregated (equi-join chain; Catalyst reorders + broadcasts).
+    */
+  def multiHopRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_mktsegment"), col("p_brand"))
+      .agg(cents(col("l_extendedprice")).as("gross_cents"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment", "p_brand")
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.functions.round4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over the embeddings table (`ARRAY<FLOAT>` column).
+  * Baseline is brute-force cosine top-k — a narrow codegen'd scan +
+  * `TakeOrderedAndProject` (per-partition top-k, then merge on the driver:
+  * exactly the 100 TB-safe plan, no global sort). The scale path buckets by a
+  * SimHash sign-bit key so candidate pairs join within buckets (LSH-style
+  * blocking) instead of a cross join. Reference semantics: Qdrant cosine KNN
+  * (`automem/search/runtime_recall_helpers.py:940-1030`), semantic neighbor
+  * linking threshold 0.8 (`enrichment/runtime_helpers.py:177-254`).
+  */
+object Similarity {
+
+  /** Fetch one stored embedding as a literal query vector (parameter lookup,
+    * not a data-path collect).
+    */
+  def queryVector(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === vecId)
+      .select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  def litVector(v: Array[Float]): Column = typedlit(v)
+
+  /** Brute-force cosine top-k against a stored query vector; scores rounded
+    * to 4 decimals before ranking so ordering is reproducible across engines.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10): DataFrame = {
+    val q = litVector(queryVector(spark, dir, queryId))
+    Tables.embeddings(spark, dir)
+      .withColumn("sim", round4(cosineSim(col("embedding"), q)))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** SimHash-bucketed near-duplicate pairs: bucket on the sign bits of the
+    * first 8 dimensions, pair-join within bucket, keep cosine >= threshold.
+    * At scale the bucket key is the shuffle key — no cross join.
+    */
+  def bucketedNearDupPairs(spark: SparkSession, dir: String,
+      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), bits).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Per-label mean centroid, then each vector's cosine to its own label's
+    * centroid (IVF-style coarse quantization building block). Centroids are a
+    * tiny aggregate -> broadcast back.
+    */
+  def labelCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val exploded = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val centroids = exploded.groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
+    e.join(broadcast(centroids), Seq("label"))
+      .withColumn("sim", round4(cosineSim(col("embedding"), col("centroid"))))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy("vec_id")
+  }
+}

@@ -1,0 +1,58 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
+  * Catalyst expression with codegen — the hot loop of vector KNN, semantic
+  * neighbor linking, creative association and clustering (reference semantics:
+  * cosine distance over the Qdrant collection, `/root/reference/automem/stores/
+  * runtime_clients.py:137-147`; pairwise cosine `consolidation.py:104-118`).
+  *
+  * Accumulates in double; the exact operation order
+  * (`dot / (sqrt(nx) * sqrt(ny))`, zero-norm → 0.0) is part of the contract —
+  * the DuckDB oracle mirrors it term for term. Lives under the `sql` package
+  * because `AbstractDataType` (needed for implicit input casts) is
+  * `private[sql]`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    CosineSimilarity.compute(xs, ys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.CosineSimilarity.compute(" +
+        s"$a.toFloatArray(), $b.toFloatArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Shared by interpreted eval and generated code. */
+  def compute(xs: Array[Float], ys: Array[Float]): Double = {
+    val n = math.min(xs.length, ys.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs(i).toDouble; val y = ys(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
