@@ -41,6 +41,25 @@ object SparkEntry {
     "q_text_stats" -> (TextAnalysis.docStats _),
     "q_lang_id" -> (TextAnalysis.langPrediction _),
     "q_q3_keyword" -> (TextAnalysis.keywordSearch _),
+    "q_a1_count_by_type" -> (Analytics.countByType _),
+    "q_a3_importance_dist" -> (Analytics.importanceDistribution _),
+    "q_a4_confidence_dist" -> (Analytics.confidenceDistribution _),
+    "q_a8_recent_by_day" -> (Analytics.recentByDay _),
+    "q_a9_rel_count" -> (Analytics.relCountPerKey _),
+    "q_date_parts" -> (Analytics.dateParts _),
+    "q_c1_decay" -> (Maintenance.decayScores _),
+    "q_c4_forget" -> (Maintenance.forgetFates _),
+    "q_c2_creative_pairs" -> (Maintenance.creativePairs _),
+    "q_q4_trending" -> (RecallShapes.trending _),
+    "q_q5_metadata" -> (RecallShapes.metadataSearch _),
+    "q_r3_minmax" -> (RecallShapes.minMaxRerank _),
+    "q_r4_gap_floor" -> (RecallShapes.largestGap _),
+    "q_r6_scope_fallback" -> ((s, d) => RecallShapes.scopeFallback(s, d)),
+    "q_j4_supersession_head" -> (RecallShapes.supersessionHeads _),
+    "q_j2_seed_expansion" -> (RecallShapes.seedExpansion _),
+    "q_f2_tag_filters" -> (RecallShapes.tagFilters _),
+    "q_set_intersect" -> (RecallShapes.setIntersect _),
+    "q_u5_snippet" -> (RecallShapes.snippets _),
   )
 
   private val centsSum: String => String = e =>
@@ -185,5 +204,24 @@ object SparkEntry {
     "q_text_stats" -> TextAnalysis.docStatsSql,
     "q_lang_id" -> TextAnalysis.langPredictionSql,
     "q_q3_keyword" -> TextAnalysis.keywordSearchSql,
+    "q_a1_count_by_type" -> Analytics.countByTypeSql,
+    "q_a3_importance_dist" -> Analytics.importanceDistributionSql,
+    "q_a4_confidence_dist" -> Analytics.confidenceDistributionSql,
+    "q_a8_recent_by_day" -> Analytics.recentByDaySql,
+    "q_a9_rel_count" -> Analytics.relCountPerKeySql,
+    "q_date_parts" -> Analytics.datePartsSql,
+    "q_c1_decay" -> Maintenance.decayScoresSql,
+    "q_c4_forget" -> Maintenance.forgetFatesSql,
+    "q_c2_creative_pairs" -> Maintenance.creativePairsSql,
+    "q_q4_trending" -> RecallShapes.trendingSql,
+    "q_q5_metadata" -> RecallShapes.metadataSearchSql,
+    "q_r3_minmax" -> RecallShapes.minMaxRerankSql,
+    "q_r4_gap_floor" -> RecallShapes.largestGapSql,
+    "q_r6_scope_fallback" -> RecallShapes.scopeFallbackSql,
+    "q_j4_supersession_head" -> RecallShapes.supersessionHeadsSql,
+    "q_j2_seed_expansion" -> RecallShapes.seedExpansionSql,
+    "q_f2_tag_filters" -> RecallShapes.tagFiltersSql,
+    "q_set_intersect" -> RecallShapes.setIntersectSql,
+    "q_u5_snippet" -> RecallShapes.snippetsSql,
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.round4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Analytics aggregations A1-A10 from SURVEY.md §2.6 (`/analyze`,
+  * `/graph/stats` shapes, `automem/api/recall.py:2756-2887`,
+  * `automem/api/graph.py:386-421`) over the driver test tables. All are
+  * single hash-aggregate plans with map-side partial aggregation — the
+  * shuffle carries only group keys, safe at any scale.
+  */
+object Analytics {
+
+  /** A1: count + avg by type, ordered by count desc (`recall.py:2756-2768`). */
+  def countByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round4(avg(col("value"))).as("avg_value"))
+      .orderBy(desc("n"), asc("event_type"))
+
+  val countByTypeSql: String =
+    """SELECT event_type, count(*) AS n, round((avg(value)) + 1e-9, 4) AS avg_value
+       FROM events GROUP BY 1 ORDER BY n DESC, event_type"""
+
+  /** A3: importance-bucket distribution (`graph.py:395-406`). */
+  def importanceDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        when(col("o_totalprice") >= 300000, "high")
+          .when(col("o_totalprice") >= 100000, "medium")
+          .otherwise("low").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val importanceDistributionSql: String =
+    """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+              WHEN o_totalprice >= 100000 THEN 'medium'
+              ELSE 'low' END AS bucket, count(*) AS n
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** A4: confidence-bucket distribution (`analytics/runtime_helpers.py:208-223`). */
+  def confidenceDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        when(col("l_discount") < 0.03, "low")
+          .when(col("l_discount") < 0.07, "medium")
+          .otherwise("high").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val confidenceDistributionSql: String =
+    """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+              WHEN l_discount < 0.07 THEN 'medium'
+              ELSE 'high' END AS bucket, count(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+  /** A8: recent activity per day in the last week of the events range
+    * (`graph.py:409-421`).
+    */
+  def recentByDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-24").cast("timestamp"))
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+
+  val recentByDaySql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n FROM events
+       WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 1 ORDER BY 1"""
+
+  /** A9: relationship count per source id — count distinct neighbors
+    * (`consolidation.py:201-225`; the hourly cache disappears in batch).
+    */
+  def relCountPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+
+  val relCountPerKeySql: String =
+    """SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_items
+       FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+  /** Scalar date/time function family (SURVEY §2.9): trunc, day-of-week,
+    * calendar parts, day difference to an anchor.
+    */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        to_date(date_trunc("day", col("ts"))).cast("string").as("day"),
+        dayofweek(col("ts")).as("dw"),
+        hour(col("ts")).as("hr"),
+        dayofmonth(col("ts")).as("dom"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("age_days"))
+      .orderBy("event_id")
+
+  val datePartsSql: String =
+    """SELECT event_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(date_part('dow', ts) + 1 AS INT) AS dw,
+       CAST(hour(ts) AS INT) AS hr,
+       CAST(day(ts) AS INT) AS dom,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS age_days
+       FROM events ORDER BY event_id"""
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.round4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Recall-pipeline operator shapes from SURVEY.md §2.4/§2.5 (trending,
+  * metadata sidecar search, re-ranking, adaptive floor, scope fallback,
+  * supersession, graph expansion, tag predicates) expressed over the driver
+  * test tables. The full automem-semantic pipeline over memories/edges lives
+  * in `graft.domain`; these exercise the same plan shapes under the DuckDB
+  * oracle.
+  */
+object RecallShapes {
+
+  /** Q4 trending: no-query recall = top-k by importance desc, time desc
+    * (`runtime_recall_helpers.py:524-592`). Raw stored doubles — no
+    * arithmetic, so values are bit-identical across engines.
+    */
+  def trending(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("value"))
+      .orderBy(desc("value"), asc("event_id"))
+      .limit(20)
+
+  val trendingSql: String =
+    "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20"
+
+  /** Q5 metadata sidecar search: cheap contains-prefilter on the raw JSON
+    * string, then typed re-score on the parsed field
+    * (`runtime_recall_helpers.py:727-868`); score formula shape mirrors
+    * `0.15 + 0.45*value_ratio + 0.20*exact` capped at 1.0.
+    */
+  def metadataSearch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("props").contains("\"k\""))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull)
+      .withColumn("score", round4(
+        least(lit(1.0),
+          lit(0.15) + lit(0.45) * least(lit(1.0), col("k") / 100.0) +
+            lit(0.20) * when(col("k") % 7 === 0, 1.0).otherwise(0.0))))
+      .filter(col("score") >= 0.5)
+      .select(col("event_id"), col("k"), col("score"))
+      .orderBy(desc("score"), asc("event_id"))
+      .limit(100)
+
+  val metadataSearchSql: String =
+    """SELECT event_id, k, score FROM (
+       SELECT event_id, k, round((least(1.0,
+           0.15 + 0.45 * least(1.0, k / 100.0) +
+           0.20 * (CASE WHEN k % 7 = 0 THEN 1.0 ELSE 0.0 END))) + 1e-9, 4) AS score
+       FROM (SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events WHERE contains(props, '"k"')) t
+       WHERE k IS NOT NULL) s
+       WHERE score >= 0.5 ORDER BY score DESC, event_id LIMIT 100"""
+
+  /** R3 recency-bias style min-max normalization over the candidate set
+    * (`recall.py:2315-2349`): norm = (value - min) / (max - min).
+    */
+  def minMaxRerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.events(spark, dir)
+      .withColumn("norm", round4(
+        (col("value") - min(col("value")).over(w)) /
+          (max(col("value")).over(w) - min(col("value")).over(w))))
+      .select(col("event_id"), col("norm"))
+      .orderBy(desc("norm"), asc("event_id"))
+      .limit(50)
+  }
+
+  val minMaxRerankSql: String =
+    """SELECT event_id, norm FROM (
+       SELECT event_id, round(((value - min(value) OVER ()) /
+         (max(value) OVER () - min(value) OVER ())) + 1e-9, 4) AS norm
+       FROM events) t ORDER BY norm DESC, event_id LIMIT 50"""
+
+  /** R4 adaptive-floor gap detection (`recall.py:2351-2375`): within each
+    * segment, the largest score gap between consecutive ranked candidates in
+    * the top half.
+    */
+  def largestGap(spark: SparkSession, dir: String): DataFrame = {
+    val rank = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val seg = Window.partitionBy(col("c_mktsegment"))
+    val ranked = Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("n", count(lit(1)).over(seg))
+      .withColumn("gap", round4(lag(col("c_acctbal"), 1).over(rank) - col("c_acctbal")))
+      .filter(col("rn") > 1 && col("rn") <= col("n") / 2)
+    val best = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("gap"), asc("rn"))
+    ranked.withColumn("pick", row_number().over(best))
+      .filter(col("pick") === 1)
+      .select(col("c_mktsegment"), col("c_custkey"), col("gap"), col("rn"))
+      .orderBy("c_mktsegment")
+  }
+
+  val largestGapSql: String =
+    """WITH ranked AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n,
+         round((lag(c_acctbal, 1) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey ASC) - c_acctbal) + 1e-9, 4) AS gap
+       FROM customer),
+       half AS (SELECT * FROM ranked WHERE rn > 1 AND rn <= n / 2),
+       best AS (SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+           ORDER BY gap DESC, rn ASC) AS INT) AS pick FROM half)
+       SELECT c_mktsegment, c_custkey, gap, rn FROM best WHERE pick = 1
+       ORDER BY c_mktsegment"""
+
+  /** R6 scope fallback (`recall.py:772-914`): scoped results first; if fewer
+    * than `limit`, top up from outside the scope (never in-scope rows),
+    * flagged `outside_scope`, appended after scoped results.
+    */
+  def scopeFallback(spark: SparkSession, dir: String, limit: Int = 30): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scoped = docs.filter(col("source") === "src0")
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(limit)
+      .withColumn("outside_scope", lit(false))
+    val nScoped = scoped.count().toInt // bounded by `limit`; parameter fetch
+    val fallback = docs.filter(col("source") =!= "src0")
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(limit - nScoped)
+      .withColumn("outside_scope", lit(true))
+    scoped.select(col("doc_id"), col("n_chars"), col("outside_scope"))
+      .unionByName(fallback.select(col("doc_id"), col("n_chars"), col("outside_scope")))
+      .orderBy(asc("outside_scope"), desc("n_chars"), asc("doc_id"))
+  }
+
+  val scopeFallbackSql: String =
+    """WITH ranked AS (SELECT doc_id, n_chars, source <> 'src0' AS outside_scope,
+         CAST(row_number() OVER (PARTITION BY (source <> 'src0')
+           ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
+       FROM documents),
+       n_scoped AS (SELECT count(*) AS n FROM ranked
+         WHERE NOT outside_scope AND rn <= 30)
+       SELECT doc_id, n_chars, outside_scope FROM ranked
+       WHERE (NOT outside_scope AND rn <= 30)
+          OR (outside_scope AND rn <= 30 - (SELECT n FROM n_scoped))
+       ORDER BY outside_scope ASC, n_chars DESC, doc_id ASC"""
+
+  /** J4-lite supersession head resolution: each event resolves to the newest
+    * event of its (user, type) chain (`recall.py:524-593`; the bounded
+    * chain-walk with provenance lives in graft.domain.Supersession).
+    */
+  def supersessionHeads(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("head_id", first(col("event_id")).over(w))
+      .select(col("event_id"), col("head_id"))
+      .orderBy("event_id")
+  }
+
+  val supersessionHeadsSql: String =
+    """SELECT event_id, first_value(event_id) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS head_id
+       FROM events ORDER BY event_id"""
+
+  /** J2 graph expansion: seed set (top-10 by score) expanded 1-hop with
+    * score = strength + 0.25 * seed_score, global expansion cap
+    * (`recall.py:1498-1700`). Seeds are tiny -> broadcast join.
+    */
+  def seedExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.customer(spark, dir)
+      .orderBy(desc("c_acctbal"), asc("c_custkey")).limit(10)
+      .select(col("c_custkey"), col("c_acctbal"))
+    Tables.orders(spark, dir)
+      .join(broadcast(seeds), col("o_custkey") === col("c_custkey"))
+      .withColumn("score", round4(col("o_totalprice") + lit(0.25) * col("c_acctbal")))
+      .select(col("o_orderkey"), col("c_custkey"), col("score"))
+      .orderBy(desc("score"), asc("o_orderkey"))
+      .limit(25)
+  }
+
+  val seedExpansionSql: String =
+    """WITH seeds AS (SELECT c_custkey, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10)
+       SELECT o_orderkey, c_custkey,
+         round((o_totalprice + 0.25 * c_acctbal) + 1e-9, 4) AS score
+       FROM orders JOIN seeds ON o_custkey = c_custkey
+       ORDER BY score DESC, o_orderkey ASC LIMIT 25"""
+
+  /** F2/F3 tag predicates (any / all / prefix / exclude) over a constructed
+    * tag array, using the same array predicates the memories table uses
+    * (`runtime_recall_helpers.py:420-487`).
+    */
+  def tagFilters(spark: SparkSession, dir: String): DataFrame = {
+    val tags = array(col("lang"), col("source"))
+    Tables.documents(spark, dir)
+      .withColumn("any_match", arrays_overlap(tags, array(lit("de"), lit("src1"))))
+      .withColumn("all_match", forall(array(lit("de"), lit("src2")),
+        t => array_contains(tags, t)))
+      .withColumn("prefix_match", exists(tags, t => t.startsWith("src1")))
+      .withColumn("excluded", exists(tags, t => t.startsWith("zh")))
+      .filter(col("any_match") || col("prefix_match"))
+      .filter(!col("excluded"))
+      .select(col("doc_id"), col("any_match"), col("all_match"), col("prefix_match"))
+      .orderBy("doc_id")
+  }
+
+  val tagFiltersSql: String =
+    """SELECT doc_id, any_match, all_match, prefix_match FROM (
+       SELECT doc_id,
+         list_has_any([lang, source], ['de', 'src1']) AS any_match,
+         list_has_all([lang, source], ['de', 'src2']) AS all_match,
+         len(list_filter([lang, source], t -> t LIKE 'src1%')) > 0 AS prefix_match,
+         len(list_filter([lang, source], t -> t LIKE 'zh%')) > 0 AS excluded
+       FROM documents) t
+       WHERE (any_match OR prefix_match) AND NOT excluded ORDER BY doc_id"""
+
+  /** Set intersect: ids present in both arms (`automem/api/entity.py:97-124`). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  val setIntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       ORDER BY o_custkey"""
+
+  /** U5/F8 snippet: word-boundary truncation to 160 chars with trailing
+    * partial word removed (`automem/utils/graph.py:30-35`,
+    * `entity_extraction.py:127-148`).
+    */
+  def snippets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(length(col("text")) <= 160, col("text"))
+          .otherwise(regexp_replace(substring(col("text"), 1, 160), "\\s+\\S*$", ""))
+          .as("snippet"))
+      .orderBy("doc_id")
+
+  val snippetsSql: String =
+    raw"""SELECT doc_id, CASE WHEN length(text) <= 160 THEN text
+       ELSE regexp_replace(substr(text, 1, 160), '\s+\S*$$', '') END AS snippet
+       FROM documents ORDER BY doc_id"""
+}
