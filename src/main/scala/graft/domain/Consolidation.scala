@@ -1,0 +1,196 @@
+package graft.domain
+
+import java.sql.Timestamp
+
+import graft.functions.VectorFunctions.{cosineSim, signBucket}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Consolidation jobs C1-C4 over the real memories/edges relations
+  * (SURVEY.md §2.11, `/root/reference/consolidation.py`). Each mode is an
+  * independent batch job; the reference's scheduler is external orchestration.
+  */
+object Consolidation {
+
+  /** C1 decay (`consolidation.py:227-282`, job `:1023-1115`):
+    * relevance = min(1, exp(-0.01 * age_days)
+    *                  * (0.3 + 0.3 * access_factor)
+    *                  * (1 + 0.3 * log1p(rel_count))
+    *                  * (0.5 + importance)
+    *                  * (0.7 + 0.3 * confidence)),
+    * floored at importance * 0.3. access_factor = exp-decay of days since
+    * last access. The per-id relationship count (A9) is one groupBy over
+    * edges — the reference's hourly lru_cache disappears in batch.
+    */
+  def decay(memories: DataFrame, edges: DataFrame, now: Timestamp): DataFrame = {
+    val relCounts = edges.select(col("src").as("id"), col("dst"))
+      .unionByName(edges.select(col("dst").as("id"), col("src").as("dst")))
+      .groupBy(col("id")).agg(countDistinct(col("dst")).as("rel_count"))
+    val nowS = unix_timestamp(lit(now))
+    val ageDays = (nowS - unix_timestamp(col("timestamp"))) / 86400.0
+    val accessDays = (nowS - unix_timestamp(
+      coalesce(col("last_accessed"), col("timestamp")))) / 86400.0
+    val accessFactor = exp(accessDays * -0.01)
+    val rel = least(lit(1.0),
+      exp(ageDays * -0.01) *
+        (lit(0.3) + lit(0.3) * accessFactor) *
+        (lit(1.0) + lit(0.3) * log1p(coalesce(col("rel_count"), lit(0L)).cast("double"))) *
+        (lit(0.5) + col("importance")) *
+        (lit(0.7) + lit(0.3) * col("confidence")))
+    memories.join(relCounts, Seq("id"), "left")
+      .withColumn("relevance_score", greatest(col("importance") * 0.3, rel))
+      .drop("rel_count")
+  }
+
+  /** C4 forgetting (`consolidation.py:619-818`; protections `:284-332`):
+    * protect if explicitly flagged, importance >= 0.7, younger than the 90-day
+    * grace window, or type in {Decision, Insight}; otherwise archive/delete
+    * below thresholds. Returns the memories with a `fate` column; callers
+    * partition the writes (Delta DELETE / UPDATE archived=true).
+    */
+  def forget(memories: DataFrame, edges: DataFrame, now: Timestamp,
+      deleteBelow: Double = 0.05, archiveBelow: Double = 0.2,
+      graceDays: Int = 90): DataFrame = {
+    val scored = decay(memories, edges, now)
+    val ageDays = (unix_timestamp(lit(now)) - unix_timestamp(col("timestamp"))) / 86400.0
+    scored.withColumn("protected_now",
+        col("protected_flag") || col("importance") >= 0.7 ||
+          ageDays < graceDays || col("type").isin("Decision", "Insight"))
+      .withColumn("fate",
+        when(col("protected_now"), "keep")
+          .when(col("relevance_score") < deleteBelow, "delete")
+          .when(col("relevance_score") < archiveBelow, "archive")
+          .otherwise("keep"))
+      .drop("protected_now")
+  }
+
+  /** C2 creative associations (`consolidation.py:334-455`): deterministic
+    * sample of relevant memories (the reference samples 20-30 at random; we
+    * hash-sample for reproducibility), all-pairs cosine within the bounded
+    * sample, rule table -> DISCOVERED/CONTRADICTS edges, skipping
+    * already-connected pairs.
+    */
+  def creativeAssociations(memories: DataFrame, edges: DataFrame,
+      now: Timestamp, sampleMod: Int = 29): DataFrame = {
+    val sample = memories
+      .filter(col("relevance_score") > 0.3)
+      .filter(pmod(abs(hash(col("id"))), lit(sampleMod)) === 0)
+      .select(col("id"), col("type"), col("embedding"), col("timestamp"))
+    val a = sample.select(col("id").as("src"), col("type").as("a_type"),
+      col("embedding").as("a_emb"), col("timestamp").as("a_ts"))
+    val b = sample.select(col("id").as("dst"), col("type").as("b_type"),
+      col("embedding").as("b_emb"), col("timestamp").as("b_ts"))
+    val pairs = a.crossJoin(b).filter(col("src") < col("dst"))
+      .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
+      .withColumn("dt_days",
+        abs(unix_timestamp(col("a_ts")) - unix_timestamp(col("b_ts"))) / 86400.0)
+    val classified = pairs.withColumn("kind",
+        when(col("a_type") === "Decision" && col("b_type") === "Decision" &&
+          col("sim") < 0.3, "contradicts")
+          .when(col("a_type").isin("Insight", "Pattern") && col("sim") > 0.5, "explains")
+          .when(col("sim") > 0.7 && col("a_type") =!= col("b_type"), "shares_theme")
+          .when(col("dt_days") < 7 && col("sim") < 0.4, "parallel_context"))
+      .filter(col("kind").isNotNull)
+    val existing = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    classified.join(existing, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"),
+        when(col("kind") === "contradicts", "CONTRADICTS")
+          .otherwise("DISCOVERED").as("rel_type"),
+        when(col("kind") === "contradicts", 0.6)
+          .when(col("kind") === "explains", 0.7)
+          .when(col("kind") === "shares_theme", 0.65)
+          .otherwise(0.5).as("confidence"),
+        col("sim").as("similarity"),
+        col("kind"),
+        lit("consolidation").as("origin"),
+        lit(now).as("updated_at"))
+  }
+
+  /** Similarity graph for clustering: pairs with cosine >= threshold.
+    * `exact=true` is the reference-parity O(n^2) over the filtered set;
+    * `exact=false` blocks by SimHash sign bucket (the 100 TB path: only
+    * same-bucket pairs co-shuffle; multiple rotated bucketings would raise
+    * recall further).
+    */
+  def similarityEdges(memories: DataFrame, threshold: Double,
+      exact: Boolean): DataFrame = {
+    val base = memories.filter(col("relevance_score") > 0.3)
+      .select(col("id"), col("embedding"))
+    val keyed = if (exact) base.withColumn("b", lit(0))
+      else base.withColumn("b", signBucket(col("embedding"), 10))
+    val a = keyed.select(col("b"), col("id").as("src"), col("embedding").as("a_emb"))
+    val bb = keyed.select(col("b"), col("id").as("dst"), col("embedding").as("b_emb"))
+    a.join(bb, Seq("b")).filter(col("src") < col("dst"))
+      .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("sim") >= threshold)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** Connected components by iterative min-label propagation (bounded
+    * iterations, converges in O(diameter) rounds — each round one shuffle on
+    * the edge list; the standard scalable CC pattern).
+    */
+  def connectedComponents(vertices: DataFrame, simEdges: DataFrame,
+      maxIter: Int = 15): DataFrame = {
+    val sym = simEdges.select(col("src"), col("dst"))
+      .unionByName(simEdges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** C3 clustering (`consolidation.py:457-617`): similarity graph at 0.75 ->
+    * connected components -> clusters of >= minSize; clusters >= metaSize
+    * spawn a MetaMemory (type MetaPattern, confidence 0.8) summarizing the
+    * cluster: dominant type, time span, size.
+    */
+  def cluster(memories: DataFrame, threshold: Double = 0.75, minSize: Int = 3,
+      metaSize: Int = 5, exact: Boolean = true): (DataFrame, DataFrame) = {
+    val vertices = memories.filter(col("relevance_score") > 0.3).select(col("id"))
+    val comps = connectedComponents(vertices,
+      similarityEdges(memories, threshold, exact))
+    val withComp = memories.join(comps, Seq("id"))
+    val typeCounts = withComp.groupBy(col("component"), col("type"))
+      .agg(count(lit(1)).as("n_type"))
+    val wType = Window.partitionBy(col("component"))
+      .orderBy(desc("n_type"), asc("type"))
+    val dominant = typeCounts.withColumn("_rn", row_number().over(wType))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col("type").as("dominant_type"))
+    val clusters = withComp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("timestamp")).as("span_start"),
+        max(col("timestamp")).as("span_end"),
+        min(col("id")).as("exemplar_id"))
+      .filter(col("cluster_size") >= minSize)
+      .join(dominant, Seq("component"))
+    val metas = clusters.filter(col("cluster_size") >= metaSize)
+      .select(
+        concat(lit("meta-"), col("component")).as("id"),
+        concat(lit("Cluster of "), col("cluster_size"),
+          lit(" "), col("dominant_type"), lit(" memories")).as("content"),
+        lit("MetaPattern").as("type"),
+        lit(0.8).as("confidence"),
+        col("cluster_size"),
+        col("span_end").as("timestamp"),
+        lit(0.9).as("relevance_score"))
+    (clusters, metas)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.domain
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.{cosineSim, signBucket}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Enrichment dataflows E1-E4 (SURVEY.md §2.12, `/root/reference/automem/
+  * enrichment/runtime_helpers.py`) as batch DataFrame -> DataFrame stages
+  * producing `edges` and `patterns` updates.
+  */
+object Enrichment {
+
+  /** E1 temporal linking (`runtime_helpers.py:15-71`): for each memory, link
+    * to the top-10 memories with earlier timestamps inside a trailing 7-day
+    * window -> PRECEDED_BY edges. The one non-equi join in the system; the
+    * join key is a day-bucket so the range join shuffles on bounded buckets
+    * (each row joins only its own + previous bucket) instead of a cross
+    * join — the scale-safe band-join pattern.
+    */
+  def temporalLinks(memories: DataFrame, topK: Int = 10,
+      windowDays: Int = 7): DataFrame = {
+    val winSec = windowDays * 86400L
+    val bucket = (unix_timestamp(col("timestamp")) / winSec).cast("long")
+    val left = memories.select(col("id").as("src"),
+      col("timestamp").as("src_ts"), bucket.as("b"))
+    // each row probes its own bucket and the previous one
+    val probe = left.select(col("src"), col("src_ts"), col("b"))
+      .withColumn("b", explode(array(col("b"), col("b") - 1)))
+    val right = memories.select(col("id").as("dst"),
+      col("timestamp").as("dst_ts"), bucket.as("b"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("dst_ts"), asc("dst"))
+    probe.join(right, Seq("b"))
+      .filter(col("dst_ts") < col("src_ts") &&
+        col("dst_ts") >= col("src_ts") - expr(s"INTERVAL $windowDays DAYS"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("src"), col("dst"), lit("PRECEDED_BY").as("rel_type"),
+        lit(1L).as("count"), col("src_ts").as("updated_at"))
+  }
+
+  /** E3 semantic neighbor linking (`runtime_helpers.py:177-254`): top-k
+    * neighbors above cosine `threshold` (default 0.8, `config.py:108-109`)
+    * -> bidirectional SIMILAR_TO edges with the similarity as score.
+    * `exact=true` compares all pairs (parity with the reference's KNN over
+    * the full collection); `exact=false` blocks by SimHash sign bucket —
+    * the 100 TB path where only same-bucket pairs shuffle together.
+    */
+  def similarToEdges(memories: DataFrame, topK: Int = 5,
+      threshold: Double = 0.8, exact: Boolean = true): DataFrame = {
+    val base = memories.select(col("id"), col("embedding"),
+      col("updated_at"))
+    val withKey = if (exact) base.withColumn("b", lit(0))
+      else base.withColumn("b", signBucket(col("embedding"), 12))
+    val a = withKey.select(col("b"), col("id").as("src"),
+      col("embedding").as("a_emb"), col("updated_at"))
+    val bb = withKey.select(col("b"), col("id").as("dst"),
+      col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("sim"), asc("dst"))
+    val pairs = a.join(bb, Seq("b"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("sim") >= threshold)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+    pairs.select(col("src"), col("dst"), lit("SIMILAR_TO").as("rel_type"),
+      col("sim").as("score"), col("updated_at"))
+  }
+
+  /** E2 pattern detection (`runtime_helpers.py:74-174`): per type, among
+    * confident memories (confidence > 0.5), if >= 3 exist, extract the top-5
+    * non-stopword tokens (>= 4 chars) across their contents -> one Pattern
+    * row per type; confidence 0.35 + 0.05/observation capped 0.95.
+    */
+  def detectPatterns(memories: DataFrame): DataFrame = {
+    val confident = memories.filter(col("confidence") > 0.5 &&
+      !col("type").isin(Schema.RecallExcludedTypes: _*))
+    val typeCounts = confident.groupBy(col("type"))
+      .agg(count(lit(1)).as("n_obs"), max(col("timestamp")).as("updated_at"))
+      .filter(col("n_obs") >= 3)
+    val tokens = confident
+      .select(col("type"), explode(TextFunctions.tokens(col("content"))).as("tok"))
+      .filter(length(col("tok")) >= 4 &&
+        !col("tok").isin("the", "that", "with", "from", "this", "have", "were"))
+      .groupBy(col("type"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("type")).orderBy(desc("n"), asc("tok"))
+    val keyTerms = tokens.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5)
+      .groupBy(col("type"))
+      .agg(collect_list(col("tok")).as("key_terms"))
+    typeCounts.join(keyTerms, Seq("type"))
+      .select(
+        concat(lit("pattern-"), lower(col("type"))).as("id"),
+        col("type"),
+        concat(lit("Recurring "), col("type"),
+          lit(" pattern: "), array_join(col("key_terms"), ", ")).as("content"),
+        least(lit(0.95), lit(0.35) + col("n_obs") * 0.05).as("confidence"),
+        col("n_obs").as("observations"),
+        col("key_terms"),
+        col("updated_at").as("created_at"),
+        col("updated_at"))
+  }
+
+  /** U3 entity extraction, regex-only deterministic subset
+    * (`automem/utils/entity_extraction.py:68-245`): backtick code spans ->
+    * tools; "with <Name>" -> people; "project called <name>" / capitalized
+    * multiword -> projects. Emits (id, category, name, slug) rows.
+    */
+  def extractEntities(memories: DataFrame): DataFrame = {
+    val pats = Seq(
+      ("tools", "`([A-Za-z][A-Za-z0-9_.-]{1,40})`"),
+      ("people", "(?:met with|pairing with|talked to|with)\\s+([A-Z][a-z]{2,20})\\b"),
+      ("projects", "project(?:\\s+called)?\\s+([A-Z][A-Za-z0-9_-]{2,30})\\b"))
+    pats.map { case (cat, pat) =>
+      memories.select(col("id"),
+          explode(regexp_extract_all(col("content"), lit(pat), lit(1))).as("name"))
+        .withColumn("category", lit(cat))
+    }.reduce(_ unionByName _)
+      .filter(length(col("name")) >= 3)
+      .withColumn("slug", regexp_replace(lower(col("name")), "[^a-z0-9]+", "-"))
+      .select(col("id"), col("category"), col("name"), col("slug"))
+      .distinct()
+  }
+
+  /** E4 orchestration: entity tags + prefixes + the three edge/pattern
+    * stages, returning (enriched memories, new edges, patterns).
+    */
+  def enrich(memories: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val entities = extractEntities(memories)
+    val entityTags = entities
+      .select(col("id"),
+        concat(lit("entity:"), col("category"), lit(":"), col("slug")).as("etag"))
+      .groupBy(col("id")).agg(collect_set(col("etag")).as("entity_tags"))
+    val enriched = memories.join(entityTags, Seq("id"), "left")
+      .withColumn("tags",
+        array_distinct(concat(col("tags"), coalesce(col("entity_tags"),
+          array().cast("array<string>")))))
+      .drop("entity_tags")
+      .withColumn("tag_prefixes", TextFunctions.tagPrefixes(col("tags")))
+      .withColumn("enriched", lit(true))
+      .withColumn("processed", lit(true))
+    val edges = temporalLinks(memories)
+      .unionByName(similarToEdges(memories), allowMissingColumns = true)
+    (enriched, edges, detectPatterns(memories))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.domain
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Batch store pipeline (S1/S2, `/root/reference/automem/api/memory.py:
+  * 475-754`, `1123-1386`): validate -> classify type (regex table, U2) ->
+  * extractive summary for oversize content (U5) -> tag normalization +
+  * prefix materialization -> deterministic embedding -> one append-ready
+  * memories DataFrame. The reference's two-phase graph+vector write
+  * collapses into a single table write; at scale this is
+  * `df.write.partitionBy(day)` or a Delta MERGE keyed on id.
+  */
+object Ingest {
+
+  /** Regex classification table (U2, `automem/classification/
+    * memory_classifier.py:13-125`): first matching type wins; confidence
+    * 0.6 + 0.1 per extra matching pattern of the same type, capped 0.95;
+    * no match -> Context at 0.5.
+    */
+  val TypePatterns: Seq[(String, Seq[String])] = Seq(
+    "Decision" -> Seq("(?i)\\bdecided\\b", "(?i)\\bdecision\\b", "(?i)\\bchose\\b",
+      "(?i)\\bgoing with\\b", "(?i)\\bsettled on\\b"),
+    "Preference" -> Seq("(?i)\\bprefer(s|red)?\\b", "(?i)\\bfavorite\\b",
+      "(?i)\\brather than\\b", "(?i)\\blike[s]? better\\b"),
+    "Pattern" -> Seq("(?i)\\bpattern\\b", "(?i)\\brecurring\\b", "(?i)\\btend(s)? to\\b",
+      "(?i)\\bevery time\\b", "(?i)\\balways\\b"),
+    "Style" -> Seq("(?i)\\bstyle\\b", "(?i)\\bconvention\\b", "(?i)\\bformatting\\b",
+      "(?i)\\bnaming\\b"),
+    "Habit" -> Seq("(?i)\\bhabit\\b", "(?i)\\broutine\\b", "(?i)\\bdaily\\b",
+      "(?i)\\busually\\b"),
+    "Insight" -> Seq("(?i)\\binsight\\b", "(?i)\\brealized\\b", "(?i)\\blearned\\b",
+      "(?i)\\bdiscovered\\b", "(?i)\\bturns out\\b"))
+
+  /** Number of patterns of one type matching the content. */
+  private def matchCount(content: Column, patterns: Seq[String]): Column =
+    patterns.map(p => when(content.rlike(p), 1).otherwise(0)).reduce(_ + _)
+
+  /** (type, confidence) classification as two columns. */
+  def classify(content: Column): (Column, Column) = {
+    val counts = TypePatterns.map { case (t, ps) => t -> matchCount(content, ps) }
+    val typeCol = counts.reverse.foldLeft(lit("Context")) { case (acc, (t, c)) =>
+      when(c > 0, lit(t)).otherwise(acc)
+    }
+    val confCol = counts.reverse.foldLeft(lit(0.5)) { case (acc, (_, c)) =>
+      when(c > 0, least(lit(0.95), lit(0.6) + (c - 1) * 0.1)).otherwise(acc)
+    }
+    (typeCol, confCol)
+  }
+
+  /** Soft/hard content-size gates (`automem/config.py:170-172`). */
+  val SoftLimit = 500
+  val HardLimit = 2000
+
+  /** Extractive summary (U5, `entity_extraction.py:127-148`): first sentence,
+    * <= 240 chars, word-boundary truncate.
+    */
+  def extractiveSummary(content: Column): Column = {
+    val firstSentence = regexp_extract(content, "^(.*?[.!?])(\\s|$)", 1)
+    val base = when(length(firstSentence) > 0, firstSentence).otherwise(content)
+    when(length(base) <= 240, base)
+      .otherwise(regexp_replace(substring(base, 1, 240), "\\s+\\S*$", ""))
+  }
+
+  /** Normalize raw tags: trim, lowercase, drop empties, dedupe
+    * (`automem/utils/tags.py:7-20`).
+    */
+  def normalizeTags(tags: Column): Column =
+    array_distinct(filter(transform(tags, t => lower(trim(t))), t => length(t) > 0))
+
+  /** Full batch-store transform: input needs `content` plus optional `tags`
+    * (array<string>), `type`, `importance`, `timestamp`, `metadata`.
+    * Produces the memories schema of [[Schema]].
+    */
+  def prepare(df: DataFrame, dim: Int = PlaceholderEmbedding.DefaultDim): DataFrame = {
+    val withDefaults = Seq(
+      ("tags", lit(Array.empty[String]).cast("array<string>")),
+      ("type", lit(null).cast("string")),
+      ("importance", lit(0.5)),
+      ("timestamp", current_timestamp()),
+      ("metadata", lit("{}")),
+      ("id", expr("uuid()")))
+      .foldLeft(df) { case (d, (name, default)) =>
+        if (d.columns.contains(name)) d else d.withColumn(name, default)
+      }
+    val (typeCol, confCol) = classify(col("content"))
+    withDefaults
+      .filter(length(col("content")) > 0 && length(col("content")) <= HardLimit)
+      .withColumn("tags", normalizeTags(col("tags")))
+      .withColumn("tag_prefixes", TextFunctions.tagPrefixes(col("tags")))
+      .withColumn("type",
+        when(col("type").isNotNull, col("type")).otherwise(typeCol))
+      .withColumn("confidence", confCol)
+      .withColumn("importance", least(greatest(col("importance"), lit(0.0)), lit(1.0)))
+      .withColumn("summary",
+        when(length(col("content")) > SoftLimit, extractiveSummary(col("content")))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("embedding", PlaceholderEmbedding.embedColumn(dim)(col("content")))
+      .withColumn("t_valid", col("timestamp"))
+      .withColumn("t_invalid", lit(null).cast("timestamp"))
+      .withColumn("updated_at", col("timestamp"))
+      .withColumn("last_accessed", col("timestamp"))
+      .withColumn("enriched", lit(false))
+      .withColumn("processed", lit(false))
+      .withColumn("relevance_score", lit(1.0))
+      .withColumn("archived", lit(false))
+      .withColumn("protected_flag", lit(false))
+  }
+
+  /** Append-with-dedup-by-id (the Delta MERGE stand-in): union then keep the
+    * newest row per id (`memory.py` MERGE semantics).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(desc("updated_at"))
+    existing.unionByName(incoming, allowMissingColumns = true)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}

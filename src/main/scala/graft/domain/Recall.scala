@@ -1,0 +1,399 @@
+package graft.domain
+
+import java.sql.Timestamp
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Every `/recall` parameter the engine honors (reference param parse:
+  * `/root/reference/automem/api/recall.py:1738-1915`). `now` is explicit so
+  * recency scoring is deterministic in tests.
+  */
+case class RecallRequest(
+    query: Option[String] = None,
+    queries: Seq[String] = Nil,
+    embedding: Option[Array[Float]] = None,
+    limit: Int = 10,
+    tags: Seq[String] = Nil,
+    tagMode: String = "any",
+    tagMatch: String = "exact",
+    excludeTags: Seq[String] = Nil,
+    start: Option[Timestamp] = None,
+    end: Option[Timestamp] = None,
+    sort: String = "score",
+    minScore: Option[Double] = None,
+    adaptiveFloor: Boolean = false,
+    expandRelations: Boolean = false,
+    relationLimit: Int = 5,
+    expansionLimit: Int = 25,
+    expandMinStrength: Option[Double] = None,
+    stateMode: String = "all",
+    recencyBias: String = "auto",
+    scopeFallback: Boolean = false,
+    weights: Scoring.Weights = Scoring.Weights(),
+    relevanceGate: Option[Double] = None,
+    priorityTags: Seq[String] = Nil,
+    priorityTypes: Seq[String] = Nil,
+    priorityIds: Seq[String] = Nil,
+    now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"))
+
+/** The flagship read path (SURVEY.md §3.1): channel union -> 9-component
+  * scoring -> dedup -> sort -> expansion -> current-state -> recency re-rank
+  * -> adaptive floor -> scope fallback -> relation hydration, compiled into
+  * one DataFrame plan per request. Channel fan-out is a union of narrow
+  * scans; everything up to the dedup window is shuffle-free; the final top-k
+  * is a TakeOrderedAndProject. Driver-side actions are bounded by `limit`
+  * (adaptive floor collect, scope-fallback count) exactly like the
+  * reference's in-process post-processing.
+  */
+object Recall {
+
+  val Stopwords: Set[String] = Set("the", "and", "for", "with", "that", "this",
+    "from", "was", "are", "has", "had", "were", "will", "would", "into", "about")
+
+  /** Keyword extraction (`automem/utils/text.py:81-101`): lowercase tokens,
+    * >= 3 chars, stopword-filtered, deduped, order-preserving.
+    */
+  def keywords(query: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq
+      .filter(t => t.length >= 3 && !Stopwords.contains(t)).distinct
+
+  val OverfetchFactor = 4
+  val OverfetchCap = 200
+
+  private def overfetch(limit: Int): Int =
+    math.min(limit * OverfetchFactor, OverfetchCap)
+
+  /** Tag predicate (F2): any/all x exact/prefix; prefix matches against the
+    * materialized tag_prefixes column (`runtime_recall_helpers.py:420-470`).
+    */
+  def tagPredicate(tags: Seq[String], mode: String, matchKind: String): Column = {
+    val lower = tags.map(_.toLowerCase)
+    val target = if (matchKind == "prefix") col("tag_prefixes") else col("tags")
+    val lits = array(lower.map(lit): _*)
+    if (mode == "all") forall(lits, t => array_contains(target, t))
+    else arrays_overlap(target, lits)
+  }
+
+  /** F3 exclude-tags: drop if any tag equals or starts with an excluded tag. */
+  def excludePredicate(excludeTags: Seq[String]): Column =
+    if (excludeTags.isEmpty) lit(true)
+    else !exists(col("tags"),
+      t => excludeTags.map(e => t.startsWith(e.toLowerCase)).reduce(_ || _))
+
+  /** Universal base filters F1/F3/F4/F5. */
+  def baseFilter(df: DataFrame, req: RecallRequest): DataFrame = {
+    var out = df
+      .filter(coalesce(col("archived"), lit(false)) === false)
+      .filter(!col("type").isin(Schema.RecallExcludedTypes: _*))
+      .filter(excludePredicate(req.excludeTags))
+    req.start.foreach(s => out = out.filter(col("timestamp") >= lit(s)))
+    req.end.foreach(e => out = out.filter(col("timestamp") <= lit(e)))
+    out
+  }
+
+  private val channelCols = Seq("id", "match_type", "channel_score")
+
+  /** Q1 vector channel: brute-force cosine top-(limit x overfetch);
+    * per-partition top-k then merge (TakeOrderedAndProject) — the plan that
+    * survives 100 TB. At larger deployments the same column works after an
+    * LSH/IVF pre-filter (see graft.operators.Similarity).
+    */
+  def vectorChannel(scoped: DataFrame, qvec: Array[Float], limit: Int): DataFrame =
+    scoped.withColumn("channel_score", cosineSim(col("embedding"), typedlit(qvec)))
+      .withColumn("match_type", lit("vector"))
+      .orderBy(desc("channel_score"), asc("id"))
+      .limit(overfetch(limit))
+      .select(channelCols.map(col): _*)
+
+  /** Q3 keyword channel: +2 per keyword in content, +1 per keyword in any
+    * tag, +2/+1 whole-phrase bonus, normalized to 0-1 by the max raw score
+    * of the candidate set (`runtime_recall_helpers.py:595-724`).
+    */
+  def keywordChannel(scoped: DataFrame, query: String, limit: Int): DataFrame = {
+    val kws = keywords(query)
+    if (kws.isEmpty) return scoped.sparkSession.emptyDataFrame
+      .withColumn("id", lit("")).withColumn("match_type", lit(""))
+      .withColumn("channel_score", lit(0.0)).limit(0)
+    val lc = lower(col("content"))
+    val contentHits = kws.map(k => when(lc.contains(k), 2).otherwise(0)).reduce(_ + _)
+    val tagHits = kws.map(k =>
+      when(exists(col("tags"), t => t.contains(k)), 1).otherwise(0)).reduce(_ + _)
+    val phrase = query.toLowerCase
+    val phraseBonus = when(lc.contains(phrase), 2)
+      .otherwise(when(exists(col("tags"), t => t.contains(phrase)), 1).otherwise(0))
+    val raw = scoped.withColumn("raw", contentHits + tagHits + phraseBonus)
+      .filter(col("raw") > 0)
+    raw.withColumn("channel_score",
+        col("raw") / max(col("raw")).over(Window.partitionBy()))
+      .withColumn("match_type", lit("keyword"))
+      .orderBy(desc("channel_score"), desc("importance"), desc("timestamp"), asc("id"))
+      .limit(overfetch(limit))
+      .select(channelCols.map(col): _*)
+  }
+
+  /** Q5 metadata channel: cheap contains-prefilter on the raw JSON string,
+    * then a tokenized value-ratio re-score
+    * (`runtime_recall_helpers.py:727-868`): 0.15 + 0.45 * hit_ratio + 0.2 *
+    * all-hit bonus, capped 1.0.
+    */
+  def metadataChannel(scoped: DataFrame, query: String, limit: Int): DataFrame = {
+    val kws = keywords(query)
+    if (kws.isEmpty) return scoped.sparkSession.emptyDataFrame
+      .withColumn("id", lit("")).withColumn("match_type", lit(""))
+      .withColumn("channel_score", lit(0.0)).limit(0)
+    val mdLower = lower(col("metadata"))
+    val prefilter = kws.map(k => mdLower.contains(k)).reduce(_ || _)
+    val hits = kws.map(k => when(mdLower.contains(k), 1).otherwise(0)).reduce(_ + _)
+    val scanCap = math.max(200, math.min(limit * 25, 1000))
+    scoped.filter(prefilter)
+      .limit(scanCap)
+      .withColumn("hit_ratio", hits.cast("double") / kws.length)
+      .withColumn("channel_score", least(lit(1.0),
+        lit(0.15) + lit(0.45) * col("hit_ratio") +
+          when(col("hit_ratio") === 1.0, 0.2).otherwise(0.0)))
+      .withColumn("match_type", lit("metadata"))
+      .orderBy(desc("channel_score"), asc("id"))
+      .limit(overfetch(limit))
+      .select(channelCols.map(col): _*)
+  }
+
+  /** Q2 tag-only channel (no query): score := importance. */
+  def tagOnlyChannel(scoped: DataFrame, limit: Int): DataFrame =
+    scoped.withColumn("channel_score", col("importance"))
+      .withColumn("match_type", lit("tag"))
+      .orderBy(desc("channel_score"), desc("timestamp"), asc("id"))
+      .limit(overfetch(limit))
+      .select(channelCols.map(col): _*)
+
+  /** Run one query through all channels and score it (SURVEY §3.1 steps
+    * 3b-3g). Returns the scored candidate set before expansion.
+    */
+  def runSingleQuery(memories: DataFrame, req: RecallRequest,
+      queryOpt: Option[String]): DataFrame = {
+    val base = baseFilter(memories, req)
+    val scoped = if (req.tags.nonEmpty)
+      base.filter(tagPredicate(req.tags, req.tagMode, req.tagMatch)) else base
+    val qvecOpt = req.embedding.orElse(
+      queryOpt.map(q => PlaceholderEmbedding.embed(q)))
+    val chans = Seq(
+      qvecOpt.map(v => vectorChannel(scoped, v, req.limit)),
+      queryOpt.map(q => keywordChannel(scoped, q, req.limit)),
+      queryOpt.map(q => metadataChannel(scoped, q, req.limit)),
+      if (queryOpt.isEmpty && req.tags.nonEmpty) Some(tagOnlyChannel(scoped, req.limit))
+      else None).flatten.filter(_.columns.nonEmpty)
+    if (chans.isEmpty) return scoped.limit(0)
+      .withColumn("final_score", lit(0.0)).withColumn("match_type", lit(""))
+    // union channels; best score per channel per id (seen-id semantics 2.8)
+    val union = chans.reduce(_ unionByName _)
+    val perId = union.groupBy(col("id")).agg(
+      max(when(col("match_type") === "vector", col("channel_score"))).as("vector_score"),
+      max(when(col("match_type") === "keyword", col("channel_score"))).as("keyword_score"),
+      max(when(col("match_type") === "metadata", col("channel_score"))).as("metadata_score"),
+      max(when(col("match_type") === "tag", col("channel_score"))).as("tagonly_score"))
+      .withColumn("match_type",
+        when(col("vector_score").isNotNull, "vector")
+          .when(col("keyword_score").isNotNull, "keyword")
+          .when(col("metadata_score").isNotNull, "metadata")
+          .otherwise("tag"))
+    val hydrated = perId.join(scoped, Seq("id"))
+    scoreCandidates(hydrated, req, queryOpt)
+  }
+
+  /** 9-component scoring + final score (SURVEY §2.5). */
+  def scoreCandidates(df: DataFrame, req: RecallRequest,
+      queryOpt: Option[String]): DataFrame = {
+    val kws = queryOpt.map(keywords).getOrElse(Nil)
+    val lc = lower(col("content"))
+    val ageDays = (unix_timestamp(lit(req.now)) - unix_timestamp(col("timestamp"))) / 86400.0
+    val comps = Scoring.ComponentColumns(
+      vector = coalesce(col("vector_score"), lit(0.0)),
+      keyword = coalesce(col("keyword_score"), Scoring.keywordFallback(kws, lc)),
+      metadata = coalesce(col("metadata_score"), lit(0.0)),
+      relation = lit(0.0),
+      tag = Scoring.tagScore(kws, col("tags")),
+      importance = coalesce(col("importance"), lit(0.0)),
+      confidence = coalesce(col("confidence"), lit(0.0)),
+      recency = Scoring.recency(ageDays),
+      exact = queryOpt.map(q =>
+        when(lower(col("metadata")).contains(q.toLowerCase), lit(1.0))
+          .otherwise(lit(0.0))).getOrElse(lit(0.0)),
+      relevance = coalesce(col("relevance_score"), lit(0.0)),
+      context = Scoring.contextBonus(col("tags"), col("type"), lc, col("id"),
+        req.priorityTags, req.priorityTypes, Nil, req.priorityIds))
+    df.withColumn("s_vector", comps.vector)
+      .withColumn("s_keyword", comps.keyword)
+      .withColumn("s_tag", comps.tag)
+      .withColumn("s_recency", comps.recency)
+      .withColumn("final_score",
+        Scoring.finalScore(comps, req.weights, req.relevanceGate))
+  }
+
+  /** R1 dedup by id then by 320-char normalized content fingerprint, keeping
+    * the highest score (tie -> newest), recording merged ids
+    * (`recall.py:310-389`).
+    */
+  def dedup(df: DataFrame): DataFrame = {
+    val fp = TextFunctions.fingerprint(col("content"), 320)
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(desc("final_score"), desc("timestamp"), asc("id"))
+    df.withColumn("_fp", when(length(fp) > 0, fp).otherwise(col("id")))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("deduped_from",
+        collect_set(col("id")).over(Window.partitionBy(col("_fp"))))
+      .filter(col("_rn") === 1)
+      .withColumn("deduped_from", array_remove(col("deduped_from"), col("id")))
+      .drop("_fp", "_rn")
+  }
+
+  /** R2 score-sort key: final desc, vector-channel first, importance desc,
+    * timestamp desc (`recall.py:420-434`).
+    */
+  def scoreSort(df: DataFrame): DataFrame =
+    df.orderBy(desc("final_score"),
+      when(col("match_type") === "vector", 0).otherwise(1).asc,
+      desc("importance"), desc("timestamp"), asc("id"))
+
+  /** J2 graph expansion (`recall.py:1498-1700`): undirected 1-hop from the
+    * seed results over whitelisted relation types, per-seed top-k by
+    * strength, global cap, dedup on first-seen, score = strength + 0.25 *
+    * seed score. Seeds are <= limit rows -> broadcast to the edge join.
+    */
+  def expand(results: DataFrame, memories: DataFrame, edges: DataFrame,
+      req: RecallRequest): DataFrame = {
+    val strength = coalesce(col("strength"), col("score"), col("confidence"),
+      col("similarity"), col("count").cast("double"), lit(0.0))
+    val undirected = edges.select(col("src"), col("dst"), col("rel_type"),
+        strength.as("strength"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("rel_type"), strength.as("strength")))
+      .filter(col("rel_type").isin(Schema.DefaultExpandRelations: _*))
+    val seeds = results.select(col("id").as("seed_id"),
+      col("final_score").as("seed_score"))
+    val w = Window.partitionBy(col("seed_id"))
+      .orderBy(desc("strength"), asc("dst"))
+    var hop = undirected.join(broadcast(seeds), col("src") === col("seed_id"))
+    req.expandMinStrength.foreach(m => hop = hop.filter(col("strength") >= m))
+    val picked = hop.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= req.relationLimit)
+      .withColumn("relation_score", col("strength") + lit(0.25) * col("seed_score"))
+      .groupBy(col("dst"))
+      .agg(max(col("relation_score")).as("final_score"),
+        min(col("rel_type")).as("via_rel"))
+      .join(results.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .orderBy(desc("final_score"), asc("dst"))
+      .limit(req.expansionLimit)
+    val mem = baseFilter(memories, req)
+    picked.join(mem, picked("dst") === mem("id"))
+      .drop("dst")
+      .withColumn("match_type", lit("expansion"))
+  }
+
+  /** R3 recency-bias re-rank (`recall.py:2315-2349`): min-max normalize
+    * candidate epochs, add 0.1 x relative recency. `auto` applies only when
+    * the query shows temporal intent (`automem/utils/time.py:10-27`).
+    */
+  def recencyRerank(df: DataFrame, req: RecallRequest): DataFrame = {
+    val temporalIntent = req.query.exists(q =>
+      "(?i)\\b(recent|latest|last|yesterday|today|newest|this week|this month)\\b"
+        .r.findFirstIn(q).isDefined)
+    val apply = req.recencyBias == "on" || (req.recencyBias == "auto" && temporalIntent)
+    if (!apply) df
+    else {
+      val w = Window.partitionBy()
+      val epoch = unix_timestamp(col("timestamp"))
+      val span = max(epoch).over(w) - min(epoch).over(w)
+      df.withColumn("final_score",
+        col("final_score") + lit(0.1) *
+          when(span === 0, 0.5).otherwise((epoch - min(epoch).over(w)) / span))
+    }
+  }
+
+  /** R4 adaptive score floor (`recall.py:2351-2375`): largest gap in the top
+    * half; cut below when the gap exceeds 25% of the top score and at least
+    * half survive. Bounded driver-side computation (candidate set <= limit +
+    * expansionLimit).
+    */
+  def adaptiveFloor(df: DataFrame): DataFrame = {
+    val scores = df.select(col("final_score")).collect().map(_.getDouble(0))
+      .sorted(Ordering[Double].reverse)
+    if (scores.length < 4) return df
+    val top = scores.head
+    val half = scores.length / 2
+    val gaps = (1 until half).map(i => (scores(i - 1) - scores(i), i))
+    if (gaps.isEmpty) return df
+    val (gap, idx) = gaps.maxBy(_._1)
+    if (top > 0 && gap > 0.25 * top && (scores.length - idx) <= scores.length - half)
+      df.filter(col("final_score") >= scores(idx - 1) - gap / 2)
+    else df
+  }
+
+  /** J1 relation hydration for the final survivors (`runtime_relations.py:
+    * 21-76`): per result, top-`relationLimit` outgoing edges joined to their
+    * target memory summary, newest first. Join-after-limit: only the final
+    * top-k rows reach this join.
+    */
+  def hydrateRelations(results: DataFrame, memories: DataFrame, edges: DataFrame,
+      relationLimit: Int): DataFrame = {
+    val strength = coalesce(col("strength"), col("score"), col("confidence"),
+      col("similarity"), col("count").cast("double"), lit(0.0))
+    val ids = results.select(col("id").as("rid"))
+    val w = Window.partitionBy(col("rid")).orderBy(desc("rel_updated"), asc("dst"))
+    val rel = edges.join(broadcast(ids), col("src") === col("rid"))
+      .select(col("rid"), col("dst"), col("rel_type"), strength.as("strength"),
+        coalesce(col("updated_at")).as("rel_updated"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= relationLimit)
+    val relWithTarget = rel.join(memories.select(col("id").as("dst"),
+        col("type").as("rel_target_type"),
+        substring(col("content"), 1, 160).as("rel_snippet")), Seq("dst"), "left")
+      .groupBy(col("rid"))
+      .agg(collect_list(struct(col("dst").as("id"), col("rel_type"),
+        col("strength"), col("rel_target_type"), col("rel_snippet"))).as("relations"))
+    results.join(relWithTarget, results("id") === relWithTarget("rid"), "left")
+      .drop("rid")
+  }
+
+  /** Full recall pipeline (SURVEY §3.1). Returns the ranked result set with
+    * score components, provenance, and (optionally) hydrated relations.
+    */
+  def recall(memories: DataFrame, edges: DataFrame, req: RecallRequest): DataFrame = {
+    val queriesToRun: Seq[Option[String]] =
+      if (req.queries.nonEmpty) req.queries.map(Some(_))
+      else Seq(req.query)
+    val perQuery = queriesToRun.map(q => runSingleQuery(memories, req, q))
+    var agg = perQuery.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    agg = dedup(agg)
+    req.minScore.foreach(m => agg = agg.filter(col("final_score") >= m))
+    agg = scoreSort(agg).limit(req.limit)
+    if (req.expandRelations) {
+      val expanded = expand(agg, memories, edges, req)
+      agg = agg.unionByName(expanded, allowMissingColumns = true)
+    }
+    if (req.stateMode == "current")
+      agg = Supersession.applyCurrentState(agg, memories, edges)
+    agg = recencyRerank(agg, req)
+    if (req.adaptiveFloor) agg = adaptiveFloor(agg)
+    req.minScore.foreach(m => agg = agg.filter(col("final_score") >= m))
+    // R6 scope fallback
+    if (req.scopeFallback && req.tags.nonEmpty) {
+      val have = agg.count()
+      if (have < req.limit) {
+        val unscoped = runSingleQuery(memories, req.copy(tags = Nil), req.query)
+        val fill = scoreSort(
+          unscoped.join(agg.select(col("id")), Seq("id"), "left_anti"))
+          .limit((req.limit - have).toInt)
+          .withColumn("outside_tag_scope", lit(true))
+        agg = agg.withColumn("outside_tag_scope", lit(false))
+          .unionByName(fill, allowMissingColumns = true)
+      } else agg = agg.withColumn("outside_tag_scope", lit(false))
+    } else agg = agg.withColumn("outside_tag_scope", lit(false))
+    val ordered = agg.orderBy(asc("outside_tag_scope"), desc("final_score"),
+      desc("importance"), desc("timestamp"), asc("id"))
+    if (req.expandRelations) hydrateRelations(ordered, memories, edges, req.relationLimit)
+    else ordered
+  }
+}

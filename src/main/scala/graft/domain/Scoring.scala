@@ -1,0 +1,105 @@
+package graft.domain
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The 9-component weighted recall score (`/root/reference/automem/utils/
+  * scoring.py:137-280`), as one wide Catalyst projection — pure arithmetic,
+  * whole-stage codegen, no shuffle. Component columns are emitted alongside
+  * the final score so callers can expose the per-component breakdown the
+  * reference returns (`scoring.py:264-278`).
+  */
+object Scoring {
+
+  /** Default component weights (`automem/config.py:473-482`). */
+  case class Weights(
+      vector: Double = 0.35,
+      keyword: Double = 0.35,
+      metadata: Double = 0.35,
+      relation: Double = 0.25,
+      tag: Double = 0.2,
+      importance: Double = 0.1,
+      confidence: Double = 0.05,
+      recency: Double = 0.1,
+      exact: Double = 0.2,
+      relevance: Double = 0.0)
+
+  /** Recency curve (`scoring.py:66-81`, `config.py:499-503`): linear decay
+    * to zero over `windowDays` (default 180), or exponential half-life when
+    * `halfLifeDays` is set.
+    */
+  def recency(ageDays: Column, windowDays: Double = 180.0,
+      halfLifeDays: Option[Double] = None): Column = halfLifeDays match {
+    case Some(hl) => exp(ageDays * (-math.log(2.0) / hl))
+    case None => greatest(lit(0.0), lit(1.0) - ageDays / windowDays)
+  }
+
+  /** Tag-match component (`scoring.py:137-180` tag logic): fraction of query
+    * tokens appearing in the tags-or-metadata-terms set; denominator
+    * optionally capped (`config.py:527-529`).
+    */
+  def tagScore(queryTokens: Seq[String], termSet: Column,
+      denominatorCap: Option[Int] = None): Column = {
+    if (queryTokens.isEmpty) lit(0.0)
+    else {
+      val hits = queryTokens.map(t => when(array_contains(termSet, t), 1).otherwise(0))
+        .reduce(_ + _)
+      val denom = denominatorCap
+        .map(c => lit(math.min(queryTokens.length, c)))
+        .getOrElse(lit(queryTokens.length))
+      hits.cast("double") / denom
+    }
+  }
+
+  /** Keyword fallback: content-token hit ratio when no keyword-channel score
+    * exists (`scoring.py:184-196`).
+    */
+  def keywordFallback(queryTokens: Seq[String], contentLower: Column): Column =
+    if (queryTokens.isEmpty) lit(0.0)
+    else queryTokens.map(t => when(contentLower.contains(t), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / queryTokens.length
+
+  case class ComponentColumns(
+      vector: Column, keyword: Column, metadata: Column, relation: Column,
+      tag: Column, importance: Column, confidence: Column, recency: Column,
+      exact: Column, relevance: Column, context: Column)
+
+  /** Final score = sum of weighted components + context bonus, with the
+    * opt-in relevance gate (`scoring.py:229-262`): when the best topical
+    * evidence max(vector, keyword, metadata, exact) falls below `gate`,
+    * query-independent components (importance, confidence, recency,
+    * relevance) are scaled by evidence/gate.
+    */
+  def finalScore(c: ComponentColumns, w: Weights = Weights(),
+      relevanceGate: Option[Double] = None): Column = {
+    val evidence = greatest(c.vector, c.keyword, c.metadata, c.exact)
+    val scale = relevanceGate match {
+      case Some(g) => when(evidence < g, evidence / g).otherwise(lit(1.0))
+      case None => lit(1.0)
+    }
+    c.vector * w.vector + c.keyword * w.keyword + c.metadata * w.metadata +
+      c.relation * w.relation + c.tag * w.tag +
+      (c.importance * w.importance + c.confidence * w.confidence +
+        c.recency * w.recency + c.relevance * w.relevance) * scale +
+      c.exact * w.exact + c.context
+  }
+
+  /** Context bonus (`scoring.py:100-134`; weights `recall.py:1053-1058`):
+    * priority-tag hit 0.45, priority-type 0.25, context-keyword 0.2,
+    * anchor-id 0.9.
+    */
+  def contextBonus(tags: Column, typ: Column, contentLower: Column, id: Column,
+      priorityTags: Seq[String], priorityTypes: Seq[String],
+      contextKeywords: Seq[String], priorityIds: Seq[String]): Column = {
+    val tagHit = if (priorityTags.isEmpty) lit(0.0)
+      else when(arrays_overlap(tags, array(priorityTags.map(lit): _*)), 0.45).otherwise(0.0)
+    val typeHit = if (priorityTypes.isEmpty) lit(0.0)
+      else when(typ.isin(priorityTypes: _*), 0.25).otherwise(0.0)
+    val kwHit = if (contextKeywords.isEmpty) lit(0.0)
+      else when(contextKeywords.map(k => contentLower.contains(k))
+        .reduce(_ || _), 0.2).otherwise(0.0)
+    val idHit = if (priorityIds.isEmpty) lit(0.0)
+      else when(id.isin(priorityIds: _*), 0.9).otherwise(0.0)
+    tagHit + typeHit + kwHit + idHit
+  }
+}

@@ -1,0 +1,92 @@
+package graft.domain
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Current-state supersession resolution (J4, `/root/reference/automem/api/
+  * recall.py:452-723`): follow INVALIDATED_BY / EVOLVED_INTO chains from each
+  * candidate to the chain head — newest edge per source, bounded depth (5),
+  * cycle-safe — and replace suppressed rows with the head while keeping the
+  * FIRST hop's relation as provenance (`recall.py:580-586`).
+  *
+  * Implementation is the bounded-iterative-join pattern: at most `MaxDepth`
+  * joins against a deduplicated next-hop edge map. Each iteration is a plain
+  * equi-join, so at scale this is `MaxDepth` shuffles over only the
+  * still-walking frontier (monotonically shrinking).
+  */
+object Supersession {
+  val MaxDepth = 5
+
+  /** One next-hop per source: the newest supersession edge
+    * (`recall.py:477-499`).
+    */
+  def nextHops(edges: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(desc("updated_at"), desc("dst"))
+    edges.filter(col("rel_type").isin(Schema.SupersessionRelations: _*))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("src"), col("dst"), col("rel_type"))
+  }
+
+  /** Resolve each id to (head_id, first_rel, depth). Ids with no outgoing
+    * supersession edge resolve to themselves at depth 0. Cycles stop the walk
+    * at the last unvisited node.
+    */
+  def resolveHeads(ids: DataFrame, edges: DataFrame): DataFrame = {
+    val hops = nextHops(edges).cache()
+    var frontier = ids.select(
+      col("id"),
+      col("id").as("cur"),
+      lit(null).cast("string").as("first_rel"),
+      array(col("id")).as("path"),
+      lit(0).as("depth"),
+      lit(false).as("done"))
+    for (_ <- 1 to MaxDepth) {
+      frontier = frontier
+        .join(hops.withColumnRenamed("src", "cur")
+          .withColumnRenamed("dst", "next")
+          .withColumnRenamed("rel_type", "next_rel"), Seq("cur"), "left")
+        .withColumn("step",
+          !col("done") && col("next").isNotNull && !array_contains(col("path"), col("next")))
+        .select(
+          col("id"),
+          when(col("step"), col("next")).otherwise(col("cur")).as("cur"),
+          when(col("step") && col("first_rel").isNull, col("next_rel"))
+            .otherwise(col("first_rel")).as("first_rel"),
+          when(col("step"), array_append(col("path"), col("next")))
+            .otherwise(col("path")).as("path"),
+          when(col("step"), col("depth") + 1).otherwise(col("depth")).as("depth"),
+          (!col("step")).as("done"))
+    }
+    frontier.select(col("id"), col("cur").as("head_id"), col("first_rel"), col("depth"))
+  }
+
+  /** Apply current-state mode to a recall candidate set (`id` + any score
+    * columns): each candidate resolves to its chain head; suppressed rows are
+    * replaced by the head's memory row (if present and not archived),
+    * candidate-only columns (scores) carried over, duplicates collapsed
+    * (self-resolutions win over replacements), with `superseded_from` /
+    * `supersession_rel` provenance from the FIRST hop.
+    */
+  def applyCurrentState(candidates: DataFrame, memories: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val resolved = resolveHeads(candidates.select(col("id")).distinct(), edges)
+    val memCols = memories.columns.toSet
+    val extras = candidates.columns.filter(c => c != "id" && !memCols.contains(c))
+    val mapped = candidates.join(resolved, Seq("id"))
+      .withColumn("superseded_from",
+        when(col("head_id") =!= col("id"), col("id")))
+      .withColumn("supersession_rel",
+        when(col("head_id") =!= col("id"), col("first_rel")))
+      .select(extras.map(col) ++
+        Seq(col("head_id").as("id"), col("superseded_from"), col("supersession_rel")): _*)
+    val live = memories.filter(!coalesce(col("archived"), lit(false)))
+    val hydrated = mapped.join(live, Seq("id"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(asc_nulls_first("superseded_from"))
+    hydrated.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}

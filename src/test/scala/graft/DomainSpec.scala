@@ -1,0 +1,270 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.domain._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end specs for the automem-semantic domain library over a seeded
+  * synthetic corpus (FIXTURES.md §3 scenarios): classification, enrichment
+  * edges, recall channels + scoring + dedup, supersession chain/cycle,
+  * expansion bridge, consolidation decay/forget/cluster rules.
+  */
+class DomainSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  val now: Timestamp = ts("2026-01-10 00:00:00")
+
+  def mem(id: String, content: String, t: String, tags: Seq[String] = Nil,
+      typ: String = "Context", importance: Double = 0.5,
+      archived: Boolean = false, relevance: Double = 1.0): Memory = {
+    val tstamp = ts(t)
+    Memory(id, content, tstamp, tstamp, None, tstamp, tstamp, importance, 0.7,
+      typ, tags.map(_.toLowerCase), Nil, "{}", None, enriched = false,
+      processed = false, relevance, archived, protected_flag = false,
+      PlaceholderEmbedding.embed(content))
+  }
+
+  def edge(src: String, dst: String, rel: String, t: String = "2026-01-05 00:00:00",
+      strength: Option[Double] = Some(0.8)): Edge =
+    Edge(src, dst, rel, strength, None, None, None, None, None, None, ts(t))
+
+  lazy val corpus: Seq[Memory] = Seq(
+    mem("m1", "We decided to use postgres for the main database", "2026-01-01 10:00:00",
+      Seq("database", "project:alpha"), "Decision", importance = 0.9),
+    mem("m2", "postgres connection pooling pattern with pgbouncer", "2026-01-02 10:00:00",
+      Seq("database"), "Pattern", importance = 0.6),
+    mem("m3", "I prefer dark mode editors", "2026-01-03 10:00:00",
+      Seq("preferences"), "Preference", importance = 0.4),
+    mem("m4", "We decided to use postgres for the main database", "2026-01-04 10:00:00",
+      Seq("database"), "Decision", importance = 0.5), // dup content of m1
+    mem("m5", "Old decision: use mysql for storage", "2025-12-01 10:00:00",
+      Seq("database"), "Decision", importance = 0.7),
+    mem("m6", "archived note about redis", "2026-01-05 10:00:00",
+      Seq("database"), "Context", archived = true),
+    mem("m7", "internal meta artifact", "2026-01-06 10:00:00",
+      Nil, "MetaPattern"),
+    mem("m8", "Sprint planning notes for project alpha", "2026-01-07 10:00:00",
+      Seq("project:alpha:sprint1"), "Context"))
+
+  lazy val edgesSeq: Seq[Edge] = Seq(
+    edge("m5", "m1", "EVOLVED_INTO"), // m5 superseded by m1
+    edge("m1", "m2", "RELATES_TO"),
+    edge("m2", "m3", "SIMILAR_TO", strength = None),
+    // cycle: c1 -> c2 -> c1
+    edge("c1", "c2", "INVALIDATED_BY"),
+    edge("c2", "c1", "INVALIDATED_BY"))
+
+  lazy val memories: DataFrame = {
+    import spark.implicits._
+    val df = corpus.toDF()
+    df.withColumn("tag_prefixes",
+      graft.functions.TextFunctions.tagPrefixes(col("tags")))
+  }
+  lazy val edgesDf: DataFrame = {
+    import spark.implicits._
+    edgesSeq.toDF()
+  }
+
+  test("ingest classifies types from content and fills derived columns") {
+    import spark.implicits._
+    val raw = Seq(
+      ("We decided to go with spark", Seq("Infra", "infra")),
+      ("I prefer tabs rather than spaces", Seq("style ")),
+      ("just a note", Seq.empty[String]))
+      .toDF("content", "tags")
+    val out = Ingest.prepare(raw).collect().sortBy(_.getAs[String]("content"))
+    val byContent = out.map(r => r.getAs[String]("content") -> r).toMap
+    assert(byContent("We decided to go with spark").getAs[String]("type") == "Decision")
+    assert(byContent("I prefer tabs rather than spaces").getAs[String]("type") == "Preference")
+    assert(byContent("just a note").getAs[String]("type") == "Context")
+    val infra = byContent("We decided to go with spark")
+    assert(infra.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("infra"))
+    assert(infra.getAs[String]("id") != null)
+    assert(infra.getAs[scala.collection.Seq[Float]]("embedding").length == PlaceholderEmbedding.DefaultDim)
+  }
+
+  test("placeholder embeddings are deterministic and unit-norm") {
+    val a = PlaceholderEmbedding.embed("hello world")
+    val b = PlaceholderEmbedding.embed("hello world")
+    val c = PlaceholderEmbedding.embed("different")
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("recall: keyword query finds postgres memories, excludes archived and artifacts") {
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database"), limit = 5, now = now))
+    val ids = res.select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.nonEmpty)
+    assert(!ids.contains("m6"), "archived must be excluded")
+    assert(!ids.contains("m7"), "MetaPattern artifact must be excluded")
+    assert(ids.contains("m1") || ids.contains("m4"))
+    // dedup by content fingerprint: m1 and m4 share content -> only one survives
+    assert(!(ids.contains("m1") && ids.contains("m4")))
+  }
+
+  test("recall: tag filters any/all/prefix and exclude") {
+    val anyRes = Recall.recall(memories, edgesDf,
+      RecallRequest(tags = Seq("database"), limit = 10, now = now))
+    val anyIds = anyRes.select("id").collect().map(_.getString(0)).toSet
+    assert(Set("m1", "m2", "m5").subsetOf(anyIds) || Set("m1", "m2", "m4").subsetOf(anyIds))
+
+    val prefixRes = Recall.recall(memories, edgesDf,
+      RecallRequest(tags = Seq("project:alpha"), tagMatch = "prefix",
+        limit = 10, now = now))
+    val prefixIds = prefixRes.select("id").collect().map(_.getString(0)).toSet
+    assert(prefixIds.contains("m8"), "prefix match must hit project:alpha:sprint1")
+    assert(prefixIds.contains("m1"))
+
+    val exclRes = Recall.recall(memories, edgesDf,
+      RecallRequest(tags = Seq("database"), excludeTags = Seq("project:alpha"),
+        limit = 10, now = now))
+    val exclIds = exclRes.select("id").collect().map(_.getString(0)).toSet
+    assert(!exclIds.contains("m1"), "exclude-tags drops prefix-matching tags")
+  }
+
+  test("recall: current-state mode replaces superseded memory with head") {
+    // limit=1 isolates m5 (top keyword match) so its head m1 is NOT
+    // already a result — the reference only records provenance in that case
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("mysql storage"), limit = 1,
+        stateMode = "current", now = now))
+    val rows = res.select("id", "superseded_from").collect()
+    val ids = rows.map(_.getString(0)).toSeq
+    assert(!ids.contains("m5"), "superseded m5 must not appear")
+    val replaced = rows.find(r => r.getString(1) == "m5")
+    assert(replaced.isDefined, "head must carry superseded_from=m5 provenance")
+    assert(replaced.get.getString(0) == "m1")
+  }
+
+  test("supersession: cycle-safe bounded walk") {
+    import spark.implicits._
+    val ids = Seq("c1").toDF("id")
+    val heads = Supersession.resolveHeads(ids, edgesDf).collect()
+    assert(heads.length == 1)
+    // c1 -> c2, then c2 -> c1 is a cycle: walk stops at c2
+    assert(heads.head.getAs[String]("head_id") == "c2")
+    assert(heads.head.getAs[Int]("depth") == 1)
+  }
+
+  test("recall: graph expansion surfaces related memory via edges") {
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database decision"), limit = 2,
+        expandRelations = true, now = now))
+    val byId = res.select("id", "match_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId.contains("m2") || byId.contains("m3"),
+      s"expansion should pull a related memory, got ${byId.keys}")
+    assert(byId.exists(_._2 == "expansion"))
+    assert(res.columns.contains("relations"), "final results must hydrate relations")
+  }
+
+  test("recall: min_score and adaptive floor cut low scores") {
+    val all = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres"), limit = 10, now = now))
+    val scores = all.select("final_score").collect().map(_.getDouble(0))
+    assert(scores.nonEmpty)
+    val cut = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres"), limit = 10,
+        minScore = Some(scores.max + 0.001), now = now))
+    assert(cut.count() == 0)
+  }
+
+  test("recall: scope fallback tops up and flags out-of-scope rows") {
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database"), tags = Seq("preferences"),
+        limit = 4, scopeFallback = true, now = now))
+    val rows = res.select("id", "outside_tag_scope").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getBoolean(1)), "fallback rows must be flagged")
+    // in-scope rows sort before out-of-scope rows
+    val flags = rows.map(_.getBoolean(1)).toSeq
+    assert(flags == flags.sorted)
+  }
+
+  test("enrichment: temporal links respect 7-day window and direction") {
+    val links = Enrichment.temporalLinks(memories).collect()
+    assert(links.nonEmpty)
+    links.foreach { r =>
+      assert(r.getAs[String]("rel_type") == "PRECEDED_BY")
+    }
+    // m1 (jan 1) has no earlier memory within 7 days (m5 is dec 1)
+    assert(!links.exists(_.getAs[String]("src") == "m1"))
+    // m2 (jan 2) links back to m1
+    assert(links.exists(r => r.getAs[String]("src") == "m2" &&
+      r.getAs[String]("dst") == "m1"))
+  }
+
+  test("enrichment: similar-to edges link identical-content memories") {
+    val sims = Enrichment.similarToEdges(memories, threshold = 0.99).collect()
+    // m1 and m4 have identical content -> identical embeddings -> sim 1.0
+    assert(sims.exists(r => r.getAs[String]("src") == "m1" &&
+      r.getAs[String]("dst") == "m4"))
+    assert(sims.exists(r => r.getAs[String]("src") == "m4" &&
+      r.getAs[String]("dst") == "m1"), "SIMILAR_TO must be bidirectional")
+  }
+
+  test("enrichment: pattern detection requires >= 3 confident same-type memories") {
+    val pats = Enrichment.detectPatterns(memories).collect()
+    val types = pats.map(_.getAs[String]("type")).toSet
+    assert(types.contains("Decision"), "3 Decision memories -> Decision pattern")
+    assert(!types.contains("Preference"), "1 Preference memory is not enough")
+    val dec = pats.find(_.getAs[String]("type") == "Decision").get
+    assert(dec.getAs[Double]("confidence") == 0.35 + 3 * 0.05)
+    assert(dec.getAs[scala.collection.Seq[String]]("key_terms").nonEmpty)
+  }
+
+  test("enrichment: entity extraction finds tools/people and writes entity tags") {
+    import spark.implicits._
+    val df = Ingest.prepare(Seq(
+      ("Met with Alice about the `spark-submit` tooling for project Orion", Seq("work")))
+      .toDF("content", "tags"))
+    val (enriched, _, _) = Enrichment.enrich(df)
+    val tags = enriched.select("tags").head().getSeq[String](0)
+    assert(tags.exists(_.startsWith("entity:people:alice")), s"got $tags")
+    assert(tags.exists(_.startsWith("entity:tools:spark-submit")), s"got $tags")
+    assert(tags.exists(_.startsWith("entity:projects:orion")), s"got $tags")
+  }
+
+  test("consolidation: decay is bounded, floored by importance, relevant edges help") {
+    val scored = Consolidation.decay(memories, edgesDf, now)
+    val rows = scored.select("id", "relevance_score", "importance").collect()
+    rows.foreach { r =>
+      val rel = r.getDouble(1)
+      assert(rel <= 1.0 && rel >= r.getDouble(2) * 0.3 - 1e-12,
+        s"${r.getString(0)}: $rel out of bounds")
+    }
+  }
+
+  test("consolidation: forget protects important/young/Decision memories") {
+    val fates = Consolidation.forget(memories, edgesDf, now)
+      .select("id", "fate").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fates("m1") == "keep") // Decision + importance 0.9 + young
+    assert(fates("m3") == "keep") // young (grace window)
+  }
+
+  test("consolidation: clustering groups identical embeddings into components") {
+    val (clusters, metas) = Consolidation.cluster(memories, threshold = 0.99,
+      minSize = 2, metaSize = 10)
+    val c = clusters.collect()
+    assert(c.exists(_.getAs[Long]("cluster_size") >= 2),
+      "m1/m4 identical embeddings must cluster")
+    assert(metas.collect().isEmpty, "no cluster reaches metaSize 10")
+  }
+
+  test("consolidation: creative associations emit rule-based kinds, skip existing") {
+    val out = Consolidation.creativeAssociations(memories, edgesDf, now, sampleMod = 1)
+    val kinds = out.select("kind").collect().map(_.getString(0)).toSet
+    assert(out.count() > 0)
+    assert(kinds.subsetOf(Set("contradicts", "explains", "shares_theme", "parallel_context")))
+    // m1 -> m2 already connected: no new edge for that pair
+    assert(!out.collect().exists(r => r.getAs[String]("src") == "m1" &&
+      r.getAs[String]("dst") == "m2"))
+  }
+}
