@@ -60,6 +60,7 @@ object SparkEntry {
     "q_f2_tag_filters" -> (RecallShapes.tagFilters _),
     "q_set_intersect" -> (RecallShapes.setIntersect _),
     "q_u5_snippet" -> (RecallShapes.snippets _),
+    "q_recall_pipeline" -> (RecallPipeline.recallDocuments _),
   )
 
   private val centsSum: String => String = e =>
@@ -223,5 +224,6 @@ object SparkEntry {
     "q_f2_tag_filters" -> RecallShapes.tagFiltersSql,
     "q_set_intersect" -> RecallShapes.setIntersectSql,
     "q_u5_snippet" -> RecallShapes.snippetsSql,
+    "q_recall_pipeline" -> RecallPipeline.recallDocumentsSql,
   )
 }

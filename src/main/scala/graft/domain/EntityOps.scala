@@ -1,0 +1,67 @@
+package graft.domain
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Entity maintenance: U7 dedup-and-merge (`/root/reference/automem/
+  * consolidation/entity_dedup.py:43-322`) and the identity-synthesis hook
+  * (U6, `consolidation/identity_synthesis.py` — the LLM writer stays behind
+  * a trait; the deterministic default is extractive).
+  *
+  * Candidate generation blocks by (category, slug length bucket) so the
+  * pairwise levenshtein join never goes quadratic in the entity count —
+  * the same blocking idea the reference applies in-memory.
+  */
+object EntityOps {
+
+  /** Near-duplicate entity pairs: same category, length-bucket-blocked,
+    * slug similarity = 1 - levenshtein/maxlen >= threshold, or one slug
+    * contains the other.
+    */
+  def dedupCandidates(entities: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val blocked = entities.select(col("category"), col("slug"))
+      .distinct()
+      .withColumn("lb", (length(col("slug")) / 4).cast("int"))
+    val a = blocked.select(col("category"), col("slug").as("a_slug"), col("lb"))
+      .withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    val b = blocked.select(col("category"), col("slug").as("b_slug"), col("lb"))
+    a.join(b, Seq("category", "lb"))
+      .filter(col("a_slug") < col("b_slug"))
+      .withColumn("sim",
+        lit(1.0) - levenshtein(col("a_slug"), col("b_slug")) /
+          greatest(length(col("a_slug")), length(col("b_slug"))).cast("double"))
+      .withColumn("containment",
+        col("a_slug").contains(col("b_slug")) || col("b_slug").contains(col("a_slug")))
+      .filter(col("sim") >= threshold || col("containment"))
+      .select(col("category"), col("a_slug"), col("b_slug"), col("sim"))
+      .distinct()
+  }
+
+  /** Merge: every slug resolves to the canonical (lexicographically smallest)
+    * slug of its duplicate group via connected components over the candidate
+    * pairs; entity-referencing edges rewrite src/dst accordingly
+    * (`entity_dedup.py` merge-moves-edges semantics).
+    */
+  def mergeMap(entities: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = dedupCandidates(entities, threshold)
+      .select(col("a_slug").as("src"), col("b_slug").as("dst"))
+    val vertices = entities.select(col("slug").as("id")).distinct()
+    Consolidation.connectedComponents(vertices, pairs)
+      .withColumnRenamed("id", "slug")
+      .withColumnRenamed("component", "canonical_slug")
+  }
+}
+
+/** U6 identity synthesis hook: the profile writer is pluggable; default is
+  * extractive (first snippets of the entity's current memories), the LLM
+  * implementation is an external batch stage.
+  */
+trait IdentityWriter extends Serializable {
+  def write(entitySlug: String, snippets: Seq[String]): String
+}
+
+class ExtractiveIdentityWriter extends IdentityWriter {
+  override def write(entitySlug: String, snippets: Seq[String]): String =
+    s"$entitySlug: " + snippets.take(3).mkString(" | ")
+}

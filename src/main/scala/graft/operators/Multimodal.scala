@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Multimodal column plumbing for training-data pipelines: image/audio/video
+  * payloads ride as opaque `BINARY` columns with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample run as `mapPartitions`
+  * batch stages (the Scala analogue of `mapInPandas` — one iterator pass per
+  * partition, batch-friendly, no per-row overhead).
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * container): [[StubDecoder]] derives deterministic fake
+  * dimensions/features from the payload bytes, so the Spark-side plumbing —
+  * schema, partitioning, batch shape, null handling — is real and tested
+  * while the codec is swappable.
+  */
+object Multimodal {
+
+  /** Typed asset metadata carried next to the binary payload. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("mime", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  val decodedSchema: StructType = StructType(assetSchema.fields ++ Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = true)))
+
+  /** Deterministic stand-in for the real codec: dimensions and a small
+    * feature vector derived from payload bytes. Swap for a real decoder
+    * (JNI/FFM image lib) without touching the pipeline.
+    */
+  object StubDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      if (payload == null || payload.isEmpty) return (0, 0, Array.empty)
+      var h = 1125899906842597L
+      payload.foreach(b => h = 31 * h + b)
+      val width = 64 + math.floorMod(h, 512).toInt
+      val height = 64 + math.floorMod(h >> 16, 512).toInt
+      val features = Array.tabulate(8) { i =>
+        (math.floorMod(h >> (i * 7), 1000) / 1000.0f)
+      }
+      (width, height, features)
+    }
+  }
+
+  /** Synthesize a deterministic asset table (binary payloads from content
+    * hashes) — the test-fixture source for the plumbing.
+    */
+  def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
+    spark.range(n.toLong).select(
+      col("id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("id") % 3 + 1).cast("int")).as("modality"),
+      lit("application/octet-stream").as("mime"),
+      sha2(col("id").cast("string"), 256).cast("binary").as("payload"))
+  }
+
+  /** Decode stage as mapPartitions: one batch pass per partition, preserving
+    * partitioning; at scale this is the pattern that keeps codec state
+    * (decoder handles) per-partition rather than per-row.
+    */
+  def decodeStage(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outRows = assets.select(col("asset_id"), col("modality"), col("mime"),
+        col("payload"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, feats) = StubDecoder.decode(payload)
+          Row(r.getLong(0), r.getString(1), r.getString(2), payload,
+            w, h, if (payload == null) 0 else payload.length, feats)
+        }
+      }
+    spark.createDataFrame(outRows, decodedSchema)
+  }
+
+  /** Frame-sampling / chunking plan shape: explode a bounded index range per
+    * asset (e.g. every k-th frame), keyed so downstream shuffles partition by
+    * (asset, chunk).
+    */
+  def frameSample(decoded: DataFrame, everyK: Int = 10, maxFrames: Int = 5): DataFrame =
+    decoded.filter(col("modality") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), least(lit((maxFrames - 1) * everyK),
+          col("n_bytes")), lit(everyK))))
+      .select(col("asset_id"), col("frame_idx"), col("width"), col("height"))
+
+  /** Embedding-ready projection: modality-partitioned feature rows. */
+  def featureRows(decoded: DataFrame): DataFrame =
+    decoded.filter(size(col("features")) > 0)
+      .select(col("asset_id"), col("modality"), col("features"))
+      .repartition(col("modality"))
+}

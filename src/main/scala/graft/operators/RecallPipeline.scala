@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.domain.Scoring
+import graft.functions.TextFunctions
+import graft.functions.round4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The recall scoring pipeline (SURVEY §2.4-§2.5) run end-to-end under the
+  * DuckDB oracle: the documents table is mapped to a memories relation
+  * (id/content/tags/importance/confidence/timestamp), then the keyword
+  * channel -> component scoring -> fingerprint dedup -> rank -> top-k chain
+  * executes with the SAME library code paths used by `graft.domain.Recall`
+  * (keywordRawScore, Scoring.recency/tagScore, fingerprint), mirrored
+  * term-for-term in SQL.
+  */
+object RecallPipeline {
+
+  val Query = "spark join window"
+  val QueryTokens: Seq[String] = Seq("spark", "join", "window")
+  private val NowLit = "2024-02-01 00:00:00"
+  val Limit = 20
+
+  def recallDocuments(spark: SparkSession, dir: String): DataFrame = {
+    // documents -> memories mapping
+    val mems = Tables.documents(spark, dir)
+      .withColumn("tags", array(col("lang"), col("source"),
+        element_at(TextFunctions.tokens(col("text")), 1)))
+      .withColumn("importance", least(lit(1.0), col("n_chars") / 500.0))
+      .withColumn("confidence", lit(0.7))
+      .withColumn("timestamp",
+        to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), col("doc_id").cast("int"), lit(0)))
+    // keyword channel (Q3): raw score > 0 keeps the row
+    val withRaw = mems.withColumn("kw_raw",
+        TextFunctions.keywordRawScore(col("text"), QueryTokens, Query))
+      .filter(col("kw_raw") > 0)
+    val normalized = withRaw.withColumn("kw",
+      col("kw_raw").cast("double") / max(col("kw_raw")).over(Window.partitionBy()))
+    // component scoring (§2.5)
+    val ageDays = (unix_millis(to_timestamp(lit(NowLit))) -
+      unix_millis(col("timestamp"))) / 86400000.0
+    val scored = normalized
+      .withColumn("tag_score", Scoring.tagScore(QueryTokens, col("tags")))
+      .withColumn("recency", Scoring.recency(ageDays))
+      .withColumn("final_score",
+        col("kw") * 0.35 + col("tag_score") * 0.2 + col("importance") * 0.1 +
+          col("confidence") * 0.05 + col("recency") * 0.1)
+    // R1 fingerprint dedup keep-best, R2 sort, top-k
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(desc("final_score"), desc("timestamp"), asc("doc_id"))
+    scored.withColumn("fp", TextFunctions.fingerprint(col("text"), 320))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), round4(col("final_score")).as("score"),
+        round4(col("kw")).as("kw"), round4(col("tag_score")).as("tag_score"),
+        round4(col("recency")).as("recency"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(Limit)
+  }
+
+  val recallDocumentsSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    s"""WITH mems AS (SELECT doc_id, text,
+         [lang, source, $toks[1]] AS tags,
+         least(1.0, n_chars / 500.0) AS importance,
+         0.7 AS confidence,
+         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+       FROM documents),
+       raw AS (SELECT *,
+         (CASE WHEN contains(lower(text), 'spark') THEN 2 ELSE 0 END +
+          CASE WHEN contains(lower(text), 'join') THEN 2 ELSE 0 END +
+          CASE WHEN contains(lower(text), 'window') THEN 2 ELSE 0 END +
+          CASE WHEN contains(lower(text), 'spark join window') THEN 2 ELSE 0 END) AS kw_raw
+       FROM mems),
+       cand AS (SELECT * FROM raw WHERE kw_raw > 0),
+       scored AS (SELECT *,
+         CAST(kw_raw AS DOUBLE) / max(kw_raw) OVER () AS kw,
+         (CASE WHEN list_contains(tags, 'spark') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(tags, 'join') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(tags, 'window') THEN 1 ELSE 0 END) / CAST(3 AS DOUBLE) AS tag_score,
+         greatest(0.0, 1.0 - ((epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts))
+           / 86400000.0) / 180.0) AS recency
+       FROM cand),
+       final AS (SELECT doc_id, text, ts,
+         kw * 0.35 + tag_score * 0.2 + importance * 0.1 +
+           confidence * 0.05 + recency * 0.1 AS final_score,
+         kw, tag_score, recency,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 320) AS fp
+       FROM scored),
+       deduped AS (SELECT *, row_number() OVER (PARTITION BY fp
+           ORDER BY final_score DESC, ts DESC, doc_id ASC) AS rn FROM final)
+       SELECT doc_id, round((final_score) + 1e-9, 4) AS score,
+         round((kw) + 1e-9, 4) AS kw, round((tag_score) + 1e-9, 4) AS tag_score,
+         round((recency) + 1e-9, 4) AS recency
+       FROM deduped WHERE rn = 1
+       ORDER BY score DESC, doc_id ASC LIMIT $Limit"""
+  }
+}

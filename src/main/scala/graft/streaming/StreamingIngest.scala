@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming extension (SURVEY.md §2.13): the reference has no
+  * true stream processing — its queues become `readStream -> transform ->
+  * foreachBatch` here. Watermarked event-time windows cover the E1-style
+  * trailing-window maintenance; `mapGroupsWithState` covers the
+  * enrichment-queue-with-retry state machine.
+  */
+object StreamingIngest {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Windowed per-type counts with a watermark: 10-minute tumbling windows,
+    * 20-minute lateness bound. Append mode -> results finalize when the
+    * watermark passes the window end.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class SessionState(nEvents: Long, lastTs: Long)
+  case class SessionUpdate(user_id: Long, nEvents: Long, sessionSeconds: Long)
+
+  /** Stateful sessionization via mapGroupsWithState (the
+    * KeyValueGroupedDataset custom-state pattern): per user, count events and
+    * track session span; a 30-minute processing-timeout closes idle state.
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val evs = it.toSeq
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue))
+          val first = math.min(prev.lastTs,
+            evs.map(_.ts.getTime).foldLeft(Long.MaxValue)(math.min))
+          val last = evs.map(_.ts.getTime).foldLeft(0L)(math.max)
+          val st = SessionState(prev.nEvents + evs.size, math.min(first, last))
+          state.update(st)
+          state.setTimeoutDuration("30 minutes")
+          SessionUpdate(uid, st.nEvents, math.max(0L, (last - first) / 1000))
+      }
+  }
+
+  /** Micro-batch ingest into the memories table: the streaming counterpart
+    * of `graft.domain.Ingest.prepare`, applied per micro-batch via
+    * foreachBatch (each batch is a plain DataFrame -> full batch enrichment
+    * reuse).
+    */
+  def ingestStream(spark: SparkSession, sourceDir: String, targetDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("content", StringType),
+        StructField("tags", ArrayType(StringType)))))
+      .json(sourceDir)
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.domain.Ingest.prepare(batch)
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+  }
+}

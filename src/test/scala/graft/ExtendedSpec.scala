@@ -1,0 +1,152 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.domain._
+import graft.operators.Multimodal
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for graph ops, entity dedup, multimodal plumbing, and streaming. */
+class ExtendedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("graph snapshot keeps only edges among visible nodes") {
+    import spark.implicits._
+    val mems = Seq(
+      ("a", "Context", 0.9, ts("2026-01-01 00:00:00"), "content a"),
+      ("b", "Context", 0.8, ts("2026-01-02 00:00:00"), "content b"),
+      ("c", "Context", 0.1, ts("2026-01-03 00:00:00"), "content c"))
+      .toDF("id", "type", "importance", "timestamp", "content")
+    val edges = Seq(("a", "b", "RELATES_TO"), ("a", "c", "RELATES_TO"))
+      .toDF("src", "dst", "rel_type")
+    val (nodes, visEdges) = GraphOps.snapshot(mems, edges, minImportance = 0.5)
+    assert(nodes.select("id").collect().map(_.getString(0)).toSet == Set("a", "b"))
+    val e = visEdges.collect()
+    assert(e.length == 1 && e.head.getAs[String]("dst") == "b",
+      "edge to invisible node c must be dropped")
+    assert(nodes.columns.contains("node_size") && nodes.columns.contains("node_label"))
+  }
+
+  test("sync diff reports ids missing on each side, excluding artifacts") {
+    import spark.implicits._
+    val canonical = Seq(("a", "Context"), ("b", "Context"), ("meta", "MetaPattern"))
+      .toDF("id", "type")
+    val replica = Seq("b", "x").toDF("id")
+    val diff = GraphOps.syncDiff(canonical, replica).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diff == Set(("a", "replica"), ("x", "canonical")))
+  }
+
+  test("touchLastAccessed updates only matched ids") {
+    import spark.implicits._
+    val now = ts("2026-02-01 00:00:00")
+    val old = ts("2026-01-01 00:00:00")
+    val mems = Seq(("a", old), ("b", old)).toDF("id", "last_accessed")
+    val out = GraphOps.touchLastAccessed(mems, Seq("a").toDF("id"), now)
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(out("a") == now && out("b") == old)
+  }
+
+  test("entity dedup merges near-duplicate slugs via levenshtein blocking") {
+    import spark.implicits._
+    val entities = Seq(
+      ("people", "alice"), ("people", "alicia"), ("people", "bob"),
+      ("tools", "spark-submit"), ("tools", "sparksubmit"))
+      .toDF("category", "slug")
+    val merged = EntityOps.mergeMap(entities)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("alicia") == "alice")
+    assert(merged("sparksubmit") == "spark-submit")
+    assert(merged("bob") == "bob")
+  }
+
+  test("multimodal decode stage is deterministic, schema-stable, null-safe") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val decoded = Multimodal.decodeStage(assets)
+    assert(decoded.schema == Multimodal.decodedSchema)
+    val rows = decoded.collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("n_bytes") > 0)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    }
+    // determinism: decoding twice gives identical feature vectors
+    val again = Multimodal.decodeStage(assets).collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("features").toSeq).toSeq ==
+      again.map(_.getAs[scala.collection.Seq[Float]]("features").toSeq).toSeq)
+  }
+
+  test("multimodal frame sampling bounds frames per asset") {
+    val decoded = Multimodal.decodeStage(Multimodal.syntheticAssets(spark, 30))
+    val frames = Multimodal.frameSample(decoded, everyK = 10, maxFrames = 3)
+    val perAsset = frames.groupBy("asset_id").count().collect()
+    assert(perAsset.nonEmpty)
+    perAsset.foreach(r => assert(r.getLong(1) <= 3 + 1))
+  }
+
+  test("streaming windowed counts finalize with watermark semantics") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:04:00"), 2L, "click", 2.0),
+      (3L, ts("2024-01-01 00:12:00"), 1L, "view", 3.0),
+      (4L, ts("2024-01-01 01:00:00"), 2L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(StreamingIngest.eventSchema)
+      .parquet(s"$tmp/in")
+    val q = StreamingIngest.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("win_counts").collect()
+    // the 01:00 event advances the watermark past the first two windows
+    assert(out.exists(r => r.getAs[Long]("n") == 2 &&
+      r.getAs[String]("event_type") == "click"),
+      s"got ${out.mkString(";")}")
+  }
+
+  test("streaming sessionize counts events per user with state") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val events = Seq(
+      StreamingIngest.SessionEvent(1L, ts("2024-01-01 00:00:00"), "click"),
+      StreamingIngest.SessionEvent(1L, ts("2024-01-01 00:10:00"), "view"),
+      StreamingIngest.SessionEvent(2L, ts("2024-01-01 00:05:00"), "click"))
+    events.toDF().write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[StreamingIngest.SessionEvent].schema)
+      .parquet(s"$tmp/in").as[StreamingIngest.SessionEvent]
+    val q = StreamingIngest.sessionize(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("sessions").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("nEvents")).toMap
+    assert(out(1L) == 2 && out(2L) == 1, s"got $out")
+  }
+
+  test("streaming ingest writes classified memories per micro-batch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    Seq(("We decided to use spark for analytics", Seq("infra")))
+      .toDF("content", "tags")
+      .write.mode("overwrite").json(s"$tmp/in")
+    val q = StreamingIngest.ingestStream(spark, s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 1)
+    assert(out.select("type").head().getString(0) == "Decision")
+    assert(out.select("embedding").head().getSeq[Float](0).nonEmpty)
+  }
+}
