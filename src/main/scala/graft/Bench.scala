@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/IO paths so the first timed query doesn't absorb
+    // session startup (~4s observed).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/documents.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -53,22 +53,39 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Shingles via posexplode + lead windows (fully codegen'd) — an order of
+    // magnitude cheaper than building per-row shingle arrays with
+    // slice/concat higher-order functions. The shingle is then hashed with
+    // its (lang, source) block key into one 64-bit join key: far cheaper to
+    // shuffle than 3 string columns; collision probability ~n^2/2^64.
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        wordShingles(col("text"), 3).as("shingles"))
-      .withColumn("n_sh", size(col("shingles")))
-      .filter(col("n_sh") > 0)
-    val exploded = docs.select(col("doc_id"), col("lang"), col("source"),
-      col("n_sh"), explode(col("shingles")).as("sh"))
-    val a = exploded.select(col("lang"), col("source"), col("sh"),
-      col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-    val b = exploded.select(col("lang"), col("source"), col("sh"),
-      col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-    a.join(b, Seq("lang", "source", "sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"), first(col("a_n")).as("a_n"),
-        first(col("b_n")).as("b_n"))
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val exploded = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("lang"), col("source"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shk"))
+      .distinct()
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // Pair generation inside shingle groups (double explode over the tiny
+    // per-shingle doc lists) — the expensive shingle subtree is computed
+    // ONCE instead of twice as in a self-join, and only co-occurring docs
+    // ever pair up.
+    val groups = exploded
+      .groupBy(col("shk"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    groups
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"), min(col("a.n_sh")).as("a_n"),
+        min(col("b.n_sh")).as("b_n"))
       .withColumn("jaccard",
         graft.functions.round4(col("inter").cast("double") /
           (col("a_n") + col("b_n") - col("inter"))))
