@@ -33,6 +33,7 @@ case class RecallRequest(
     stateMode: String = "all",
     recencyBias: String = "auto",
     scopeFallback: Boolean = false,
+    autoDecompose: Boolean = false,
     weights: Scoring.Weights = Scoring.Weights(),
     relevanceGate: Option[Double] = None,
     priorityTags: Seq[String] = Nil,
@@ -357,12 +358,26 @@ object Recall {
       .drop("rid")
   }
 
+  /** Q6 auto-decompose (`recall.py:152-307,2151-2199`): extract capitalized
+    * entities and topic keywords from the query and fabricate entity x topic
+    * sub-queries alongside the original.
+    */
+  def autoDecompose(query: String, maxQueries: Int = 4): Seq[String] = {
+    val entities = "\\b[A-Z][a-z]{2,}\\b".r.findAllIn(query).toSeq.distinct.take(3)
+    val entLower = entities.map(_.toLowerCase).toSet
+    val topics = keywords(query).filterNot(entLower.contains).take(3)
+    val combos = for (e <- entities; t <- topics) yield s"$e $t"
+    (query +: combos).distinct.take(maxQueries)
+  }
+
   /** Full recall pipeline (SURVEY §3.1). Returns the ranked result set with
     * score components, provenance, and (optionally) hydrated relations.
     */
   def recall(memories: DataFrame, edges: DataFrame, req: RecallRequest): DataFrame = {
     val queriesToRun: Seq[Option[String]] =
       if (req.queries.nonEmpty) req.queries.map(Some(_))
+      else if (req.autoDecompose && req.query.isDefined)
+        autoDecompose(req.query.get).map(Some(_))
       else Seq(req.query)
     val perQuery = queriesToRun.map(q => runSingleQuery(memories, req, q))
     var agg = perQuery.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))

@@ -267,4 +267,21 @@ class DomainSpec extends AnyFunSuite {
     assert(!out.collect().exists(r => r.getAs[String]("src") == "m1" &&
       r.getAs[String]("dst") == "m2"))
   }
+
+  test("recall: multi-query union and auto-decompose (Q6)") {
+    val multi = Recall.recall(memories, edgesDf,
+      RecallRequest(queries = Seq("postgres", "dark mode"), limit = 10, now = now))
+    val ids = multi.select("id").collect().map(_.getString(0)).toSet
+    assert(ids.exists(Set("m1", "m4").contains), "first query results present")
+    assert(ids.contains("m3"), "second query results present")
+
+    val decomposed = Recall.autoDecompose("Postgres decision for Alpha migration")
+    assert(decomposed.head == "Postgres decision for Alpha migration")
+    assert(decomposed.exists(q => q.startsWith("Postgres ") && q.length < 30),
+      s"entity x topic sub-queries expected, got $decomposed")
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("Postgres decision for Alpha migration"),
+        autoDecompose = true, limit = 5, now = now))
+    assert(res.count() > 0)
+  }
 }
