@@ -61,6 +61,7 @@ object SparkEntry {
     "q_set_intersect" -> (RecallShapes.setIntersect _),
     "q_u5_snippet" -> (RecallShapes.snippets _),
     "q_recall_pipeline" -> (RecallPipeline.recallDocuments _),
+    "q_sim_ivf_centroid" -> (Similarity.labelCentroidSim _),
   )
 
   private val centsSum: String => String = e =>
@@ -225,5 +226,18 @@ object SparkEntry {
     "q_set_intersect" -> RecallShapes.setIntersectSql,
     "q_u5_snippet" -> RecallShapes.snippetsSql,
     "q_recall_pipeline" -> RecallPipeline.recallDocumentsSql,
+    "q_sim_ivf_centroid" ->
+      """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+         cent AS (SELECT label, i, CAST(avg(x) AS REAL) AS cx FROM px GROUP BY 1, 2),
+         cl AS (SELECT label, list(cx ORDER BY i) AS centroid FROM cent GROUP BY 1),
+         pairs AS (SELECT e.vec_id, e.label,
+             unnest(e.embedding)::DOUBLE AS x, unnest(cl.centroid)::DOUBLE AS y
+           FROM embeddings e JOIN cl ON e.label = cl.label),
+         s AS (SELECT vec_id, label, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+           FROM pairs GROUP BY 1, 2)
+         SELECT vec_id, label, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+         FROM s ORDER BY vec_id""",
   )
 }
