@@ -62,6 +62,7 @@ object SparkEntry {
     "q_u5_snippet" -> (RecallShapes.snippets _),
     "q_recall_pipeline" -> (RecallPipeline.recallDocuments _),
     "q_sim_ivf_centroid" -> (Similarity.labelCentroidSim _),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashGroups(s, d)),
   )
 
   private val centsSum: String => String = e =>
@@ -239,5 +240,6 @@ object SparkEntry {
          SELECT vec_id, label, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
              ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
          FROM s ORDER BY vec_id""",
+    "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
   )
 }

@@ -47,6 +47,44 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("sig")
 
+  /** SimHash text dedup: 16-bit signature where bit b is set iff the sum of
+    * (+1/-1 for bit b of each distinct token's 60-bit md5-derived hash) is
+    * positive. Docs sharing a signature are near-dup candidates; the
+    * signature is a groupBy key — linear. The token hash is
+    * hex(md5)->int, bit-identical across engines.
+    */
+  def simhashGroups(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val toksD = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sums = toksD.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sums.withColumn("sig", sig)
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("sig")
+  }
+
+  def simhashGroupsSql(bits: Int = 16): String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    val bitSums = (0 until bits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n           ")
+    val sigExpr = (0 until bits).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+       h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+       bsums AS (SELECT doc_id,
+           $bitSums
+         FROM h GROUP BY 1),
+       sigs AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bsums)
+       SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id
+       FROM sigs GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Word-3-gram Jaccard near-dup pairs within (lang, source) blocks.
     * Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingles;
     * pairs with jaccard >= threshold, a < b.
