@@ -1,0 +1,113 @@
+package graft
+
+import graft.domain.PlaceholderEmbedding
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties from SURVEY.md §5: tag-prefix roundtrip, dedup
+  * idempotence, score-component monotonicity, embedding determinism.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  /** Drive a ScalaCheck generator n times (scalatestplus bridge is not in
+    * the offline cache, so we sample directly).
+    */
+  def forSamples[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (1 to n).foreach { i => gen.sample.foreach(f) }
+
+  lazy val spark = SparkTestSession.spark
+
+  val tagGen: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    parts <- Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5)))
+  } yield parts.mkString(":")
+
+  test("tag-prefix expansion: every prefix chain is present and lowercase") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(3, tagGen)) { tags =>
+      if (tags.nonEmpty && tags.forall(_.nonEmpty)) {
+        val got = Seq(tags).toDF("tags")
+          .select(TextFunctions.tagPrefixes(col("tags")))
+          .head().getSeq[String](0).toSet
+        tags.foreach { t =>
+          val parts = t.toLowerCase.split(":").toSeq
+          (1 to parts.length).foreach { i =>
+            assert(got.contains(parts.take(i).mkString(":")),
+              s"missing prefix of $t in $got")
+          }
+        }
+      }
+    }
+  }
+
+  test("fingerprint is idempotent and normalization-invariant") {
+    import spark.implicits._
+    forSamples(Gen.alphaNumStr) { s =>
+      val df = Seq((s, s.toUpperCase, s + "!!!")).toDF("a", "b", "c")
+      val row = df.select(
+        TextFunctions.fingerprint(col("a"), 64),
+        TextFunctions.fingerprint(col("b"), 64),
+        TextFunctions.fingerprint(col("c"), 64)).head()
+      assert(row.getString(0) == row.getString(1), "case-insensitive")
+      assert(row.getString(0) == row.getString(2), "punctuation-insensitive")
+    }
+  }
+
+  test("placeholder embedding: deterministic, unit-norm, content-sensitive") {
+    forSamples(Gen.asciiPrintableStr, 30) { s =>
+      val a = PlaceholderEmbedding.embed(s)
+      val b = PlaceholderEmbedding.embed(s)
+      assert(a.toSeq == b.toSeq)
+      val norm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
+  test("recency component is monotonically non-increasing in age") {
+    import graft.domain.Scoring
+    import spark.implicits._
+    val ages = (0 until 400 by 10).map(_.toDouble)
+    val got = ages.toDF("age")
+      .select(Scoring.recency(col("age")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == got.sorted(Ordering[Double].reverse))
+    assert(got.head == 1.0 && got.last == 0.0)
+  }
+
+  test("final score is monotone in each weighted component") {
+    import graft.domain.Scoring
+    import spark.implicits._
+    val base = Seq((0.5, 0.5)).toDF("lo", "hi")
+    def scoreWith(vector: Double): Double = {
+      val c = Scoring.ComponentColumns(lit(vector), lit(0.2), lit(0.0), lit(0.0),
+        lit(0.1), lit(0.5), lit(0.5), lit(0.5), lit(0.0), lit(0.0), lit(0.0))
+      base.select(Scoring.finalScore(c).as("s")).head().getDouble(0)
+    }
+    assert(scoreWith(0.9) > scoreWith(0.5))
+    assert(scoreWith(0.5) > scoreWith(0.1))
+  }
+
+  test("relevance gate scales query-independent components below the gate") {
+    import graft.domain.Scoring
+    import spark.implicits._
+    val base = Seq(1).toDF("x")
+    // zero topical evidence -> importance/confidence/recency contribute 0
+    val c = Scoring.ComponentColumns(lit(0.0), lit(0.0), lit(0.0), lit(0.0),
+      lit(0.0), lit(1.0), lit(1.0), lit(1.0), lit(0.0), lit(1.0), lit(0.0))
+    val gated = base.select(Scoring.finalScore(c, Scoring.Weights(),
+      relevanceGate = Some(0.2)).as("s")).head().getDouble(0)
+    val ungated = base.select(Scoring.finalScore(c).as("s")).head().getDouble(0)
+    assert(gated == 0.0 && ungated > 0.0)
+  }
+
+  test("exact dedup is idempotent: deduping a deduped set is a no-op") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val once = operators.Dedup.fingerprintDedup(spark, "/root/testdata/sf0.001")
+    // survivors have unique fingerprints -> grouping again changes nothing
+    val n = once.count()
+    val again = once.groupBy(col("fp")).count().filter(col("count") > 1).count()
+    assert(again == 0, "deduped output must have unique fingerprints")
+    assert(n > 0)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.domain._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Score golden-parity (SURVEY §7.3: "golden tests against recomputed values
+  * are mandatory") and retrieval-quality (recall@k over a seeded corpus with
+  * deterministic embeddings — the BASELINE.md functional gate for the recall
+  * pipeline).
+  */
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  val now: Timestamp = ts("2026-01-10 00:00:00")
+
+  def mkMem(id: String, content: String, t: String, tags: Seq[String],
+      importance: Double, confidence: Double): Memory = {
+    val tstamp = ts(t)
+    Memory(id, content, tstamp, tstamp, None, tstamp, tstamp, importance,
+      confidence, "Context", tags, Nil, "{}", None, enriched = false,
+      processed = false, 1.0, archived = false, protected_flag = false,
+      PlaceholderEmbedding.embed(content))
+  }
+
+  test("golden: 9-component final score matches hand-computed value") {
+    import spark.implicits._
+    val m = mkMem("g1", "postgres tuning guide", "2026-01-05 00:00:00",
+      Seq("database", "postgres"), importance = 0.8, confidence = 0.6)
+    val memories = Seq(m).toDF()
+      .withColumn("tag_prefixes", graft.functions.TextFunctions.tagPrefixes(col("tags")))
+    val req = RecallRequest(query = Some("postgres tuning"), limit = 5, now = now)
+    val row = Recall.recall(memories, spark.emptyDataFrame
+        .withColumn("src", lit("")).withColumn("dst", lit(""))
+        .withColumn("rel_type", lit("")).withColumn("strength", lit(0.0))
+        .withColumn("score", lit(0.0)).withColumn("confidence", lit(0.0))
+        .withColumn("similarity", lit(0.0)).withColumn("count", lit(0L))
+        .withColumn("updated_at", lit(now)).limit(0), req)
+      .select("id", "final_score", "s_vector", "s_keyword", "s_tag", "s_recency")
+      .head()
+
+    // hand-computed expectation:
+    val w = Scoring.Weights()
+    val qvec = PlaceholderEmbedding.embed("postgres tuning")
+    val sim = {
+      val e = m.embedding
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      (0 until 64).foreach { i =>
+        dot += e(i).toDouble * qvec(i); nx += e(i).toDouble * e(i)
+        ny += qvec(i).toDouble * qvec(i)
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val kw = 1.0 // only candidate: raw/max = 1
+    val tag = 1.0 // both query tokens hit tags ("postgres") or... recompute below
+    val tagExpected = {
+      val toks = Seq("postgres", "tuning")
+      toks.count(t => m.tags.contains(t)).toDouble / toks.length
+    }
+    val ageDays = (now.getTime - m.timestamp.getTime) / 86400000.0
+    val recency = math.max(0.0, 1.0 - ageDays / 180.0)
+    val expected = sim * w.vector + kw * w.keyword +
+      // metadata channel: "{}" contains no keyword -> no metadata score
+      0.0 * w.metadata + 0.0 * w.relation +
+      tagExpected * w.tag + m.importance * w.importance +
+      m.confidence * w.confidence + recency * w.recency + 0.0 * w.exact
+    assert(math.abs(row.getAs[Double]("final_score") - expected) < 1e-9,
+      s"got ${row.getAs[Double]("final_score")}, expected $expected " +
+        s"(sim=$sim kw=$kw tag=$tagExpected rec=$recency)")
+    assert(math.abs(row.getAs[Double]("s_vector") - sim) < 1e-9)
+    assert(row.getAs[Double]("s_keyword") == 1.0)
+  }
+
+  test("retrieval quality: recall@5 = 1.0 for exact-content queries on seeded corpus") {
+    import spark.implicits._
+    val targets = (0 until 10).map(i =>
+      mkMem(s"t$i", s"unique target memory number $i about topic-$i details",
+        f"2026-01-0${i % 9 + 1} 00:00:00", Seq(s"topic$i"), 0.5, 0.7))
+    val distractors = (0 until 50).map(i =>
+      mkMem(s"d$i", s"distractor filler text $i with unrelated words",
+        "2026-01-02 00:00:00", Seq("noise"), 0.5, 0.7))
+    val memories = (targets ++ distractors).toDF()
+      .withColumn("tag_prefixes", graft.functions.TextFunctions.tagPrefixes(col("tags")))
+    val edges = Seq.empty[Edge].toDF()
+
+    val hits = targets.count { t =>
+      val res = Recall.recall(memories, edges,
+        RecallRequest(query = Some(t.content), limit = 5, now = now))
+      res.select("id").collect().map(_.getString(0)).take(5).contains(t.id)
+    }
+    val recallAt5 = hits.toDouble / targets.size
+    assert(recallAt5 == 1.0,
+      s"recall@5 = $recallAt5 — exact-content vector match must rank in top-5")
+  }
+
+  test("retrieval quality: distractor rate@5 is low for tag-scoped queries") {
+    import spark.implicits._
+    val targets = (0 until 5).map(i =>
+      mkMem(s"t$i", s"project report section $i", "2026-01-05 00:00:00",
+        Seq("project:rpt"), 0.8, 0.7))
+    val distractors = (0 until 40).map(i =>
+      mkMem(s"d$i", s"noise item $i", "2026-01-06 00:00:00", Seq("noise"), 0.9, 0.7))
+    val memories = (targets ++ distractors).toDF()
+      .withColumn("tag_prefixes", graft.functions.TextFunctions.tagPrefixes(col("tags")))
+    val res = Recall.recall(memories, Seq.empty[Edge].toDF(),
+      RecallRequest(tags = Seq("project:rpt"), limit = 5, now = now))
+    val got = res.select("id").collect().map(_.getString(0)).toSet
+    assert(got.forall(_.startsWith("t")), s"tag scope must exclude distractors: $got")
+  }
+}
