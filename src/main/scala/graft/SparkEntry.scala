@@ -63,6 +63,7 @@ object SparkEntry {
     "q_recall_pipeline" -> (RecallPipeline.recallDocuments _),
     "q_sim_ivf_centroid" -> (Similarity.labelCentroidSim _),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashGroups(s, d)),
+    "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
   )
 
   private val centsSum: String => String = e =>

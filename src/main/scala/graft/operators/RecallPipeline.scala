@@ -61,6 +61,41 @@ object RecallPipeline {
       .limit(Limit)
   }
 
+  /** Throughput demonstrator: 100 recall requests against the documents
+    * corpus executed as ONE plan via [[graft.domain.BatchRecall]] — queries
+    * fabricated deterministically from the first tokens of the first 100
+    * docs. Rows-only gate (placeholder embeddings are not SQL-expressible);
+    * the per-query result shape is spec-tested against single recall.
+    */
+  def batchRecall100(spark: SparkSession, dir: String): DataFrame = {
+    import graft.domain.BatchRecall
+    val mems = Tables.documents(spark, dir)
+      .select(
+        col("doc_id").cast("string").as("id"),
+        col("text").as("content"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), col("doc_id").cast("int"), lit(0)))
+          .as("timestamp"),
+        least(lit(1.0), col("n_chars") / 500.0).as("importance"),
+        lit(0.7).as("confidence"),
+        lit("Context").as("type"),
+        array(col("lang"), col("source")).as("tags"),
+        lit("{}").as("metadata"),
+        lit(1.0).as("relevance_score"),
+        lit(false).as("archived"),
+        graft.domain.PlaceholderEmbedding.embedColumn()(col("text")).as("embedding"))
+      .withColumn("t_invalid", lit(null).cast("timestamp"))
+      .withColumn("last_accessed", col("timestamp"))
+    val queries = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3))
+          .as("query"))
+    BatchRecall.batchRecall(mems, spark.emptyDataFrame, queries, limit = 5,
+      now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      .orderBy("qid", "rank")
+  }
+
   val recallDocumentsSql: String = {
     val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
     s"""WITH mems AS (SELECT doc_id, text,

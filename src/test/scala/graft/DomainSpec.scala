@@ -284,4 +284,27 @@ class DomainSpec extends AnyFunSuite {
         autoDecompose = true, limit = 5, now = now))
     assert(res.count() > 0)
   }
+
+  test("batch recall: one plan for many queries matches single-query recall") {
+    import spark.implicits._
+    val queries = Seq((1, "postgres database"), (2, "dark mode editors"))
+      .toDF("qid", "query")
+    val batch = BatchRecall.batchRecall(memories, edgesDf, queries, limit = 5,
+      now = now).collect()
+    val byQid = batch.groupBy(_.getAs[Int]("qid"))
+    Seq(1 -> "postgres database", 2 -> "dark mode editors").foreach {
+      case (qid, q) =>
+        val single = Recall.recall(memories, edgesDf,
+          RecallRequest(query = Some(q), limit = 5, now = now))
+          .select("id", "final_score").collect()
+        val got = byQid(qid).sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[String]("id"), r.getAs[Double]("final_score")))
+        val want = single.map(r => (r.getString(0), r.getDouble(1)))
+        assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+          s"qid=$qid ids: got ${got.map(_._1).toSeq} want ${want.map(_._1).toSeq}")
+        got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+          assert(math.abs(gs - ws) < 1e-9, s"qid=$qid score $gs vs $ws")
+        }
+    }
+  }
 }
