@@ -86,6 +86,7 @@ object RecallPipeline {
         graft.domain.PlaceholderEmbedding.embedColumn()(col("text")).as("embedding"))
       .withColumn("t_invalid", lit(null).cast("timestamp"))
       .withColumn("last_accessed", col("timestamp"))
+      .cache() // scanned by both channels + hydration; bounded corpus
     val queries = Tables.documents(spark, dir)
       .filter(col("doc_id") < 100)
       .select(col("doc_id").as("qid"),
