@@ -64,6 +64,7 @@ object SparkEntry {
     "q_sim_ivf_centroid" -> (Similarity.labelCentroidSim _),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashGroups(s, d)),
     "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
+    "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
   )
 
   private val centsSum: String => String = e =>
@@ -242,5 +243,6 @@ object SparkEntry {
              ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
          FROM s ORDER BY vec_id""",
     "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
+    "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),
   )
 }

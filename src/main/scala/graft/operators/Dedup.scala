@@ -47,6 +47,68 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("sig")
 
+  /** MinHash + LSH banded near-dup pipeline (the canonical shingle ->
+    * minhash -> band -> bucket-join chain): k minhash components over
+    * distinct tokens, each component is one LSH band; docs sharing ANY band
+    * value become candidate pairs (bucket-join per band, union, distinct);
+    * candidates are then verified with exact 3-gram Jaccard and kept above
+    * `threshold`. Only same-bucket docs ever pair — the corpus never
+    * self-joins.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String, k: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // band rows: (band index, component value, doc)
+    val bands = docs.select(col("doc_id"),
+        posexplode(array((1 to k).map(s => minhashComponent(col("text"), s)): _*))
+          .as(Seq("band", "mh")))
+    val grouped = bands.groupBy(col("band"), col("mh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val candidates = grouped
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+    // verify candidates with exact n-gram Jaccard (computed once, joined in)
+    ngramJaccardPairs(spark, dir, threshold = 0.0)
+      .join(candidates, Seq("a_id", "b_id"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  def minhashLshPairsSql(k: Int = 4, threshold: Double = 0.3): String = {
+    val toksE = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    val comps = (1 to k).map(s =>
+      s"list_aggregate(list_transform(list_distinct($toksE), t -> md5(t || '#$s')), 'min')")
+      .mkString(", ")
+    s"""WITH bands AS (SELECT doc_id, unnest([$comps]) AS mh,
+           unnest(range(1, $k + 1)) AS band FROM documents),
+       grouped AS (SELECT band, mh, list(doc_id) AS ds FROM bands
+         GROUP BY 1, 2 HAVING count(*) > 1),
+       cand AS (SELECT DISTINCT a.a_id, b.b_id FROM
+         (SELECT band, mh, unnest(ds) AS a_id FROM grouped) a
+         JOIN (SELECT band, mh, unnest(ds) AS b_id FROM grouped) b
+         ON a.band = b.band AND a.mh = b.mh AND a.a_id < b.b_id),
+       t AS (SELECT doc_id, lang, source, $toksE AS tk FROM documents),
+       pos AS (SELECT doc_id, lang, source, tk,
+           unnest(range(1, len(tk) - 1)) AS i FROM t WHERE len(tk) >= 3),
+       shex AS (SELECT DISTINCT doc_id, lang, source,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos),
+       counts AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY 1),
+       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         FROM shex a JOIN shex b ON a.lang = b.lang AND a.source = b.source
+           AND a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jacc AS (SELECT a_id, b_id,
+           round((inter * 1.0 / (ca.n_sh + cb.n_sh - inter)) + 1e-9, 4) AS jaccard
+         FROM pairs JOIN counts ca ON ca.doc_id = a_id
+         JOIN counts cb ON cb.doc_id = b_id)
+       SELECT j.a_id, j.b_id, j.jaccard FROM jacc j JOIN cand c
+         ON j.a_id = c.a_id AND j.b_id = c.b_id
+       WHERE j.jaccard >= $threshold ORDER BY j.a_id, j.b_id"""
+  }
+
   /** SimHash text dedup: 16-bit signature where bit b is set iff the sum of
     * (+1/-1 for bit b of each distinct token's 60-bit md5-derived hash) is
     * positive. Docs sharing a signature are near-dup candidates; the
