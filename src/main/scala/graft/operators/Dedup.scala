@@ -56,15 +56,18 @@ object Dedup {
     * self-joins.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, k: Int = 4,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, maxBucket: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // band rows: (band index, component value, doc)
     val bands = docs.select(col("doc_id"),
         posexplode(array((1 to k).map(s => minhashComponent(col("text"), s)): _*))
           .as(Seq("band", "mh")))
+    // mega-buckets carry no near-dup signal (every doc collides) and
+    // would explode the pair count quadratically — cap them, the standard
+    // frequency-cap in LSH dedup at scale. Mirrored in the oracle.
     val grouped = bands.groupBy(col("band"), col("mh"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
     val candidates = grouped
       .select(explode(col("ds")).as("a_id"), col("ds"))
       .select(col("a_id"), explode(col("ds")).as("b_id"))
@@ -77,7 +80,8 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  def minhashLshPairsSql(k: Int = 4, threshold: Double = 0.3): String = {
+  def minhashLshPairsSql(k: Int = 4, threshold: Double = 0.3,
+      maxBucket: Int = 50): String = {
     val toksE = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
     val comps = (1 to k).map(s =>
       s"list_aggregate(list_transform(list_distinct($toksE), t -> md5(t || '#$s')), 'min')")
@@ -85,7 +89,7 @@ object Dedup {
     s"""WITH bands AS (SELECT doc_id, unnest([$comps]) AS mh,
            unnest(range(1, $k + 1)) AS band FROM documents),
        grouped AS (SELECT band, mh, list(doc_id) AS ds FROM bands
-         GROUP BY 1, 2 HAVING count(*) > 1),
+         GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= $maxBucket),
        cand AS (SELECT DISTINCT a.a_id, b.b_id FROM
          (SELECT band, mh, unnest(ds) AS a_id FROM grouped) a
          JOIN (SELECT band, mh, unnest(ds) AS b_id FROM grouped) b

@@ -68,7 +68,6 @@ object Similarity {
     */
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
     val exploded = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
     val centroids = exploded.groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("cx"))

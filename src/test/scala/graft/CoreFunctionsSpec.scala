@@ -82,6 +82,18 @@ class CoreFunctionsSpec extends AnyFunSuite {
   test("oracleSql keys are a subset of queries keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("cosine_similarity is callable from SQL after registration") {
+    org.apache.spark.sql.graftshim.GraftSqlFunctions.register(spark)
+    val one = spark.sql(
+      "SELECT cosine_similarity(array(1.0f, 0.0f), array(2.0f, 0.0f)) AS s")
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+    val orth = spark.sql(
+      "SELECT cosine_similarity(array(1.0f, 0.0f), array(0.0f, 3.0f)) AS s")
+      .head().getDouble(0)
+    assert(orth == 0.0)
+  }
 }
 
 object Similarity {
