@@ -146,16 +146,10 @@ object Recall {
     if (kws.isEmpty) return scoped.sparkSession.emptyDataFrame
       .withColumn("id", lit("")).withColumn("match_type", lit(""))
       .withColumn("channel_score", lit(0.0)).limit(0)
-    val mdLower = lower(col("metadata"))
-    val prefilter = kws.map(k => mdLower.contains(k)).reduce(_ || _)
-    val hits = kws.map(k => when(mdLower.contains(k), 1).otherwise(0)).reduce(_ + _)
     val scanCap = math.max(200, math.min(limit * 25, 1000))
-    scoped.filter(prefilter)
+    scoped.filter(MetadataSearch.prefilter(col("metadata"), query))
       .limit(scanCap)
-      .withColumn("hit_ratio", hits.cast("double") / kws.length)
-      .withColumn("channel_score", least(lit(1.0),
-        lit(0.15) + lit(0.45) * col("hit_ratio") +
-          when(col("hit_ratio") === 1.0, 0.2).otherwise(0.0)))
+      .withColumn("channel_score", MetadataSearch.score(col("metadata"), query))
       .withColumn("match_type", lit("metadata"))
       .orderBy(desc("channel_score"), asc("id"))
       .limit(overfetch(limit))
@@ -298,9 +292,7 @@ object Recall {
     * the query shows temporal intent (`automem/utils/time.py:10-27`).
     */
   def recencyRerank(df: DataFrame, req: RecallRequest): DataFrame = {
-    val temporalIntent = req.query.exists(q =>
-      "(?i)\\b(recent|latest|last|yesterday|today|newest|this week|this month)\\b"
-        .r.findFirstIn(q).isDefined)
+    val temporalIntent = req.query.exists(TimeExpressions.hasTemporalIntent)
     val apply = req.recencyBias == "on" || (req.recencyBias == "auto" && temporalIntent)
     if (!apply) df
     else {

@@ -28,6 +28,15 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** ASCII-fold diacritics (reference normalize,
+    * `runtime_recall_helpers.py:123-144`): accented latin chars map to their
+    * base letter before matching.
+    */
+  def asciiFold(text: Column): Column =
+    translate(text,
+      "\u00e1\u00e0\u00e2\u00e4\u00e3\u00e5\u00e7\u00e9\u00e8\u00ea\u00eb\u00ed\u00ec\u00ee\u00ef\u00f1\u00f3\u00f2\u00f4\u00f6\u00f5\u00fa\u00f9\u00fb\u00fc\u00fd\u00ff\u00c1\u00c0\u00c2\u00c4\u00c3\u00c5\u00c7\u00c9\u00c8\u00ca\u00cb\u00cd\u00cc\u00ce\u00cf\u00d1\u00d3\u00d2\u00d4\u00d6\u00d5\u00da\u00d9\u00db\u00dc\u00dd",
+      "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY")
+
   /** Normalized content fingerprint: lowercase, strip non-alphanumerics, first
     * `n` chars (reference uses 320, `recall.py:310-323`).
     */

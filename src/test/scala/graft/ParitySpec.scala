@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.domain._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity specs for the time-expression parser, metadata field-whitelist
+  * scoring, and ASCII folding.
+  */
+class ParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val now: Timestamp = Timestamp.valueOf("2026-08-12 15:30:00") // a Wednesday
+
+  test("time expressions resolve to correct [start, end) windows") {
+    def p(e: String) = TimeExpressions.parse(e, now).map { case (s, t) =>
+      (s.toString, t.toString)
+    }
+    assert(p("today") ==
+      Some(("2026-08-12 00:00:00.0", "2026-08-13 00:00:00.0")))
+    assert(p("yesterday") ==
+      Some(("2026-08-11 00:00:00.0", "2026-08-12 00:00:00.0")))
+    assert(p("this week") ==
+      Some(("2026-08-10 00:00:00.0", "2026-08-17 00:00:00.0")))
+    assert(p("this month") ==
+      Some(("2026-08-01 00:00:00.0", "2026-09-01 00:00:00.0")))
+    assert(p("last month") ==
+      Some(("2026-07-01 00:00:00.0", "2026-08-01 00:00:00.0")))
+    assert(p("last 7 days") ==
+      Some(("2026-08-05 00:00:00.0", "2026-08-12 15:30:00.0")))
+    assert(p("last 2 weeks").get._1 == "2026-07-29 00:00:00.0")
+    assert(p("nonsense") == None)
+    assert(TimeExpressions.hasTemporalIntent("what happened recently"))
+    assert(!TimeExpressions.hasTemporalIntent("postgres settings"))
+  }
+
+  test("time expression narrows recall via applyTo") {
+    val req = TimeExpressions.applyTo(RecallRequest(now = now), "yesterday")
+    assert(req.start.get.toString == "2026-08-11 00:00:00.0")
+    assert(req.end.get.toString == "2026-08-12 00:00:00.0")
+  }
+
+  test("metadata whitelist scoring: field values, aliases, requested fields") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"project": "alpha", "status": "active"}""",
+      """{"project": "beta"}""",
+      """{"unlisted_field": "alpha"}""",
+      """{"repo": "automem"}""").toDF("metadata")
+    val scored = rows.select(col("metadata"),
+      MetadataSearch.score(col("metadata"), "alpha project").as("s")).collect()
+    val byMd = scored.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha in project value: value_ratio 1/2 fields present... first row has 2
+    assert(byMd("""{"project": "alpha", "status": "active"}""") >
+      byMd("""{"project": "beta"}"""))
+    // whitelist: a match inside a non-whitelisted field scores base-only terms
+    assert(byMd("""{"unlisted_field": "alpha"}""") == 0.15)
+
+    // requested-field detection + alias: "repository" -> repo
+    assert(MetadataSearch.requestedFields("repository: automem") == Seq("repo"))
+    val reqScore = rows.select(
+      MetadataSearch.score(col("metadata"), "repository: automem").as("s"))
+      .collect().map(_.getDouble(0)).max
+    assert(reqScore > 0.5, s"field-requested bonus expected, got $reqScore")
+  }
+
+  test("asciiFold strips diacritics for matching") {
+    import spark.implicits._
+    val got = Seq("Café Münchén à côté").toDF("t")
+      .select(graft.functions.TextFunctions.asciiFold(col("t")))
+      .head().getString(0)
+    assert(got == "Cafe Munchen a cote")
+  }
+}
