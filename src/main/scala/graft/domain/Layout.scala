@@ -1,0 +1,37 @@
+package graft.domain
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cluster storage layout (ARCHITECTURE.md "Data model at scale"), as tested
+  * code rather than prose: memories are date-partitioned on the event day so
+  * F1 time-window filters become partition pruning; edges are bucketed by
+  * `src` so 1-hop joins (J1/J2/J4) co-locate and repeated traversals skip
+  * the shuffle.
+  */
+object Layout {
+
+  /** Write memories date-partitioned by event day. */
+  def writeMemories(memories: DataFrame, path: String): Unit =
+    memories
+      .withColumn("day", date_format(col("timestamp"), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Read back; time filters on `timestamp`/`day` prune partitions. */
+  def readMemories(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Register edges as a bucketed table (bucket count chosen per cluster;
+    * bucketBy requires the table catalog). Joins keyed on `src` between
+    * co-bucketed relations then skip the exchange.
+    */
+  def writeEdgesBucketed(edges: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    edges.write.mode("overwrite")
+      .bucketBy(buckets, "src")
+      .sortBy("src")
+      .format("parquet")
+      .saveAsTable(table)
+}
