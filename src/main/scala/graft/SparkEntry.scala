@@ -65,6 +65,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashGroups(s, d)),
     "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_sessionize" -> (Relational.sessionStats _),
   )
 
   private val centsSum: String => String = e =>
@@ -244,5 +245,6 @@ object SparkEntry {
          FROM s ORDER BY vec_id""",
     "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
     "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),
+    "q_sessionize" -> Relational.sessionStatsSql,
   )
 }

@@ -131,6 +131,48 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Batch sessionization (gaps-and-islands): events of one user belong to
+    * the same session while gaps stay under 30 minutes; lag + running sum
+    * assigns session ids, then per-user session stats. The batch counterpart
+    * of the streaming `mapGroupsWithState` sessionizer.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    val sessions = Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("new_session",
+        when(lag(col("ts_ms"), 1).over(byUser).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionStatsSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+       flagged AS (SELECT user_id, event_id, ts_ms,
+           CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+                  OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1
+                ELSE 0 END AS new_session
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       sess AS (SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged),
+       per_session AS (SELECT user_id, session_id, count(*) AS n_events
+         FROM sess GROUP BY 1, 2)
+       SELECT user_id, count(*) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS total_events,
+         max(n_events) AS max_session_events
+       FROM per_session GROUP BY 1 ORDER BY 1"""
+
   /** Set ops: customers with 'O' orders EXCEPT customers with 'F' orders
     * (sync-diff shape, `automem/sync/accounting.py:44-111`).
     */
