@@ -66,6 +66,7 @@ object SparkEntry {
     "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_sessionize" -> (Relational.sessionStats _),
+    "q_a_rollup" -> (Analytics.revenueRollup _),
   )
 
   private val centsSum: String => String = e =>
@@ -246,5 +247,6 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
     "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),
     "q_sessionize" -> Relational.sessionStatsSql,
+    "q_a_rollup" -> Analytics.revenueRollupSql,
   )
 }

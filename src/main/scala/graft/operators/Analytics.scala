@@ -84,6 +84,29 @@ object Analytics {
     """SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_items
        FROM lineitem GROUP BY 1 ORDER BY 1"""
 
+  /** Rollup aggregation (grouping sets — absent in the reference, free in
+    * Spark/Catalyst; SURVEY §2.6 note). Null grouping keys are coalesced to
+    * a sentinel so cross-engine null ordering never matters.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("gross_cents"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("gross_cents"), col("n"))
+      .orderBy("flag", "status")
+
+  val revenueRollupSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS flag,
+       coalesce(l_linestatus, '(all)') AS status,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS gross_cents,
+       count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY 1, 2"""
+
   /** Scalar date/time function family (SURVEY §2.9): trunc, day-of-week,
     * calendar parts, day difference to an anchor.
     */
