@@ -15,9 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship: text-analysis scoring over documents on sf=0.001 (rows>0). */
+  /** Flagship: the recall scoring pipeline end-to-end on sf=0.001 (rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    TextAnalysis.docStats(spark, "/root/testdata/sf0.001")
+    RecallPipeline.recallDocuments(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Relational.pricingSummary _),

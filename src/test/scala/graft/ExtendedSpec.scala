@@ -149,4 +149,26 @@ class ExtendedSpec extends AnyFunSuite {
     assert(out.select("type").head().getString(0) == "Decision")
     assert(out.select("embedding").head().getSeq[Float](0).nonEmpty)
   }
+
+  test("ingest upsert keeps the newest row per id (MERGE semantics)") {
+    import spark.implicits._
+    val t1 = ts("2026-01-01 00:00:00"); val t2 = ts("2026-01-02 00:00:00")
+    val existing = Seq(("a", "old content", t1), ("b", "keep", t1))
+      .toDF("id", "content", "updated_at")
+    val incoming = Seq(("a", "new content", t2), ("c", "created", t2))
+      .toDF("id", "content", "updated_at")
+    val merged = graft.domain.Ingest.upsert(existing, incoming)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged == Map("a" -> "new content", "b" -> "keep", "c" -> "created"))
+  }
+
+  test("backup writes a readable parquet snapshot of both relations") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-backup").toString
+    val mems = Seq(("a", "x")).toDF("id", "content")
+    val edges = Seq(("a", "b", "RELATES_TO")).toDF("src", "dst", "rel_type")
+    graft.domain.GraphOps.backup(mems, edges, tmp)
+    assert(spark.read.parquet(s"$tmp/memories").count() == 1)
+    assert(spark.read.parquet(s"$tmp/edges").count() == 1)
+  }
 }
