@@ -171,4 +171,26 @@ class ExtendedSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/memories").count() == 1)
     assert(spark.read.parquet(s"$tmp/edges").count() == 1)
   }
+
+  test("salted join matches plain join results under a hot key") {
+    import spark.implicits._
+    // hot key: 90% of fact rows share key "hot"
+    val fact = ((1 to 90).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i)))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 10).map(i => s"k$i")).map(k => (k, s"d-$k"))
+      .toDF("dkey", "label")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "key", "dkey", k = 8)
+      .select("key", "v", "label").collect().map(_.toSeq).toSet
+    val plain = fact.join(dim, fact("key") === dim("dkey"))
+      .select("key", "v", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 100)
+  }
+
+  test("salted count equals plain count per key") {
+    import spark.implicits._
+    val df = ((1 to 500).map(_ => "hot") ++ Seq("a", "b", "b")).toDF("key")
+    val salted = graft.operators.Skew.saltedCount(df, "key", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
+  }
 }
