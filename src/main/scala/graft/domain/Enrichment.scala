@@ -102,6 +102,17 @@ object Enrichment {
         col("updated_at"))
   }
 
+  /** E2's EXEMPLIFIES edges: each confident memory of a detected pattern's
+    * type links to that Pattern row (`runtime_helpers.py:148-162`).
+    */
+  def exemplifiesEdges(memories: DataFrame, patterns: DataFrame): DataFrame =
+    memories.filter(col("confidence") > 0.5)
+      .select(col("id").as("src"), col("type"), col("timestamp"))
+      .join(patterns.select(col("id").as("dst"), col("type"),
+        col("confidence")), Seq("type"))
+      .select(col("src"), col("dst"), lit("EXEMPLIFIES").as("rel_type"),
+        col("confidence"), col("timestamp").as("updated_at"))
+
   /** U3 entity extraction, regex-only deterministic subset
     * (`automem/utils/entity_extraction.py:68-245`): backtick code spans ->
     * tools; "with <Name>" -> people; "project called <name>" / capitalized

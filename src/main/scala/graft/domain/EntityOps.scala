@@ -65,3 +65,38 @@ class ExtractiveIdentityWriter extends IdentityWriter {
   override def write(entitySlug: String, snippets: Seq[String]): String =
     s"$entitySlug: " + snippets.take(3).mkString(" | ")
 }
+
+/** U6 identity synthesis pipeline (`/root/reference/automem/consolidation/
+  * identity_synthesis.py:106-310`): per entity slug, gather its current
+  * memories' snippets (newest first, bounded), write a versioned identity
+  * profile via the pluggable writer. The writer call runs once per entity
+  * group — the shape an external LLM batch stage needs.
+  */
+object IdentitySynthesis {
+  import org.apache.spark.sql.expressions.Window
+
+  def synthesize(memories: org.apache.spark.sql.DataFrame,
+      writer: IdentityWriter, maxSnippets: Int = 5,
+      version: Int = 1): org.apache.spark.sql.DataFrame = {
+    val spark = memories.sparkSession
+    val entityTag = explode(filter(col("tags"), t => t.startsWith("entity:")))
+    val w = Window.partitionBy(col("slug")).orderBy(desc("timestamp"), asc("id"))
+    val perEntity = memories
+      .filter(coalesce(col("archived"), lit(false)) === false)
+      .select(col("id"), col("timestamp"),
+        substring(col("content"), 1, 160).as("snippet"), entityTag.as("etag"))
+      .withColumn("slug", element_at(split(col("etag"), ":"), 3))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxSnippets)
+      .groupBy(col("slug"))
+      .agg(collect_list(col("snippet")).as("snippets"),
+        count(lit(1)).as("identity_source_count"),
+        max(col("timestamp")).as("identity_updated_at"))
+    val writeUdf = org.apache.spark.sql.functions.udf(
+      (slug: String, snippets: Seq[String]) => writer.write(slug, snippets))
+    perEntity
+      .withColumn("identity", writeUdf(col("slug"), col("snippets")))
+      .withColumn("identity_version", lit(version))
+      .drop("snippets")
+  }
+}

@@ -307,4 +307,35 @@ class DomainSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("EXEMPLIFIES edges link confident memories to their type pattern") {
+    val pats = Enrichment.detectPatterns(memories)
+    val edges = Enrichment.exemplifiesEdges(memories, pats).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(r.getAs[String]("rel_type") == "EXEMPLIFIES")
+      assert(r.getAs[String]("dst").startsWith("pattern-"))
+    }
+    // the three Decision memories each exemplify pattern-decision
+    val decSrcs = edges.filter(_.getAs[String]("dst") == "pattern-decision")
+      .map(_.getAs[String]("src")).toSet
+    assert(decSrcs == Set("m1", "m4", "m5"))
+  }
+
+  test("identity synthesis writes versioned profiles per entity") {
+    import spark.implicits._
+    val df = Ingest.prepare(Seq(
+      ("Met with Alice about the roadmap", Seq("work")),
+      ("Alice prefers async reviews", Seq("work")),
+      ("Met with Alice to plan the launch", Seq("work")))
+      .toDF("content", "tags"))
+    val (enriched, _, _) = Enrichment.enrich(df)
+    val ids = IdentitySynthesis.synthesize(enriched, new ExtractiveIdentityWriter)
+      .collect()
+    val alice = ids.find(_.getAs[String]("slug") == "alice")
+    assert(alice.isDefined, s"got ${ids.map(_.getAs[String]("slug")).toSeq}")
+    assert(alice.get.getAs[String]("identity").startsWith("alice: "))
+    assert(alice.get.getAs[Long]("identity_source_count") >= 2)
+    assert(alice.get.getAs[Int]("identity_version") == 1)
+  }
 }
