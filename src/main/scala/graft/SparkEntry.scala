@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_sessionize" -> (Relational.sessionStats _),
     "q_a_rollup" -> (Analytics.revenueRollup _),
+    "q_train_split" -> (TextAnalysis.trainSplit _),
   )
 
   private val centsSum: String => String = e =>
@@ -248,5 +249,6 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),
     "q_sessionize" -> Relational.sessionStatsSql,
     "q_a_rollup" -> Analytics.revenueRollupSql,
+    "q_train_split" -> TextAnalysis.trainSplitSql,
   )
 }

@@ -70,6 +70,34 @@ object TextAnalysis {
               ELSE 'fr' END AS predicted
        FROM h ORDER BY doc_id"""
 
+  /** Deterministic train/val/test split for training-data pipelines: an
+    * engine-portable md5-derived bucket (0-99) per doc id assigns 80/10/10.
+    * Hash-based (not random) so the split is stable across runs, engines,
+    * and re-partitioning — the property that matters when the corpus is
+    * rebuilt incrementally at scale.
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  val trainSplitSql: String =
+    """SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM (SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+           FROM documents) t) s
+       GROUP BY 1 ORDER BY 1"""
+
   private val Keywords = Seq("spark", "join", "window")
   private val Phrase = "hash join"
 
