@@ -39,6 +39,33 @@ object GraphOps {
     (visible, visEdges)
   }
 
+  /** J6 variable-depth neighbors (`/graph/neighbors`, `automem/api/
+    * recall.py:2940-2965`, depth <= 3): bounded undirected BFS via iterated
+    * joins with an anti-join visited set, distinct nodes ordered by
+    * importance/timestamp. Each hop shuffles only the frontier.
+    */
+  def neighbors(memories: DataFrame, edges: DataFrame, startId: String,
+      depth: Int = 2, relTypes: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth <= 3, "depth must be 1..3")
+    var filtered = edges
+    if (relTypes.nonEmpty) filtered = filtered.filter(col("rel_type").isin(relTypes: _*))
+    val undirected = filtered.select(col("src"), col("dst"))
+      .unionByName(filtered.select(col("dst").as("src"), col("src").as("dst")))
+    val spark = memories.sparkSession
+    import spark.implicits._
+    var visited = Seq(startId).toDF("id")
+    var frontier = visited
+    for (d <- 1 to depth) {
+      val next = undirected.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      frontier = next
+      visited = visited.unionByName(next).distinct()
+    }
+    memories.join(visited.filter(col("id") =!= startId), Seq("id"))
+      .orderBy(desc("importance"), desc("timestamp"), asc("id"))
+  }
+
   /** A2: relationship counts by type (`graph.py:386-392`). */
   def edgeTypeCounts(edges: DataFrame): DataFrame =
     edges.groupBy(col("rel_type")).agg(count(lit(1)).as("n"))

@@ -338,4 +338,18 @@ class DomainSpec extends AnyFunSuite {
     assert(alice.get.getAs[Long]("identity_source_count") >= 2)
     assert(alice.get.getAs[Int]("identity_version") == 1)
   }
+
+  test("bounded neighbors traversal respects depth and excludes the start") {
+    val d1 = GraphOps.neighbors(memories, edgesDf, "m1", depth = 1)
+      .select("id").collect().map(_.getString(0)).toSet
+    // 1 hop from m1: m5 (EVOLVED_INTO, reversed) and m2 (RELATES_TO)
+    assert(d1 == Set("m2", "m5"), s"got $d1")
+    val d2 = GraphOps.neighbors(memories, edgesDf, "m1", depth = 2)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(d2 == Set("m2", "m5", "m3"), s"got $d2") // m3 via m2 SIMILAR_TO
+    val typed = GraphOps.neighbors(memories, edgesDf, "m1", depth = 2,
+      relTypes = Seq("RELATES_TO"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(typed == Set("m2"), s"got $typed")
+  }
 }
