@@ -34,4 +34,26 @@ object VectorFunctions {
     (0 until bits).map { i =>
       when(element_at(v, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Scalar int8 quantization of an embedding: per-vector min/max affine
+    * mapping to [-127, 127] stored as (scale, offset, tinyint array) — 4x
+    * smaller vector storage/shuffle at 100 TB; candidate scoring runs on
+    * the quantized form, exact re-scoring only on the top-k.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val scale = when(mx === mn, lit(1.0)).otherwise((mx - mn) / 254.0)
+    struct(
+      scale.as("scale"),
+      mn.as("offset"),
+      transform(v, x =>
+        round((x.cast("double") - mn) / scale - 127.0).cast("byte")).as("q"))
+  }
+
+  /** Reconstruct an approximate float vector from the quantized form. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"), b =>
+      ((b.cast("double") + 127.0) * qv.getField("scale") + qv.getField("offset"))
+        .cast("float"))
 }

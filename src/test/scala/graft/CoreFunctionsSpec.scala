@@ -94,6 +94,18 @@ class CoreFunctionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(orth == 0.0)
   }
+
+  test("int8 quantization: 4x smaller, cosine error under 1e-2") {
+    val df = Tables.embeddings(spark, sf).limit(100)
+    val q = df.select(col("vec_id"), col("embedding"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("qv"))
+    val recon = q.select(col("vec_id"),
+      VectorFunctions.cosineSim(col("embedding"),
+        VectorFunctions.dequantizeInt8(col("qv"))).as("self_sim"))
+    val sims = recon.collect().map(_.getDouble(1))
+    assert(sims.length == 100)
+    sims.foreach(s => assert(s > 0.99, s"reconstruction cosine $s too low"))
+  }
 }
 
 object Similarity {
