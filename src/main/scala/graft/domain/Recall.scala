@@ -128,8 +128,12 @@ object Recall {
       .otherwise(when(exists(col("tags"), t => t.contains(phrase)), 1).otherwise(0))
     val raw = scoped.withColumn("raw", contentHits + tagHits + phraseBonus)
       .filter(col("raw") > 0)
-    raw.withColumn("channel_score",
-        col("raw") / max(col("raw")).over(Window.partitionBy()))
+    // Normalize by a scalar agg(max) broadcast-cross-joined back in: no
+    // single-partition WindowExec (division by a positive constant preserves
+    // the ranking, so the top-k below is unchanged).
+    val maxRaw = raw.agg(max(col("raw")).as("_max_raw"))
+    raw.crossJoin(broadcast(maxRaw))
+      .withColumn("channel_score", col("raw") / col("_max_raw"))
       .withColumn("match_type", lit("keyword"))
       .orderBy(desc("channel_score"), desc("importance"), desc("timestamp"), asc("id"))
       .limit(overfetch(limit))
@@ -296,12 +300,14 @@ object Recall {
     val apply = req.recencyBias == "on" || (req.recencyBias == "auto" && temporalIntent)
     if (!apply) df
     else {
-      val w = Window.partitionBy()
       val epoch = unix_timestamp(col("timestamp"))
-      val span = max(epoch).over(w) - min(epoch).over(w)
-      df.withColumn("final_score",
-        col("final_score") + lit(0.1) *
-          when(span === 0, 0.5).otherwise((epoch - min(epoch).over(w)) / span))
+      val bounds = df.agg(min(epoch).as("_min_ep"), max(epoch).as("_max_ep"))
+      val span = col("_max_ep") - col("_min_ep")
+      df.crossJoin(broadcast(bounds))
+        .withColumn("final_score",
+          col("final_score") + lit(0.1) *
+            when(span === 0, 0.5).otherwise((epoch - col("_min_ep")) / span))
+        .drop("_min_ep", "_max_ep")
     }
   }
 

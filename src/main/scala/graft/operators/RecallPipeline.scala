@@ -37,8 +37,11 @@ object RecallPipeline {
     val withRaw = mems.withColumn("kw_raw",
         TextFunctions.keywordRawScore(col("text"), QueryTokens, Query))
       .filter(col("kw_raw") > 0)
-    val normalized = withRaw.withColumn("kw",
-      col("kw_raw").cast("double") / max(col("kw_raw")).over(Window.partitionBy()))
+    // scalar agg(max) broadcast instead of a global window: same values,
+    // no single-partition WindowExec at corpus scale
+    val maxRaw = withRaw.agg(max(col("kw_raw")).as("_max_raw"))
+    val normalized = withRaw.crossJoin(broadcast(maxRaw))
+      .withColumn("kw", col("kw_raw").cast("double") / col("_max_raw"))
     // component scoring (§2.5)
     val ageDays = (unix_millis(to_timestamp(lit(NowLit))) -
       unix_millis(col("timestamp"))) / 86400000.0

@@ -62,11 +62,14 @@ object RecallShapes {
     * (`recall.py:2315-2349`): norm = (value - min) / (max - min).
     */
   def minMaxRerank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy()
-    Tables.events(spark, dir)
+    // min/max as a scalar aggregate broadcast-joined back: same values as a
+    // global window, but no single-partition WindowExec over the corpus
+    val events = Tables.events(spark, dir)
+    val bounds = events.agg(min(col("value")).as("_min_v"),
+      max(col("value")).as("_max_v"))
+    events.crossJoin(broadcast(bounds))
       .withColumn("norm", round4(
-        (col("value") - min(col("value")).over(w)) /
-          (max(col("value")).over(w) - min(col("value")).over(w))))
+        (col("value") - col("_min_v")) / (col("_max_v") - col("_min_v"))))
       .select(col("event_id"), col("norm"))
       .orderBy(desc("norm"), asc("event_id"))
       .limit(50)

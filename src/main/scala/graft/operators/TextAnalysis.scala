@@ -109,8 +109,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         keywordRawScore(col("text"), Keywords, Phrase).as("raw"))
       .filter(col("raw") > 0)
-    raw.withColumn("kw_score",
-        round4(col("raw") / max(col("raw")).over(Window.partitionBy())))
+    // scalar agg(max) broadcast instead of a global window: same values,
+    // no single-partition WindowExec at corpus scale
+    val maxRaw = raw.agg(max(col("raw")).as("_max_raw"))
+    raw.crossJoin(broadcast(maxRaw))
+      .withColumn("kw_score", round4(col("raw") / col("_max_raw")))
       .select(col("doc_id"), col("kw_score"))
       .orderBy(desc("kw_score"), asc("doc_id"))
       .limit(100)
