@@ -19,19 +19,24 @@ object Consolidation {
     *                  * (1 + 0.3 * log1p(rel_count))
     *                  * (0.5 + importance)
     *                  * (0.7 + 0.3 * confidence)),
-    * floored at importance * 0.3. access_factor = exp-decay of days since
-    * last access. The per-id relationship count (A9) is one groupBy over
-    * edges — the reference's hourly lru_cache disappears in batch.
+    * floored at importance * 0.3. access_factor = 1.0 for same-day access,
+    * else exp(-0.05 * days_since_access) (`consolidation.py:256-257`); age
+    * and access deltas clamp at 0. The per-id relationship count (A9) is one
+    * groupBy over edges — the reference's hourly lru_cache disappears in
+    * batch.
     */
   def decay(memories: DataFrame, edges: DataFrame, now: Timestamp): DataFrame = {
     val relCounts = edges.select(col("src").as("id"), col("dst"))
       .unionByName(edges.select(col("dst").as("id"), col("src").as("dst")))
       .groupBy(col("id")).agg(countDistinct(col("dst")).as("rel_count"))
     val nowS = unix_timestamp(lit(now))
-    val ageDays = (nowS - unix_timestamp(col("timestamp"))) / 86400.0
-    val accessDays = (nowS - unix_timestamp(
-      coalesce(col("last_accessed"), col("timestamp")))) / 86400.0
-    val accessFactor = exp(accessDays * -0.01)
+    val ageDays = greatest(lit(0.0),
+      (nowS - unix_timestamp(col("timestamp"))) / 86400.0)
+    val accessDays = greatest(lit(0.0), (nowS - unix_timestamp(
+      coalesce(col("last_accessed"), col("timestamp")))) / 86400.0)
+    // same-day access keeps full reinforcement; otherwise exp decay at 0.05/d
+    val accessFactor = when(accessDays < 1, lit(1.0))
+      .otherwise(exp(accessDays * -0.05))
     val rel = least(lit(1.0),
       exp(ageDays * -0.01) *
         (lit(0.3) + lit(0.3) * accessFactor) *

@@ -92,7 +92,9 @@ object Recall {
       .filter(!col("type").isin(Schema.RecallExcludedTypes: _*))
       .filter(excludePredicate(req.excludeTags))
     req.start.foreach(s => out = out.filter(col("timestamp") >= lit(s)))
-    req.end.foreach(e => out = out.filter(col("timestamp") <= lit(e)))
+    // half-open [start, end): TimeExpressions constructs exclusive end bounds
+    // ('yesterday'/'today' must not overlap at midnight)
+    req.end.foreach(e => out = out.filter(col("timestamp") < lit(e)))
     out
   }
 
@@ -319,15 +321,25 @@ object Recall {
   def adaptiveFloor(df: DataFrame): DataFrame = {
     val scores = df.select(col("final_score")).collect().map(_.getDouble(0))
       .sorted(Ordering[Double].reverse)
-    if (scores.length < 4) return df
-    val top = scores.head
-    val half = scores.length / 2
-    val gaps = (1 until half).map(i => (scores(i - 1) - scores(i), i))
-    if (gaps.isEmpty) return df
-    val (gap, idx) = gaps.maxBy(_._1)
-    if (top > 0 && gap > 0.25 * top && (scores.length - idx) <= scores.length - half)
-      df.filter(col("final_score") >= scores(idx - 1) - gap / 2)
-    else df
+    val n = scores.length
+    if (n <= 3) return df
+    // largest gap between consecutive scores in the top half (first max wins
+    // ties), floor at the score BELOW the gap; cut only when the gap exceeds
+    // 25% of the top score and at least ceil(n/2) rows survive
+    val halfway = math.max(3, n / 2)
+    var maxGap = 0.0
+    var gapIdx = -1
+    var i = 1
+    while (i < halfway) {
+      val gap = scores(i - 1) - scores(i)
+      if (gap > maxGap) { maxGap = gap; gapIdx = i }
+      i += 1
+    }
+    if (maxGap > 0.25 * scores(0) && gapIdx > 0) {
+      val floor = scores(gapIdx)
+      val retained = scores.count(_ >= floor)
+      if (retained >= (n + 1) / 2) df.filter(col("final_score") >= floor) else df
+    } else df
   }
 
   /** J1 relation hydration for the final survivors (`runtime_relations.py:

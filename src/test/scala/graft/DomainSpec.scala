@@ -352,4 +352,55 @@ class DomainSpec extends AnyFunSuite {
       .select("id").collect().map(_.getString(0)).toSet
     assert(typed == Set("m2"), s"got $typed")
   }
+
+  test("R4 adaptive floor cuts below a pronounced top-half gap (recall.py:2351-2375)") {
+    import spark.implicits._
+    // n=8, halfway=max(3,4)=4: largest examined gap at i=3 (0.9 -> 0.3);
+    // floor 0.3 retains 4 >= ceil(8/2) -> cut applies
+    val gapped = Seq(1.0, 0.95, 0.9, 0.3, 0.25, 0.2, 0.15, 0.1).toDF("final_score")
+    val cut = Recall.adaptiveFloor(gapped).collect().map(_.getDouble(0)).sorted
+    assert(cut.toSeq == Seq(0.3, 0.9, 0.95, 1.0), s"got ${cut.toSeq}")
+    // big gap below the top half is never examined -> no cut
+    val lateGap = Seq(1.0, 0.98, 0.96, 0.94, 0.92, 0.9, 0.1, 0.05).toDF("final_score")
+    assert(Recall.adaptiveFloor(lateGap).count() == 8)
+    // cut would retain fewer than half -> no cut
+    val topHeavy = Seq(1.0, 0.2, 0.15, 0.1, 0.05, 0.04).toDF("final_score")
+    assert(Recall.adaptiveFloor(topHeavy).count() == 6)
+    // flat scores -> no gap -> no cut
+    val flat = Seq(0.5, 0.5, 0.5, 0.5, 0.5).toDF("final_score")
+    assert(Recall.adaptiveFloor(flat).count() == 5)
+  }
+
+  test("C1 decay matches the reference formula incl. same-day access clamp " +
+    "(consolidation.py:250-282)") {
+    import spark.implicits._
+    val sameDay = mem("d1", "accessed today", "2025-12-31 00:00:00", importance = 0.5)
+      .copy(last_accessed = ts("2026-01-09 12:00:00")) // 0.5d ago -> factor 1.0
+    val stale = mem("d2", "accessed long ago", "2025-12-21 00:00:00", importance = 0.5)
+      .copy(last_accessed = ts("2025-12-21 00:00:00")) // 20d ago -> exp(-1.0)
+    val df = Seq(sameDay, stale).toDF()
+    val noEdges = spark.emptyDataset[Edge].toDF()
+    val got = Consolidation.decay(df, noEdges, now)
+      .select("id", "relevance_score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def expected(ageDays: Double, accessDays: Double): Double = {
+      val accessFactor = if (accessDays < 1) 1.0 else math.exp(-0.05 * accessDays)
+      val rel = math.min(1.0, math.exp(-0.01 * ageDays) *
+        (0.3 + 0.3 * accessFactor) * (1.0 + 0.3 * math.log1p(0.0)) *
+        (0.5 + 0.5) * (0.7 + 0.3 * 0.7))
+      math.max(0.5 * 0.3, rel)
+    }
+    assert(math.abs(got("d1") - expected(10.0, 0.5)) < 1e-9, s"d1=${got("d1")}")
+    assert(math.abs(got("d2") - expected(20.0, 20.0)) < 1e-9, s"d2=${got("d2")}")
+  }
+
+  test("baseFilter end bound is exclusive (half-open [start, end) window)") {
+    val req = RecallRequest(
+      start = Some(ts("2026-01-02 00:00:00")),
+      end = Some(ts("2026-01-04 10:00:00")), now = now)
+    val ids = Recall.baseFilter(memories, req)
+      .select("id").collect().map(_.getString(0)).toSet
+    // m4 is stamped exactly at the end bound -> excluded; m2/m3 inside
+    assert(ids == Set("m2", "m3"), s"got $ids")
+  }
 }
