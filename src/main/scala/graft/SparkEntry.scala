@@ -53,6 +53,8 @@ object SparkEntry {
     "q_q4_trending" -> (RecallShapes.trending _),
     "q_q5_metadata" -> (RecallShapes.metadataSearch _),
     "q_r3_minmax" -> (RecallShapes.minMaxRerank _),
+    "q_r5_priority" -> (RecallShapes.priorityGuarantee _),
+    "q_j3_entity_expand" -> (RecallShapes.entityExpansion _),
     "q_r4_gap_floor" -> (RecallShapes.largestGap _),
     "q_r6_scope_fallback" -> ((s, d) => RecallShapes.scopeFallback(s, d)),
     "q_j4_supersession_head" -> (RecallShapes.supersessionHeads _),
@@ -224,6 +226,8 @@ object SparkEntry {
     "q_q4_trending" -> RecallShapes.trendingSql,
     "q_q5_metadata" -> RecallShapes.metadataSearchSql,
     "q_r3_minmax" -> RecallShapes.minMaxRerankSql,
+    "q_r5_priority" -> RecallShapes.priorityGuaranteeSql,
+    "q_j3_entity_expand" -> RecallShapes.entityExpansionSql,
     "q_r4_gap_floor" -> RecallShapes.largestGapSql,
     "q_r6_scope_fallback" -> RecallShapes.scopeFallbackSql,
     "q_j4_supersession_head" -> RecallShapes.supersessionHeadsSql,

@@ -27,6 +27,7 @@ case class RecallRequest(
     minScore: Option[Double] = None,
     adaptiveFloor: Boolean = false,
     expandRelations: Boolean = false,
+    expandEntities: Boolean = false,
     relationLimit: Int = 5,
     expansionLimit: Int = 25,
     expandMinStrength: Option[Double] = None,
@@ -204,17 +205,24 @@ object Recall {
     scoreCandidates(hydrated, req, queryOpt)
   }
 
-  /** 9-component scoring + final score (SURVEY §2.5). */
+  /** 9-component scoring + final score (SURVEY §2.5). The relation component
+    * comes from a `relation_score` column when the caller provides one
+    * (expanded candidates carry strength + 0.25 x seed score); channel
+    * results have none and score 0 (`scoring.py:239-245`).
+    */
   def scoreCandidates(df: DataFrame, req: RecallRequest,
       queryOpt: Option[String]): DataFrame = {
     val kws = queryOpt.map(keywords).getOrElse(Nil)
     val lc = lower(col("content"))
     val ageDays = (unix_timestamp(lit(req.now)) - unix_timestamp(col("timestamp"))) / 86400.0
+    val relationComp =
+      if (df.columns.contains("relation_score")) coalesce(col("relation_score"), lit(0.0))
+      else lit(0.0)
     val comps = Scoring.ComponentColumns(
       vector = coalesce(col("vector_score"), lit(0.0)),
       keyword = coalesce(col("keyword_score"), Scoring.keywordFallback(kws, lc)),
       metadata = coalesce(col("metadata_score"), lit(0.0)),
-      relation = lit(0.0),
+      relation = relationComp,
       tag = Scoring.tagScore(kws, col("tags")),
       importance = coalesce(col("importance"), lit(0.0)),
       confidence = coalesce(col("confidence"), lit(0.0)),
@@ -250,6 +258,17 @@ object Recall {
       .drop("_fp", "_rn")
   }
 
+  /** Rank of an id within the requested priority list (1-based; absent ->
+    * MaxValue), the `_guarantee_priority_results` sort key
+    * (`recall.py:1273-1312`).
+    */
+  private def priorityRank(priorityIds: Seq[String]): Column =
+    if (priorityIds.isEmpty) lit(0L)
+    else {
+      val pos = array_position(typedlit(priorityIds), col("id"))
+      when(pos > 0, pos).otherwise(lit(Long.MaxValue))
+    }
+
   /** R2 score-sort key: final desc, vector-channel first, importance desc,
     * timestamp desc (`recall.py:420-434`).
     */
@@ -260,8 +279,13 @@ object Recall {
 
   /** J2 graph expansion (`recall.py:1498-1700`): undirected 1-hop from the
     * seed results over whitelisted relation types, per-seed top-k by
-    * strength, global cap, dedup on first-seen, score = strength + 0.25 *
-    * seed score. Seeds are <= limit rows -> broadcast to the edge join.
+    * strength, global cap, dedup keeping the max relation score. Expanded
+    * candidates carry relation_score = strength + 0.25 * max(seed_score, 0)
+    * and are re-scored through the FULL 9-component formula with
+    * match_type = "relation" (`recall.py:1686-1698`) — the relation
+    * component (weight 0.25) enters alongside keyword fallback, tag,
+    * importance, confidence, and recency. Seeds are <= limit rows ->
+    * broadcast to the edge join.
     */
   def expand(results: DataFrame, memories: DataFrame, edges: DataFrame,
       req: RecallRequest): DataFrame = {
@@ -280,17 +304,78 @@ object Recall {
     req.expandMinStrength.foreach(m => hop = hop.filter(col("strength") >= m))
     val picked = hop.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= req.relationLimit)
-      .withColumn("relation_score", col("strength") + lit(0.25) * col("seed_score"))
+      .withColumn("relation_score",
+        col("strength") + lit(0.25) * greatest(col("seed_score"), lit(0.0)))
       .groupBy(col("dst"))
-      .agg(max(col("relation_score")).as("final_score"),
+      .agg(max(col("relation_score")).as("relation_score"),
         min(col("rel_type")).as("via_rel"))
       .join(results.select(col("id").as("dst")), Seq("dst"), "left_anti")
-      .orderBy(desc("final_score"), asc("dst"))
+      .orderBy(desc("relation_score"), asc("dst"))
       .limit(req.expansionLimit)
     val mem = baseFilter(memories, req)
-    picked.join(mem, picked("dst") === mem("id"))
+    val hydrated = picked.join(mem, picked("dst") === mem("id"))
       .drop("dst")
-      .withColumn("match_type", lit("expansion"))
+      .withColumn("match_type", lit("relation"))
+      .withColumn("vector_score", lit(null).cast("double"))
+      .withColumn("keyword_score", lit(null).cast("double"))
+      .withColumn("metadata_score", lit(null).cast("double"))
+    scoreCandidates(hydrated, req, req.query)
+  }
+
+  /** J3 entity expansion (`recall.py:1337-1495`): extract entity names from
+    * the seed results (metadata.entities people/places/organizations +
+    * `entity:people:` tags), take <= 5 (sorted for determinism where the
+    * reference iterates an unordered set), prefix-search
+    * `entity:people:{slug}` tags for <= limitPerEntity rows each (tag-only
+    * channel: ranked by importance), score through the full formula and add
+    * the flat 0.15 entity boost. Seeds are bounded (<= limit + expansion
+    * rows), so extraction is a driver-side collect exactly like the
+    * reference's in-process loop.
+    */
+  def expandEntities(results: DataFrame, memories: DataFrame,
+      req: RecallRequest, limitPerEntity: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val metaNames = Seq("people", "places", "organizations").map(c =>
+      coalesce(from_json(get_json_object(col("metadata"), s"$$.entities.$c"),
+        ArrayType(StringType)), array()))
+    val tagNames = transform(
+      filter(col("tags"), t => t.startsWith("entity:people:")),
+      t => regexp_replace(element_at(split(t, ":"), -1), "-", " "))
+    val entities = results
+      .select(explode(concat(metaNames :+ tagNames: _*)).as("name"))
+      .select(lower(trim(col("name"))).as("name"))
+      .filter(length(col("name")) > 1)
+      .distinct().collect().map(_.getString(0))
+      .sorted.take(5)
+    if (entities.isEmpty)
+      return results.limit(0).withColumn("expanded_from_entity", lit(""))
+    val base = baseFilter(memories, req)
+    val scoped = if (req.tags.nonEmpty)
+      base.filter(tagPredicate(req.tags, req.tagMode, req.tagMatch)) else base
+    val perEntity = entities.zipWithIndex.map { case (ent, i) =>
+      val slug = ent.replaceAll("\\s+", "-")
+      scoped.filter(tagPredicate(Seq(s"entity:people:$slug"), "any", "prefix"))
+        .orderBy(desc("importance"), desc("timestamp"), asc("id"))
+        .limit(limitPerEntity)
+        .withColumn("_e_idx", lit(i))
+        .withColumn("expanded_from_entity", lit(ent))
+    }
+    // first-entity-wins per id (the reference's seen_ids threading), then the
+    // full 9-component score + flat 0.15 entity boost
+    val wFirst = Window.partitionBy(col("id")).orderBy(asc("_e_idx"))
+    val picked = perEntity.reduce(_ unionByName _)
+      .join(results.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("_rn", row_number().over(wFirst))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_e_idx")
+      .withColumn("match_type", lit("entity_expansion"))
+      .withColumn("vector_score", lit(null).cast("double"))
+      .withColumn("keyword_score", lit(null).cast("double"))
+      .withColumn("metadata_score", lit(null).cast("double"))
+    scoreCandidates(picked, req, req.query)
+      .withColumn("final_score", col("final_score") + lit(0.15))
+      .orderBy(desc("final_score"), asc("id"))
+      .limit(req.expansionLimit)
   }
 
   /** R3 recency-bias re-rank (`recall.py:2315-2349`): min-max normalize
@@ -391,12 +476,49 @@ object Recall {
       else Seq(req.query)
     val perQuery = queriesToRun.map(q => runSingleQuery(memories, req, q))
     var agg = perQuery.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // R5 priority injection (`recall.py:1094-1270`): priority ids absent from
+    // every channel are fetched directly; priority tags contribute up to
+    // max(1, min(limit, 3)) rows by importance. Injected rows pass the same
+    // base/tag/time filters and the same 9-component scoring as channel rows
+    // (the reference re-ranks with filters after injecting,
+    // `recall.py:2066-2143`).
+    if (req.priorityIds.nonEmpty || req.priorityTags.nonEmpty) {
+      val base = baseFilter(memories, req)
+      val scoped = if (req.tags.nonEmpty)
+        base.filter(tagPredicate(req.tags, req.tagMode, req.tagMatch)) else base
+      val byId = if (req.priorityIds.isEmpty) None
+        else Some(scoped.filter(col("id").isin(req.priorityIds: _*)))
+      val byTag = if (req.priorityTags.isEmpty) None
+        else Some(scoped
+          .filter(tagPredicate(req.priorityTags, "any", "prefix"))
+          .orderBy(desc("importance"), desc("timestamp"), asc("id"))
+          .limit(math.max(1, math.min(req.limit, 3))))
+      val fetched = (byId.toSeq ++ byTag.toSeq).reduce(_ unionByName _)
+        .dropDuplicates("id")
+        .join(agg.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("match_type", lit("priority_id"))
+        .withColumn("vector_score", lit(null).cast("double"))
+        .withColumn("keyword_score", lit(null).cast("double"))
+        .withColumn("metadata_score", lit(null).cast("double"))
+      agg = agg.unionByName(scoreCandidates(fetched, req, req.query),
+        allowMissingColumns = true)
+    }
     agg = dedup(agg)
     req.minScore.foreach(m => agg = agg.filter(col("final_score") >= m))
-    agg = scoreSort(agg).limit(req.limit)
+    // priority guarantee ordering (`recall.py:1273-1312`): requested priority
+    // ids come first (in request order), the rest follow in score order
+    val prioRank = priorityRank(req.priorityIds)
+    agg = agg.orderBy(prioRank.asc, desc("final_score"),
+      when(col("match_type") === "vector", 0).otherwise(1).asc,
+      desc("importance"), desc("timestamp"), asc("id")).limit(req.limit)
     if (req.expandRelations) {
       val expanded = expand(agg, memories, edges, req)
       agg = agg.unionByName(expanded, allowMissingColumns = true)
+    }
+    if (req.expandEntities) {
+      // seeds include relation-expanded rows (`recall.py:2270-2272`)
+      val expandedE = expandEntities(agg, memories, req)
+      agg = agg.unionByName(expandedE, allowMissingColumns = true)
     }
     if (req.stateMode == "current")
       agg = Supersession.applyCurrentState(agg, memories, edges)
@@ -416,7 +538,8 @@ object Recall {
           .unionByName(fill, allowMissingColumns = true)
       } else agg = agg.withColumn("outside_tag_scope", lit(false))
     } else agg = agg.withColumn("outside_tag_scope", lit(false))
-    val ordered = agg.orderBy(asc("outside_tag_scope"), desc("final_score"),
+    val ordered = agg.orderBy(asc("outside_tag_scope"),
+      priorityRank(req.priorityIds).asc, desc("final_score"),
       desc("importance"), desc("timestamp"), asc("id"))
     if (req.expandRelations) hydrateRelations(ordered, memories, edges, req.relationLimit)
     else ordered

@@ -67,8 +67,10 @@ object Scoring {
   /** Final score = sum of weighted components + context bonus, with the
     * opt-in relevance gate (`scoring.py:229-262`): when the best topical
     * evidence max(vector, keyword, metadata, exact) falls below `gate`,
-    * query-independent components (importance, confidence, recency,
-    * relevance) are scaled by evidence/gate.
+    * query-independent components (importance, confidence, recency, tag,
+    * relevance) are scaled by evidence/gate. Tag overlap is gated too —
+    * inside a tag-scoped pool the scope tag matching a query token is
+    * scope-confounded, not topical, evidence (`scoring.py:229-236`).
     */
   def finalScore(c: ComponentColumns, w: Weights = Weights(),
       relevanceGate: Option[Double] = None): Column = {
@@ -78,9 +80,10 @@ object Scoring {
       case None => lit(1.0)
     }
     c.vector * w.vector + c.keyword * w.keyword + c.metadata * w.metadata +
-      c.relation * w.relation + c.tag * w.tag +
-      (c.importance * w.importance + c.confidence * w.confidence +
-        c.recency * w.recency + c.relevance * w.relevance) * scale +
+      c.relation * w.relation +
+      (c.tag * w.tag + c.importance * w.importance +
+        c.confidence * w.confidence + c.recency * w.recency +
+        c.relevance * w.relevance) * scale +
       c.exact * w.exact + c.context
   }
 

@@ -58,6 +58,73 @@ object RecallShapes {
        WHERE k IS NOT NULL) s
        WHERE score >= 0.5 ORDER BY score DESC, event_id LIMIT 100"""
 
+  /** R5 priority guarantee (`recall.py:1094-1312`): ids requested as
+    * priorities that are absent from the channel results are fetched
+    * directly, unioned in, and the final top-k is ordered priority-first —
+    * injected priority rows displace the channel tail. The set membership of
+    * the final page (channel top-20 vs priority-injected) is what the oracle
+    * checks.
+    */
+  def priorityGuarantee(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val chan = ev.orderBy(desc("value"), asc("event_id")).limit(20)
+    val inj = ev.filter(col("event_id").isin(7L, 77L, 777L))
+      .join(chan.select("event_id"), Seq("event_id"), "left_anti")
+    val pr = when(col("event_id") === 7, 1).when(col("event_id") === 77, 2)
+      .when(col("event_id") === 777, 3).otherwise(1000000)
+    chan.unionByName(inj)
+      .withColumn("pr", pr)
+      .orderBy(asc("pr"), desc("value"), asc("event_id"))
+      .limit(20)
+      .select(col("event_id"), col("value"), (col("pr") < 1000000).as("is_priority"))
+  }
+
+  val priorityGuaranteeSql: String =
+    """WITH chan AS (SELECT event_id, value FROM events
+         ORDER BY value DESC, event_id LIMIT 20),
+       u AS (SELECT * FROM chan
+         UNION ALL
+         SELECT event_id, value FROM events
+         WHERE event_id IN (7, 77, 777)
+           AND event_id NOT IN (SELECT event_id FROM chan)),
+       r AS (SELECT event_id, value,
+         CASE event_id WHEN 7 THEN 1 WHEN 77 THEN 2 WHEN 777 THEN 3
+           ELSE 1000000 END AS pr FROM u)
+       SELECT event_id, value, (pr < 1000000) AS is_priority
+       FROM r ORDER BY pr, value DESC, event_id LIMIT 20"""
+
+  /** J3 entity-expansion shape (`recall.py:1337-1495`): a bounded seed set
+    * yields <= 5 "entities" (here: the seeds' source values); memories
+    * sharing an entity join in (prefix-tag join in the domain library),
+    * excluding the seeds themselves, each scored with the flat 0.15 boost on
+    * top of its base score and capped at an expansion limit.
+    */
+  def entityExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val seeds = docs.orderBy(desc("n_chars"), asc("doc_id")).limit(5)
+    val entities = seeds.select(col("source")).distinct()
+      .orderBy(asc("source")).limit(5)
+    docs.join(broadcast(entities), Seq("source"))
+      .join(seeds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("score",
+        round4(least(lit(1.0), col("n_chars") / 500.0) + lit(0.15)))
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val entityExpansionSql: String =
+    """WITH seeds AS (SELECT doc_id, source FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 5),
+       entities AS (SELECT DISTINCT source FROM seeds ORDER BY source LIMIT 5)
+       SELECT doc_id, source,
+         round((least(1.0, n_chars / 500.0) + 0.15) + 1e-9, 4) AS score
+       FROM documents
+       WHERE source IN (SELECT source FROM entities)
+         AND doc_id NOT IN (SELECT doc_id FROM seeds)
+       ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** R3 recency-bias style min-max normalization over the candidate set
     * (`recall.py:2315-2349`): norm = (value - min) / (max - min).
     */

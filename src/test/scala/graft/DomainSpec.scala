@@ -161,8 +161,63 @@ class DomainSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(byId.contains("m2") || byId.contains("m3"),
       s"expansion should pull a related memory, got ${byId.keys}")
-    assert(byId.exists(_._2 == "expansion"))
+    assert(byId.exists(_._2 == "relation"),
+      s"expanded rows carry match_type=relation, got $byId")
     assert(res.columns.contains("relations"), "final results must hydrate relations")
+  }
+
+  test("J3 entity expansion: multi-hop via person tags (README.md:89-97 story)") {
+    import spark.implicits._
+    val seed = mem("e1", "Amanda's sister is Rachel", "2026-01-02 00:00:00",
+      Seq("family", "entity:people:amanda", "entity:people:rachel"))
+    val target = mem("e2", "Rachel works as a counselor", "2026-01-03 00:00:00",
+      Seq("entity:people:rachel"), importance = 0.6)
+    val noise = mem("e3", "grocery list apples", "2026-01-04 00:00:00", Seq("noise"))
+    val df = Seq(seed, target, noise).toDF()
+      .withColumn("tag_prefixes",
+        graft.functions.TextFunctions.tagPrefixes(col("tags")))
+    val noEdges = spark.emptyDataset[Edge].toDF()
+    val without = Recall.recall(df, noEdges, RecallRequest(
+      query = Some("amanda sister"), limit = 1, now = now))
+    assert(without.select("id").collect().map(_.getString(0)).toSeq == Seq("e1"))
+    val res = Recall.recall(df, noEdges, RecallRequest(
+      query = Some("amanda sister"), limit = 1, expandEntities = true, now = now))
+    val byId = res.select("id", "match_type", "final_score").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(byId.contains("e2"),
+      s"rachel memory must surface via entity expansion, got ${byId.keys}")
+    assert(byId("e2")._1 == "entity_expansion")
+    assert(!byId.contains("e3"), "noise must not be expanded")
+    // flat 0.15 boost: e2's score = formula + 0.15; its query-independent
+    // parts alone (imp .6*.1 + conf .7*.05 + recency*.1 < 0.2) cannot reach
+    // 0.15 without the boost at these weights
+    assert(byId("e2")._2 > 0.15, s"entity boost missing: ${byId("e2")._2}")
+  }
+
+  test("R5 priority guarantee: absent priority id is injected and ranked first") {
+    // m8 never surfaces for this query through any channel
+    val plain = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database"), limit = 3, now = now))
+    assert(!plain.select("id").collect().map(_.getString(0)).contains("m8"))
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database"), limit = 3,
+        priorityIds = Seq("m8"), now = now))
+    val ids = res.select("id").collect().map(_.getString(0))
+    assert(ids.head == "m8", s"priority id must appear first, got ${ids.toSeq}")
+    assert(ids.length == 3, "injection must not exceed the limit")
+    // priority rows honor base filters: an archived priority id stays out
+    val archived = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database"), limit = 3,
+        priorityIds = Seq("m6"), now = now))
+    assert(!archived.select("id").collect().map(_.getString(0)).contains("m6"))
+  }
+
+  test("R5 priority tags inject top rows by importance (capped at 3)") {
+    val res = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("zzz nothing matches"), limit = 5,
+        priorityTags = Seq("preferences"), now = now))
+    val ids = res.select("id").collect().map(_.getString(0)).toSet
+    assert(ids.contains("m3"), s"priority-tag row must be injected, got $ids")
   }
 
   test("recall: min_score and adaptive floor cut low scores") {

@@ -74,6 +74,38 @@ class QualitySpec extends AnyFunSuite {
     assert(row.getAs[Double]("s_keyword") == 1.0)
   }
 
+  test("golden: expanded candidate scores the full formula incl. relation component") {
+    import spark.implicits._
+    val seed = mkMem("s1", "postgres tuning guide", "2026-01-05 00:00:00",
+      Seq("database", "postgres"), importance = 0.8, confidence = 0.6)
+    val related = mkMem("r1", "weekly standup summary notes", "2026-01-03 00:00:00",
+      Seq("noise"), importance = 0.4, confidence = 0.6)
+    val memories = Seq(seed, related).toDF()
+      .withColumn("tag_prefixes", graft.functions.TextFunctions.tagPrefixes(col("tags")))
+    val edges = Seq(Edge("s1", "r1", "RELATES_TO", Some(0.8), None, None, None,
+      None, None, None, ts("2026-01-05 00:00:00"))).toDF()
+
+    val req = RecallRequest(query = Some("postgres tuning"), limit = 1,
+      expandRelations = true, now = now)
+    val rows = Recall.recall(memories, edges, req)
+      .select("id", "final_score", "match_type").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(rows("r1")._2 == "relation")
+
+    // hand-computed: relation_score = strength + 0.25 * max(seed_score, 0);
+    // r1's full formula = 0.25*relation + 0.1*importance + 0.05*confidence
+    // + 0.1*recency (vector/keyword/metadata/tag/exact all 0 for r1)
+    val w = Scoring.Weights()
+    val seedScore = rows("s1")._1
+    val relationScore = 0.8 + 0.25 * math.max(seedScore, 0.0)
+    val ageDays = (now.getTime - related.timestamp.getTime) / 86400000.0
+    val recency = math.max(0.0, 1.0 - ageDays / 180.0)
+    val expected = w.relation * relationScore + w.importance * 0.4 +
+      w.confidence * 0.6 + w.recency * recency
+    assert(math.abs(rows("r1")._1 - expected) < 1e-9,
+      s"got ${rows("r1")._1}, expected $expected (seed=$seedScore)")
+  }
+
   test("retrieval quality: recall@5 = 1.0 for exact-content queries on seeded corpus") {
     import spark.implicits._
     val targets = (0 until 10).map(i =>
