@@ -2,7 +2,7 @@ package graft.domain
 
 import java.sql.Timestamp
 
-import graft.functions.VectorFunctions.{cosineSim, signBucket}
+import graft.functions.VectorFunctions.{cosineSim, signBucket, signBucketAt}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -115,49 +115,71 @@ object Consolidation {
 
   /** Similarity graph for clustering: pairs with cosine >= threshold.
     * `exact=true` is the reference-parity O(n^2) over the filtered set;
-    * `exact=false` blocks by SimHash sign bucket (the 100 TB path: only
-    * same-bucket pairs co-shuffle; multiple rotated bucketings would raise
-    * recall further).
+    * `exact=false` is the 100 TB path: FOUR offset 10-bit sign bucketings
+    * unioned band-OR style — a pair becomes a candidate if it agrees in ANY
+    * band, so only same-band pairs co-shuffle while near-identical vectors
+    * (the >= 0.75 regime) are caught even when a few signs flip. Candidate
+    * pairs dedup on (src, dst) before the threshold filter.
     */
   def similarityEdges(memories: DataFrame, threshold: Double,
       exact: Boolean): DataFrame = {
     val base = memories.filter(col("relevance_score") > 0.3)
       .select(col("id"), col("embedding"))
-    val keyed = if (exact) base.withColumn("b", lit(0))
-      else base.withColumn("b", signBucket(col("embedding"), 10))
-    val a = keyed.select(col("b"), col("id").as("src"), col("embedding").as("a_emb"))
-    val bb = keyed.select(col("b"), col("id").as("dst"), col("embedding").as("b_emb"))
-    a.join(bb, Seq("b")).filter(col("src") < col("dst"))
-      .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
-      .filter(col("sim") >= threshold)
+    def pairsWithin(keyed: DataFrame): DataFrame = {
+      val a = keyed.select(col("b"), col("id").as("src"), col("embedding").as("a_emb"))
+      val bb = keyed.select(col("b"), col("id").as("dst"), col("embedding").as("b_emb"))
+      a.join(bb, Seq("b")).filter(col("src") < col("dst"))
+        .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
+        .select(col("src"), col("dst"), col("sim"))
+    }
+    val candidates =
+      if (exact) pairsWithin(base.withColumn("b", lit("0")))
+      else Seq(0, 10, 20, 30).map { off =>
+        pairsWithin(base.withColumn("b",
+          concat_ws(":", lit(off.toString),
+            signBucketAt(col("embedding"), 10, off))))
+      }.reduce(_ unionByName _)
+        .groupBy(col("src"), col("dst"))
+        .agg(max(col("sim")).as("sim"))
+    candidates.filter(col("sim") >= threshold)
       .select(col("src"), col("dst"), col("sim"))
   }
 
   /** Connected components by iterative min-label propagation (bounded
     * iterations, converges in O(diameter) rounds — each round one shuffle on
-    * the edge list; the standard scalable CC pattern).
+    * the edge list; the standard scalable CC pattern). Cache hygiene: the
+    * previous round's labels unpersist once the convergence check has
+    * consumed them, and every 5th round truncates lineage with a local
+    * checkpoint so the plan does not grow join-on-join without bound.
     */
   def connectedComponents(vertices: DataFrame, simEdges: DataFrame,
       maxIter: Int = 15): DataFrame = {
     val sym = simEdges.select(col("src"), col("dst"))
       .unionByName(simEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
     var labels = vertices.select(col("id"), col("id").as("component"))
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val joined = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .cache()
+      val updated =
+        if ((iter + 1) % 5 == 0) joined.localCheckpoint()
+        else joined.cache()
       val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).limit(1).count()
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(updated)
       labels = updated
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 

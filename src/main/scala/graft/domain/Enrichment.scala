@@ -64,7 +64,16 @@ object Enrichment {
       .filter(col("sim") >= threshold)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= topK)
-    pairs.select(col("src"), col("dst"), lit("SIMILAR_TO").as("rel_type"),
+      .select(col("src"), col("dst"), col("sim"), col("updated_at"))
+    // the reference writes BOTH directions per link
+    // (`runtime_helpers.py:177-254`); a per-src top-k can keep only one, so
+    // symmetrize the survivor set (dedup where both directions survived)
+    val sym = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"),
+        col("sim"), col("updated_at")))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("sim")).as("sim"), max(col("updated_at")).as("updated_at"))
+    sym.select(col("src"), col("dst"), lit("SIMILAR_TO").as("rel_type"),
       col("sim").as("score"), col("updated_at"))
   }
 

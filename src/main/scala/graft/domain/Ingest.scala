@@ -33,6 +33,52 @@ object Ingest {
     "Insight" -> Seq("(?i)\\binsight\\b", "(?i)\\brealized\\b", "(?i)\\blearned\\b",
       "(?i)\\bdiscovered\\b", "(?i)\\bturns out\\b"))
 
+  /** Canonical memory types (`automem/config.py:183`). */
+  val MemoryTypes: Seq[String] =
+    Seq("Decision", "Pattern", "Preference", "Style", "Habit", "Insight", "Context")
+
+  /** Alias map normalizing lowercase/legacy types to canonical
+    * (`automem/config.py:187-218`).
+    */
+  val TypeAliases: Map[String, String] = Map(
+    "decision" -> "Decision",
+    "pattern" -> "Pattern",
+    "preference" -> "Preference",
+    "style" -> "Style",
+    "habit" -> "Habit",
+    "insight" -> "Insight",
+    "context" -> "Context",
+    "memory" -> "Context",
+    "milestone" -> "Context",
+    "analysis" -> "Insight",
+    "observation" -> "Insight",
+    "document" -> "Context",
+    "meeting_notes" -> "Context",
+    "template" -> "Pattern",
+    "project" -> "Context",
+    "issue" -> "Insight",
+    "timeline" -> "Context",
+    "organization" -> "Context",
+    "person" -> "Context",
+    "interests" -> "Preference",
+    "personality" -> "Preference",
+    "emotional_patterns" -> "Preference",
+    "relationship_dynamics" -> "Preference",
+    "personal_situation" -> "Context",
+    "health_habits" -> "Habit",
+    "practical_info" -> "Context",
+    "communication" -> "Preference",
+    "legal_analysis" -> "Insight")
+
+  /** `normalize_memory_type` (`automem/config.py:221-241`): canonical types
+    * pass through, aliases map to canonical, anything else -> null (the
+    * reference's rejection marker; [[prepare]] drops such rows the way the
+    * reference 400s the request).
+    */
+  def normalizeMemoryType(t: Column): Column =
+    when(t.isin(MemoryTypes: _*), t)
+      .otherwise(element_at(typedlit(TypeAliases), t))
+
   /** Number of patterns of one type matching the content. */
   private def matchCount(content: Column, patterns: Seq[String]): Column =
     patterns.map(p => when(content.rlike(p), 1).otherwise(0)).reduce(_ + _)
@@ -89,8 +135,12 @@ object Ingest {
       .filter(length(col("content")) > 0 && length(col("content")) <= HardLimit)
       .withColumn("tags", normalizeTags(col("tags")))
       .withColumn("tag_prefixes", TextFunctions.tagPrefixes(col("tags")))
-      .withColumn("type",
-        when(col("type").isNotNull, col("type")).otherwise(typeCol))
+      // provided types normalize through the alias map (unknown explicit
+      // types are rejected, i.e. dropped); absent types are classified
+      .withColumn("_type_norm", normalizeMemoryType(col("type")))
+      .filter(col("type").isNull || col("_type_norm").isNotNull)
+      .withColumn("type", coalesce(col("_type_norm"), typeCol))
+      .drop("_type_norm")
       .withColumn("confidence", confCol)
       .withColumn("importance", least(greatest(col("importance"), lit(0.0)), lit(1.0)))
       .withColumn("summary",
@@ -106,6 +156,31 @@ object Ingest {
       .withColumn("relevance_score", lit(1.0))
       .withColumn("archived", lit(false))
       .withColumn("protected_flag", lit(false))
+  }
+
+  /** Legacy discovered-relation names -> canonical DISCOVERED kind
+    * (`automem/config.py:244-248`).
+    */
+  val LegacyDiscoveredRelations: Map[String, String] = Map(
+    "EXPLAINS" -> "explains",
+    "SHARES_THEME" -> "shares_theme",
+    "PARALLEL_CONTEXT" -> "parallel_context")
+
+  /** Canonicalize relation types on edge ingest
+    * (`automem/config.py:420-469`): trim/uppercase; legacy discovered names
+    * fold into `DISCOVERED` with `kind` = the lowercase legacy name;
+    * explicit DISCOVERED kinds lowercase.
+    */
+  def normalizeEdges(edges: DataFrame): DataFrame = {
+    val raw = upper(trim(col("rel_type")))
+    val legacyKind = element_at(typedlit(LegacyDiscoveredRelations), raw)
+    edges
+      .withColumn("kind",
+        when(legacyKind.isNotNull, legacyKind)
+          .when(raw === "DISCOVERED", lower(trim(col("kind"))))
+          .otherwise(col("kind")))
+      .withColumn("rel_type",
+        when(legacyKind.isNotNull, lit("DISCOVERED")).otherwise(raw))
   }
 
   /** Append-with-dedup-by-id (the Delta MERGE stand-in): union then keep the

@@ -154,7 +154,12 @@ object Recall {
       .withColumn("id", lit("")).withColumn("match_type", lit(""))
       .withColumn("channel_score", lit(0.0)).limit(0)
     val scanCap = math.max(200, math.min(limit * 25, 1000))
+    // deterministic cap: order by id before limiting (TakeOrderedAndProject)
+    // so the scanned subset does not depend on partition order — the
+    // reference's cap is arbitrary-order, but our determinism contract
+    // (NOTES.md) pins which rows survive
     scoped.filter(MetadataSearch.prefilter(col("metadata"), query))
+      .orderBy(asc("id"))
       .limit(scanCap)
       .withColumn("channel_score", MetadataSearch.score(col("metadata"), query))
       .withColumn("match_type", lit("metadata"))
@@ -511,6 +516,10 @@ object Recall {
     agg = agg.orderBy(prioRank.asc, desc("final_score"),
       when(col("match_type") === "vector", 0).otherwise(1).asc,
       desc("importance"), desc("timestamp"), asc("id")).limit(req.limit)
+    // the bounded (<= limit rows) result set is re-consumed by the entity
+    // collect and the scope-fallback count — cache so the channel-union DAG
+    // executes once, not once per downstream action
+    if (req.scopeFallback || req.expandEntities) agg = agg.cache()
     if (req.expandRelations) {
       val expanded = expand(agg, memories, edges, req)
       agg = agg.unionByName(expanded, allowMissingColumns = true)
@@ -521,7 +530,7 @@ object Recall {
       agg = agg.unionByName(expandedE, allowMissingColumns = true)
     }
     if (req.stateMode == "current")
-      agg = Supersession.applyCurrentState(agg, memories, edges)
+      agg = Supersession.applyCurrentState(agg, memories, edges, req.now)
     agg = recencyRerank(agg, req)
     if (req.adaptiveFloor) agg = adaptiveFloor(agg)
     req.minScore.foreach(m => agg = agg.filter(col("final_score") >= m))

@@ -33,45 +33,62 @@ object Supersession {
   /** Resolve each id to (head_id, first_rel, depth). Ids with no outgoing
     * supersession edge resolve to themselves at depth 0. Cycles stop the walk
     * at the last unvisited node.
+    *
+    * Finished rows LEAVE the loop: each iteration splits the frontier into
+    * rows that stepped (join input for the next round) and rows that are done
+    * (unioned into the result) — supersession chains are sparse, so after
+    * round 1 the walking set is only the chained ids, not the whole
+    * candidate set.
     */
   def resolveHeads(ids: DataFrame, edges: DataFrame): DataFrame = {
     val hops = nextHops(edges).cache()
-    var frontier = ids.select(
+    val cols = Seq("id", "cur", "first_rel", "path", "depth")
+    var active = ids.select(
       col("id"),
       col("id").as("cur"),
       lit(null).cast("string").as("first_rel"),
       array(col("id")).as("path"),
-      lit(0).as("depth"),
-      lit(false).as("done"))
+      lit(0).as("depth"))
+    var finished: Option[DataFrame] = None
     for (_ <- 1 to MaxDepth) {
-      frontier = frontier
+      val stepped = active
         .join(hops.withColumnRenamed("src", "cur")
           .withColumnRenamed("dst", "next")
           .withColumnRenamed("rel_type", "next_rel"), Seq("cur"), "left")
         .withColumn("step",
-          !col("done") && col("next").isNotNull && !array_contains(col("path"), col("next")))
-        .select(
-          col("id"),
-          when(col("step"), col("next")).otherwise(col("cur")).as("cur"),
-          when(col("step") && col("first_rel").isNull, col("next_rel"))
-            .otherwise(col("first_rel")).as("first_rel"),
-          when(col("step"), array_append(col("path"), col("next")))
-            .otherwise(col("path")).as("path"),
-          when(col("step"), col("depth") + 1).otherwise(col("depth")).as("depth"),
-          (!col("step")).as("done"))
+          col("next").isNotNull && !array_contains(col("path"), col("next")))
+      val nowDone = stepped.filter(!col("step")).select(cols.map(col): _*)
+      finished = Some(finished.map(_.unionByName(nowDone)).getOrElse(nowDone))
+      active = stepped.filter(col("step")).select(
+        col("id"),
+        col("next").as("cur"),
+        coalesce(col("first_rel"), col("next_rel")).as("first_rel"),
+        array_append(col("path"), col("next")).as("path"),
+        (col("depth") + 1).as("depth"))
     }
-    frontier.select(col("id"), col("cur").as("head_id"), col("first_rel"), col("depth"))
+    // rows still walking at MaxDepth stop where they are
+    finished.get.unionByName(active)
+      .select(col("id"), col("cur").as("head_id"), col("first_rel"), col("depth"))
   }
 
   /** Apply current-state mode to a recall candidate set (`id` + any score
     * columns): each candidate resolves to its chain head; suppressed rows are
-    * replaced by the head's memory row (if present and not archived),
+    * replaced by the head's memory row (if present and currently VALID),
     * candidate-only columns (scores) carried over, duplicates collapsed
     * (self-resolutions win over replacements), with `superseded_from` /
     * `supersession_rel` provenance from the FIRST hop.
+    *
+    * Validity mirrors `_state_reason_for_memory` (`recall.py:437-449`):
+    * archived rows, rows with `t_valid > now` (not yet valid), and rows with
+    * `t_invalid <= now` (expired) are state-suppressed — including
+    * self-resolved candidates with no supersession edge, which simply drop
+    * out when their own row fails the validity join.
     */
   def applyCurrentState(candidates: DataFrame, memories: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame,
+      now: java.sql.Timestamp = new java.sql.Timestamp(0L)): DataFrame = {
+    val nowCol =
+      if (now.getTime == 0L) current_timestamp() else lit(now)
     val resolved = resolveHeads(candidates.select(col("id")).distinct(), edges)
     val memCols = memories.columns.toSet
     val extras = candidates.columns.filter(c => c != "id" && !memCols.contains(c))
@@ -82,7 +99,10 @@ object Supersession {
         when(col("head_id") =!= col("id"), col("first_rel")))
       .select(extras.map(col) ++
         Seq(col("head_id").as("id"), col("superseded_from"), col("supersession_rel")): _*)
-    val live = memories.filter(!coalesce(col("archived"), lit(false)))
+    val live = memories
+      .filter(!coalesce(col("archived"), lit(false)))
+      .filter(col("t_valid").isNull || col("t_valid") <= nowCol)
+      .filter(col("t_invalid").isNull || col("t_invalid") > nowCol)
     val hydrated = mapped.join(live, Seq("id"))
     val w = Window.partitionBy(col("id"))
       .orderBy(asc_nulls_first("superseded_from"))

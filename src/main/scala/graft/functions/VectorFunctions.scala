@@ -30,9 +30,16 @@ object VectorFunctions {
     * element i > 0. Cheap deterministic LSH blocking key for near-dup /
     * ANN bucketing (scale path: bucket-join instead of O(n^2) cross join).
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, bits, 0)
+
+  /** Sign bucket over dimensions [offset, offset + bits): the band-OR
+    * building block — several offset bucketings unioned raise the recall of
+    * a blocked similarity join the way LSH bands do (a pair only needs to
+    * agree in ONE band to become a candidate).
+    */
+  def signBucketAt(v: Column, bits: Int, offset: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
+      when(element_at(v, offset + i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Scalar int8 quantization of an embedding: per-vector min/max affine

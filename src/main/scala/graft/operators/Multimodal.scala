@@ -26,11 +26,19 @@ object Multimodal {
     StructField("mime", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
-  val decodedSchema: StructType = StructType(assetSchema.fields ++ Seq(
+  /** Decode-stage output schema (encoder-derived nullability: modality rides
+    * through as a nullable string; feature elements are primitive floats).
+    */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType), nullable = true)))
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = true)))
 
   /** Deterministic stand-in for the real codec: dimensions and a small
     * feature vector derived from payload bytes. Swap for a real decoder
@@ -62,23 +70,32 @@ object Multimodal {
       sha2(col("id").cast("string"), 256).cast("binary").as("payload"))
   }
 
-  /** Decode stage as mapPartitions: one batch pass per partition, preserving
-    * partitioning; at scale this is the pattern that keeps codec state
-    * (decoder handles) per-partition rather than per-row.
+  /** Input/output records for the decode stage (typed `Dataset` encoders
+    * keep the stage inside Catalyst — schema known, columns prunable — where
+    * an RDD drop-out would black-box the surrounding plan).
+    */
+  case class AssetIn(asset_id: Long, modality: String, mime: String,
+      payload: Array[Byte])
+  case class AssetDecoded(asset_id: Long, modality: String, mime: String,
+      payload: Array[Byte], width: Integer, height: Integer, n_bytes: Int,
+      features: Array[Float])
+
+  /** Decode stage as `Dataset.mapPartitions`: one batch pass per partition
+    * (codec state per-partition, not per-row) while staying a Catalyst
+    * operator — the plan above and below keeps codegen, pushdown, and the
+    * typed schema.
     */
   def decodeStage(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
-    val outRows = assets.select(col("asset_id"), col("modality"), col("mime"),
-        col("payload"))
-      .rdd.mapPartitions { it =>
-        it.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val (w, h, feats) = StubDecoder.decode(payload)
-          Row(r.getLong(0), r.getString(1), r.getString(2), payload,
-            w, h, if (payload == null) 0 else payload.length, feats)
-        }
-      }
-    spark.createDataFrame(outRows, decodedSchema)
+    import spark.implicits._
+    assets.select(col("asset_id"), col("modality"), col("mime"), col("payload"))
+      .as[AssetIn]
+      .mapPartitions(_.map { a =>
+        val (w, h, feats) = StubDecoder.decode(a.payload)
+        AssetDecoded(a.asset_id, a.modality, a.mime, a.payload, w, h,
+          if (a.payload == null) 0 else a.payload.length, feats)
+      })
+      .toDF()
   }
 
   /** Frame-sampling / chunking plan shape: explode a bounded index range per

@@ -166,6 +166,49 @@ class DomainSpec extends AnyFunSuite {
     assert(res.columns.contains("relations"), "final results must hydrate relations")
   }
 
+  test("U2 type aliases normalize on ingest; unknown explicit types reject " +
+    "(config.py:187-241)") {
+    import spark.implicits._
+    val cases = Seq(
+      "decision" -> "Decision", "learning is fun" -> null, // unknown -> reject
+      "analysis" -> "Insight", "observation" -> "Insight",
+      "meeting_notes" -> "Context", "template" -> "Pattern",
+      "health_habits" -> "Habit", "communication" -> "Preference",
+      "legal_analysis" -> "Insight", "Decision" -> "Decision",
+      "person" -> "Context", "interests" -> "Preference")
+    val df = cases.zipWithIndex.map { case ((raw, _), i) =>
+      (s"content $i", Seq.empty[String], raw)
+    }.toDF("content", "tags", "type")
+    val out = Ingest.prepare(df).select("content", "type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((raw, want), i) =>
+      if (want == null)
+        assert(!out.contains(s"content $i"), s"'$raw' must be rejected")
+      else assert(out(s"content $i") == want, s"'$raw' -> ${out.get(s"content $i")}")
+    }
+    // absent type still classifies from content
+    val classified = Ingest.prepare(Seq(("We decided to use spark", Seq.empty[String]))
+      .toDF("content", "tags")).select("type").head().getString(0)
+    assert(classified == "Decision")
+  }
+
+  test("legacy DISCOVERED edge kinds canonicalize on ingest (config.py:420-469)") {
+    import spark.implicits._
+    val raw = Seq(
+      Edge("a", "b", "EXPLAINS", None, None, None, None, None, None, None, now),
+      Edge("a", "c", "shares_theme", None, None, None, None, None, None, None, now),
+      Edge("a", "d", "DISCOVERED", None, None, None, None, None, Some("Parallel_Context"),
+        None, now),
+      Edge("a", "e", "relates_to", None, None, None, None, None, None, None, now)).toDF()
+    val got = Ingest.normalizeEdges(raw)
+      .select("dst", "rel_type", "kind").collect()
+      .map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got("b") == ("DISCOVERED", Some("explains")))
+    assert(got("c") == ("DISCOVERED", Some("shares_theme")))
+    assert(got("d") == ("DISCOVERED", Some("parallel_context")))
+    assert(got("e") == ("RELATES_TO", None))
+  }
+
   test("J3 entity expansion: multi-hop via person tags (README.md:89-97 story)") {
     import spark.implicits._
     val seed = mem("e1", "Amanda's sister is Rachel", "2026-01-02 00:00:00",
@@ -192,6 +235,29 @@ class DomainSpec extends AnyFunSuite {
     // parts alone (imp .6*.1 + conf .7*.05 + recency*.1 < 0.2) cannot reach
     // 0.15 without the boost at these weights
     assert(byId("e2")._2 > 0.15, s"entity boost missing: ${byId("e2")._2}")
+  }
+
+  test("bitemporal validity: expired/not-yet-valid rows are state-suppressed " +
+    "(recall.py:437-449)") {
+    import spark.implicits._
+    val valid = mem("b1", "current fact about deploys", "2026-01-02 00:00:00")
+    val expired = mem("b2", "expired fact about deploys", "2026-01-03 00:00:00")
+      .copy(t_invalid = Some(ts("2026-01-05 00:00:00"))) // <= now -> expired
+    val future = mem("b3", "future fact about deploys", "2026-01-04 00:00:00")
+      .copy(t_valid = ts("2027-01-01 00:00:00")) // > now -> not yet valid
+    val df = Seq(valid, expired, future).toDF()
+      .withColumn("tag_prefixes",
+        graft.functions.TextFunctions.tagPrefixes(col("tags")))
+    val noEdges = spark.emptyDataset[Edge].toDF()
+    val current = Recall.recall(df, noEdges, RecallRequest(
+      query = Some("fact deploys"), limit = 10, stateMode = "current", now = now))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(current == Set("b1"), s"got $current")
+    // default mode keeps the full history
+    val all = Recall.recall(df, noEdges, RecallRequest(
+      query = Some("fact deploys"), limit = 10, now = now))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(all == Set("b1", "b2", "b3"), s"got $all")
   }
 
   test("R5 priority guarantee: absent priority id is injected and ranked first") {
@@ -311,6 +377,32 @@ class DomainSpec extends AnyFunSuite {
     assert(c.exists(_.getAs[Long]("cluster_size") >= 2),
       "m1/m4 identical embeddings must cluster")
     assert(metas.collect().isEmpty, "no cluster reaches metaSize 10")
+  }
+
+  test("C3 blocked similarity graph recalls >= 95% of exact pairs at 0.75") {
+    import spark.implicits._
+    // clusters of noisy copies around gaussian centers: within-cluster cosine
+    // >> 0.75, cross-cluster ~ 0. Deterministic via a fixed seed.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 25).flatMap { ci =>
+      val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { mi =>
+        val noisy = center.map(v => v + rnd.nextGaussian().toFloat * 0.1f)
+        (s"c$ci-m$mi", noisy, 1.0)
+      }
+    }
+    val df = rows.toDF("id", "embedding", "relevance_score")
+    def pairSet(exact: Boolean): Set[(String, String)] =
+      Consolidation.similarityEdges(df, 0.75, exact = exact)
+        .select("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val exactPairs = pairSet(exact = true)
+    val blockedPairs = pairSet(exact = false)
+    assert(exactPairs.size >= 50, s"corpus must produce pairs, got ${exactPairs.size}")
+    assert(blockedPairs.subsetOf(exactPairs), "blocking must not invent pairs")
+    val recall = blockedPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.95, s"blocked recall $recall < 0.95 " +
+      s"(${blockedPairs.size}/${exactPairs.size})")
   }
 
   test("consolidation: creative associations emit rule-based kinds, skip existing") {
