@@ -62,6 +62,54 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Full IVF probe path. Coarse cells come from a deterministic quantizer
+    * (sign-bucket = fixed hyperplane partition, `cellBits` planes -> up to
+    * 2^cellBits cells); per-cell mean centroids are a tiny aggregate. A query
+    * scores the centroids, probes the top-`nprobe` cells, and exact-searches
+    * ONLY those cells' vectors — at 100 TB the scan shrinks by
+    * (probed / total cells) while the plan stays scan +
+    * TakeOrderedAndProject. `nprobe >= 2^cellBits` probes everything and is
+    * bit-identical to brute force (the oracle anchor).
+    *
+    * `vectors` needs (vec_id, embedding) plus any pass-through columns;
+    * output keeps pass-through columns + sim.
+    */
+  def ivfTopK(vectors: DataFrame, qvec: Array[Float], k: Int, nprobe: Int,
+      cellBits: Int = 6): DataFrame = {
+    val q = typedlit(qvec)
+    val cells = vectors.withColumn("cell", signBucket(col("embedding"), cellBits))
+    val centroids = cells
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
+    val probed = centroids
+      .withColumn("csim", cosineSim(col("centroid"), q))
+      .orderBy(desc("csim"), asc("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    val passThrough = vectors.columns.filter(_ != "embedding").map(col)
+    cells.join(broadcast(probed), Seq("cell"))
+      .withColumn("sim", round4(cosineSim(col("embedding"), q)))
+      .select(passThrough :+ col("sim"): _*)
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle-gated IVF query: probe ALL cells (nprobe = 2^cellBits) so the
+    * result is hash-identical to brute-force top-k — proving the probe path
+    * (cells -> centroids -> probe -> in-cell search) loses nothing when it
+    * probes everything. The recall-at-reduced-nprobe behavior is spec-gated
+    * on a clustered corpus (IVF presumes clustered data; the driver's
+    * embeddings table is isotropic noise).
+    */
+  def ivfTopKAll(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      col("embedding")), queryVector(spark, dir, queryId), k, nprobe = 64)
+
   /** Per-label mean centroid, then each vector's cosine to its own label's
     * centroid (IVF-style coarse quantization building block). Centroids are a
     * tiny aggregate -> broadcast back.

@@ -82,6 +82,34 @@ class ExtendedSpec extends AnyFunSuite {
       again.map(_.getAs[scala.collection.Seq[Float]]("features").toSeq).toSeq)
   }
 
+  test("IVF probe: nprobe=all matches brute force; nprobe=2 recall@10 >= 0.9 " +
+    "on a clustered corpus") {
+    import graft.functions.VectorFunctions.cosineSim
+    import graft.functions.round4
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 30).flatMap { ci =>
+      val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 20).map { mi =>
+        (ci * 20L + mi, center.map(v => v + rnd.nextGaussian().toFloat * 0.1f))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val qvec = rows.head._2
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = ids(df
+      .withColumn("sim", round4(cosineSim(col("embedding"), typedlit(qvec))))
+      .orderBy(desc("sim"), asc("vec_id")).limit(10))
+    // probing every cell loses nothing
+    assert(ids(Similarity.ivfTopK(df, qvec, 10, nprobe = 64)) == brute)
+    // probing 2 of up to 64 cells keeps >= 9 of the true top-10
+    val probed = ids(Similarity.ivfTopK(df, qvec, 10, nprobe = 2))
+    val overlap = probed.toSet.intersect(brute.toSet).size
+    assert(overlap >= 9, s"recall@10 = $overlap/10 at nprobe=2")
+  }
+
   test("multimodal frame sampling bounds frames per asset") {
     val decoded = Multimodal.decodeStage(Multimodal.syntheticAssets(spark, 30))
     val frames = Multimodal.frameSample(decoded, everyK = 10, maxFrames = 3)
