@@ -26,21 +26,38 @@ object BatchRecall {
 
   /** Queries df must have (qid: any, query: string). Returns per-qid ranked
     * results (qid, rank, id, final_score, match_type + component columns).
+    *
+    * The query relation is a bounded REQUEST batch (the reference receives
+    * these as HTTP requests — driver-side data by nature), so it is
+    * collected once and re-planted as a LocalRelation: every one of the
+    * ~7 broadcast exchanges it feeds then broadcasts driver-local rows
+    * instead of launching a scan + embed job per exchange.
     */
   def batchRecall(memories: DataFrame, edges: DataFrame, queries: DataFrame,
       limit: Int = 10, weights: Scoring.Weights = Scoring.Weights(),
       now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00")): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
-    val stop = array(Recall.Stopwords.toSeq.map(lit): _*)
-    // cached: the query relation is tiny but feeds ~7 broadcast exchanges —
-    // without the cache each broadcast re-runs the query-side scan + embed
-    val q = queries
-      .withColumn("qvec", PlaceholderEmbedding.embedColumn()(col("query")))
-      .withColumn("qlower", lower(col("query")))
-      .withColumn("qtokens",
-        filter(array_distinct(TextFunctions.tokens(col("query"))),
-          t => length(t) >= 3 && !array_contains(stop, t)))
-      .cache()
+    val spark = memories.sparkSession
+    val qLocal = queries.select(col("qid"), col("query")).collect().map { r =>
+      val query = r.get(1).asInstanceOf[String]
+      val qlower = query.toLowerCase
+      // mirror filter(array_distinct(TextFunctions.tokens(query))):
+      // whitespace tokens of the lowered/trimmed text, first-occurrence
+      // dedup, length >= 3, stopword-filtered
+      val toks = qlower.trim.split("\\s+").toSeq.distinct
+        .filter(t => t.length >= 3 && !Recall.Stopwords.contains(t))
+      Row(r.get(0), query, PlaceholderEmbedding.embed(query).toSeq, qlower, toks)
+    }
+    val qSchema = StructType(Seq(
+      queries.schema("qid"),
+      StructField("query", StringType),
+      StructField("qvec", ArrayType(FloatType, containsNull = false)),
+      StructField("qlower", StringType),
+      StructField("qtokens", ArrayType(StringType, containsNull = true))))
+    val q = spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
     val base = Recall.baseFilter(memories, RecallRequest(now = now))
 
     // ---- vector channel: one corpus x queries similarity pass. Project to
@@ -77,12 +94,19 @@ object BatchRecall {
     // vocabulary-first: the substring NLJ runs over distinct tokens (vocab),
     // not raw postings; the small (ctok, tok) match table then broadcasts
     // back onto the postings — postings are never shuffled.
+    // explicit repartition: the distinct's output is small enough that AQE
+    // coalesces it to ONE partition, which would serialize the vocabulary x
+    // query-token contains-NLJ (the chain's heaviest compute) onto a single
+    // task — pin the parallelism instead
+    val nlpPar = spark.sparkContext.defaultParallelism
     val ctokMatches = contentPostings.select(col("ctok")).distinct()
+      .repartition(nlpPar)
       .join(broadcast(qtokDistinct), col("ctok").contains(col("tok")))
     val contentHits = contentPostings.join(broadcast(ctokMatches), Seq("ctok"))
       .select(col("id"), col("tok"), lit(2).as("w"))
     val tagPostings = base.select(col("id"), explode(col("tags")).as("tag"))
     val tagMatches = tagPostings.select(col("tag")).distinct()
+      .repartition(nlpPar)
       .join(broadcast(qtokDistinct), col("tag").contains(col("tok")))
     val tagHits = tagPostings.join(broadcast(tagMatches), Seq("tag"))
       .select(col("id"), col("tok"), lit(1).as("w"))
