@@ -71,6 +71,12 @@ object SparkEntry {
     "q_sessionize" -> (Relational.sessionStats _),
     "q_a_rollup" -> (Analytics.revenueRollup _),
     "q_train_split" -> (TextAnalysis.trainSplit _),
+    "q_a2_edge_counts" -> (Analytics.edgeTypeCounts _),
+    "q_q2_tag_scroll" -> (RecallShapes.tagOnlyScroll _),
+    "q_s7_snapshot" -> (RecallShapes.graphSnapshot _),
+    "q_s8_sync_diff" -> (RecallShapes.syncDiff _),
+    "q_q6_multi" -> (RecallShapes.multiQueryUnion _),
+    "q_u7_lev_pairs" -> ((s, d) => Dedup.levenshteinPairs(s, d)),
   )
 
   private val centsSum: String => String = e =>
@@ -266,5 +272,11 @@ object SparkEntry {
     "q_sessionize" -> Relational.sessionStatsSql,
     "q_a_rollup" -> Analytics.revenueRollupSql,
     "q_train_split" -> TextAnalysis.trainSplitSql,
+    "q_a2_edge_counts" -> Analytics.edgeTypeCountsSql,
+    "q_q2_tag_scroll" -> RecallShapes.tagOnlyScrollSql,
+    "q_s7_snapshot" -> RecallShapes.graphSnapshotSql,
+    "q_s8_sync_diff" -> RecallShapes.syncDiffSql,
+    "q_q6_multi" -> RecallShapes.multiQueryUnionSql,
+    "q_u7_lev_pairs" -> Dedup.levenshteinPairsSql(),
   )
 }

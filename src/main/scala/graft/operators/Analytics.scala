@@ -24,6 +24,22 @@ object Analytics {
     """SELECT event_type, count(*) AS n, round((avg(value)) + 1e-9, 4) AS avg_value
        FROM events GROUP BY 1 ORDER BY n DESC, event_type"""
 
+  /** A2: relationship counts by type (`automem/api/graph.py:386-392`):
+    * `edges.groupBy(rel_type).count()` — here over the lineitem "edge list"
+    * keyed by ship mode, with the distinct-endpoint variant alongside.
+    */
+  def edgeTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("l_orderkey")).as("n_src"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val edgeTypeCountsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_edges,
+       count(DISTINCT l_orderkey) AS n_src
+       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** A3: importance-bucket distribution (`graph.py:395-406`). */
   def importanceDistribution(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

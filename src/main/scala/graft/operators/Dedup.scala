@@ -197,4 +197,34 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
   }
+
+  /** U7 entity-dedup candidate pairs (`automem/consolidation/entity_dedup
+    * .py:43-322`): block first (here by nation key — the category/length
+    * blocking of the reference), pair only within blocks, then keep pairs
+    * within edit distance 1. The blocked join bounds the quadratic term to
+    * block size — the all-pairs cross product never materializes.
+    */
+  def levenshteinPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 1): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.select(col("c_nationkey").as("blk"),
+      col("c_custkey").as("a_id"), col("c_name").as("a_name"))
+    val b = c.select(col("c_nationkey").as("blk"),
+      col("c_custkey").as("b_id"), col("c_name").as("b_name"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def levenshteinPairsSql(maxDist: Int = 1): String =
+    s"""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= $maxDist
+       ORDER BY 1, 2"""
 }

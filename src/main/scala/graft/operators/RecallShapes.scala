@@ -93,6 +93,109 @@ object RecallShapes {
        SELECT event_id, value, (pr < 1000000) AS is_priority
        FROM r ORDER BY pr, value DESC, event_id LIMIT 20"""
 
+  /** Q2 tag-only scroll (`runtime_recall_helpers.py:871-937`): no query —
+    * a pure tag-membership filter with score := importance, ranked by
+    * (importance desc, time desc). Documents' (lang, source) stand in for
+    * the tag array; importance derives from length as in the recall
+    * pipeline mapping.
+    */
+  def tagOnlyScroll(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tags", array(col("lang"), col("source")))
+      .filter(arrays_overlap(col("tags"), array(lit("en"), lit("news"))))
+      .withColumn("score", round4(least(lit(1.0), col("n_chars") / 500.0)))
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(50)
+
+  val tagOnlyScrollSql: String =
+    """SELECT doc_id, lang, source,
+         round((least(1.0, n_chars / 500.0)) + 1e-9, 4) AS score
+       FROM documents
+       WHERE list_has_any([lang, source], ['en', 'news'])
+       ORDER BY score DESC, doc_id LIMIT 50"""
+
+  /** S7 graph snapshot (`automem/api/graph.py:51-208`): nodes filtered and
+    * top-N by importance, edges restricted to both-endpoints-visible (J5
+    * broadcast semi-join), plus computed visual columns (size from
+    * importance, color bucket from type).
+    */
+  def graphSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val visible = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0)
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      .limit(50)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val edges = Tables.orders(spark, dir)
+      .join(broadcast(visible.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_edges"))
+    visible.join(edges, visible("c_custkey") === edges("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        (lit(10) + floor(least(lit(40.0), col("c_acctbal") / 250.0)).cast("int")).as("size"),
+        col("c_mktsegment").as("color"))
+      .orderBy("c_custkey")
+  }
+
+  val graphSnapshotSql: String =
+    """WITH visible AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         WHERE c_acctbal > 0 ORDER BY c_acctbal DESC, c_custkey LIMIT 50),
+       e AS (SELECT o_custkey, count(*) AS n_edges FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM visible) GROUP BY 1)
+       SELECT c_custkey, coalesce(n_edges, 0) AS n_edges,
+         10 + CAST(floor(least(40.0, c_acctbal / 250.0)) AS INT) AS size,
+         c_mktsegment AS color
+       FROM visible LEFT JOIN e ON c_custkey = o_custkey
+       ORDER BY c_custkey"""
+
+  /** S8 health / sync accounting (`automem/sync/accounting.py:28-111`): diff
+    * the id sets of the two stores both directions (anti-joins) and report
+    * counts — one row, no data movement beyond the two set differences.
+    */
+  def syncDiff(spark: SparkSession, dir: String): DataFrame = {
+    val graphIds = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+    val vectorIds = Tables.orders(spark, dir).select(col("o_custkey").as("id")).distinct()
+    val graphOnly = graphIds.join(vectorIds, Seq("id"), "left_anti").count()
+    val vectorOnly = vectorIds.join(graphIds, Seq("id"), "left_anti").count()
+    import spark.implicits._
+    Seq((graphOnly, vectorOnly)).toDF("graph_only", "vector_only")
+  }
+
+  val syncDiffSql: String =
+    """SELECT
+       (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS graph_only,
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS vector_only"""
+
+  /** Q6 multi-query union (`recall.py:2201-2223`): two parameterized keyword
+    * channels run independently, union, dedup per doc keeping the best score
+    * (and counting contributing queries), re-sort.
+    */
+  def multiQueryUnion(spark: SparkSession, dir: String): DataFrame = {
+    def channel(kw: String, qid: Int): DataFrame =
+      Tables.documents(spark, dir)
+        .filter(lower(col("text")).contains(kw))
+        .select(col("doc_id"), lit(qid).as("qid"),
+          round4(least(lit(1.0), col("n_chars") / 500.0)).as("score"))
+    channel("spark", 0).unionByName(channel("window", 1))
+      .groupBy(col("doc_id"))
+      .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_queries"))
+      .orderBy(desc("best_score"), asc("doc_id"))
+      .limit(50)
+  }
+
+  val multiQueryUnionSql: String =
+    """WITH u AS (
+         SELECT doc_id, round((least(1.0, n_chars / 500.0)) + 1e-9, 4) AS score
+         FROM documents WHERE contains(lower(text), 'spark')
+         UNION ALL
+         SELECT doc_id, round((least(1.0, n_chars / 500.0)) + 1e-9, 4) AS score
+         FROM documents WHERE contains(lower(text), 'window'))
+       SELECT doc_id, max(score) AS best_score, count(*) AS n_queries
+       FROM u GROUP BY 1 ORDER BY best_score DESC, doc_id LIMIT 50"""
+
   /** J3 entity-expansion shape (`recall.py:1337-1495`): a bounded seed set
     * yields <= 5 "entities" (here: the seeds' source values); memories
     * sharing an entity join in (prefix-tag join in the domain library),
