@@ -77,6 +77,8 @@ object SparkEntry {
     "q_s8_sync_diff" -> (RecallShapes.syncDiff _),
     "q_q6_multi" -> (RecallShapes.multiQueryUnion _),
     "q_u7_lev_pairs" -> ((s, d) => Dedup.levenshteinPairs(s, d)),
+    "q_sim_band_pairs" -> ((s, d) => Similarity.bandedNearDupPairs(s, d)),
+    "q_fp_rolling" -> (TextAnalysis.rollingFingerprints _),
   )
 
   private val centsSum: String => String = e =>
@@ -278,5 +280,7 @@ object SparkEntry {
     "q_s8_sync_diff" -> RecallShapes.syncDiffSql,
     "q_q6_multi" -> RecallShapes.multiQueryUnionSql,
     "q_u7_lev_pairs" -> Dedup.levenshteinPairsSql(),
+    "q_sim_band_pairs" -> Similarity.bandedNearDupPairsSql(),
+    "q_fp_rolling" -> TextAnalysis.rollingFingerprintsSql,
   )
 }

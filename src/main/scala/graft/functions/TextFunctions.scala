@@ -129,6 +129,21 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
+  /** Polynomial rolling-hash document fingerprint over whitespace tokens:
+    * token hashes derive from md5 hex (bit-identical across engines), folded
+    * left-to-right with h*31 + x mod 1e9+7. Order-sensitive — reordered
+    * tokens change the fingerprint — which is what distinguishes it from the
+    * set-style MinHash: the cheap exact-sequence identity for incremental
+    * dedup at scale.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val hs = transform(tokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    when(size(hs) === 1, element_at(hs, 1))
+      .otherwise(aggregate(slice(hs, lit(2), size(hs) - 1), element_at(hs, 1),
+        (h, x) => (h * 31 + x) % 1000000007L))
+  }
+
   /** Every ':'-delimited prefix of every lowercased tag
     * (`project:foo:bar` → `[project, project:foo, project:foo:bar]`);
     * materialized at write time (reference `utils/tags.py:23-48`).

@@ -62,6 +62,58 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Band-OR embedding near-dup pairs: FOUR offset sign bucketings unioned
+    * (a pair is a candidate if it agrees in ANY band), deduped on (a, b),
+    * then the cosine threshold. Same shuffle-by-bucket scale shape as the
+    * single-bucket variant but with LSH-band recall — near-identical vectors
+    * survive a few sign flips.
+    */
+  def bandedNearDupPairs(spark: SparkSession, dir: String,
+      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def bandPairs(off: Int): DataFrame = {
+      val keyed = e.select(col("vec_id"), col("embedding"),
+        concat_ws(":", lit(off.toString),
+          signBucketAt(col("embedding"), bits, off)).as("bucket"))
+      val a = keyed.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = keyed.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
+        .select(col("a_id"), col("b_id"), col("sim"))
+    }
+    Seq(0, 8, 16, 24).map(bandPairs).reduce(_ unionByName _)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("sim")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def bandedNearDupPairsSql(bits: Int = 8, threshold: Double = 0.9): String = {
+    def bucketExpr(off: Int): String =
+      (0 until bits).map(i =>
+        s"(CASE WHEN embedding[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+    val bands = Seq(0, 8, 16, 24).map(off =>
+      s"SELECT vec_id, embedding, '$off:' || (${bucketExpr(off)}) AS bucket FROM embeddings")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH keyed AS ($bands),
+       pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+           a.embedding AS ae, b.embedding AS be
+         FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       px AS (SELECT a_id, b_id, unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
+         FROM pairs),
+       s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM px GROUP BY 1, 2)
+       SELECT a_id, b_id, sim FROM (
+         SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+           ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+       WHERE sim >= $threshold ORDER BY a_id, b_id"""
+  }
+
   /** Full IVF probe path. Coarse cells come from a deterministic quantizer
     * (sign-bucket = fixed hyperplane partition, `cellBits` planes -> up to
     * 2^cellBits cells); per-cell mean centroids are a tiny aggregate. A query

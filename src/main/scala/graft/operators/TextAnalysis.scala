@@ -98,6 +98,28 @@ object TextAnalysis {
            FROM documents) t) s
        GROUP BY 1 ORDER BY 1"""
 
+  /** Rolling-hash fingerprint per document + duplicate-group stats: the
+    * order-sensitive counterpart to the MinHash/fingerprint dedup family.
+    */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  val rollingFingerprintsSql: String =
+    s"""WITH hs AS (SELECT doc_id,
+         list_transform($toks,
+           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h
+       FROM documents),
+       fp AS (SELECT doc_id,
+         CASE WHEN len(h) = 1 THEN h[1]
+              ELSE list_reduce(h, (a, b) -> (a * 31 + b) % 1000000007) END AS fp
+       FROM hs)
+       SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+       FROM fp GROUP BY 1 ORDER BY 1"""
+
   private val Keywords = Seq("spark", "join", "window")
   private val Phrase = "hash join"
 
