@@ -199,21 +199,33 @@ object Dedup {
   }
 
   /** U7 entity-dedup candidate pairs (`automem/consolidation/entity_dedup
-    * .py:43-322`): block first (here by nation key — the category/length
-    * blocking of the reference), pair only within blocks, then keep pairs
-    * within edit distance 1. The blocked join bounds the quadratic term to
-    * block size — the all-pairs cross product never materializes.
+    * .py:43-322`): block by (nation, segment) as the reference blocks by
+    * category/length, then PIGEONHOLE the edit-distance-1 search — two
+    * equal-length strings within one substitution must agree EXACTLY on one
+    * of the two halves of their variable part, so candidates come from two
+    * equi-joins (on the half keys) instead of an in-block cross product.
+    * Exact levenshtein verifies the survivors. The quadratic never
+    * materializes at any block size.
     */
   def levenshteinPairs(spark: SparkSession, dir: String,
       maxDist: Int = 1): DataFrame = {
     val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val a = c.select(col("c_nationkey").as("blk"),
-      col("c_custkey").as("a_id"), col("c_name").as("a_name"))
-    val b = c.select(col("c_nationkey").as("blk"),
-      col("c_custkey").as("b_id"), col("c_name").as("b_name"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        // variable part of "Customer#000000001" split into two halves
+        substring(col("c_name"), 10, 5).as("h1"),
+        substring(col("c_name"), 15, 16).as("h2"))
+    def half(h: String): DataFrame = {
+      val a = c.select(col("c_nationkey").as("blk1"),
+        col("c_mktsegment").as("blk2"), col(h).as("hk"),
+        col("c_custkey").as("a_id"), col("c_name").as("a_name"))
+      val b = c.select(col("c_nationkey").as("blk1"),
+        col("c_mktsegment").as("blk2"), col(h).as("hk"),
+        col("c_custkey").as("b_id"), col("c_name").as("b_name"))
+      a.join(b, Seq("blk1", "blk2", "hk")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
+    }
+    half("h1").unionByName(half("h2")).distinct()
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
@@ -224,7 +236,9 @@ object Dedup {
     s"""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
        FROM customer a JOIN customer b
-         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
        WHERE levenshtein(a.c_name, b.c_name) <= $maxDist
        ORDER BY 1, 2"""
 }
