@@ -61,6 +61,39 @@ object StreamingIngest {
       }
   }
 
+  /** E1 temporal linking as a STREAM-STREAM interval self-join
+    * (`enrichment/runtime_helpers.py:15-71` — trailing-window PRECEDED_BY
+    * edges, maintained incrementally): each arriving memory joins the
+    * memories that arrived inside the trailing band. Both sides carry the
+    * same watermark and the join condition bounds `old_ts` inside
+    * [new_ts - band, new_ts), so Spark can evict join state once the
+    * watermark passes — state stays O(band x arrival rate), never the
+    * full history. (Batch parity uses a 7-day band; tests use minutes.)
+    */
+  def precededByStream(memories: DataFrame, bandMinutes: Int = 10,
+      lateness: String = "5 minutes"): DataFrame = {
+    // stream-stream joins need an equality key: band-bucket the event time
+    // (same pattern as the batch E1 band join) — a predecessor within the
+    // band lives in the new row's own bucket or the previous one, so the
+    // newer side explodes to those two bucket keys and the range predicate
+    // finishes the job
+    val bandSecs = bandMinutes * 60L
+    val newer = memories.withWatermark("ts", lateness)
+      .select(col("id").as("new_id"), col("ts").as("new_ts"),
+        floor(unix_timestamp(col("ts")) / bandSecs).as("b"))
+      .select(col("new_id"), col("new_ts"),
+        explode(array(col("b"), col("b") - 1)).as("bucket"))
+    val older = memories.withWatermark("ts", lateness)
+      .select(col("id").as("old_id"), col("ts").as("old_ts"),
+        floor(unix_timestamp(col("ts")) / bandSecs).as("bucket"))
+    newer.join(older,
+      newer("bucket") === older("bucket") &&
+        col("old_ts") < col("new_ts") &&
+        col("old_ts") >= col("new_ts") - expr(s"INTERVAL $bandMinutes MINUTES"))
+      .select(col("new_id").as("src"), col("old_id").as("dst"),
+        lit("PRECEDED_BY").as("rel_type"), col("new_ts").as("updated_at"))
+  }
+
   /** Micro-batch ingest into the memories table: the streaming counterpart
     * of `graft.domain.Ingest.prepare`, applied per micro-batch via
     * foreachBatch (each batch is a plain DataFrame -> full batch enrichment

@@ -142,6 +142,29 @@ class ExtendedSpec extends AnyFunSuite {
       s"got ${out.mkString(";")}")
   }
 
+  test("streaming PRECEDED_BY: stream-stream interval self-join links only " +
+    "in-band predecessors") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e1s").toString
+    val mems = Seq(
+      ("m1", ts("2024-01-01 00:00:00")),
+      ("m2", ts("2024-01-01 00:05:00")), // 5 min after m1 -> in band
+      ("m3", ts("2024-01-01 00:30:00")), // 25 min after m2 -> out of band
+      ("m4", ts("2024-01-01 00:36:00"))) // 6 min after m3 -> in band
+      .toDF("id", "ts")
+    mems.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("id STRING, ts TIMESTAMP").parquet(s"$tmp/in")
+    val q = StreamingIngest.precededByStream(stream, bandMinutes = 10)
+      .writeStream.format("memory").queryName("preceded_by")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val edges = spark.table("preceded_by").collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[String]("dst")).toSet
+    assert(edges == Set("m2" -> "m1", "m4" -> "m3"), s"got $edges")
+  }
+
   test("streaming sessionize counts events per user with state") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
