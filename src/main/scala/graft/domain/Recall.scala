@@ -31,6 +31,8 @@ case class RecallRequest(
     relationLimit: Int = 5,
     expansionLimit: Int = 25,
     expandMinStrength: Option[Double] = None,
+    expandMinImportance: Option[Double] = None,
+    expandRespectTags: Boolean = false,
     stateMode: String = "all",
     recencyBias: String = "auto",
     scopeFallback: Boolean = false,
@@ -274,6 +276,27 @@ object Recall {
       when(pos > 0, pos).otherwise(lit(Long.MaxValue))
     }
 
+  /** Request sort key (R2): `score` ranks by the weighted score tuple
+    * (`recall.py:420-434`); the time modes rank by the lexicographic
+    * timestamp tuple — prefer updated_at, then timestamp, then
+    * last_accessed (`recall.py:1928-1937`), whole tuple reversed for the
+    * desc variants exactly like the reference's `reverse=True`.
+    */
+  private def sortKey(req: RecallRequest): Seq[Column] = {
+    val primary = coalesce(col("updated_at"), col("timestamp"), col("last_accessed"))
+    val secondary = coalesce(col("timestamp"), col("updated_at"), col("last_accessed"))
+    req.sort match {
+      case "time_desc" | "updated_desc" =>
+        Seq(primary.desc, secondary.desc, col("id").desc)
+      case "time_asc" | "updated_asc" =>
+        Seq(primary.asc, secondary.asc, col("id").asc)
+      case _ =>
+        Seq(desc("final_score"),
+          when(col("match_type") === "vector", 0).otherwise(1).asc,
+          desc("importance"), desc("timestamp"), asc("id"))
+    }
+  }
+
   /** R2 score-sort key: final desc, vector-channel first, importance desc,
     * timestamp desc (`recall.py:420-434`).
     */
@@ -315,9 +338,14 @@ object Recall {
       .agg(max(col("relation_score")).as("relation_score"),
         min(col("rel_type")).as("via_rel"))
       .join(results.select(col("id").as("dst")), Seq("dst"), "left_anti")
-      .orderBy(desc("relation_score"), asc("dst"))
-      .limit(req.expansionLimit)
-    val mem = baseFilter(memories, req)
+    // expanded-only filters (`recall.py:1620-1643`): min importance and
+    // (opt-in) the request's tag scope; applied BEFORE the expansion cap so
+    // rejected candidates do not consume cap slots
+    var mem = baseFilter(memories, req)
+    if (req.expandRespectTags && req.tags.nonEmpty)
+      mem = mem.filter(tagPredicate(req.tags, req.tagMode, req.tagMatch))
+    req.expandMinImportance.foreach(m =>
+      mem = mem.filter(coalesce(col("importance"), lit(0.0)) >= m))
     val hydrated = picked.join(mem, picked("dst") === mem("id"))
       .drop("dst")
       .withColumn("match_type", lit("relation"))
@@ -325,6 +353,8 @@ object Recall {
       .withColumn("keyword_score", lit(null).cast("double"))
       .withColumn("metadata_score", lit(null).cast("double"))
     scoreCandidates(hydrated, req, req.query)
+      .orderBy(desc("relation_score"), asc("id"))
+      .limit(req.expansionLimit)
   }
 
   /** J3 entity expansion (`recall.py:1337-1495`): extract entity names from
@@ -355,7 +385,9 @@ object Recall {
     if (entities.isEmpty)
       return results.limit(0).withColumn("expanded_from_entity", lit(""))
     val base = baseFilter(memories, req)
-    val scoped = if (req.tags.nonEmpty)
+    // the request tag scope applies to entity-expanded rows only when
+    // expandRespectTags asks for it (`recall.py:2273-2297`)
+    val scoped = if (req.expandRespectTags && req.tags.nonEmpty)
       base.filter(tagPredicate(req.tags, req.tagMode, req.tagMatch)) else base
     val perEntity = entities.zipWithIndex.map { case (ent, i) =>
       val slug = ent.replaceAll("\\s+", "-")
@@ -513,9 +545,7 @@ object Recall {
     // priority guarantee ordering (`recall.py:1273-1312`): requested priority
     // ids come first (in request order), the rest follow in score order
     val prioRank = priorityRank(req.priorityIds)
-    agg = agg.orderBy(prioRank.asc, desc("final_score"),
-      when(col("match_type") === "vector", 0).otherwise(1).asc,
-      desc("importance"), desc("timestamp"), asc("id")).limit(req.limit)
+    agg = agg.orderBy(prioRank.asc +: sortKey(req): _*).limit(req.limit)
     // the bounded (<= limit rows) result set is re-consumed by the entity
     // collect and the scope-fallback count — cache so the channel-union DAG
     // executes once, not once per downstream action
@@ -547,9 +577,9 @@ object Recall {
           .unionByName(fill, allowMissingColumns = true)
       } else agg = agg.withColumn("outside_tag_scope", lit(false))
     } else agg = agg.withColumn("outside_tag_scope", lit(false))
-    val ordered = agg.orderBy(asc("outside_tag_scope"),
-      priorityRank(req.priorityIds).asc, desc("final_score"),
-      desc("importance"), desc("timestamp"), asc("id"))
+    val ordered = agg.orderBy(
+      asc("outside_tag_scope") +: priorityRank(req.priorityIds).asc +:
+        sortKey(req): _*)
     if (req.expandRelations) hydrateRelations(ordered, memories, edges, req.relationLimit)
     else ordered
   }

@@ -237,6 +237,42 @@ class DomainSpec extends AnyFunSuite {
     assert(byId("e2")._2 > 0.15, s"entity boost missing: ${byId("e2")._2}")
   }
 
+  test("sort=time_desc ranks by the timestamp tuple, not the score") {
+    val byScore = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres"), limit = 3, now = now))
+      .select("id").collect().map(_.getString(0)).toSeq
+    val byTime = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres"), limit = 3, sort = "time_desc", now = now))
+      .select("id", "timestamp").collect()
+    val ts = byTime.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts == ts.sorted.reverse, s"time_desc must be newest-first: ${ts}")
+    assert(byScore != byTime.map(_.getString(0)).toSeq ||
+      ts == ts.sorted.reverse)
+  }
+
+  test("expansion knobs: expandMinImportance filters and expandRespectTags scopes") {
+    val req = RecallRequest(query = Some("postgres database decision"), limit = 2,
+      expandRelations = true, now = now)
+    val all = Recall.recall(memories, edgesDf, req)
+      .select("id", "match_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val expandedIds = all.filter(_._2 == "relation").keySet
+    assert(expandedIds.nonEmpty, s"need an expanded row to test, got $all")
+    // every expanded candidate here has importance <= 0.6 -> a 0.99 floor
+    // leaves only channel rows
+    val strict = Recall.recall(memories, edgesDf,
+      req.copy(expandMinImportance = Some(0.99)))
+      .select("match_type").collect().map(_.getString(0))
+    assert(!strict.contains("relation"), s"importance floor must prune: ${strict.toSeq}")
+    // respecting a scope tag that expanded rows lack also prunes them
+    val scoped = Recall.recall(memories, edgesDf,
+      req.copy(tags = Seq("project:alpha"), expandRespectTags = true))
+      .select("id", "match_type").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(!scoped.exists(kv => kv._2 == "relation" && !Set("m1", "m8").contains(kv._1)),
+      s"expanded rows outside the tag scope must be pruned: ${scoped.toSeq}")
+  }
+
   test("bitemporal validity: expired/not-yet-valid rows are state-suppressed " +
     "(recall.py:437-449)") {
     import spark.implicits._
