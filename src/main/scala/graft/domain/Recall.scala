@@ -415,6 +415,35 @@ object Recall {
       .limit(req.expansionLimit)
   }
 
+  /** Entity identity injection (`recall.py:2454-2491`): gather entity slugs
+    * from the query's capitalized entities and the `entity:` tags of the
+    * top-10 results (<= 10 slugs, sorted for determinism), then one filter
+    * over the entities relation: unmerged rows with a written identity whose
+    * slug or alias matches. Returned as the side relation the reference
+    * attaches to the response.
+    */
+  def entityIdentities(results: DataFrame, entities: DataFrame,
+      queryOpt: Option[String]): DataFrame = {
+    val fromQuery = queryOpt.toSeq.flatMap(q =>
+      "\\b[A-Z][a-z]{2,}\\b".r.findAllIn(q).map(_.toLowerCase.replaceAll("\\s+", "-")))
+    val fromTags = results.limit(10).select(col("tags")).collect()
+      .flatMap(_.getSeq[String](0))
+      .filter(_.startsWith("entity:")).map(_.split(":"))
+      .collect { case parts if parts.length >= 3 => parts(2) }
+    val slugs = (fromQuery ++ fromTags).distinct.sorted.take(10)
+    if (slugs.isEmpty) return entities.limit(0)
+    var out = entities.filter(col("identity").isNotNull)
+    if (entities.columns.contains("merged_into"))
+      out = out.filter(col("merged_into").isNull)
+    val slugMatch = col("slug").isin(slugs: _*)
+    val aliasMatch =
+      if (entities.columns.contains("aliases"))
+        arrays_overlap(coalesce(col("aliases"),
+          array().cast("array<string>")), typedlit(slugs))
+      else lit(false)
+    out.filter(slugMatch || aliasMatch)
+  }
+
   /** R3 recency-bias re-rank (`recall.py:2315-2349`): min-max normalize
     * candidate epochs, add 0.1 x relative recency. `auto` applies only when
     * the query shows temporal intent (`automem/utils/time.py:10-27`).

@@ -237,6 +237,26 @@ class DomainSpec extends AnyFunSuite {
     assert(byId("e2")._2 > 0.15, s"entity boost missing: ${byId("e2")._2}")
   }
 
+  test("entity identity injection returns matching unmerged identities " +
+    "(recall.py:2454-2491)") {
+    import spark.implicits._
+    val results = Seq(
+      ("r1", Seq("work", "entity:people:alice")),
+      ("r2", Seq("entity:tools:spark-submit"))).toDF("id", "tags")
+    val entities = Seq(
+      ("e1", "alice", Some("alice: async reviews"), None: Option[String], Seq.empty[String]),
+      ("e2", "spark-submit", Some("tool profile"), Some("e9"), Seq.empty[String]), // merged
+      ("e3", "bob", Some("bob profile"), None, Seq.empty[String]), // not referenced
+      ("e4", "carol", None, None, Seq.empty[String]), // no identity yet
+      ("e5", "orion-project", Some("alias hit"), None, Seq("orion")))
+      .toDF("id", "slug", "identity", "merged_into", "aliases")
+    val got = Recall.entityIdentities(results, entities, Some("Orion roadmap"))
+      .select("id").collect().map(_.getString(0)).toSet
+    // alice via result tags; e5 via the query entity alias; e2 merged out,
+    // e3 unreferenced, e4 identity-less
+    assert(got == Set("e1", "e5"), s"got $got")
+  }
+
   test("sort=time_desc ranks by the timestamp tuple, not the score") {
     val byScore = Recall.recall(memories, edgesDf,
       RecallRequest(query = Some("postgres"), limit = 3, now = now))

@@ -101,6 +101,41 @@ class PropertiesSpec extends AnyFunSuite {
     assert(gated == 0.0 && ungated > 0.0)
   }
 
+  test("rolling fingerprint: equal token sequences collide, reorderings do not") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(6,
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
+    forSamples(wordGen) { words =>
+      if (words.distinct.size >= 2) {
+        val text = words.mkString(" ")
+        val reordered = words.reverse.mkString(" ")
+        val fps = Seq(text, text, reordered).toDF("text")
+          .select(TextFunctions.rollingFingerprint(col("text"))).collect()
+          .map(_.getLong(0))
+        assert(fps(0) == fps(1), "same text must fingerprint identically")
+        if (words != words.reverse)
+          assert(fps(0) != fps(2),
+            s"order-sensitive: '$text' vs '$reordered' collided")
+      }
+    }
+  }
+
+  test("pigeonhole lev-1 blocking is complete: one substitution always pairs") {
+    import spark.implicits._
+    // any single-substitution pair of equal-length strings agrees exactly on
+    // one half, so the half-key joins can never miss a true pair
+    val base = "Customer#000123456"
+    val variants = (9 until 18).map { pos =>
+      base.updated(pos, if (base(pos) == '7') '8' else '7')
+    }
+    variants.foreach { v =>
+      val h1 = (s: String) => s.substring(9, 14)
+      val h2 = (s: String) => s.substring(14)
+      assert(h1(base) == h1(v) || h2(base) == h2(v),
+        s"pair ($base, $v) shares no half — blocking would miss it")
+    }
+  }
+
   test("exact dedup is idempotent: deduping a deduped set is a no-op") {
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
     val once = operators.Dedup.fingerprintDedup(spark, "/root/testdata/sf0.001")
