@@ -34,4 +34,31 @@ object Layout {
       .sortBy("src")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Strength coalesce shared by the traversal operators
+    * (`runtime_relations.py:50-60`).
+    */
+  private def strengthCol =
+    coalesce(col("strength"), col("score"), col("confidence"),
+      col("similarity"), col("count").cast("double"), lit(0.0))
+
+  /** Materialize the UNDIRECTED edge view, bucketed by `src`: graph
+    * expansion (J2) and variable-depth traversal (J6) probe edges in both
+    * directions, which otherwise unions a reversed copy of the edge scan on
+    * every query — twice the read. Written once at layout time, every
+    * undirected traversal does ONE bucketed scan and seed joins co-locate.
+    */
+  def writeUndirectedEdges(edges: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val forward = edges.select(col("src"), col("dst"), col("rel_type"),
+      strengthCol.as("strength"))
+    val reversed = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("rel_type"), strengthCol.as("strength"))
+    forward.unionByName(reversed)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "src")
+      .sortBy("src")
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -27,6 +27,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(read.count() == 1)
   }
 
+  test("materialized undirected edge view holds both directions and joins " +
+    "bucket-local") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq(
+        ("a", "b", "RELATES_TO", Some(0.9)),
+        ("b", "c", "SIMILAR_TO", None: Option[Double]))
+        .toDF("src", "dst", "rel_type", "strength")
+        .withColumn("score", lit(null).cast("double"))
+        .withColumn("confidence", lit(null).cast("double"))
+        .withColumn("similarity", lit(null).cast("double"))
+        .withColumn("count", lit(null).cast("long"))
+      Layout.writeUndirectedEdges(edges, "graft_undirected_test", buckets = 4)
+      val und = spark.table("graft_undirected_test")
+      val pairs = und.select("src", "dst").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+      assert(pairs == Set("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b"))
+      // seeds pre-partitioned on the bucket key join exchange-free on the
+      // edge side (only the tiny seed side may exchange)
+      val seeds = spark.table("graft_undirected_test").select(col("src")).distinct()
+      val joined = und.join(seeds, Seq("src"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(src"),
+        s"edge side must not re-shuffle:\n$plan")
+      assert(joined.count() == 4)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_undirected_test")
+    }
+  }
+
   test("bucketed edges join without an exchange on the bucketed side") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
