@@ -133,6 +133,9 @@ object BatchRecall {
         .otherwise(when(col("_tags_str").contains(col("qlower")), 1).otherwise(0)))
       .select(col("qid"), col("id"), (col("tok_raw") + col("pb")).as("raw"))
       .filter(col("raw") > 0)
+    // per-qid max via the same qid-partitioned window as the rank below:
+    // one exchange serves both (an agg+join variant recomputes the candidate
+    // subtree and measured slower)
     val kw = kwAll
       .withColumn("channel_score",
         col("raw").cast("double") / max(col("raw")).over(Window.partitionBy(col("qid"))))
