@@ -111,6 +111,24 @@ object GraphOps {
     edges.write.mode("overwrite").parquet(s"$path/edges")
   }
 
+  /** S4 delete-by-tag as a batch rewrite (`automem/api/memory.py:326-364`):
+    * the reference loops pages of 200 `DETACH DELETE`; in batch that is one
+    * anti-join on the doomed id set per relation — memories drop, and edges
+    * touching a deleted endpoint drop with them (the DETACH semantics).
+    * Returns the rewritten (memories, edges).
+    */
+  def deleteByTag(memories: DataFrame, edges: DataFrame, tags: Seq[String],
+      tagMode: String = "any", tagMatch: String = "exact"): (DataFrame, DataFrame) = {
+    val doomed = memories
+      .filter(Recall.tagPredicate(tags, tagMode, tagMatch))
+      .select(col("id"))
+    val keptMems = memories.join(doomed, Seq("id"), "left_anti")
+    val keptEdges = edges
+      .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    (keptMems, keptEdges)
+  }
+
   /** R8 access bookkeeping as a batch MERGE: matched ids get
     * last_accessed = now (`recall.py:2601-2609` made deterministic).
     */

@@ -237,6 +237,24 @@ class DomainSpec extends AnyFunSuite {
     assert(byId("e2")._2 > 0.15, s"entity boost missing: ${byId("e2")._2}")
   }
 
+  test("S4 delete-by-tag detaches edges of deleted memories (memory.py:326-364)") {
+    val (mems, edgesLeft) = GraphOps.deleteByTag(memories, edgesDf,
+      Seq("preferences"))
+    val ids = mems.select("id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("m3"), "tagged memory must be deleted")
+    assert(ids.contains("m1"), "untagged memories survive")
+    val pairs = edgesLeft.select("src", "dst").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(!pairs.exists(p => p._1 == "m3" || p._2 == "m3"),
+      s"edges touching m3 must detach, got $pairs")
+    assert(pairs.contains("m1" -> "m2"), "unrelated edges survive")
+    // prefix deletes take the whole subtree
+    val (memsP, _) = GraphOps.deleteByTag(memories, edgesDf,
+      Seq("project:alpha"), tagMatch = "prefix")
+    val idsP = memsP.select("id").collect().map(_.getString(0)).toSet
+    assert(!idsP.contains("m1") && !idsP.contains("m8"), s"got $idsP")
+  }
+
   test("entity identity injection returns matching unmerged identities " +
     "(recall.py:2454-2491)") {
     import spark.implicits._
