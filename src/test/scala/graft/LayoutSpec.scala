@@ -59,6 +59,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword normalization plans contain no single-partition window") {
+    // regression guard for the round-1 scale-killer: a global
+    // Window.partitionBy() moves every candidate to ONE partition; the
+    // scalar-agg broadcast rewrite must keep these plans window-free
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q_q3_keyword", "q_recall_pipeline", "q_r3_minmax",
+        "q_batch_recall_100q")) {
+      val unpartitioned = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(unpartitioned.isEmpty,
+        s"$q plans ${unpartitioned.size} unpartitioned window(s)")
+    }
+  }
+
   test("bucketed edges join without an exchange on the bucketed side") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
