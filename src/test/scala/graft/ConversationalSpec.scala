@@ -66,4 +66,33 @@ class ConversationalSpec extends AnyFunSuite {
     assert(tags.nonEmpty && tags.filter(_.startsWith("conversation:"))
       .forall(_ == "conversation:conv-2"))
   }
+
+  test("multi-hop QA: entity expansion bridges from the seed to the answer") {
+    import spark.implicits._
+    // the LoCoMo multi-hop shape: "What is Amanda's sister's career?" —
+    // the seed names the sister, entity expansion surfaces her memory
+    val raw = Seq(
+      ("Amanda mentioned her sister is Rachel",
+        Seq("conversation:conv-9", "entity:people:amanda", "entity:people:rachel")),
+      ("Rachel works as a school counselor in Austin",
+        Seq("conversation:conv-9", "entity:people:rachel")),
+      ("Amanda enjoys rock climbing on weekends",
+        Seq("conversation:conv-9", "entity:people:amanda")),
+      ("Unrelated note about grocery shopping", Seq("conversation:conv-8")))
+      .toDF("content", "tags")
+    val memories = Ingest.prepare(raw)
+    val edges = Seq.empty[Edge].toDF()
+    val q = "What career does Amanda's sister have"
+    // without expansion the answer utterance does not surface at limit=2
+    val plain = Recall.recall(memories, edges,
+      RecallRequest(query = Some(q), limit = 2, now = now))
+      .select("content").collect().map(_.getString(0))
+    val expanded = Recall.recall(memories, edges,
+      RecallRequest(query = Some(q), limit = 2, expandEntities = true, now = now))
+      .select("content", "match_type").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(expanded.exists { case (c, mt) =>
+      c.contains("school counselor") && mt == "entity_expansion" },
+      s"plain=${plain.toSeq}\nexpanded=${expanded.toSeq}")
+  }
 }
