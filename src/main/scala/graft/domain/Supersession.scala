@@ -97,7 +97,7 @@ object Supersession {
         when(col("head_id") =!= col("id"), col("id")))
       .withColumn("supersession_rel",
         when(col("head_id") =!= col("id"), col("first_rel")))
-      .select(extras.map(col) ++
+      .select(extras.toSeq.map(col) ++
         Seq(col("head_id").as("id"), col("superseded_from"), col("supersession_rel")): _*)
     val live = memories
       .filter(!coalesce(col("archived"), lit(false)))

@@ -142,7 +142,7 @@ object Similarity {
       .orderBy(desc("csim"), asc("cell"))
       .limit(nprobe)
       .select(col("cell"))
-    val passThrough = vectors.columns.filter(_ != "embedding").map(col)
+    val passThrough = vectors.columns.filter(_ != "embedding").toSeq.map(col)
     cells.join(broadcast(probed), Seq("cell"))
       .withColumn("sim", round4(cosineSim(col("embedding"), q)))
       .select(passThrough :+ col("sim"): _*)
