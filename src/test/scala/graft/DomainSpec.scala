@@ -284,8 +284,11 @@ class DomainSpec extends AnyFunSuite {
       .select("id", "timestamp").collect()
     val ts = byTime.map(_.getTimestamp(1).getTime).toSeq
     assert(ts == ts.sorted.reverse, s"time_desc must be newest-first: ${ts}")
-    assert(byScore != byTime.map(_.getString(0)).toSeq ||
-      ts == ts.sorted.reverse)
+    assert(byScore.nonEmpty && byTime.nonEmpty)
+    // score order puts the strongest keyword hit first (m1/m4 duplicate
+    // content), which is not the newest row — the two orders must differ
+    assert(byScore.head != byTime.head.getString(0),
+      s"score head ${byScore.head} should differ from time head")
   }
 
   test("expansion knobs: expandMinImportance filters and expandRespectTags scopes") {
