@@ -71,16 +71,25 @@ object Consolidation {
   }
 
   /** C2 creative associations (`consolidation.py:334-455`): deterministic
-    * sample of relevant memories (the reference samples 20-30 at random; we
-    * hash-sample for reproducibility), all-pairs cosine within the bounded
-    * sample, rule table -> DISCOVERED/CONTRADICTS edges, skipping
-    * already-connected pairs.
+    * FIXED-SIZE sample of relevant memories (the reference samples a
+    * constant 20-30 rows at random, `consolidation.py:348`; we take the
+    * `sampleSize` smallest hash values for reproducibility), all-pairs
+    * cosine within the bounded sample, rule table -> DISCOVERED/CONTRADICTS
+    * edges, skipping already-connected pairs.
+    *
+    * The sample MUST be constant in corpus size: the pair stage is a cross
+    * join of the sample with itself, so a proportional sample (hash % k)
+    * grows quadratically with the corpus — at 100x data a ~50k-row sample
+    * becomes a 1.3B-pair product. `orderBy(hash).limit(n)` plans as
+    * TakeOrderedAndProject (per-partition top-n, no global sort) and keeps
+    * the cross join O(n^2) with n fixed at ~30 forever.
     */
   def creativeAssociations(memories: DataFrame, edges: DataFrame,
-      now: Timestamp, sampleMod: Int = 29): DataFrame = {
+      now: Timestamp, sampleSize: Int = 30): DataFrame = {
     val sample = memories
       .filter(col("relevance_score") > 0.3)
-      .filter(pmod(abs(hash(col("id"))), lit(sampleMod)) === 0)
+      .orderBy(abs(hash(col("id"))), col("id"))
+      .limit(sampleSize)
       .select(col("id"), col("type"), col("embedding"), col("timestamp"))
     val a = sample.select(col("id").as("src"), col("type").as("a_type"),
       col("embedding").as("a_emb"), col("timestamp").as("a_ts"))

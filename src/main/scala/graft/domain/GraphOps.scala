@@ -79,13 +79,19 @@ object GraphOps {
         .as("medium"),
       sum(when(col("importance") < 0.5, 1).otherwise(0)).as("low"))
 
-  /** A7: top-k PREFERS_OVER edges by strength; top-k patterns by confidence
-    * (`recall.py:2770-2807`).
+  /** A7: top-k PREFERS_OVER edges by effective strength; top-k patterns by
+    * confidence (`recall.py:2770-2807`). The reference coalesces
+    * strength/score/confidence per edge, so an edge carrying only
+    * `confidence` must not sort as null.
     */
-  def topPreferences(edges: DataFrame, k: Int = 10): DataFrame =
+  def topPreferences(edges: DataFrame, k: Int = 10): DataFrame = {
+    val strength = coalesce(col("strength"), col("score"), col("confidence"),
+      col("similarity"), col("count").cast("double"), lit(0.0))
     edges.filter(col("rel_type") === "PREFERS_OVER")
+      .withColumn("strength", strength)
       .orderBy(desc("strength"), asc("src"), asc("dst"))
       .limit(k)
+  }
 
   def topPatterns(patterns: DataFrame, k: Int = 10): DataFrame =
     patterns.filter(col("confidence") > 0.6)

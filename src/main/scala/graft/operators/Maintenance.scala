@@ -70,15 +70,23 @@ object Maintenance {
          FROM orders) t ORDER BY o_orderkey"""
 
   /** C2 creative associations (`consolidation.py:334-455`): deterministic
-    * sample (id mod 29), all-pairs cosine within the tiny sample, rule table:
-    * same label + low sim -> contradicts; cross-label high sim ->
-    * shares_theme; near ids + low sim -> parallel_context. The sample is
-    * bounded (reference samples 20-30), so the pair join is a broadcast
-    * nested loop over ~25 rows — scale-independent.
+    * FIXED-SIZE sample (the 30 vec_ids with the smallest multiplicative
+    * hash — a Knuth LCG both Spark and DuckDB compute identically in BIGINT
+    * arithmetic), all-pairs cosine within the tiny sample, rule table: same
+    * label + low sim -> contradicts; cross-label high sim -> shares_theme;
+    * near ids + low sim -> parallel_context. The reference samples a
+    * CONSTANT 20-30 rows (`consolidation.py:348`); a proportional sample
+    * (vec_id % k) would grow with the corpus and turn the self-cross-join
+    * quadratic at scale. orderBy+limit plans as TakeOrderedAndProject, and
+    * the 30-row side broadcasts into the pair join — scale-independent.
     */
+  val CreativeSampleSize = 30
+
   def creativePairs(spark: SparkSession, dir: String): DataFrame = {
     val sample = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 29 === 0)
+      .orderBy(pmod(col("vec_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483648L)), col("vec_id"))
+      .limit(CreativeSampleSize)
       .select(col("vec_id"), col("label"), col("embedding"))
     val a = sample.select(col("vec_id").as("a_id"), col("label").as("a_label"),
       col("embedding").as("a_emb"))
@@ -96,7 +104,8 @@ object Maintenance {
   }
 
   val creativePairsSql: String =
-    """WITH s AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 29 = 0),
+    """WITH s AS (SELECT vec_id, label, embedding FROM embeddings
+         ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id LIMIT 30),
        pairs AS (SELECT a.vec_id AS a_id, a.label AS a_label, a.embedding AS ae,
            b.vec_id AS b_id, b.label AS b_label, b.embedding AS be
          FROM s a JOIN s b ON a.vec_id < b.vec_id),

@@ -483,13 +483,35 @@ class DomainSpec extends AnyFunSuite {
   }
 
   test("consolidation: creative associations emit rule-based kinds, skip existing") {
-    val out = Consolidation.creativeAssociations(memories, edgesDf, now, sampleMod = 1)
+    val out = Consolidation.creativeAssociations(memories, edgesDf, now)
     val kinds = out.select("kind").collect().map(_.getString(0)).toSet
     assert(out.count() > 0)
     assert(kinds.subsetOf(Set("contradicts", "explains", "shares_theme", "parallel_context")))
     // m1 -> m2 already connected: no new edge for that pair
     assert(!out.collect().exists(r => r.getAs[String]("src") == "m1" &&
       r.getAs[String]("dst") == "m2"))
+  }
+
+  test("consolidation: creative sample is constant in corpus size (C2 scale contract)") {
+    import spark.implicits._
+    // 2,000-row corpus: pair count must be bounded by C(30,2), not grow
+    // with the corpus — the reference samples a fixed 20-30 rows
+    // (`consolidation.py:348`), and a proportional sample would make the
+    // self-cross-join quadratic at 100 TB.
+    val big = spark.range(2000).select(
+      concat(lit("m"), col("id")).as("id"),
+      lit("Insight").as("type"),
+      array((0 until 8).map(i => (rand(42 + i) * 2 - 1).cast("float")): _*)
+        .as("embedding"),
+      lit(ts("2026-01-01 00:00:00")).as("timestamp"),
+      lit(0.9).as("relevance_score"))
+    val empty = Seq.empty[(String, String, String)].toDF("src", "dst", "rel_type")
+    val out = Consolidation.creativeAssociations(big, empty, now, sampleSize = 30)
+    val n = out.count()
+    assert(n <= 30L * 29 / 2, s"pair count $n exceeds C(30,2) — sample not bounded")
+    val distinctIds = out.select(explode(array(col("src"), col("dst"))))
+      .distinct().count()
+    assert(distinctIds <= 30, s"$distinctIds distinct ids in pairs — sample not bounded")
   }
 
   test("recall: multi-query union and auto-decompose (Q6)") {

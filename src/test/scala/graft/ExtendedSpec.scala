@@ -43,6 +43,20 @@ class ExtendedSpec extends AnyFunSuite {
     assert(diff == Set(("a", "replica"), ("x", "canonical")))
   }
 
+  test("topPreferences ranks a confidence-only edge by its coalesced strength") {
+    import spark.implicits._
+    val t = ts("2026-01-01 00:00:00")
+    val edges = Seq(
+      Edge("a", "b", "PREFERS_OVER", Some(0.4), None, None, None, None, None, None, t),
+      // no strength — only confidence; must NOT sort as null/last
+      Edge("c", "d", "PREFERS_OVER", None, None, Some(0.9), None, None, None, None, t),
+      Edge("e", "f", "RELATES_TO", Some(1.0), None, None, None, None, None, None, t))
+      .toDF()
+    val top = GraphOps.topPreferences(edges, k = 2).collect()
+    assert(top.map(_.getAs[String]("src")).toSeq == Seq("c", "a"),
+      "confidence-only edge (0.9) must outrank strength=0.4 edge")
+  }
+
   test("touchLastAccessed updates only matched ids") {
     import spark.implicits._
     val now = ts("2026-02-01 00:00:00")
@@ -160,6 +174,7 @@ class ExtendedSpec extends AnyFunSuite {
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val edges = spark.table("preceded_by").collect()
       .map(r => r.getAs[String]("src") -> r.getAs[String]("dst")).toSet
     assert(edges == Set("m2" -> "m1", "m4" -> "m3"), s"got $edges")
@@ -181,6 +196,7 @@ class ExtendedSpec extends AnyFunSuite {
       .outputMode("update")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val out = spark.table("sessions").collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("nEvents")).toMap
     assert(out(1L) == 2 && out(2L) == 1, s"got $out")
