@@ -245,6 +245,7 @@ object SparkEntry {
     "q_set_intersect" -> RecallShapes.setIntersectSql,
     "q_u5_snippet" -> RecallShapes.snippetsSql,
     "q_recall_pipeline" -> RecallPipeline.recallDocumentsSql,
+    "q_batch_recall_100q" -> RecallPipeline.batchRecall100Sql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

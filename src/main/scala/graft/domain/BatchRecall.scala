@@ -32,16 +32,29 @@ object BatchRecall {
     * collected once and re-planted as a LocalRelation: every one of the
     * ~7 broadcast exchanges it feeds then broadcasts driver-local rows
     * instead of launching a scan + embed job per exchange.
+    *
+    * If `queries` carries a pre-computed `qvec` (array&lt;float&gt;) column it is
+    * used as the query vector (e.g. vectors looked up from an embedding
+    * table); otherwise the placeholder provider embeds the query text.
+    *
+    * `roundScores=true` quantizes channel and final scores to 4 decimals
+    * BEFORE ranking: rank order then depends only on values an external
+    * engine (the DuckDB oracle) reproduces exactly, with the asc-id
+    * tie-break absorbing any sub-1e-4 float divergence.
     */
   def batchRecall(memories: DataFrame, edges: DataFrame, queries: DataFrame,
       limit: Int = 10, weights: Scoring.Weights = Scoring.Weights(),
-      now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00")): DataFrame = {
+      now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"),
+      roundScores: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
     val spark = memories.sparkSession
-    val qLocal = queries.select(col("qid"), col("query")).collect().map { r =>
+    val hasQvec = queries.columns.contains("qvec")
+    val qCols = if (hasQvec) Seq(col("qid"), col("query"), col("qvec"))
+      else Seq(col("qid"), col("query"))
+    val qLocal = queries.select(qCols: _*).collect().map { r =>
       val query = r.get(1).asInstanceOf[String]
       val qlower = query.toLowerCase
       // mirror filter(array_distinct(TextFunctions.tokens(query))):
@@ -49,7 +62,9 @@ object BatchRecall {
       // dedup, length >= 3, stopword-filtered
       val toks = qlower.trim.split("\\s+").toSeq.distinct
         .filter(t => t.length >= 3 && !Recall.Stopwords.contains(t))
-      Row(r.get(0), query, PlaceholderEmbedding.embed(query).toSeq, qlower, toks)
+      val qvec = if (hasQvec) r.getSeq[Float](2)
+        else PlaceholderEmbedding.embed(query).toSeq
+      Row(r.get(0), query, qvec, qlower, toks)
     }
     val qSchema = StructType(Seq(
       queries.schema("qid"),
@@ -65,10 +80,12 @@ object BatchRecall {
     // 3 narrow columns instead of the whole row (content + two embedding
     // arrays) — measured 3.3x faster; Catalyst does not prune through the
     // cached relation + broadcast-nested-loop + window combination.
+    def rounded(c: Column): Column =
+      if (roundScores) graft.functions.round4(c) else c
     val wq = Window.partitionBy(col("qid")).orderBy(desc("channel_score"), asc("id"))
     val vec = base.crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
-        cosineSim(col("embedding"), col("qvec")).as("channel_score"))
+        rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score"))
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= overfetch)
       .select(col("qid"), col("id"), lit("vector").as("match_type"),
@@ -138,7 +155,8 @@ object BatchRecall {
     // subtree and measured slower)
     val kw = kwAll
       .withColumn("channel_score",
-        col("raw").cast("double") / max(col("raw")).over(Window.partitionBy(col("qid"))))
+        rounded(col("raw").cast("double") /
+          max(col("raw")).over(Window.partitionBy(col("qid")))))
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= overfetch)
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
@@ -180,10 +198,10 @@ object BatchRecall {
       relevance = coalesce(col("relevance_score"), lit(0.0)),
       context = lit(0.0))
     val scored = hydrated
-      .withColumn("s_vector", comps.vector)
-      .withColumn("s_keyword", comps.keyword)
-      .withColumn("s_tag", comps.tag)
-      .withColumn("final_score", Scoring.finalScore(comps, weights))
+      .withColumn("s_vector", rounded(comps.vector))
+      .withColumn("s_keyword", rounded(comps.keyword))
+      .withColumn("s_tag", rounded(comps.tag))
+      .withColumn("final_score", rounded(Scoring.finalScore(comps, weights)))
 
     // ---- R1 fingerprint dedup per qid, R2 sort, per-qid top-k
     val fp = TextFunctions.fingerprint(col("content"), 320)

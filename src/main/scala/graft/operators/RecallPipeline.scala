@@ -67,16 +67,19 @@ object RecallPipeline {
   /** Throughput demonstrator: 100 recall requests against the documents
     * corpus executed as ONE plan via [[graft.domain.BatchRecall]] — queries
     * fabricated deterministically from the first tokens of the first 100
-    * docs. Rows-only gate (placeholder embeddings are not SQL-expressible);
-    * the per-query result shape is spec-tested against single recall.
+    * docs. Memory and query vectors come from the `embeddings` parquet table
+    * (joined on doc_id = vec_id; the query vector is its doc's embedding —
+    * "find documents like this one"), which a SQL engine can read too — so
+    * the WHOLE two-channel pipeline is DuckDB-oracle-gated (rows + schema +
+    * hash), not rows-only. `roundScores` quantizes scores to 4 decimals
+    * before ranking so rank order is reproducible across engines.
     */
   def batchRecall100(spark: SparkSession, dir: String): DataFrame = {
     import graft.domain.BatchRecall
-    // The row columns are cached (scanned by both channels + hydration);
-    // the embedding UDF sits ON TOP of the cache, so scans that never read
-    // the embedding column (postings, tags, hydration) prune it away and
-    // the embed cost is paid once, in the vector channel only.
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
     val mems = Tables.documents(spark, dir)
+      .join(emb, col("doc_id") === col("vec_id"))
       .select(
         col("doc_id").cast("string").as("id"),
         col("text").as("content"),
@@ -89,7 +92,8 @@ object RecallPipeline {
         array(col("lang"), col("source")).as("tags"),
         lit("{}").as("metadata"),
         lit(1.0).as("relevance_score"),
-        lit(false).as("archived"))
+        lit(false).as("archived"),
+        col("embedding"))
       .withColumn("t_invalid", lit(null).cast("timestamp"))
       .withColumn("last_accessed", col("timestamp"))
       // the test file is a single parquet split -> 1 cached partition, which
@@ -98,17 +102,137 @@ object RecallPipeline {
       // first (at real scale the input arrives already multi-split)
       .repartition(8)
       .cache()
-      .withColumn("embedding",
-        graft.domain.PlaceholderEmbedding.embedColumn()(col("content")))
     val queries = Tables.documents(spark, dir)
       .filter(col("doc_id") < 100)
+      .join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3))
-          .as("query"))
+          .as("query"),
+        col("embedding").as("qvec"))
     BatchRecall.batchRecall(mems, spark.emptyDataFrame, queries, limit = 5,
-      now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      roundScores = true)
       .orderBy("qid", "rank")
   }
+
+  /** DuckDB mirror of [[batchRecall100]]: the full two-channel batch —
+    * vector cosine top-20 per qid + inverted-keyword scoring (+2 content
+    * token, +1 tag token, phrase bonus, per-qid max-normalize), channel
+    * merge, 9-component scoring (metadata/relation/context zero on this
+    * corpus mapping), fingerprint dedup per (qid, fp), and per-qid rank —
+    * term-for-term against `graft.domain.BatchRecall.batchRecall` with
+    * `roundScores=true` (all compared scores quantized via round(x+1e-9,4)
+    * before ranking, asc-id tie-breaks everywhere).
+    */
+  val batchRecall100Sql: String =
+    raw"""WITH mems AS (
+         SELECT CAST(d.doc_id AS VARCHAR) AS id, lower(d.text) AS lc, d.text,
+           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(d.doc_id) AS ts,
+           least(1.0, d.n_chars / 500.0) AS importance, 0.7 AS confidence,
+           [d.lang, d.source] AS tags, e.embedding AS emb
+         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       q0 AS (
+         SELECT d.doc_id AS qid,
+           array_to_string(regexp_split_to_array(trim(lower(d.text)), '\s+')[1:3], ' ') AS query,
+           e.embedding AS qvec
+         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         WHERE d.doc_id < 100),
+       qtok AS (
+         SELECT qid, tok FROM (
+           SELECT qid, unnest(list_distinct(regexp_split_to_array(query, '\s+'))) AS tok
+           FROM q0)
+         WHERE length(tok) >= 3 AND tok NOT IN ('the','and','for','with','that',
+           'this','from','was','are','has','had','were','will','would','into','about')),
+       qtl AS (
+         SELECT q0.qid, coalesce(l.toks, []) AS toks FROM q0 LEFT JOIN
+           (SELECT qid, list(tok) AS toks FROM qtok GROUP BY qid) l ON l.qid = q0.qid),
+       vpx AS (SELECT q.qid, m.id, unnest(m.emb)::DOUBLE AS x, unnest(q.qvec)::DOUBLE AS y
+         FROM mems m CROSS JOIN q0 q),
+       vs AS (SELECT qid, id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM vpx GROUP BY 1, 2),
+       vecc AS (SELECT qid, id,
+           round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS cs
+         FROM vs),
+       vtop AS (SELECT qid, id, cs FROM (
+           SELECT qid, id, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id ASC) AS rn
+           FROM vecc) WHERE rn <= 20),
+       ctoks AS (SELECT id,
+           unnest(list_distinct(regexp_split_to_array(trim(lc), '\s+'))) AS ctok
+         FROM mems),
+       qd AS (SELECT DISTINCT tok FROM qtok),
+       chits AS (SELECT DISTINCT c.id, q.tok
+         FROM ctoks c JOIN qd q ON contains(c.ctok, q.tok)),
+       ttoks AS (SELECT id, unnest(tags) AS tag FROM mems),
+       thits AS (SELECT DISTINCT t.id, q.tok
+         FROM ttoks t JOIN qd q ON contains(t.tag, q.tok)),
+       tw AS (SELECT id, tok, 2 AS w FROM chits
+         UNION ALL SELECT id, tok, 1 AS w FROM thits),
+       traw AS (SELECT q.qid, h.id, sum(h.w) AS tok_raw
+         FROM tw h JOIN qtok q ON q.tok = h.tok GROUP BY 1, 2),
+       eq AS (SELECT qid FROM q0 WHERE qid NOT IN (SELECT qid FROM qtok)),
+       epairs AS (SELECT e.qid, m.id, 0 AS tok_raw FROM eq e CROSS JOIN mems m),
+       cand AS (SELECT * FROM traw UNION ALL SELECT * FROM epairs),
+       kwall AS (SELECT c.qid, c.id,
+           c.tok_raw + (CASE WHEN contains(m.lc, q.query) THEN 2
+                             WHEN contains(array_to_string(m.tags, chr(0)), q.query) THEN 1
+                             ELSE 0 END) AS raw
+         FROM cand c JOIN mems m ON m.id = c.id JOIN q0 q ON q.qid = c.qid),
+       kwn AS (SELECT qid, id,
+           round((CAST(raw AS DOUBLE) / max(raw) OVER (PARTITION BY qid)) + 1e-9, 4) AS ks
+         FROM kwall WHERE raw > 0),
+       ktop AS (SELECT qid, id, ks FROM (
+           SELECT qid, id, ks,
+             row_number() OVER (PARTITION BY qid ORDER BY ks DESC, id ASC) AS rn
+           FROM kwn) WHERE rn <= 20),
+       merged AS (SELECT qid, id,
+           max(CASE WHEN ch = 'v' THEN s END) AS vector_score,
+           max(CASE WHEN ch = 'k' THEN s END) AS keyword_score
+         FROM (SELECT qid, id, 'v' AS ch, cs AS s FROM vtop
+               UNION ALL SELECT qid, id, 'k' AS ch, ks AS s FROM ktop)
+         GROUP BY 1, 2),
+       hyd AS (SELECT g.qid, g.id, g.vector_score, g.keyword_score,
+           CASE WHEN g.vector_score IS NOT NULL THEN 'vector' ELSE 'keyword' END AS match_type,
+           m.lc, m.text, m.ts, m.importance, m.confidence, m.tags,
+           q.query, t.toks
+         FROM merged g JOIN mems m ON m.id = g.id
+           JOIN q0 q ON q.qid = g.qid JOIN qtl t ON t.qid = g.qid),
+       comps AS (SELECT *,
+           coalesce(vector_score, 0.0) AS c_vector,
+           coalesce(keyword_score,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, tk -> contains(lc, tk))) AS DOUBLE)
+                 / len(toks) END) AS c_keyword,
+           CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(toks, tags)) AS DOUBLE) / len(toks) END AS c_tag,
+           greatest(0.0, 1.0 - (((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
+             / 86400.0) / 180.0)) AS c_recency,
+           CASE WHEN contains('{}', query) THEN 1.0 ELSE 0.0 END AS c_exact
+         FROM hyd),
+       scored AS (SELECT qid, id, match_type, importance, ts, text,
+           round((coalesce(vector_score, 0.0)) + 1e-9, 4) AS s_vector,
+           round((c_keyword) + 1e-9, 4) AS s_keyword,
+           round((c_tag) + 1e-9, 4) AS s_tag,
+           round((c_vector * 0.35 + c_keyword * 0.35 + 0.0 * 0.35 + 0.0 * 0.25 +
+             (c_tag * 0.2 + importance * 0.1 + confidence * 0.05 +
+              c_recency * 0.1 + 1.0 * 0.0) * 1.0 + c_exact * 0.2 + 0.0) + 1e-9, 4)
+             AS final_score
+         FROM comps),
+       fps AS (SELECT *,
+           CASE WHEN length(substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 320)) > 0
+             THEN substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 320)
+             ELSE id END AS fp
+         FROM scored),
+       dd AS (SELECT *, row_number() OVER (PARTITION BY qid, fp
+           ORDER BY final_score DESC, ts DESC, id ASC) AS dd_rn FROM fps),
+       ranked AS (SELECT qid, id, final_score, match_type, s_vector, s_keyword, s_tag,
+           row_number() OVER (PARTITION BY qid ORDER BY final_score DESC,
+             (CASE WHEN match_type = 'vector' THEN 0 ELSE 1 END) ASC,
+             importance DESC, ts DESC, id ASC) AS rank
+         FROM dd WHERE dd_rn = 1)
+       SELECT qid, rank, id, final_score, match_type, s_vector, s_keyword, s_tag
+       FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
 
   val recallDocumentsSql: String = {
     val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
