@@ -125,21 +125,35 @@ object Enrichment {
   /** U3 entity extraction, regex-only deterministic subset
     * (`automem/utils/entity_extraction.py:68-245`): backtick code spans ->
     * tools; "with <Name>" -> people; "project called <name>" / capitalized
-    * multiword -> projects. Emits (id, category, name, slug) rows.
+    * multiword -> projects. Every candidate then passes the
+    * [[EntityQuality]] validity gate (`automem/utils/entity_quality.py`) —
+    * the memory content is the validation context, so brand-shaped "people"
+    * in tool-context prose are rejected. Emits
+    * (id, category, name, slug, confidence) rows with the CANONICAL slug.
     */
   def extractEntities(memories: DataFrame): DataFrame = {
     val pats = Seq(
       ("tools", "`([A-Za-z][A-Za-z0-9_.-]{1,40})`"),
-      ("people", "(?:met with|pairing with|talked to|with)\\s+([A-Z][a-z]{2,20})\\b"),
+      ("people", "(?:met with|pairing with|talked to|with)\\s+([A-Z][a-z]{2,20}(?:\\s+[A-Z][a-z]{2,20})?)\\b"),
       ("projects", "project(?:\\s+called)?\\s+([A-Z][A-Za-z0-9_-]{2,30})\\b"))
+    // the validator is per-candidate scalar rule logic on the BOUNDED
+    // regex-candidate set (not the per-row hot path) — one UDF emitting
+    // (accepted, canonical_slug, confidence), mirroring the reference's
+    // per-candidate validate_entity_value
+    val validate = udf((category: String, name: String, context: String) => {
+      val r = EntityQuality.validateValue(category, name, Option(context))
+      (r.accepted, r.canonicalSlug, r.confidence)
+    })
     pats.map { case (cat, pat) =>
-      memories.select(col("id"),
+      memories.select(col("id"), col("content"),
           explode(regexp_extract_all(col("content"), lit(pat), lit(1))).as("name"))
         .withColumn("category", lit(cat))
     }.reduce(_ unionByName _)
       .filter(length(col("name")) >= 3)
-      .withColumn("slug", regexp_replace(lower(col("name")), "[^a-z0-9]+", "-"))
-      .select(col("id"), col("category"), col("name"), col("slug"))
+      .withColumn("_v", validate(col("category"), col("name"), col("content")))
+      .filter(col("_v._1"))
+      .select(col("id"), col("category"), col("name"),
+        col("_v._2").as("slug"), col("_v._3").as("confidence"))
       .distinct()
   }
 

@@ -421,11 +421,15 @@ class DomainSpec extends AnyFunSuite {
   test("enrichment: entity extraction finds tools/people and writes entity tags") {
     import spark.implicits._
     val df = Ingest.prepare(Seq(
-      ("Met with Alice about the `spark-submit` tooling for project Orion", Seq("work")))
+      // two-token person name: the quality gate's person-shape exemption
+      // admits it despite the "tooling"/"project" context hints, which
+      // (faithful to the reference) reject single-token people in
+      // tool-context prose
+      ("Met with Alice Barton about the `spark-submit` tooling for project Orion", Seq("work")))
       .toDF("content", "tags"))
     val (enriched, _, _) = Enrichment.enrich(df)
     val tags = enriched.select("tags").head().getSeq[String](0)
-    assert(tags.exists(_.startsWith("entity:people:alice")), s"got $tags")
+    assert(tags.exists(_.startsWith("entity:people:alice-barton")), s"got $tags")
     assert(tags.exists(_.startsWith("entity:tools:spark-submit")), s"got $tags")
     assert(tags.exists(_.startsWith("entity:projects:orion")), s"got $tags")
   }
