@@ -145,25 +145,29 @@ object Recall {
       .select(channelCols.map(col): _*)
   }
 
-  /** Q5 metadata channel: cheap contains-prefilter on the raw JSON string,
-    * then a tokenized value-ratio re-score
-    * (`runtime_recall_helpers.py:727-868`): 0.15 + 0.45 * hit_ratio + 0.2 *
-    * all-hit bonus, capped 1.0.
+  /** Q5 metadata channel: cheap contains-prefilter on the raw JSON string
+    * using the reference's VALUE terms (query tokens minus field tokens and
+    * metadata stopwords, capped at 12 — `runtime_recall_helpers.py:192-199`),
+    * then the full strong-evidence re-score
+    * (`runtime_recall_helpers.py:270-340` via [[MetadataScoring]]) on the
+    * capped survivor set only.
     */
   def metadataChannel(scoped: DataFrame, query: String, limit: Int): DataFrame = {
-    val kws = keywords(query)
-    if (kws.isEmpty) return scoped.sparkSession.emptyDataFrame
+    val terms = MetadataScoring.prefilterTerms(query)
+    if (terms.isEmpty) return scoped.sparkSession.emptyDataFrame
       .withColumn("id", lit("")).withColumn("match_type", lit(""))
       .withColumn("channel_score", lit(0.0)).limit(0)
     val scanCap = math.max(200, math.min(limit * 25, 1000))
+    val scoreUdf = udf((json: String) => MetadataScoring.matchScore(query, json))
     // deterministic cap: order by id before limiting (TakeOrderedAndProject)
     // so the scanned subset does not depend on partition order — the
     // reference's cap is arbitrary-order, but our determinism contract
     // (NOTES.md) pins which rows survive
-    scoped.filter(MetadataSearch.prefilter(col("metadata"), query))
+    scoped.filter(terms.map(t => lower(col("metadata")).contains(t)).reduce(_ || _))
       .orderBy(asc("id"))
       .limit(scanCap)
-      .withColumn("channel_score", MetadataSearch.score(col("metadata"), query))
+      .withColumn("channel_score", scoreUdf(col("metadata")))
+      .filter(col("channel_score") > 0.0)
       .withColumn("match_type", lit("metadata"))
       .orderBy(desc("channel_score"), asc("id"))
       .limit(overfetch(limit))
@@ -225,18 +229,28 @@ object Recall {
     val relationComp =
       if (df.columns.contains("relation_score")) coalesce(col("relation_score"), lit(0.0))
       else lit(0.0)
+    // metadata TERM SET (scoring.py:40-63): feeds both the tag component
+    // (token in tags OR metadata terms, scoring.py:150-153) and the exact
+    // component (whole query in the term set, scoring.py:155-158 — NOT a
+    // substring probe on raw JSON, which fires on key names / across token
+    // boundaries). Scalar walk over the bounded candidate set only.
+    val termsUdf = udf((json: String) => MetadataScoring.collectTerms(json).toSeq)
+    val termSet = array_union(col("tags"), termsUdf(col("metadata")))
     val comps = Scoring.ComponentColumns(
       vector = coalesce(col("vector_score"), lit(0.0)),
       keyword = coalesce(col("keyword_score"), Scoring.keywordFallback(kws, lc)),
       metadata = coalesce(col("metadata_score"), lit(0.0)),
       relation = relationComp,
-      tag = Scoring.tagScore(kws, col("tags")),
+      tag = Scoring.tagScore(kws, termSet),
       importance = coalesce(col("importance"), lit(0.0)),
       confidence = coalesce(col("confidence"), lit(0.0)),
       recency = Scoring.recency(ageDays),
-      exact = queryOpt.map(q =>
-        when(lower(col("metadata")).contains(q.toLowerCase), lit(1.0))
-          .otherwise(lit(0.0))).getOrElse(lit(0.0)),
+      exact = queryOpt.map { q =>
+        val nq = q.toLowerCase.trim
+        if (nq.isEmpty) lit(0.0)
+        else when(array_contains(termsUdf(col("metadata")), nq), lit(1.0))
+          .otherwise(lit(0.0))
+      }.getOrElse(lit(0.0)),
       relevance = coalesce(col("relevance_score"), lit(0.0)),
       context = Scoring.contextBonus(col("tags"), col("type"), lc, col("id"),
         req.priorityTags, req.priorityTypes, Nil, req.priorityIds))

@@ -74,6 +74,42 @@ class QualitySpec extends AnyFunSuite {
     assert(row.getAs[Double]("s_keyword") == 1.0)
   }
 
+  test("golden: exact component is metadata-term membership, not raw-JSON substring") {
+    import spark.implicits._
+    // content/tags are chosen so both probe queries miss them entirely:
+    // every score difference comes from the metadata term set alone.
+    val base = Seq(("x1", "zzz qqq", ts("2026-01-05 00:00:00"), 0.8, 0.6,
+      Seq.empty[String], """{"project": "alpha"}""", 1.0))
+      .toDF("id", "content", "timestamp", "importance", "confidence",
+        "tags", "metadata", "relevance_score")
+      .withColumn("vector_score", lit(null).cast("double"))
+      .withColumn("keyword_score", lit(null).cast("double"))
+      .withColumn("metadata_score", lit(null).cast("double"))
+    def scoreWith(q: String): Double =
+      Recall.scoreCandidates(base, RecallRequest(query = Some(q), limit = 5,
+        now = now), Some(q)).select("final_score").head().getDouble(0)
+    val w = Scoring.Weights()
+    val recency = math.max(0.0, 1.0 - (5.0 * 86400000 / 86400000.0) / 180.0)
+    val floor = 0.8 * w.importance + 0.6 * w.confidence + recency * w.recency
+    // 'project' appears ONLY as a JSON key: the old substring probe scored
+    // exact=1.0 here; the reference term set (scoring.py:40-63 — values
+    // and their tokens, keys never collected) says 0
+    assert(math.abs(scoreWith("project") - floor) < 1e-9,
+      s"query matching a JSON key must not fire exact: ${scoreWith("project")} vs $floor")
+    // 'alpha' is a metadata VALUE term: exact fires, and the tag component
+    // counts the token via the tags-or-metadata-terms set (scoring.py:150-158)
+    val expectAlpha = floor + 1.0 * w.exact + 1.0 * w.tag
+    assert(math.abs(scoreWith("alpha") - expectAlpha) < 1e-9,
+      s"value-term query must fire exact+tag: ${scoreWith("alpha")} vs $expectAlpha")
+    // cross-token-boundary substring ('pha be' inside 'alpha beta') must not fire
+    val crossDf = base.withColumn("metadata", lit("""{"project": "alpha beta"}"""))
+    val cross = Recall.scoreCandidates(crossDf, RecallRequest(
+      query = Some("pha be"), limit = 5, now = now), Some("pha be"))
+      .select("final_score").head().getDouble(0)
+    assert(math.abs(cross - floor) < 1e-9,
+      s"cross-boundary substring must not fire exact: $cross vs $floor")
+  }
+
   test("golden: expanded candidate scores the full formula incl. relation component") {
     import spark.implicits._
     val seed = mkMem("s1", "postgres tuning guide", "2026-01-05 00:00:00",
