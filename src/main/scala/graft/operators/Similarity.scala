@@ -130,14 +130,7 @@ object Similarity {
       cellBits: Int = 6): DataFrame = {
     val q = typedlit(qvec)
     val cells = vectors.withColumn("cell", signBucket(col("embedding"), cellBits))
-    val centroids = cells
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("cell"),
-        transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
-    val probed = centroids
+    val probed = IvfIndex.cellCentroids(cells)
       .withColumn("csim", cosineSim(col("centroid"), q))
       .orderBy(desc("csim"), asc("cell"))
       .limit(nprobe)
@@ -150,17 +143,26 @@ object Similarity {
       .limit(k)
   }
 
-  /** Oracle-gated IVF query: probe ALL cells (nprobe = 2^cellBits) so the
-    * result is hash-identical to brute-force top-k — proving the probe path
-    * (cells -> centroids -> probe -> in-cell search) loses nothing when it
-    * probes everything. The recall-at-reduced-nprobe behavior is spec-gated
-    * on a clustered corpus (IVF presumes clustered data; the driver's
-    * embeddings table is isotropic noise).
+  /** Oracle-gated IVF query, now exercising the PERSISTED index end-to-end:
+    * build (assignments cell-partitioned + centroid table) then query via
+    * [[IvfIndex.topK]], probing ALL cells (nprobe = 2^cellBits) so the
+    * result is hash-identical to brute-force top-k — proving the index path
+    * (persisted centroids -> probe -> partition-pruned in-cell search)
+    * loses nothing when it probes everything. The recall-at-reduced-nprobe
+    * behavior is spec-gated on a clustered corpus (IVF presumes clustered
+    * data; the driver's embeddings table is isotropic noise).
     */
   def ivfTopKAll(spark: SparkSession, dir: String, queryId: Long = 0,
-      k: Int = 10): DataFrame =
-    ivfTopK(Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
-      col("embedding")), queryVector(spark, dir, queryId), k, nprobe = 64)
+      k: Int = 10): DataFrame = {
+    val indexPath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-ivf-index",
+      Integer.toHexString(dir.hashCode)).toString
+    IvfIndex.build(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")), indexPath)
+    IvfIndex.topK(spark, indexPath, queryVector(spark, dir, queryId), k,
+      nprobe = 64)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
 
   /** Per-label mean centroid, then each vector's cosine to its own label's
     * centroid (IVF-style coarse quantization building block). Centroids are a
