@@ -1,0 +1,91 @@
+package graft
+
+import graft.domain.BatchRecall
+import graft.tools.{LabCorpus, RetrievalMetrics}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval-quality gate at REALISTIC scale (VERDICT r2 gap #2): a 10,000
+  * memory corpus with 2,000 labelled distractors and 60 questions in three
+  * difficulty bands, all answered by ONE BatchRecall plan, scored with the
+  * lab metrics (recall@5 / NDCG@10 / MRR / distractor-rate@10,
+  * `/root/reference/scripts/lab/lab_metrics.py:11-56`) against pinned
+  * goldens. The hard band keeps the overall metrics strictly inside (0, 1),
+  * so ranking regressions in either direction move them.
+  */
+class QualityScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val perQuestion: Map[Int, Seq[String]] = {
+    import spark.implicits._
+    val memories = LabCorpus.corpus(spark).repartition(8).cache()
+    val queries = LabCorpus.questions.map(q => (q.qid, q.query)).toDF("qid", "query")
+    val ranked = BatchRecall.batchRecall(memories, spark.emptyDataFrame,
+      queries, limit = 10, now = LabCorpus.Now)
+      .select("qid", "rank", "id").collect()
+    memories.unpersist()
+    ranked.groupBy(_.getInt(0)).view.mapValues(
+      _.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+  }
+
+  private def bandMean(band: Int, f: (Seq[String], Seq[String]) => Double): Double = {
+    val qs = LabCorpus.questions.filter(_.qid / LabCorpus.QuestionsPerBand == band)
+    qs.map(q => f(perQuestion(q.qid), q.expectedIds)).sum / qs.size
+  }
+
+  private def overallMean(f: (Seq[String], Seq[String]) => Double): Double =
+    LabCorpus.questions.map(q => f(perQuestion(q.qid), q.expectedIds)).sum /
+      LabCorpus.NumQuestions
+
+  private def assertPinned(name: String, got: Double, expected: Double): Unit =
+    assert(math.abs(got - expected) < 1e-6,
+      f"$name = $got%.6f, pinned golden $expected%.6f — a ranking change moved " +
+        "the 10k-corpus metrics; re-pin only if the change is intentional")
+
+  test("easy band: unique adjacent tokens must rank first everywhere") {
+    assertPinned("easy recall@5", bandMean(0, RetrievalMetrics.recallAtK(_, _, 5)), 1.0)
+    assertPinned("easy ndcg@10", bandMean(0, RetrievalMetrics.ndcgAtK(_, _, 10)), 1.0)
+    assertPinned("easy mrr", bandMean(0, RetrievalMetrics.mrr), 1.0)
+  }
+
+  test("medium band: both evidence rows beat ten fresher one-token confusers") {
+    assertPinned("medium recall@5", bandMean(1, RetrievalMetrics.recallAtK(_, _, 5)), 1.0)
+    assertPinned("medium ndcg@10", bandMean(1, RetrievalMetrics.ndcgAtK(_, _, 10)),
+      0.9524502477932690)
+    assertPinned("medium mrr", bandMean(1, RetrievalMetrics.mrr), 1.0)
+  }
+
+  test("hard band: aged evidence ranks behind the confuser block, inside top-10") {
+    assertPinned("hard recall@5", bandMean(2, RetrievalMetrics.recallAtK(_, _, 5)),
+      0.6000000000000001)
+    assertPinned("hard ndcg@10", bandMean(2, RetrievalMetrics.ndcgAtK(_, _, 10)),
+      0.3725572385966823)
+    assertPinned("hard mrr", bandMean(2, RetrievalMetrics.mrr), 0.1845833333333333)
+  }
+
+  test("overall goldens and distractor precision at 10k scale") {
+    assertPinned("overall recall@5",
+      overallMean(RetrievalMetrics.recallAtK(_, _, 5)), 0.8666666666666667)
+    assertPinned("overall ndcg@10",
+      overallMean(RetrievalMetrics.ndcgAtK(_, _, 10)), 0.7750024954633172)
+    assertPinned("overall mrr", overallMean(RetrievalMetrics.mrr), 0.7281944444444445)
+    val dist = LabCorpus.questions.map(q => RetrievalMetrics.distractorRateAtK(
+      perQuestion(q.qid), LabCorpus.distractorIds(2000), 10)).sum / LabCorpus.NumQuestions
+    assertPinned("distractor-rate@10", dist, 0.0)
+  }
+
+  test("lab metric functions match the reference definitions on hand cases") {
+    import RetrievalMetrics._
+    // hand-checked against lab_metrics.py: recall 1/2; mrr 1/2; ndcg with
+    // one hit at rank 2 of ideal 2 = (1/log2(3)) / (1 + 1/log2(3))
+    val retrieved = Seq("x", "a", "y", "z")
+    val expected = Seq("a", "b")
+    assert(recallAtK(retrieved, expected, 5) == 0.5)
+    assert(mrr(retrieved, expected) == 0.5)
+    val got = ndcgAtK(retrieved, expected, 10)
+    val want = (1.0 / (math.log(3) / math.log(2))) / (1.0 + 1.0 / (math.log(3) / math.log(2)))
+    assert(math.abs(got - want) < 1e-12)
+    assert(recallAtK(retrieved, Nil, 5) == 0.0)
+    assert(distractorRateAtK(Seq("d1", "a", "d2"), Set("d1", "d2"), 3) == 2.0 / 3)
+    assert(distractorRateAtK(Nil, Set("d"), 3) == 0.0)
+  }
+}
