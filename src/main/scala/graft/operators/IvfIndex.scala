@@ -44,10 +44,23 @@ object IvfIndex {
   def build(vectors: DataFrame, path: String,
       cellBits: Int = DefaultCellBits): Unit = {
     val cells = vectors.withColumn("cell", signBucket(col("embedding"), cellBits))
-    cells.write.mode("overwrite").partitionBy("cell")
+    // cluster rows by cell before the partitioned write: each task then owns
+    // whole cells and writes one file per cell instead of every task
+    // spraying a sliver into all 2^cellBits directories (tasks x cells tiny
+    // files — the classic partitioned-write mistake at any scale)
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
-    cellCentroids(cells).write.mode("overwrite").parquet(s"$path/centroids")
+    cellCentroids(cells).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** True when `path` already holds a completed index (both relations have
+    * their _SUCCESS markers).
+    */
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "assignments", "_SUCCESS")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centroids", "_SUCCESS"))
 
   /** The cells a query would probe: score the persisted centroids (tiny
     * scan), keep the top `nprobe`. Collected to literals — this is a

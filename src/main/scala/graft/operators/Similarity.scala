@@ -157,8 +157,11 @@ object Similarity {
     val indexPath = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-ivf-index",
       Integer.toHexString(dir.hashCode)).toString
-    IvfIndex.build(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding")), indexPath)
+    // index semantics: built once, reused by every query job (the testdata
+    // is immutable, and the path is keyed by the source dir)
+    if (!IvfIndex.exists(indexPath))
+      IvfIndex.build(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding")), indexPath)
     IvfIndex.topK(spark, indexPath, queryVector(spark, dir, queryId), k,
       nprobe = 64)
       .select(col("vec_id"), col("label"), col("sim"))
