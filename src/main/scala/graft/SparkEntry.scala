@@ -68,6 +68,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashGroups(s, d)),
     "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_pii_redact" -> (TextPolicy.piiRedact _),
+    "q_contamination" -> ((s, d) => TextPolicy.contamination(s, d)),
     "q_sessionize" -> (Relational.sessionStats _),
     "q_a_rollup" -> (Analytics.revenueRollup _),
     "q_train_split" -> (TextAnalysis.trainSplit _),
@@ -246,6 +248,8 @@ object SparkEntry {
     "q_u5_snippet" -> RecallShapes.snippetsSql,
     "q_recall_pipeline" -> RecallPipeline.recallDocumentsSql,
     "q_batch_recall_100q" -> RecallPipeline.batchRecall100Sql,
+    "q_pii_redact" -> TextPolicy.piiRedactSql,
+    "q_contamination" -> TextPolicy.contaminationSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

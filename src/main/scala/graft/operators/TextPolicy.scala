@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Training-data policy operators: PII redaction and benchmark-contamination
+  * detection — standard hygiene stages of a large-scale pretraining
+  * pipeline, expressed as pure column transforms (redaction) and a bucketed
+  * shingle join (contamination), both DuckDB-oracle-gated.
+  *
+  * Patterns stay inside the regex dialect common to Java and RE2 (no
+  * lookaround, no backreferences) so the Spark plan and the SQL oracle
+  * compile the same language.
+  */
+object TextPolicy {
+
+  /** (pattern, replacement) in application order: email first (its local
+    * part may contain digits/dots), then SSN (digits-dashes), then phone
+    * (+-prefixed), then IPv4 (digits-dots).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("\\+\\d{1,3} \\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Chain of codegen'd regexp_replace — one projection, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Oracle query: deterministic PII is injected into the synthetic corpus
+    * (identically in the SQL mirror), then redacted and counted. Every
+    * doc gains one email/SSN/phone/IP; docs with doc_id % 3 == 0 gain a
+    * second email, so the counts are non-constant.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val contact = concat(
+      lit(" contact user"), d, lit("@example.com from 10."), d % 256,
+      lit(".0.7 ssn "), d % 900 + 100, lit("-"), d % 90 + 10, lit("-"),
+      d % 9000 + 1000, lit(" call +1 555-"), d % 9000 + 1000)
+    val extra = when(d % 3 === 0,
+      concat(lit(" cc backup"), d, lit("@example.org"))).otherwise(lit(""))
+    val withPii = Tables.documents(spark, dir)
+      .select(d, concat(col("text"), contact, extra).as("raw"))
+    withPii.select(
+        d,
+        size(regexp_extract_all(col("raw"), lit(PiiPatterns.head._1), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PiiPatterns(3)._1), lit(0)))
+          .as("n_ips"),
+        redactPii(col("raw")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val inject = "text || ' contact user' || doc_id || '@example.com from 10.' || " +
+      "(doc_id % 256) || '.0.7 ssn ' || (doc_id % 900 + 100) || '-' || " +
+      "(doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000) || " +
+      "' call +1 555-' || (doc_id % 9000 + 1000) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' cc backup' || doc_id || '@example.org' ELSE '' END)"
+    s"""WITH w AS (SELECT doc_id, $inject AS raw FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(raw, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+           '\\+\\d{1,3} \\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+       FROM w ORDER BY doc_id"""
+  }
+
+  /** Benchmark-contamination detection (the GPT-3-style n-gram overlap
+    * check): training docs sharing >= minShared distinct n-gram shingles
+    * with any benchmark doc. The benchmark side (doc_id < benchCut here; a
+    * fixed eval set in production) is SMALL BY DEFINITION -> its shingle
+    * set broadcasts, and the training corpus is probed with a broadcast
+    * hash join on one 64-bit shingle key: a 100 TB corpus streams through
+    * map-side, no shuffle of the training side at all.
+    */
+  def contamination(spark: SparkSession, dir: String, n: Int = 5,
+      benchCut: Int = 20, minShared: Int = 1): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val shingleCols = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    val sh = toks
+      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", shingleCols: _*)).as("shk"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") < benchCut)
+      .select(col("shk"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("doc_id") >= benchCut)
+      .select(col("shk"), col("doc_id").as("train_id"))
+    train.join(broadcast(bench), Seq("shk"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_id", "bench_id")
+  }
+
+  val contaminationSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+         FROM t WHERE len(tk) >= 5),
+       sh AS (SELECT DISTINCT doc_id,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+         FROM pos)
+       SELECT a.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+       FROM sh a JOIN sh b ON a.sh = b.sh
+       WHERE a.doc_id >= 20 AND b.doc_id < 20
+       GROUP BY 1, 2 HAVING count(*) >= 1
+       ORDER BY train_id, bench_id"""
+  }
+}
