@@ -470,10 +470,13 @@ object Recall {
       val epoch = unix_timestamp(col("timestamp"))
       val bounds = df.agg(min(epoch).as("_min_ep"), max(epoch).as("_max_ep"))
       val span = col("_max_ep") - col("_min_ep")
+      // spread == 0 contributes NOTHING (`recall.py:2337` guards on
+      // spread > 0) — a uniform constant would preserve order but shift
+      // every final_score off the reference values
       df.crossJoin(broadcast(bounds))
         .withColumn("final_score",
           col("final_score") + lit(0.1) *
-            when(span === 0, 0.5).otherwise((epoch - col("_min_ep")) / span))
+            when(span === 0, 0.0).otherwise((epoch - col("_min_ep")) / span))
         .drop("_min_ep", "_max_ep")
     }
   }

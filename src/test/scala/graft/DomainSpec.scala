@@ -518,6 +518,23 @@ class DomainSpec extends AnyFunSuite {
     assert(distinctIds <= 30, s"$distinctIds distinct ids in pairs — sample not bounded")
   }
 
+  test("recency re-rank: zero timestamp spread contributes nothing (recall.py:2337)") {
+    import spark.implicits._
+    val t = ts("2026-01-05 00:00:00")
+    val same = Seq(("a", t, 0.8), ("b", t, 0.5)).toDF("id", "timestamp", "final_score")
+    val req = RecallRequest(query = Some("latest plan"), recencyBias = "on", now = now)
+    val out = Recall.recencyRerank(same, req).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("a" -> 0.8, "b" -> 0.5),
+      s"uniform-timestamp sets must keep reference score values, got $out")
+    // non-zero spread: newest gains 0.1, oldest gains 0
+    val spread = Seq(("old", ts("2026-01-01 00:00:00"), 0.5),
+      ("new", ts("2026-01-03 00:00:00"), 0.5)).toDF("id", "timestamp", "final_score")
+    val out2 = Recall.recencyRerank(spread, req).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out2("new") - 0.6) < 1e-9 && math.abs(out2("old") - 0.5) < 1e-9, s"got $out2")
+  }
+
   test("recall: multi-query union and auto-decompose (Q6)") {
     val multi = Recall.recall(memories, edgesDf,
       RecallRequest(queries = Seq("postgres", "dark mode"), limit = 10, now = now))
