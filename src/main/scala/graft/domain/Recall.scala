@@ -34,7 +34,9 @@ case class RecallRequest(
     expandMinImportance: Option[Double] = None,
     expandRespectTags: Boolean = false,
     stateMode: String = "all",
-    recencyBias: String = "auto",
+    // reference default is OFF (`config.py:586-589` RECALL_RECENCY_BIAS);
+    // "auto" further requires temporal intent in the query
+    recencyBias: String = "off",
     scopeFallback: Boolean = false,
     autoDecompose: Boolean = false,
     weights: Scoring.Weights = Scoring.Weights(),

@@ -29,9 +29,14 @@ object Scoring {
     * `halfLifeDays` is set.
     */
   def recency(ageDays: Column, windowDays: Double = 180.0,
-      halfLifeDays: Option[Double] = None): Column = halfLifeDays match {
-    case Some(hl) => exp(ageDays * (-math.log(2.0) / hl))
-    case None => greatest(lit(0.0), lit(1.0) - ageDays / windowDays)
+      halfLifeDays: Option[Double] = None): Column = {
+    // future timestamps clamp to age 0 -> score 1.0 (`scoring.py:74-76`
+    // max(age, 0)), not a score above 1
+    val age = greatest(lit(0.0), ageDays)
+    halfLifeDays match {
+      case Some(hl) => exp(age * (-math.log(2.0) / hl))
+      case None => greatest(lit(0.0), lit(1.0) - age / windowDays)
+    }
   }
 
   /** Tag-match component (`scoring.py:137-180` tag logic): fraction of query
