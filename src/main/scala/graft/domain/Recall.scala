@@ -44,6 +44,7 @@ case class RecallRequest(
     priorityTags: Seq[String] = Nil,
     priorityTypes: Seq[String] = Nil,
     priorityIds: Seq[String] = Nil,
+    contextKeywords: Seq[String] = Nil,
     now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"))
 
 /** The flagship read path (SURVEY.md §3.1): channel union -> 9-component
@@ -237,7 +238,8 @@ object Recall {
     // substring probe on raw JSON, which fires on key names / across token
     // boundaries). Scalar walk over the bounded candidate set only.
     val termsUdf = udf((json: String) => MetadataScoring.collectTerms(json).toSeq)
-    val termSet = array_union(col("tags"), termsUdf(col("metadata")))
+    val mdTerms = col("_md_terms")
+    val termSet = array_union(col("tags"), mdTerms)
     val comps = Scoring.ComponentColumns(
       vector = coalesce(col("vector_score"), lit(0.0)),
       keyword = coalesce(col("keyword_score"), Scoring.keywordFallback(kws, lc)),
@@ -250,18 +252,20 @@ object Recall {
       exact = queryOpt.map { q =>
         val nq = q.toLowerCase.trim
         if (nq.isEmpty) lit(0.0)
-        else when(array_contains(termsUdf(col("metadata")), nq), lit(1.0))
-          .otherwise(lit(0.0))
+        else when(array_contains(mdTerms, nq), lit(1.0)).otherwise(lit(0.0))
       }.getOrElse(lit(0.0)),
       relevance = coalesce(col("relevance_score"), lit(0.0)),
-      context = Scoring.contextBonus(col("tags"), col("type"), lc, col("id"),
-        req.priorityTags, req.priorityTypes, Nil, req.priorityIds))
-    df.withColumn("s_vector", comps.vector)
+      context = Scoring.contextBonus(col("tags"), col("type"), mdTerms,
+        col("id"), req.priorityTags, req.priorityTypes, req.contextKeywords,
+        req.priorityIds))
+    df.withColumn("_md_terms", termsUdf(col("metadata")))
+      .withColumn("s_vector", comps.vector)
       .withColumn("s_keyword", comps.keyword)
       .withColumn("s_tag", comps.tag)
       .withColumn("s_recency", comps.recency)
       .withColumn("final_score",
         Scoring.finalScore(comps, req.weights, req.relevanceGate))
+      .drop("_md_terms")
   }
 
   /** R1 dedup by id then by 320-char normalized content fingerprint, keeping

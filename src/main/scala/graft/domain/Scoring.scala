@@ -94,17 +94,30 @@ object Scoring {
 
   /** Context bonus (`scoring.py:100-134`; weights `recall.py:1053-1058`):
     * priority-tag hit 0.45, priority-type 0.25, context-keyword 0.2,
-    * anchor-id 0.9.
+    * anchor-id 0.9. Tag hits canonicalize `/` and `:` runs to one `:` on
+    * BOTH sides and match exact OR prefix OR substring
+    * (`scoring.py:84-97` `_context_tag_hit` — a context tag `project:foo`
+    * must hit a `project/foo`-tagged memory). The keyword hit probes the
+    * METADATA TERM SET, not the content (`scoring.py:125-127`).
     */
-  def contextBonus(tags: Column, typ: Column, contentLower: Column, id: Column,
+  def contextBonus(tags: Column, typ: Column, metadataTerms: Column, id: Column,
       priorityTags: Seq[String], priorityTypes: Seq[String],
       contextKeywords: Seq[String], priorityIds: Seq[String]): Column = {
     val tagHit = if (priorityTags.isEmpty) lit(0.0)
-      else when(arrays_overlap(tags, array(priorityTags.map(lit): _*)), 0.45).otherwise(0.0)
+      else {
+        val normPriorities = priorityTags.map(_.replaceAll("[:/]+", ":"))
+        val hit = exists(tags, t => {
+          val nt = regexp_replace(t, "[:/]+", ":")
+          normPriorities.map(p =>
+            nt === lit(p) || nt.startsWith(lit(p)) || nt.contains(lit(p)))
+            .reduce(_ || _)
+        })
+        when(hit, 0.45).otherwise(0.0)
+      }
     val typeHit = if (priorityTypes.isEmpty) lit(0.0)
-      else when(typ.isin(priorityTypes: _*), 0.25).otherwise(0.0)
+      else when(initcap(trim(typ)).isin(priorityTypes: _*), 0.25).otherwise(0.0)
     val kwHit = if (contextKeywords.isEmpty) lit(0.0)
-      else when(contextKeywords.map(k => contentLower.contains(k))
+      else when(contextKeywords.map(k => array_contains(metadataTerms, k))
         .reduce(_ || _), 0.2).otherwise(0.0)
     val idHit = if (priorityIds.isEmpty) lit(0.0)
       else when(id.isin(priorityIds: _*), 0.9).otherwise(0.0)

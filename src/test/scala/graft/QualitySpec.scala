@@ -74,6 +74,32 @@ class QualitySpec extends AnyFunSuite {
     assert(row.getAs[Double]("s_keyword") == 1.0)
   }
 
+  test("context bonus: slash/colon tag canonicalization, metadata-term keywords") {
+    import spark.implicits._
+    val df = Seq((
+      "m1", Seq("project/foo", "work"), "Decision",
+      Seq("alpha", "rollout plan"))) // metadata term set
+      .toDF("id", "tags", "type", "md_terms")
+    def bonus(priorityTags: Seq[String] = Nil, priorityTypes: Seq[String] = Nil,
+        contextKeywords: Seq[String] = Nil, priorityIds: Seq[String] = Nil): Double =
+      df.select(Scoring.contextBonus(col("tags"), col("type"), col("md_terms"),
+        col("id"), priorityTags, priorityTypes, contextKeywords, priorityIds)
+        .as("b")).head().getDouble(0)
+    // scoring.py:84-97: context tag project:foo must hit the project/foo tag
+    assert(bonus(priorityTags = Seq("project:foo")) == 0.45)
+    // prefix semantics: priority 'project:' hits too
+    assert(bonus(priorityTags = Seq("project:")) == 0.45)
+    assert(bonus(priorityTags = Seq("other:thing")) == 0.0)
+    // scoring.py:125-127: keyword hit probes METADATA TERMS, not content
+    assert(bonus(contextKeywords = Seq("alpha")) == 0.2)
+    assert(bonus(contextKeywords = Seq("missing")) == 0.0)
+    // type normalization via strip().title()
+    assert(bonus(priorityTypes = Seq("Decision")) == 0.25)
+    assert(bonus(priorityIds = Seq("m1")) == 0.9)
+    assert(bonus(Seq("project:foo"), Seq("Decision"), Seq("alpha"), Seq("m1")) ==
+      0.45 + 0.25 + 0.2 + 0.9)
+  }
+
   test("golden: exact component is metadata-term membership, not raw-JSON substring") {
     import spark.implicits._
     // content/tags are chosen so both probe queries miss them entirely:
