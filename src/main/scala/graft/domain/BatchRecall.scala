@@ -64,14 +64,23 @@ object BatchRecall {
         .filter(t => t.length >= 3 && !Recall.Stopwords.contains(t))
       val qvec = if (hasQvec) r.getSeq[Float](2)
         else PlaceholderEmbedding.embed(query).toSeq
-      Row(r.get(0), query, qvec, qlower, toks)
+      // theoretical keyword maximum (`runtime_recall_helpers.py:655-660`):
+      // 3 per keyword (+2 content, +1 tag) plus 3 for the phrase when the
+      // normalized query is >= 3 chars; stopword-only queries take the
+      // phrase-only branch maximum of 3
+      val phrase = if (qlower.trim.length >= 3) qlower.trim else ""
+      val kwMax: Double =
+        if (toks.nonEmpty) 3.0 * toks.length + (if (phrase.nonEmpty) 3.0 else 0.0)
+        else 3.0
+      Row(r.get(0), query, qvec, qlower, toks, kwMax)
     }
     val qSchema = StructType(Seq(
       queries.schema("qid"),
       StructField("query", StringType),
       StructField("qvec", ArrayType(FloatType, containsNull = false)),
       StructField("qlower", StringType),
-      StructField("qtokens", ArrayType(StringType, containsNull = true))))
+      StructField("qtokens", ArrayType(StringType, containsNull = true)),
+      StructField("kw_max", DoubleType)))
     val q = spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
     val base = Recall.baseFilter(memories, RecallRequest(now = now))
 
@@ -143,20 +152,25 @@ object BatchRecall {
     val emptyTokPairs = base.select(col("id"))
       .crossJoin(broadcast(q.filter(size(col("qtokens")) === 0).select(col("qid"))))
       .withColumn("tok_raw", lit(0L))
+    // phrase bonus is ADDITIVE (+2 content AND +1 tag can both fire,
+    // `runtime_recall_helpers.py:671-674`), only for phrases >= 3 chars;
+    // normalization is by the per-query THEORETICAL max (broadcast as a
+    // column on the request relation), clamped — no per-qid max window, one
+    // less shuffle than the observed-max variant and reference-faithful
     val kwAll = tokHits.unionByName(emptyTokPairs)
       .join(base.select(col("id"), lc.as("_lc"), tagsStr.as("_tags_str")), Seq("id"))
-      .join(broadcast(q.select(col("qid"), col("qlower"))), Seq("qid"))
-      .withColumn("pb", when(col("_lc").contains(col("qlower")), 2)
-        .otherwise(when(col("_tags_str").contains(col("qlower")), 1).otherwise(0)))
-      .select(col("qid"), col("id"), (col("tok_raw") + col("pb")).as("raw"))
+      .join(broadcast(q.select(col("qid"), col("qlower"), col("kw_max"))), Seq("qid"))
+      .withColumn("pb",
+        when(length(trim(col("qlower"))) >= 3,
+          when(col("_lc").contains(trim(col("qlower"))), 2).otherwise(0) +
+            when(col("_tags_str").contains(trim(col("qlower"))), 1).otherwise(0))
+          .otherwise(0))
+      .select(col("qid"), col("id"), col("kw_max"),
+        (col("tok_raw") + col("pb")).as("raw"))
       .filter(col("raw") > 0)
-    // per-qid max via the same qid-partitioned window as the rank below:
-    // one exchange serves both (an agg+join variant recomputes the candidate
-    // subtree and measured slower)
     val kw = kwAll
       .withColumn("channel_score",
-        rounded(col("raw").cast("double") /
-          max(col("raw")).over(Window.partitionBy(col("qid")))))
+        rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max"))))
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= overfetch)
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),

@@ -119,29 +119,38 @@ object Recall {
       .select(channelCols.map(col): _*)
 
   /** Q3 keyword channel: +2 per keyword in content, +1 per keyword in any
-    * tag, +2/+1 whole-phrase bonus, normalized to 0-1 by the max raw score
-    * of the candidate set (`runtime_recall_helpers.py:595-724`).
+    * tag, whole-phrase bonus (+2 content AND +1 tag — ADDITIVE, both can
+    * fire), normalized to 0-1 by the THEORETICAL maximum
+    * `3*|keywords| + (3 if phrase)` and clamped
+    * (`runtime_recall_helpers.py:655-660,714-717` — NOT by the observed
+    * candidate max, which would inflate weak matches to 1.0 whenever no
+    * strong match exists). Stopword-only queries fall into the phrase-only
+    * branch (max 3, `:683-700`). The constant divisor also needs no
+    * max-aggregate pass over the candidates — one less exchange.
     */
   def keywordChannel(scoped: DataFrame, query: String, limit: Int): DataFrame = {
+    val normalized = query.trim.toLowerCase
     val kws = keywords(query)
-    if (kws.isEmpty) return scoped.sparkSession.emptyDataFrame
-      .withColumn("id", lit("")).withColumn("match_type", lit(""))
-      .withColumn("channel_score", lit(0.0)).limit(0)
+    val phrase = if (normalized.length >= 3) normalized else ""
+    if (kws.isEmpty && phrase.isEmpty)
+      return scoped.sparkSession.emptyDataFrame
+        .withColumn("id", lit("")).withColumn("match_type", lit(""))
+        .withColumn("channel_score", lit(0.0)).limit(0)
     val lc = lower(col("content"))
-    val contentHits = kws.map(k => when(lc.contains(k), 2).otherwise(0)).reduce(_ + _)
-    val tagHits = kws.map(k =>
-      when(exists(col("tags"), t => t.contains(k)), 1).otherwise(0)).reduce(_ + _)
-    val phrase = query.toLowerCase
-    val phraseBonus = when(lc.contains(phrase), 2)
-      .otherwise(when(exists(col("tags"), t => t.contains(phrase)), 1).otherwise(0))
-    val raw = scoped.withColumn("raw", contentHits + tagHits + phraseBonus)
+    val contentHits = if (kws.isEmpty) lit(0)
+      else kws.map(k => when(lc.contains(k), 2).otherwise(0)).reduce(_ + _)
+    val tagHits = if (kws.isEmpty) lit(0)
+      else kws.map(k =>
+        when(exists(col("tags"), t => t.contains(k)), 1).otherwise(0)).reduce(_ + _)
+    val phraseBonus = if (phrase.isEmpty) lit(0)
+      else when(lc.contains(phrase), 2).otherwise(0) +
+        when(exists(col("tags"), t => t.contains(phrase)), 1).otherwise(0)
+    val maxRaw: Double =
+      if (kws.nonEmpty) 3.0 * kws.length + (if (phrase.nonEmpty) 3.0 else 0.0)
+      else 3.0
+    scoped.withColumn("raw", contentHits + tagHits + phraseBonus)
       .filter(col("raw") > 0)
-    // Normalize by a scalar agg(max) broadcast-cross-joined back in: no
-    // single-partition WindowExec (division by a positive constant preserves
-    // the ranking, so the top-k below is unchanged).
-    val maxRaw = raw.agg(max(col("raw")).as("_max_raw"))
-    raw.crossJoin(broadcast(maxRaw))
-      .withColumn("channel_score", col("raw") / col("_max_raw"))
+      .withColumn("channel_score", least(lit(1.0), col("raw") / lit(maxRaw)))
       .withColumn("match_type", lit("keyword"))
       .orderBy(desc("channel_score"), desc("importance"), desc("timestamp"), asc("id"))
       .limit(overfetch(limit))

@@ -33,15 +33,14 @@ object RecallPipeline {
       .withColumn("timestamp",
         to_timestamp(lit("2024-01-01 00:00:00")) +
           make_dt_interval(lit(0), lit(0), col("doc_id").cast("int"), lit(0)))
-    // keyword channel (Q3): raw score > 0 keeps the row
-    val withRaw = mems.withColumn("kw_raw",
+    // keyword channel (Q3): raw score > 0 keeps the row; normalized by the
+    // THEORETICAL content-side maximum (+2 per keyword, +2 phrase) — a
+    // per-query constant, so no max-aggregate pass over the candidates
+    val kwMax = 2.0 * QueryTokens.length + 2.0
+    val normalized = mems.withColumn("kw_raw",
         TextFunctions.keywordRawScore(col("text"), QueryTokens, Query))
       .filter(col("kw_raw") > 0)
-    // scalar agg(max) broadcast instead of a global window: same values,
-    // no single-partition WindowExec at corpus scale
-    val maxRaw = withRaw.agg(max(col("kw_raw")).as("_max_raw"))
-    val normalized = withRaw.crossJoin(broadcast(maxRaw))
-      .withColumn("kw", col("kw_raw").cast("double") / col("_max_raw"))
+      .withColumn("kw", least(lit(1.0), col("kw_raw").cast("double") / lit(kwMax)))
     // component scoring (§2.5)
     val ageDays = (unix_millis(to_timestamp(lit(NowLit))) -
       unix_millis(col("timestamp"))) / 86400000.0
@@ -144,7 +143,12 @@ object RecallPipeline {
          WHERE length(tok) >= 3 AND tok NOT IN ('the','and','for','with','that',
            'this','from','was','are','has','had','were','will','would','into','about')),
        qtl AS (
-         SELECT q0.qid, coalesce(l.toks, []) AS toks FROM q0 LEFT JOIN
+         SELECT q0.qid, coalesce(l.toks, []) AS toks,
+           CASE WHEN coalesce(len(l.toks), 0) > 0
+             THEN 3.0 * len(l.toks) +
+               (CASE WHEN length(trim(q0.query)) >= 3 THEN 3.0 ELSE 0.0 END)
+             ELSE 3.0 END AS kw_max
+         FROM q0 LEFT JOIN
            (SELECT qid, list(tok) AS toks FROM qtok GROUP BY qid) l ON l.qid = q0.qid),
        vpx AS (SELECT q.qid, m.id, unnest(m.emb)::DOUBLE AS x, unnest(q.qvec)::DOUBLE AS y
          FROM mems m CROSS JOIN q0 q),
@@ -175,13 +179,14 @@ object RecallPipeline {
        epairs AS (SELECT e.qid, m.id, 0 AS tok_raw FROM eq e CROSS JOIN mems m),
        cand AS (SELECT * FROM traw UNION ALL SELECT * FROM epairs),
        kwall AS (SELECT c.qid, c.id,
-           c.tok_raw + (CASE WHEN contains(m.lc, q.query) THEN 2
-                             WHEN contains(array_to_string(m.tags, chr(0)), q.query) THEN 1
-                             ELSE 0 END) AS raw
+           c.tok_raw + (CASE WHEN length(trim(q.query)) >= 3
+             THEN (CASE WHEN contains(m.lc, trim(q.query)) THEN 2 ELSE 0 END) +
+                  (CASE WHEN contains(array_to_string(m.tags, chr(0)), trim(q.query)) THEN 1 ELSE 0 END)
+             ELSE 0 END) AS raw
          FROM cand c JOIN mems m ON m.id = c.id JOIN q0 q ON q.qid = c.qid),
-       kwn AS (SELECT qid, id,
-           round((CAST(raw AS DOUBLE) / max(raw) OVER (PARTITION BY qid)) + 1e-9, 4) AS ks
-         FROM kwall WHERE raw > 0),
+       kwn AS (SELECT k.qid, k.id,
+           round((least(1.0, CAST(k.raw AS DOUBLE) / t.kw_max)) + 1e-9, 4) AS ks
+         FROM kwall k JOIN qtl t ON t.qid = k.qid WHERE k.raw > 0),
        ktop AS (SELECT qid, id, ks FROM (
            SELECT qid, id, ks,
              row_number() OVER (PARTITION BY qid ORDER BY ks DESC, id ASC) AS rn
@@ -250,7 +255,7 @@ object RecallPipeline {
        FROM mems),
        cand AS (SELECT * FROM raw WHERE kw_raw > 0),
        scored AS (SELECT *,
-         CAST(kw_raw AS DOUBLE) / max(kw_raw) OVER () AS kw,
+         least(1.0, CAST(kw_raw AS DOUBLE) / 8.0) AS kw,
          (CASE WHEN list_contains(tags, 'spark') THEN 1 ELSE 0 END +
           CASE WHEN list_contains(tags, 'join') THEN 1 ELSE 0 END +
           CASE WHEN list_contains(tags, 'window') THEN 1 ELSE 0 END) / CAST(3 AS DOUBLE) AS tag_score,

@@ -127,15 +127,15 @@ object TextAnalysis {
     * over the candidate set (window over the filtered set), top-100.
     */
   def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.documents(spark, dir)
+    // normalize by the THEORETICAL maximum of the content-side components
+    // (+2 per keyword, +2 phrase — `runtime_recall_helpers.py:655-660`
+    // semantics), a per-query constant: no max-aggregate pass at all
+    val maxRaw = 2.0 * Keywords.length + 2.0
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         keywordRawScore(col("text"), Keywords, Phrase).as("raw"))
       .filter(col("raw") > 0)
-    // scalar agg(max) broadcast instead of a global window: same values,
-    // no single-partition WindowExec at corpus scale
-    val maxRaw = raw.agg(max(col("raw")).as("_max_raw"))
-    raw.crossJoin(broadcast(maxRaw))
-      .withColumn("kw_score", round4(col("raw") / col("_max_raw")))
+      .withColumn("kw_score", round4(least(lit(1.0), col("raw") / lit(maxRaw))))
       .select(col("doc_id"), col("kw_score"))
       .orderBy(desc("kw_score"), asc("doc_id"))
       .limit(100)
@@ -149,6 +149,6 @@ object TextAnalysis {
           CASE WHEN contains(lower(text), 'hash join') THEN 2 ELSE 0 END) AS raw
        FROM documents),
        f AS (SELECT * FROM s WHERE raw > 0)
-       SELECT doc_id, round((raw / max(raw) OVER ()) + 1e-9, 4) AS kw_score
+       SELECT doc_id, round((least(1.0, raw / 8.0)) + 1e-9, 4) AS kw_score
        FROM f ORDER BY kw_score DESC, doc_id ASC LIMIT 100"""
 }

@@ -518,6 +518,21 @@ class DomainSpec extends AnyFunSuite {
     assert(distinctIds <= 30, s"$distinctIds distinct ids in pairs — sample not bounded")
   }
 
+  test("content-size gates sit exactly on the reference boundaries (test_content_size.py)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("at_soft", "x" * 500), ("over_soft", "y" * 501),
+      ("at_hard", "z" * 2000), ("over_hard", "w" * 2001))
+      .toDF("id", "content").withColumn("tags", array().cast("array<string>"))
+    val out = Ingest.prepare(rows).select("id", "summary").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out.keySet == Set("at_soft", "over_soft", "at_hard"),
+      s"content above the hard limit must be rejected, kept: ${out.keySet}")
+    assert(out("at_soft").isEmpty, "content AT the soft limit is ok, no summary")
+    assert(out("over_soft").isDefined && out("at_hard").isDefined,
+      "content above soft / at hard must summarize")
+  }
+
   test("recency re-rank: zero timestamp spread contributes nothing (recall.py:2337)") {
     import spark.implicits._
     val t = ts("2026-01-05 00:00:00")

@@ -54,7 +54,9 @@ class QualitySpec extends AnyFunSuite {
       }
       dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    val kw = 1.0 // only candidate: raw/max = 1
+    // raw = content hits (2+2) + tag hit ("postgres" tag, +1) + phrase in
+    // content (+2) = 7; theoretical max = 3*2 keywords + 3 phrase = 9
+    val kw = 7.0 / 9.0
     val tag = 1.0 // both query tokens hit tags ("postgres") or... recompute below
     val tagExpected = {
       val toks = Seq("postgres", "tuning")
@@ -71,7 +73,7 @@ class QualitySpec extends AnyFunSuite {
       s"got ${row.getAs[Double]("final_score")}, expected $expected " +
         s"(sim=$sim kw=$kw tag=$tagExpected rec=$recency)")
     assert(math.abs(row.getAs[Double]("s_vector") - sim) < 1e-9)
-    assert(row.getAs[Double]("s_keyword") == 1.0)
+    assert(math.abs(row.getAs[Double]("s_keyword") - 7.0 / 9.0) < 1e-12)
   }
 
   test("context bonus: slash/colon tag canonicalization, metadata-term keywords") {
@@ -87,6 +89,8 @@ class QualitySpec extends AnyFunSuite {
         .as("b")).head().getDouble(0)
     // scoring.py:84-97: context tag project:foo must hit the project/foo tag
     assert(bonus(priorityTags = Seq("project:foo")) == 0.45)
+    // and the slash-priority direction (test_context_tag_separator.py:19)
+    assert(bonus(priorityTags = Seq("project/foo")) == 0.45)
     // prefix semantics: priority 'project:' hits too
     assert(bonus(priorityTags = Seq("project:")) == 0.45)
     assert(bonus(priorityTags = Seq("other:thing")) == 0.0)
