@@ -131,11 +131,11 @@ object Recall {
   def keywordChannel(scoped: DataFrame, query: String, limit: Int): DataFrame = {
     val normalized = query.trim.toLowerCase
     val kws = keywords(query)
-    val phrase = if (normalized.length >= 3) normalized else ""
-    if (kws.isEmpty && phrase.isEmpty)
-      return scoped.sparkSession.emptyDataFrame
-        .withColumn("id", lit("")).withColumn("match_type", lit(""))
-        .withColumn("channel_score", lit(0.0)).limit(0)
+    val phrase = if (normalized.length >= 3 && normalized != "*") normalized else ""
+    // empty / "*" / sub-3-char stopword-only queries redirect to TRENDING
+    // (`runtime_recall_helpers.py:618-629,701-713`): importance-ordered
+    // browse rows whose score (= importance) feeds the keyword component
+    if (kws.isEmpty && phrase.isEmpty) return trendingChannel(scoped, limit)
     val lc = lower(col("content"))
     val contentHits = if (kws.isEmpty) lit(0)
       else kws.map(k => when(lc.contains(k), 2).otherwise(0)).reduce(_ + _)
@@ -194,6 +194,18 @@ object Recall {
       .limit(overfetch(limit))
       .select(channelCols.map(col): _*)
 
+  /** Q4 trending fallback (`runtime_recall_helpers.py:524-595`): importance-
+    * ordered browse results, match_type "trending", score := importance —
+    * which the scorer folds into the keyword component
+    * (`scoring.py:186-190`).
+    */
+  def trendingChannel(scoped: DataFrame, limit: Int): DataFrame =
+    scoped.withColumn("channel_score", col("importance"))
+      .withColumn("match_type", lit("trending"))
+      .orderBy(desc("importance"), desc("timestamp"), asc("id"))
+      .limit(overfetch(limit))
+      .select(channelCols.map(col): _*)
+
   /** Run one query through all channels and score it (SURVEY §3.1 steps
     * 3b-3g). Returns the scored candidate set before expansion.
     */
@@ -218,11 +230,13 @@ object Recall {
       max(when(col("match_type") === "vector", col("channel_score"))).as("vector_score"),
       max(when(col("match_type") === "keyword", col("channel_score"))).as("keyword_score"),
       max(when(col("match_type") === "metadata", col("channel_score"))).as("metadata_score"),
+      max(when(col("match_type") === "trending", col("channel_score"))).as("trending_score"),
       max(when(col("match_type") === "tag", col("channel_score"))).as("tagonly_score"))
       .withColumn("match_type",
         when(col("vector_score").isNotNull, "vector")
           .when(col("keyword_score").isNotNull, "keyword")
           .when(col("metadata_score").isNotNull, "metadata")
+          .when(col("trending_score").isNotNull, "trending")
           .otherwise("tag"))
     val hydrated = perId.join(scoped, Seq("id"))
     scoreCandidates(hydrated, req, queryOpt)
@@ -249,9 +263,19 @@ object Recall {
     val termsUdf = udf((json: String) => MetadataScoring.collectTerms(json).toSeq)
     val mdTerms = col("_md_terms")
     val termSet = array_union(col("tags"), mdTerms)
+    // trending rows fold their importance score into the keyword component
+    // (`scoring.py:186-190`: match_type in {keyword, trending} -> clamped
+    // match_score); rows claimed by an earlier channel keep the fallback
+    // (the reference's seen_ids dedup never hands them to trending)
+    val trendingComp =
+      if (df.columns.contains("trending_score"))
+        when(col("match_type") === "trending",
+          least(lit(1.0), col("trending_score")))
+      else lit(null).cast("double")
     val comps = Scoring.ComponentColumns(
       vector = coalesce(col("vector_score"), lit(0.0)),
-      keyword = coalesce(col("keyword_score"), Scoring.keywordFallback(kws, lc)),
+      keyword = coalesce(col("keyword_score"), trendingComp,
+        Scoring.keywordFallback(kws, lc)),
       metadata = coalesce(col("metadata_score"), lit(0.0)),
       relation = relationComp,
       tag = Scoring.tagScore(kws, termSet),

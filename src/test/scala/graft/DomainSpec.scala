@@ -518,6 +518,42 @@ class DomainSpec extends AnyFunSuite {
     assert(distinctIds <= 30, s"$distinctIds distinct ids in pairs — sample not bounded")
   }
 
+  test("'*' and stopword-only queries fall back to trending (importance browse)") {
+    // runtime_recall_helpers.py:618-629: no keywords and no >=3-char phrase
+    // -> importance-ordered trending rows, score = importance feeding the
+    // keyword component
+    // the keyword channel redirects to trending; the vector channel still
+    // runs (the reference embeds the literal query text), so results are a
+    // vector/trending union — trending-claimed rows must carry
+    // s_keyword = min(1, importance)
+    val star = Recall.trendingChannel(
+      Recall.baseFilter(memories, RecallRequest(now = now)), limit = 5)
+    val chan = star.collect()
+    assert(chan.nonEmpty && chan.forall(_.getAs[String]("match_type") == "trending"))
+    // component mapping (scoring.py:186-190): a trending-claimed candidate
+    // scores its (clamped) channel score as the keyword component; a
+    // vector-claimed row does NOT borrow it (seen_ids semantics)
+    import spark.implicits._
+    val cand = Seq(
+      ("t1", "browse row", ts("2026-01-05 00:00:00"), 0.9, 0.7,
+        Seq.empty[String], "{}", 1.0, Option.empty[Double], Some(0.9)),
+      ("v1", "vector row", ts("2026-01-05 00:00:00"), 0.8, 0.7,
+        Seq.empty[String], "{}", 1.0, Some(0.5), Some(0.8)))
+      .toDF("id", "content", "timestamp", "importance", "confidence",
+        "tags", "metadata", "relevance_score", "vector_score", "trending_score")
+      .withColumn("keyword_score", lit(null).cast("double"))
+      .withColumn("metadata_score", lit(null).cast("double"))
+      .withColumn("match_type",
+        when(col("vector_score").isNotNull, "vector").otherwise("trending"))
+    val req = RecallRequest(query = Some("*"), limit = 5, now = now)
+    val scored = Recall.scoreCandidates(cand, req, Some("*")).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("s_keyword")).toMap
+    assert(math.abs(scored("t1") - 0.9) < 1e-9,
+      s"trending row folds importance into keyword: $scored")
+    assert(scored("v1") == 0.0,
+      s"vector-claimed row keeps the (empty-token) fallback: $scored")
+  }
+
   test("content-size gates sit exactly on the reference boundaries (test_content_size.py)") {
     import spark.implicits._
     val rows = Seq(
