@@ -71,8 +71,25 @@ object Recall {
   val OverfetchFactor = 4
   val OverfetchCap = 200
 
+  /** `RECALL_MAX_LIMIT` (`app.py:234`). */
+  val RecallMaxLimit = 100
+
   private def overfetch(limit: Int): Int =
     math.min(limit * OverfetchFactor, OverfetchCap)
+
+  /** Vector candidate pool size (`api/recall.py:1963-1977`): limit x 4
+    * capped at 200; TAG-SCOPED queries (tag filters or priority tags, with
+    * a query/embedding present) widen the pool to at least RECALL_MAX_LIMIT
+    * — inside a scope the vector ranking is confounded by the scope itself,
+    * so the richer final scoring needs a wider pool to re-rank.
+    */
+  def vectorFetchLimit(req: RecallRequest, hasQuery: Boolean): Int = {
+    val base = math.max(req.limit, overfetch(req.limit))
+    if ((req.tags.nonEmpty || req.priorityTags.nonEmpty) && hasQuery)
+      math.max(req.limit,
+        math.min(math.max(base, RecallMaxLimit), OverfetchCap))
+    else base
+  }
 
   /** Tag predicate (F2): any/all x exact/prefix; prefix matches against the
     * materialized tag_prefixes column (`runtime_recall_helpers.py:420-470`).
@@ -111,11 +128,12 @@ object Recall {
     * survives 100 TB. At larger deployments the same column works after an
     * LSH/IVF pre-filter (see graft.operators.Similarity).
     */
-  def vectorChannel(scoped: DataFrame, qvec: Array[Float], limit: Int): DataFrame =
+  def vectorChannel(scoped: DataFrame, qvec: Array[Float], limit: Int,
+      fetchLimit: Option[Int] = None): DataFrame =
     scoped.withColumn("channel_score", cosineSim(col("embedding"), typedlit(qvec)))
       .withColumn("match_type", lit("vector"))
       .orderBy(desc("channel_score"), asc("id"))
-      .limit(overfetch(limit))
+      .limit(fetchLimit.getOrElse(overfetch(limit)))
       .select(channelCols.map(col): _*)
 
   /** Q3 keyword channel: +2 per keyword in content, +1 per keyword in any
@@ -217,7 +235,8 @@ object Recall {
     val qvecOpt = req.embedding.orElse(
       queryOpt.map(q => PlaceholderEmbedding.embed(q)))
     val chans = Seq(
-      qvecOpt.map(v => vectorChannel(scoped, v, req.limit)),
+      qvecOpt.map(v => vectorChannel(scoped, v, req.limit,
+        Some(vectorFetchLimit(req, hasQuery = true)))),
       queryOpt.map(q => keywordChannel(scoped, q, req.limit)),
       queryOpt.map(q => metadataChannel(scoped, q, req.limit)),
       if (queryOpt.isEmpty && req.tags.nonEmpty) Some(tagOnlyChannel(scoped, req.limit))

@@ -554,6 +554,21 @@ class DomainSpec extends AnyFunSuite {
       s"vector-claimed row keeps the (empty-token) fallback: $scored")
   }
 
+  test("vector fetch pool widens for tag-scoped queries (api/recall.py:1963-1977)") {
+    val plain = RecallRequest(query = Some("q"), limit = 10, now = now)
+    assert(Recall.vectorFetchLimit(plain, hasQuery = true) == 40, "limit*4")
+    val scoped = plain.copy(tags = Seq("work"))
+    assert(Recall.vectorFetchLimit(scoped, hasQuery = true) == 100,
+      "tag-scoped pools widen to RECALL_MAX_LIMIT")
+    val prio = plain.copy(priorityTags = Seq("project:x"))
+    assert(Recall.vectorFetchLimit(prio, hasQuery = true) == 100)
+    // no query/embedding -> no boost; big limits keep their own overfetch
+    assert(Recall.vectorFetchLimit(scoped, hasQuery = false) == 40)
+    assert(Recall.vectorFetchLimit(scoped.copy(limit = 40), hasQuery = true) == 160)
+    assert(Recall.vectorFetchLimit(plain.copy(limit = 60), hasQuery = true) == 200,
+      "overfetch cap 200")
+  }
+
   test("content-size gates sit exactly on the reference boundaries (test_content_size.py)") {
     import spark.implicits._
     val rows = Seq(
