@@ -668,13 +668,23 @@ object Recall {
     agg = recencyRerank(agg, req)
     if (req.adaptiveFloor) agg = adaptiveFloor(agg)
     req.minScore.foreach(m => agg = agg.filter(col("final_score") >= m))
-    // R6 scope fallback
+    // R6 scope fallback (`api/recall.py:800-870`): fills keep filter parity
+    // with the scoped path (time/exclude-tags via the base filter,
+    // min_score, current-state) — only the tag scope is lifted. An IN-SCOPE
+    // candidate is never a valid fill: it was either already returned or
+    // dropped by a score filter, and resurrecting it would both mislabel it
+    // as outside the scope and overturn a final min_score decision.
     if (req.scopeFallback && req.tags.nonEmpty) {
       val have = agg.count()
       if (have < req.limit) {
         val unscoped = runSingleQuery(memories, req.copy(tags = Nil), req.query)
-        val fill = scoreSort(
-          unscoped.join(agg.select(col("id")), Seq("id"), "left_anti"))
+          .filter(!tagPredicate(req.tags, req.tagMode, req.tagMatch))
+        var fillPool = unscoped.join(agg.select(col("id")), Seq("id"), "left_anti")
+        req.minScore.foreach(m =>
+          fillPool = fillPool.filter(col("final_score") >= m))
+        if (req.stateMode == "current")
+          fillPool = Supersession.applyCurrentState(fillPool, memories, edges, req.now)
+        val fill = scoreSort(fillPool)
           .limit((req.limit - have).toInt)
           .withColumn("outside_tag_scope", lit(true))
         agg = agg.withColumn("outside_tag_scope", lit(false))

@@ -554,6 +554,24 @@ class DomainSpec extends AnyFunSuite {
       s"vector-claimed row keeps the (empty-token) fallback: $scored")
   }
 
+  test("scope fallback never resurrects in-scope rows dropped by min_score") {
+    // api/recall.py:857-870: an in-scope candidate cut by a score filter
+    // must not come back mislabeled outside_tag_scope
+    val req = RecallRequest(query = Some("postgres database"), limit = 10,
+      tags = Seq("database"), scopeFallback = true, minScore = Some(0.45),
+      now = now)
+    val out = Recall.recall(memories, edgesDf, req)
+      .select("id", "outside_tag_scope", "tags", "final_score").collect()
+    val fills = out.filter(_.getAs[Boolean]("outside_tag_scope"))
+    fills.foreach { r =>
+      assert(!r.getSeq[String](r.fieldIndex("tags")).contains("database"),
+        s"in-scope row returned as fill: $r")
+    }
+    out.filterNot(_.getAs[Boolean]("outside_tag_scope")).foreach { r =>
+      assert(r.getAs[Double]("final_score") >= 0.45, s"min_score violated: $r")
+    }
+  }
+
   test("vector fetch pool widens for tag-scoped queries (api/recall.py:1963-1977)") {
     val plain = RecallRequest(query = Some("q"), limit = 10, now = now)
     assert(Recall.vectorFetchLimit(plain, hasQuery = true) == 40, "limit*4")
