@@ -598,12 +598,94 @@ object Recall {
     * entities and topic keywords from the query and fabricate entity x topic
     * sub-queries alongside the original.
     */
-  def autoDecompose(query: String, maxQueries: Int = 4): Seq[String] = {
-    val entities = "\\b[A-Z][a-z]{2,}\\b".r.findAllIn(query).toSeq.distinct.take(3)
-    val entLower = entities.map(_.toLowerCase).toSet
-    val topics = keywords(query).filterNot(entLower.contains).take(3)
-    val combos = for (e <- entities; t <- topics) yield s"$e $t"
-    (query +: combos).distinct.take(maxQueries)
+  /** Question-word / month / weekday / demonym capitals that are never
+    * query entities (`api/recall.py:90-148` ENTITY_STOPWORDS).
+    */
+  val EntityStopwords: Set[String] = Set(
+    "What", "Would", "Could", "Does", "Did", "How", "Why", "When", "Where",
+    "Which", "Who", "Whose", "Will", "Can", "Should", "Has", "Have", "Had",
+    "Is", "Are", "Was", "Were", "Do", "Been", "Being", "The", "Answer",
+    "Yes", "No", "Likely", "Based", "According", "Since", "Because",
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December", "Monday",
+    "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday",
+    "National", "American", "European", "Asian", "African")
+
+  /** Filler words excluded from topic keywords (`api/recall.py:212-292`). */
+  private val TopicSkipWords: Set[String] = Set(
+    "would", "could", "should", "will", "can", "may", "might", "does",
+    "did", "has", "have", "had", "is", "are", "was", "were", "be", "been",
+    "being", "the", "a", "an", "to", "for", "of", "in", "on", "at", "by",
+    "with", "about", "as", "if", "or", "and", "but", "what", "which",
+    "who", "whom", "whose", "where", "when", "why", "how", "this", "that",
+    "these", "those", "it", "its", "they", "them", "their", "he", "she",
+    "his", "her", "him", "likely", "probably", "possibly", "considered",
+    "pursue", "want", "like", "prefer", "interested", "still", "ever",
+    "more", "most", "some", "any", "all", "only")
+
+  private val PossessiveName = "\\b([A-Z][a-z]+)['’]s\\b".r
+
+  /** Named-entity extraction from a QUERY (`api/recall.py:152-195`):
+    * capitalized mid-sentence words (never the first word or one following
+    * `.?!`), possessives handled separately (ASCII and curly apostrophes),
+    * stopword-gated. The reference returns `list(set(...))` — arbitrary
+    * order; we keep first-occurrence order (determinism contract).
+    */
+  def extractQueryEntities(query: String): Seq[String] = {
+    if (query == null || query.isEmpty) return Nil
+    val words = query.split("\\s+").filter(_.nonEmpty)
+    val found = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (i <- words.indices) {
+      val word = words(i)
+      val clean = word.replaceAll("[^\\w]", "")
+      // Python clean[1:].islower(): every cased char lower, at least one
+      val tailLower = clean.length > 1 && clean.tail.exists(_.isLetter) &&
+        clean.tail.filter(_.isLetter).forall(_.isLower) &&
+        !clean.tail.exists(_.isUpper)
+      if (clean.length >= 2 && !EntityStopwords.contains(clean) &&
+        !word.contains("'s") && !word.contains("’s") &&
+        clean.head.isUpper && tailLower &&
+        i != 0 && !".?!".contains(words(i - 1).last))
+        found += clean
+    }
+    for (m <- PossessiveName.findAllMatchIn(query)) {
+      val p = m.group(1)
+      if (!EntityStopwords.contains(p)) found += p
+    }
+    found.toSeq
+  }
+
+  /** Topic keywords from a query (`api/recall.py:198-307`): 4+-letter
+    * lowercase words minus fillers minus the entities, first-occurrence
+    * order, max 5.
+    */
+  def extractTopicKeywords(query: String,
+      excludeEntities: Seq[String] = Nil): Seq[String] = {
+    if (query == null || query.isEmpty) return Nil
+    val exclude = excludeEntities.map(_.toLowerCase).toSet
+    "\\b[a-z]{4,}\\b".r.findAllIn(query.toLowerCase).toSeq
+      .filter(w => !TopicSkipWords.contains(w) && !exclude.contains(w))
+      .distinct.take(5)
+  }
+
+  /** Q6 auto-decompose (`api/recall.py:2150-2186`): original query first,
+    * then per entity (max 2): the entity alone, entity x topic (topics[:3]),
+    * and `"<entity> interests goals plans"` when the query asks about
+    * career/job/work; topic-only sub-queries when no entity was found.
+    */
+  def autoDecompose(query: String): Seq[String] = {
+    val entities = extractQueryEntities(query)
+    val topics = extractTopicKeywords(query, entities)
+    val decomposed = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (entity <- entities.take(2)) {
+      decomposed += entity
+      topics.take(3).foreach(t => decomposed += s"$entity $t")
+      if (Seq("career", "job", "work").exists(topics.contains))
+        decomposed += s"$entity interests goals plans"
+    }
+    if (entities.isEmpty && topics.nonEmpty)
+      topics.take(3).foreach(decomposed += _)
+    if (decomposed.nonEmpty) query +: decomposed.toSeq else Seq(query)
   }
 
   /** Full recall pipeline (SURVEY §3.1). Returns the ranked result set with

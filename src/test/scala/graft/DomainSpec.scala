@@ -626,10 +626,25 @@ class DomainSpec extends AnyFunSuite {
     assert(ids.exists(Set("m1", "m4").contains), "first query results present")
     assert(ids.contains("m3"), "second query results present")
 
-    val decomposed = Recall.autoDecompose("Postgres decision for Alpha migration")
-    assert(decomposed.head == "Postgres decision for Alpha migration")
-    assert(decomposed.exists(q => q.startsWith("Postgres ") && q.length < 30),
-      s"entity x topic sub-queries expected, got $decomposed")
+    // the reference's own example (api/recall.py:2160-2163 and
+    // test_recall_entity_extraction.py): possessive entity + topic focus +
+    // the career-intent broadening query
+    val q = "Would Caroline's sister pursue writing as a career?"
+    assert(Recall.extractQueryEntities(q) == Seq("Caroline"),
+      "possessive name extraction (sentence-start 'Would' is a stopword)")
+    assert(Recall.extractQueryEntities(
+      "Would Caroline’s sister pursue writing as a career?") == Seq("Caroline"),
+      "curly-apostrophe possessive")
+    val decomposed = Recall.autoDecompose(q)
+    assert(decomposed.head == q)
+    assert(decomposed.contains("Caroline"), s"entity alone: $decomposed")
+    assert(decomposed.contains("Caroline writing") &&
+      decomposed.contains("Caroline career"), s"entity x topic: $decomposed")
+    assert(decomposed.contains("Caroline interests goals plans"),
+      s"career-intent broadening: $decomposed")
+    // sentence-start capitals are never entities
+    assert(Recall.extractQueryEntities("Postgres decision for Alpha migration") ==
+      Seq("Alpha"))
     val res = Recall.recall(memories, edgesDf,
       RecallRequest(query = Some("Postgres decision for Alpha migration"),
         autoDecompose = true, limit = 5, now = now))
