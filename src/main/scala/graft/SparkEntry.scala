@@ -81,6 +81,11 @@ object SparkEntry {
     "q_u7_lev_pairs" -> ((s, d) => Dedup.levenshteinPairs(s, d)),
     "q_sim_band_pairs" -> ((s, d) => Similarity.bandedNearDupPairs(s, d)),
     "q_fp_rolling" -> (TextAnalysis.rollingFingerprints _),
+    "q_c3_clusters" -> (Maintenance.clusterSummary _),
+    "q_a7_top_prefs" -> ((s, d) => Analytics.topPreferences(s, d)),
+    "q_e3_neighbors" -> ((s, d) => Similarity.semanticNeighborEdges(s, d)),
+    "q_e2_patterns" -> ((s, d) => TextAnalysis.patternKeyTerms(s, d)),
+    "q_u2_classify" -> (TextAnalysis.classifyDocs _),
   )
 
   private val centsSum: String => String = e =>
@@ -250,6 +255,11 @@ object SparkEntry {
     "q_batch_recall_100q" -> RecallPipeline.batchRecall100Sql,
     "q_pii_redact" -> TextPolicy.piiRedactSql,
     "q_contamination" -> TextPolicy.contaminationSql,
+    "q_c3_clusters" -> Maintenance.clusterSummarySql,
+    "q_a7_top_prefs" -> Analytics.topPreferencesSql,
+    "q_e3_neighbors" -> Similarity.semanticNeighborEdgesSql,
+    "q_e2_patterns" -> TextAnalysis.patternKeyTermsSql,
+    "q_u2_classify" -> TextAnalysis.classifyDocsSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

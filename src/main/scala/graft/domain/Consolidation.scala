@@ -131,18 +131,32 @@ object Consolidation {
     * pairs dedup on (src, dst) before the threshold filter.
     */
   def similarityEdges(memories: DataFrame, threshold: Double,
-      exact: Boolean): DataFrame = {
+      exact: Boolean, roundSims: Boolean = false): DataFrame = {
     val base = memories.filter(col("relevance_score") > 0.3)
       .select(col("id"), col("embedding"))
+    // rounding BEFORE the threshold compare makes the edge set (and so
+    // the whole component structure) reproducible by an external engine
+    def simCol(sim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (roundSims) graft.functions.round4(sim) else sim
     def pairsWithin(keyed: DataFrame): DataFrame = {
       val a = keyed.select(col("b"), col("id").as("src"), col("embedding").as("a_emb"))
       val bb = keyed.select(col("b"), col("id").as("dst"), col("embedding").as("b_emb"))
       a.join(bb, Seq("b")).filter(col("src") < col("dst"))
-        .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
+        .withColumn("sim", simCol(cosineSim(col("a_emb"), col("b_emb"))))
         .select(col("src"), col("dst"), col("sim"))
     }
+    // exact path pairs via crossJoin, NOT an equi-join on a constant key:
+    // a constant join key hash-partitions every row to ONE task, serializing
+    // the O(n^2) similarity pass; the nested-loop cross join parallelizes
+    // over the left side's partitions
     val candidates =
-      if (exact) pairsWithin(base.withColumn("b", lit("0")))
+      if (exact) {
+        val a = base.select(col("id").as("src"), col("embedding").as("a_emb"))
+        val bb = base.select(col("id").as("dst"), col("embedding").as("b_emb"))
+        a.crossJoin(bb).filter(col("src") < col("dst"))
+          .withColumn("sim", simCol(cosineSim(col("a_emb"), col("b_emb"))))
+          .select(col("src"), col("dst"), col("sim"))
+      }
       else Seq(0, 10, 20, 30).map { off =>
         pairsWithin(base.withColumn("b",
           concat_ws(":", lit(off.toString),
@@ -154,42 +168,70 @@ object Consolidation {
       .select(col("src"), col("dst"), col("sim"))
   }
 
-  /** Connected components by iterative min-label propagation (bounded
-    * iterations, converges in O(diameter) rounds — each round one shuffle on
-    * the edge list; the standard scalable CC pattern). Cache hygiene: the
-    * previous round's labels unpersist once the convergence check has
-    * consumed them, and every 5th round truncates lineage with a local
-    * checkpoint so the plan does not grow join-on-join without bound.
+  /** Connected components by iterative min-label propagation WITH pointer
+    * jumping: each round (a) takes the min component over neighbors and (b)
+    * path-halves (`component := component(component)`), so convergence takes
+    * O(log diameter) rounds instead of O(diameter) — at any scale each round
+    * is a bounded number of shuffles on the edge list, and the round count is
+    * what multiplies job-scheduling + codegen overhead.
+    *
+    * The propagate step LOCAL-CHECKPOINTS each round (not cache): the
+    * pointer-jump self-joins that frame, and a cached self-join was measured
+    * recomputing the entire upstream lineage (including the similarity pass)
+    * every round — plan canonicalization does not reliably hit the cache for
+    * both sides of a self-join, while a checkpoint truncates the lineage so
+    * recompute is impossible. (On a multi-node cluster prefer a reliable
+    * checkpoint dir; localCheckpoint trades fault-tolerance for speed.)
     */
   def connectedComponents(vertices: DataFrame, simEdges: DataFrame,
       maxIter: Int = 15): DataFrame = {
     val sym = simEdges.select(col("src"), col("dst"))
       .unionByName(simEdges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    var labels = vertices.select(col("id"), col("id").as("component"))
+    var labels = vertices.select(col("id"), col("id").as("component"),
+      lit(false).as("_changed"))
     var prevCached: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val joined = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      // the changed flag rides on the propagation join itself: the cached
+      // result answers both "next labels" and "did anything move" without a
+      // second join against the previous round
+      val propagated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-      val updated =
-        if ((iter + 1) % 5 == 0) joined.localCheckpoint()
-        else joined.cache()
-      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("_changed"))
+        .localCheckpoint()
+      // pointer jump: labels only ever decrease toward the component min, so
+      // component(component) <= component — adopt it unconditionally. The
+      // join always matches (a component label is itself a vertex id).
+      val ptr = propagated.select(col("id").as("pid"), col("component").as("pcomp"))
+      val jumped = propagated
+        .join(ptr, propagated("component") === ptr("pid"), "left")
+        .select(propagated("id"),
+          coalesce(col("pcomp"), propagated("component")).as("component"),
+          (propagated("_changed") ||
+            coalesce(col("pcomp"), propagated("component")) <
+              propagated("component")).as("_changed"))
+      // lineage stays two joins deep (propagated is checkpointed), so the
+      // labels frame just caches — no further truncation needed
+      val updated = jumped.cache()
+      val changed = updated.filter(col("_changed")).limit(1).count()
       prevCached.foreach(_.unpersist())
       prevCached = Some(updated)
       labels = updated
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] iter=$iter changed=$changed")
     }
     sym.unpersist()
-    labels
+    labels.drop("_changed")
   }
 
   /** C3 clustering (`consolidation.py:457-617`): similarity graph at 0.75 ->
@@ -198,10 +240,11 @@ object Consolidation {
     * cluster: dominant type, time span, size.
     */
   def cluster(memories: DataFrame, threshold: Double = 0.75, minSize: Int = 3,
-      metaSize: Int = 5, exact: Boolean = true): (DataFrame, DataFrame) = {
+      metaSize: Int = 5, exact: Boolean = true,
+      roundSims: Boolean = false): (DataFrame, DataFrame) = {
     val vertices = memories.filter(col("relevance_score") > 0.3).select(col("id"))
     val comps = connectedComponents(vertices,
-      similarityEdges(memories, threshold, exact))
+      similarityEdges(memories, threshold, exact, roundSims))
     val withComp = memories.join(comps, Seq("id"))
     val typeCounts = withComp.groupBy(col("component"), col("type"))
       .agg(count(lit(1)).as("n_type"))

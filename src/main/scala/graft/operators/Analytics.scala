@@ -144,4 +144,45 @@ object Analytics {
        CAST(day(ts) AS INT) AS dom,
        CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS age_days
        FROM events ORDER BY event_id"""
+
+  /** A7: top-k preference edges by EFFECTIVE strength (`recall.py:2770-2807`)
+    * — the reference coalesces strength/score/confidence per edge, so an
+    * edge carrying only a confidence-like metric ranks by it instead of
+    * sorting as null. Orders rows stand in as PREFERS_OVER edges; which
+    * metric column is populated rotates by key so every coalesce branch is
+    * exercised, and the effective strength is rounded engine-stably BEFORE
+    * ranking (TakeOrderedAndProject — per-partition top-k, no global sort).
+    */
+  def topPreferences(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey").as("src"), col("o_orderkey").as("dst"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") / 600000.0)
+          .as("strength"),
+        when(col("o_orderkey") % 3 === 1, col("o_totalprice") / 800000.0)
+          .as("score"),
+        when(col("o_orderkey") % 3 === 2, col("o_totalprice") / 1000000.0)
+          .as("confidence"))
+      .withColumn("effective",
+        round4(coalesce(col("strength"), col("score"), col("confidence"), lit(0.0))))
+      .withColumn("basis",
+        when(col("strength").isNotNull, "strength")
+          .when(col("score").isNotNull, "score")
+          .otherwise("confidence"))
+      .select(col("src"), col("dst"), col("effective"), col("basis"))
+      .orderBy(desc("effective"), asc("src"), asc("dst"))
+      .limit(k)
+
+  val topPreferencesSql: String =
+    """WITH e AS (SELECT o_custkey AS src, o_orderkey AS dst,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice / 600000.0 END AS strength,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice / 800000.0 END AS score,
+         CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice / 1000000.0 END AS confidence
+         FROM orders)
+       SELECT src, dst,
+         round(coalesce(strength, score, confidence, 0.0) + 1e-9, 4) AS effective,
+         CASE WHEN strength IS NOT NULL THEN 'strength'
+              WHEN score IS NOT NULL THEN 'score'
+              ELSE 'confidence' END AS basis
+       FROM e ORDER BY effective DESC, src ASC, dst ASC LIMIT 10"""
 }

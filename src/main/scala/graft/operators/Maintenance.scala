@@ -124,4 +124,78 @@ object Maintenance {
                 END AS kind FROM scored)
        SELECT a_id, b_id, sim, kind FROM kinds WHERE kind IS NOT NULL
        ORDER BY a_id, b_id"""
+
+  /** C3 clustering end-to-end (`consolidation.py:457-617`): exact similarity
+    * graph at the threshold -> iterative min-label connected components ->
+    * per-cluster rollup (size, dominant type, time span, exemplar) for
+    * clusters >= minSize, with the >= metaSize MetaMemory-spawn flag. The
+    * embeddings table stands in for memories (label -> type, vec_id-derived
+    * date -> timestamp); sims are rounded engine-stably BEFORE the threshold
+    * compare so the edge set — and therefore the component structure — is
+    * identical in DuckDB, whose recursive-CTE transitive closure is the
+    * oracle for the iterative join loop. Exact pair generation here is the
+    * reference-parity path over a BOUNDED working set (vec_id < 500 stands
+    * in for the relevance > 0.3 decay filter — the reference likewise
+    * clusters only its decayed-relevance subset in memory,
+    * `consolidation.py:494-524`), so the O(n^2) pass is constant in corpus
+    * size; the band-OR blocked variant that scales to the full corpus is
+    * spec-gated (DomainSpec clustering + blocked-recall >= 95%).
+    */
+  def clusterSummary(spark: SparkSession, dir: String): DataFrame = {
+    val mem = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 500)
+      .select(
+      col("vec_id").as("id"),
+      col("embedding"),
+      concat(lit("L"), col("label")).as("type"),
+      date_add(lit("1995-01-01").cast("date"), col("vec_id").cast("int"))
+        .as("timestamp"),
+      lit(1.0).as("relevance_score"))
+    val (clusters, _) = graft.domain.Consolidation.cluster(mem,
+      threshold = 0.4, minSize = 3, metaSize = 5, exact = true,
+      roundSims = true)
+    clusters.select(col("component"), col("cluster_size"), col("dominant_type"),
+        col("span_start").cast("string").as("span_start"),
+        col("span_end").cast("string").as("span_end"),
+        col("exemplar_id"),
+        (col("cluster_size") >= 5).as("spawns_meta"))
+      .orderBy("component")
+  }
+
+  val clusterSummarySql: String =
+    """WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 500),
+       px AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+         FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+       s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM px GROUP BY 1, 2),
+       sims AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+         WHERE sim >= 0.4),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM sims
+         UNION ALL SELECT b_id, a_id FROM sims),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
+         SELECT a AS id, min(b) AS component FROM r GROUP BY a),
+       members AS (SELECT e.vec_id AS id, r.component,
+           'L' || e.label AS type,
+           DATE '1995-01-01' + CAST(e.vec_id AS INT) AS ts
+         FROM emb e JOIN reach r ON r.id = e.vec_id),
+       tc AS (SELECT component, type, count(*) AS n_type
+         FROM members GROUP BY 1, 2),
+       dom AS (SELECT component, type AS dominant_type FROM (
+           SELECT component, type, row_number() OVER (PARTITION BY component
+             ORDER BY n_type DESC, type ASC) AS rn FROM tc) d WHERE rn = 1),
+       cl AS (SELECT component, count(*) AS cluster_size,
+           CAST(min(ts) AS VARCHAR) AS span_start,
+           CAST(max(ts) AS VARCHAR) AS span_end, min(id) AS exemplar_id
+         FROM members GROUP BY 1 HAVING count(*) >= 3)
+       SELECT cl.component, cl.cluster_size, dom.dominant_type,
+         cl.span_start, cl.span_end, cl.exemplar_id,
+         cl.cluster_size >= 5 AS spawns_meta
+       FROM cl JOIN dom USING (component) ORDER BY cl.component"""
 }

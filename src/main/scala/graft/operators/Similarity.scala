@@ -184,4 +184,49 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("sim"))
       .orderBy("vec_id")
   }
+
+  /** E3 semantic neighbor linking (`enrichment/runtime_helpers.py:177-254`):
+    * per memory, KNN top-k above the similarity threshold -> bidirectional
+    * SIMILAR_TO edges, deduped on (src, dst). Exact pair generation (the
+    * reference-parity path — its threshold-0.8 KNN is exact per new memory);
+    * the sign-bucketed blocked variant used for full-corpus linking at scale
+    * is `q_sim_band_pairs`/DomainSpec. Sims round engine-stably before both
+    * the threshold compare and the per-source rank so the edge set is
+    * oracle-reproducible.
+    */
+  def semanticNeighborEdges(spark: SparkSession, dir: String, k: Int = 5,
+      threshold: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("b_emb"))
+    val sims = a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
+      .filter(col("sim") >= threshold)
+      .select(col("src"), col("dst"), col("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(desc("sim"), asc("dst"))
+    val knn = sims.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .orderBy("src", "dst")
+  }
+
+  val semanticNeighborEdgesSql: String =
+    """WITH px AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+           unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       s AS (SELECT src, dst, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM px GROUP BY 1, 2),
+       sims AS (SELECT src, dst, sim FROM (
+           SELECT src, dst, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+         WHERE sim >= 0.35),
+       knn AS (SELECT src, dst, sim FROM (
+           SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+             ORDER BY sim DESC, dst ASC) AS rn FROM sims) r WHERE rn <= 5),
+       sym AS (SELECT src, dst, sim FROM knn
+         UNION ALL SELECT dst, src, sim FROM knn)
+       SELECT src, dst, max(sim) AS sim FROM sym GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -151,4 +151,109 @@ object TextAnalysis {
        f AS (SELECT * FROM s WHERE raw > 0)
        SELECT doc_id, round((least(1.0, raw / 8.0)) + 1e-9, 4) AS kw_score
        FROM f ORDER BY kw_score DESC, doc_id ASC LIMIT 100"""
+
+  /** E2 pattern detection (`enrichment/runtime_helpers.py:74-174`): groups of
+    * same-type records (lang stands in for type; the n_chars floor stands in
+    * for the confidence > 0.5 member filter) with >= minDocs members emit
+    * their top-k non-stopword key terms (>= 4 chars) and the reference's
+    * pattern confidence 0.35 + 0.05 * observations capped 0.95. One
+    * explode -> two hash aggregates -> per-group window; the shuffle carries
+    * (group, token) keys only.
+    */
+  def patternKeyTerms(spark: SparkSession, dir: String, minDocs: Int = 3,
+      k: Int = 5, minChars: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("n_chars") >= minChars)
+    val groups = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .withColumn("pattern_conf",
+        round4(least(lit(0.95), lit(0.35) + col("n_docs") * 0.05)))
+    val tokCounts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 4 &&
+        !col("token").isin(graft.domain.Recall.Stopwords.toSeq: _*))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("token"))
+    tokCounts.join(groups, Seq("lang"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("n_docs"), col("pattern_conf"), col("rank"),
+        col("token"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
+  val patternKeyTermsSql: String = {
+    val stop = graft.domain.Recall.Stopwords.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH docs AS (SELECT * FROM documents WHERE n_chars >= 100),
+       groups AS (SELECT lang, count(*) AS n_docs,
+           round(least(0.95, 0.35 + count(*) * 0.05) + 1e-9, 4) AS pattern_conf
+         FROM docs GROUP BY 1 HAVING count(*) >= 3),
+       tok AS (SELECT lang, unnest($toks) AS token FROM docs),
+       tc AS (SELECT lang, token, count(*) AS n FROM tok
+         WHERE length(token) >= 4 AND token NOT IN ($stop)
+         GROUP BY 1, 2),
+       ranked AS (SELECT lang, token, n, row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, token ASC) AS rank FROM tc)
+       SELECT r.lang, g.n_docs, g.pattern_conf, r.rank, r.token, r.n
+       FROM ranked r JOIN groups g USING (lang)
+       WHERE r.rank <= 5 ORDER BY r.lang, r.rank"""
+  }
+
+  /** U2 memory classification (`automem/classification/memory_classifier
+    * .py:13-125` via [[graft.domain.Ingest.classify]]): first matching type
+    * in table order wins, confidence 0.6 + 0.1 per extra matching pattern of
+    * that type capped 0.95, no match -> Context at 0.5. The synthetic corpus
+    * has no type-signal vocabulary, so a deterministic signal phrase is
+    * appended by doc_id (the PII-oracle trick: both engines inject the SAME
+    * text, then run the SAME pattern table — Java and DuckDB/RE2 agree on
+    * this regex subset). doc_id % 7 covers: two-pattern Decision (0.7),
+    * one-pattern rows for four other types, a two-type row proving
+    * first-match priority, and an unsignalled Context row.
+    */
+  def classifyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val signal = element_at(typedlit(ClassifySignals), (col("doc_id") % 7 + 1).cast("int"))
+    val content = concat(col("text"), signal)
+    val (t, c) = graft.domain.Ingest.classify(content)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("mem_type"), round4(c).as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  /** Injected type-signal suffixes, indexed by doc_id % 7 (1-based for
+    * element_at). Index 5 fires both a Preference and a Pattern regex —
+    * table order must pick Preference; index 6 fires none -> Context 0.5.
+    */
+  val ClassifySignals: Seq[String] = Seq(
+    " so we decided after the decision review",
+    " i prefer this approach",
+    " this happens every time",
+    " naming convention note",
+    " i prefer the recurring style as always",
+    " nothing to see here",
+    " we realized and learned and discovered a lot")
+
+  val classifyDocsSql: String = {
+    val signals = ClassifySignals.map(s => s"'$s'").mkString(", ")
+    val matchCounts = graft.domain.Ingest.TypePatterns.map { case (t, ps) =>
+      val sum = ps.map(p =>
+        s"(CASE WHEN regexp_matches(content, '$p') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      t.toLowerCase -> s"($sum)"
+    }
+    val cnt = matchCounts.map { case (n, e) => s"$e AS cnt_$n" }.mkString(", ")
+    val typeCase = graft.domain.Ingest.TypePatterns.map { case (t, _) =>
+      s"WHEN cnt_${t.toLowerCase} > 0 THEN '$t'" }.mkString(" ")
+    val confCase = graft.domain.Ingest.TypePatterns.map { case (t, _) =>
+      s"WHEN cnt_${t.toLowerCase} > 0 THEN least(0.95, 0.6 + (cnt_${t.toLowerCase} - 1) * 0.1)"
+    }.mkString(" ")
+    s"""WITH sig(idx, s) AS (SELECT * FROM (
+         SELECT unnest(range(7)) AS idx, unnest([$signals]) AS s)),
+       c AS (SELECT doc_id, text || sig.s AS content FROM documents
+         JOIN sig ON sig.idx = doc_id % 7),
+       m AS (SELECT doc_id, $cnt FROM c)
+       SELECT doc_id,
+         CASE $typeCase ELSE 'Context' END AS mem_type,
+         round((CASE $confCase ELSE 0.5 END) + 1e-9, 4) AS confidence
+       FROM m ORDER BY doc_id"""
+  }
 }
