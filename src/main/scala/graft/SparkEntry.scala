@@ -86,6 +86,9 @@ object SparkEntry {
     "q_e3_neighbors" -> ((s, d) => Similarity.semanticNeighborEdges(s, d)),
     "q_e2_patterns" -> ((s, d) => TextAnalysis.patternKeyTerms(s, d)),
     "q_u2_classify" -> (TextAnalysis.classifyDocs _),
+    "q_a10_dedup_sources" -> (Dedup.dedupSources _),
+    "q_r8_touch" -> (Relational.touchAccess _),
+    "q_s1_tag_prep" -> (TextAnalysis.tagPrepare _),
   )
 
   private val centsSum: String => String = e =>
@@ -260,6 +263,9 @@ object SparkEntry {
     "q_e3_neighbors" -> Similarity.semanticNeighborEdgesSql,
     "q_e2_patterns" -> TextAnalysis.patternKeyTermsSql,
     "q_u2_classify" -> TextAnalysis.classifyDocsSql,
+    "q_a10_dedup_sources" -> Dedup.dedupSourcesSql,
+    "q_r8_touch" -> Relational.touchAccessSql,
+    "q_s1_tag_prep" -> TextAnalysis.tagPrepareSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

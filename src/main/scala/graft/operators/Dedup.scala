@@ -241,4 +241,41 @@ object Dedup {
          AND a.c_custkey < b.c_custkey
        WHERE levenshtein(a.c_name, b.c_name) <= $maxDist
        ORDER BY 1, 2"""
+
+  /** A10 dedup-source aggregation (`recall.py:382-387`): keep-best
+    * fingerprint dedup that also RECORDS what it merged — per surviving row,
+    * the sorted id list (and count) of the rows it absorbed, the reference's
+    * `deduped_from`. Same rank window as [[fingerprintDedup]]; losers
+    * aggregate per fingerprint and join back to the keeper. The list is
+    * joined to a string so the cross-engine compare is on a scalar.
+    */
+  def dedupSources(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(desc("n_chars"), asc("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .withColumn("fp", fingerprint(col("text"), 64))
+      .withColumn("rn", row_number().over(w))
+    val keepers = ranked.filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"))
+    val merged = ranked.filter(col("rn") > 1)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_merged"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("deduped_from"))
+    keepers.join(merged, Seq("fp"))
+      .select(col("keep_id"), col("fp"), col("n_merged"), col("deduped_from"))
+      .orderBy("keep_id")
+  }
+
+  val dedupSourcesSql: String =
+    """WITH ranked AS (SELECT doc_id, n_chars,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS fp,
+           row_number() OVER (
+             PARTITION BY substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64)
+             ORDER BY n_chars DESC, doc_id ASC) AS rn
+         FROM documents),
+       keepers AS (SELECT fp, doc_id AS keep_id FROM ranked WHERE rn = 1),
+       merged AS (SELECT fp, count(*) AS n_merged,
+           array_to_string(list_sort(list(doc_id)), ',') AS deduped_from
+         FROM ranked WHERE rn > 1 GROUP BY fp)
+       SELECT keep_id, fp, n_merged, deduped_from
+       FROM keepers JOIN merged USING (fp) ORDER BY keep_id"""
 }

@@ -194,4 +194,27 @@ object Relational {
       .groupBy(col("c_mktsegment"), col("p_brand"))
       .agg(cents(col("l_extendedprice")).as("gross_cents"), count(lit(1)).as("n"))
       .orderBy("c_mktsegment", "p_brand")
+
+  /** R8 access bookkeeping as a batch MERGE (`recall.py:2601-2609`, worker
+    * `app.py:324-345`): recalled ids get `last_accessed = now`, everyone
+    * else keeps theirs — via [[graft.domain.GraphOps.touchLastAccessed]]
+    * (left join + conditional overwrite, the deterministic batch rewrite of
+    * the reference's per-row async updates). Orders stand in as memories; a
+    * modulus picks the "recalled" id set deterministically in both engines.
+    */
+  def touchAccess(spark: SparkSession, dir: String): DataFrame = {
+    val mems = Tables.orders(spark, dir).select(col("o_orderkey").as("id"),
+      col("o_orderdate").cast("timestamp").as("last_accessed"))
+    val matched = mems.filter(col("id") % 97 === 0).select(col("id"))
+    graft.domain.GraphOps.touchLastAccessed(mems, matched,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      .select(col("id"), col("last_accessed").cast("string").as("last_accessed"))
+      .orderBy("id")
+  }
+
+  val touchAccessSql: String =
+    """SELECT o_orderkey AS id,
+       CAST(CASE WHEN o_orderkey % 97 = 0 THEN TIMESTAMP '2026-01-01 00:00:00'
+            ELSE CAST(o_orderdate AS TIMESTAMP) END AS VARCHAR) AS last_accessed
+       FROM orders ORDER BY id"""
 }

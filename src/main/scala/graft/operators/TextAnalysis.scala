@@ -256,4 +256,44 @@ object TextAnalysis {
          round((CASE $confCase ELSE 0.5 END) + 1e-9, 4) AS confidence
        FROM m ORDER BY doc_id"""
   }
+
+  /** S1 write-path tag derivation (`automem/utils/tags.py:7-48` via
+    * [[graft.domain.Ingest.normalizeTags]] + `TextFunctions.tagPrefixes`):
+    * raw tags (mixed case, padded, duplicated, empty) normalize to
+    * trimmed/lowercased/deduped, then every ':'-delimited prefix
+    * materializes — the write-time column that makes prefix tag filters O(1)
+    * at read. Output arrays are sorted and joined to strings so the
+    * cross-engine compare is order-insensitive and scalar.
+    */
+  def tagPrepare(spark: SparkSession, dir: String): DataFrame = {
+    val raw = array(col("source"),
+      concat(lit("src:"), col("source"), lit(":"), col("lang")),
+      concat(lit(" "), upper(col("lang")), lit(" ")),
+      col("source"), lit(""))
+    val norm = graft.domain.Ingest.normalizeTags(raw)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(array_sort(norm), ",").as("tags"),
+        array_join(array_sort(tagPrefixes(norm)), ",").as("tag_prefixes"))
+      .orderBy("doc_id")
+  }
+
+  val tagPrepareSql: String =
+    """WITH raw AS (SELECT doc_id,
+         [source, 'src:' || source || ':' || lang, ' ' || upper(lang) || ' ',
+          source, ''] AS tags0
+         FROM documents),
+       norm AS (SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(tags0, t -> lower(trim(t))), t -> length(t) > 0)) AS tags
+         FROM raw),
+       pref AS (SELECT doc_id, tags,
+         flatten(list_transform(tags, t ->
+           list_transform(range(1, len(string_split(t, ':')) + 1), i ->
+             array_to_string(string_split(t, ':')[1:i], ':')))) AS prefixes0
+         FROM norm)
+       SELECT doc_id,
+         array_to_string(list_sort(tags), ',') AS tags,
+         array_to_string(list_sort(list_distinct(prefixes0)), ',') AS tag_prefixes
+       FROM pref ORDER BY doc_id"""
 }
