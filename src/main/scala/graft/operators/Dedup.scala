@@ -249,33 +249,35 @@ object Dedup {
     * aggregate per fingerprint and join back to the keeper. The list is
     * joined to a string so the cross-engine compare is on a scalar.
     */
-  def dedupSources(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(desc("n_chars"), asc("doc_id"))
-    val ranked = Tables.documents(spark, dir)
+  def dedupSources(spark: SparkSession, dir: String): DataFrame =
+    // one hash aggregate, no window, no self-join: the keeper is the
+    // max_by over the keep-best sort key (n_chars desc, doc_id asc) and the
+    // absorbed ids are the sorted group minus the keeper
+    Tables.documents(spark, dir)
       .withColumn("fp", fingerprint(col("text"), 64))
-      .withColumn("rn", row_number().over(w))
-    val keepers = ranked.filter(col("rn") === 1)
-      .select(col("fp"), col("doc_id").as("keep_id"))
-    val merged = ranked.filter(col("rn") > 1)
       .groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_merged"),
-        array_join(sort_array(collect_list(col("doc_id"))), ",").as("deduped_from"))
-    keepers.join(merged, Seq("fp"))
-      .select(col("keep_id"), col("fp"), col("n_merged"), col("deduped_from"))
+      .agg(
+        // composite keep-best key (n_chars desc, doc_id asc) folded into one
+        // scalar — DuckDB's arg_max has no struct overload to mirror
+        max_by(col("doc_id"), col("n_chars") * 10000000L - col("doc_id"))
+          .as("keep_id"),
+        count(lit(1)).as("n_dup"),
+        sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .filter(col("n_dup") > 1)
+      .select(col("keep_id"), col("fp"), (col("n_dup") - 1).as("n_merged"),
+        array_join(array_remove(col("all_ids"), col("keep_id")), ",")
+          .as("deduped_from"))
       .orderBy("keep_id")
-  }
 
   val dedupSourcesSql: String =
-    """WITH ranked AS (SELECT doc_id, n_chars,
+    """WITH g AS (SELECT
            substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS fp,
-           row_number() OVER (
-             PARTITION BY substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64)
-             ORDER BY n_chars DESC, doc_id ASC) AS rn
-         FROM documents),
-       keepers AS (SELECT fp, doc_id AS keep_id FROM ranked WHERE rn = 1),
-       merged AS (SELECT fp, count(*) AS n_merged,
-           array_to_string(list_sort(list(doc_id)), ',') AS deduped_from
-         FROM ranked WHERE rn > 1 GROUP BY fp)
-       SELECT keep_id, fp, n_merged, deduped_from
-       FROM keepers JOIN merged USING (fp) ORDER BY keep_id"""
+           count(*) AS n_dup,
+           arg_max(doc_id, n_chars * 10000000 - doc_id) AS keep_id,
+           list_sort(list(doc_id)) AS all_ids
+         FROM documents GROUP BY 1)
+       SELECT keep_id, fp, n_dup - 1 AS n_merged,
+         array_to_string(list_filter(all_ids, x -> x <> keep_id), ',')
+           AS deduped_from
+       FROM g WHERE n_dup > 1 ORDER BY keep_id"""
 }

@@ -199,10 +199,15 @@ object Similarity {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("src"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("b_emb"))
-    val sims = a.crossJoin(b).filter(col("src") =!= col("dst"))
+    // cosine is symmetric: evaluate each pair ONCE on the src < dst half,
+    // then mirror the surviving (thresholded) rows before the per-source
+    // window — halves the O(n^2) similarity work, identical result
+    val half = a.crossJoin(b).filter(col("src") < col("dst"))
       .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
       .filter(col("sim") >= threshold)
       .select(col("src"), col("dst"), col("sim"))
+    val sims = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
       .orderBy(desc("sim"), asc("dst"))
     val knn = sims.withColumn("_rn", row_number().over(w))
