@@ -89,6 +89,7 @@ object SparkEntry {
     "q_a10_dedup_sources" -> (Dedup.dedupSources _),
     "q_r8_touch" -> (Relational.touchAccess _),
     "q_s1_tag_prep" -> (TextAnalysis.tagPrepare _),
+    "q_mm_decode" -> (Multimodal.decodePipeline _),
   )
 
   private val centsSum: String => String = e =>
@@ -266,6 +267,7 @@ object SparkEntry {
     "q_a10_dedup_sources" -> Dedup.dedupSourcesSql,
     "q_r8_touch" -> Relational.touchAccessSql,
     "q_s1_tag_prep" -> TextAnalysis.tagPrepareSql,
+    "q_mm_decode" -> Multimodal.decodePipelineSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

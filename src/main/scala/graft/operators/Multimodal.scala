@@ -41,18 +41,23 @@ object Multimodal {
       nullable = true)))
 
   /** Deterministic stand-in for the real codec: dimensions and a small
-    * feature vector derived from payload bytes. Swap for a real decoder
+    * feature vector derived from the md5 of the payload bytes — md5 chosen
+    * (over an ad-hoc rolling hash) because an external SQL engine recomputes
+    * it from the same bytes, so the `mapPartitions` decode stage is
+    * oracle-checkable end-to-end (`q_mm_decode`). Swap for a real decoder
     * (JNI/FFM image lib) without touching the pipeline.
     */
   object StubDecoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       if (payload == null || payload.isEmpty) return (0, 0, Array.empty)
-      var h = 1125899906842597L
-      payload.foreach(b => h = 31 * h + b)
-      val width = 64 + math.floorMod(h, 512).toInt
-      val height = 64 + math.floorMod(h >> 16, 512).toInt
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      // first 15 hex chars < 2^60: positive, so % and >> agree with SQL
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val width = 64 + (h % 512).toInt
+      val height = 64 + ((h >> 16) % 512).toInt
       val features = Array.tabulate(8) { i =>
-        (math.floorMod(h >> (i * 7), 1000) / 1000.0f)
+        ((h >> (i * 7)) % 1000) / 1000.0f
       }
       (width, height, features)
     }
@@ -114,4 +119,55 @@ object Multimodal {
     decoded.filter(size(col("features")) > 0)
       .select(col("asset_id"), col("modality"), col("features"))
       .repartition(col("modality"))
+
+  /** Assets derived from the documents table: payload = UTF-8 bytes of the
+    * text, modality/mime rotate by doc_id — the driver-data twin of
+    * [[syntheticAssets]], feeding the oracle-gated decode pipeline.
+    */
+  def documentAssets(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /** The multimodal pipeline end-to-end on driver data: binary payloads ->
+    * `mapPartitions` decode -> frame sampling for video assets -> per-asset
+    * rollup. Every output value round-trips through the stub codec's
+    * md5-derived arithmetic, which the DuckDB oracle recomputes from the
+    * same text bytes — gating schema, batch shape, null handling, and the
+    * frame-count formula cross-engine.
+    */
+  def decodePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.round4
+    val decoded = decodeStage(documentAssets(spark, dir))
+    val frames = frameSample(decoded, everyK = 37, maxFrames = 8)
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
+    decoded.join(frames, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("modality"), col("mime"), col("n_bytes"),
+        col("width"), col("height"),
+        round4(element_at(col("features"), 1).cast("double")).as("f0"),
+        round4(element_at(col("features"), 8).cast("double")).as("f7"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"))
+      .orderBy("asset_id")
+  }
+
+  val decodePipelineSql: String =
+    """WITH a AS (SELECT doc_id AS asset_id,
+         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+         ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+         text FROM documents),
+       d AS (SELECT asset_id, modality, mime,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM a)
+       SELECT asset_id, modality, mime, n_bytes,
+         CAST(64 + h % 512 AS INT) AS width,
+         CAST(64 + (h >> 16) % 512 AS INT) AS height,
+         round((CAST(h % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) AS f0,
+         round((CAST((h >> 49) % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) AS f7,
+         CASE WHEN modality = 'video'
+           THEN least(7 * 37, n_bytes) // 37 + 1 ELSE 0 END AS n_frames
+       FROM d ORDER BY asset_id"""
 }
