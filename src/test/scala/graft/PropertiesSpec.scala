@@ -145,4 +145,47 @@ class PropertiesSpec extends AnyFunSuite {
     assert(again == 0, "deduped output must have unique fingerprints")
     assert(n > 0)
   }
+
+  /** Driver-side union-find, the independent reference for the distributed
+    * pointer-jumping CC loop.
+    */
+  private def bruteComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n.toLong).map(i => i -> find(i)).toMap
+  }
+
+  private def ccOnSpark(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val vertices = (0L until n.toLong).toDF("id")
+    val edgeDf =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    domain.Consolidation.connectedComponents(vertices, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components match union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(5, 25)
+      m <- Gen.choose(0, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n, es.filter(e => e._1 != e._2))
+    forSamples(graphGen, n = 8) { case (n, edges) =>
+      assert(ccOnSpark(n, edges) == bruteComponents(n, edges))
+    }
+  }
+
+  test("connected components converge on a long chain within the iteration cap") {
+    // a 40-node path has diameter 39 >> maxIter 15: only the pointer-jumping
+    // (O(log diameter) rounds) makes this converge — plain min-label
+    // propagation would stall at the cap with a wrong labelling
+    val n = 40
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val got = ccOnSpark(n, chain)
+    assert(got.values.toSet == Set(0L), s"all nodes must collapse to 0: $got")
+  }
 }
