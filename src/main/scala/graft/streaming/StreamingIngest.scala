@@ -94,6 +94,22 @@ object StreamingIngest {
         lit("PRECEDED_BY").as("rel_type"), col("new_ts").as("updated_at"))
   }
 
+  /** Streaming exact dedup — R1's fingerprint dedup (`recall.py:310-389`)
+    * for the INGEST side of a training-data pipeline (repeated crawls,
+    * replayed feeds): later arrivals with an already-seen content
+    * fingerprint drop, and `dropDuplicatesWithinWatermark` bounds the dedup
+    * state to the watermark horizon — at any scale the state store holds
+    * only the horizon's fingerprints, never the full corpus history (the
+    * batch q_dedup_* jobs cover full-corpus dedup; the stream covers the
+    * arrival window).
+    */
+  def dedupStream(memories: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    memories
+      .withColumn("fp",
+        graft.functions.TextFunctions.fingerprint(col("content"), 64))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Micro-batch ingest into the memories table: the streaming counterpart
     * of `graft.domain.Ingest.prepare`, applied per micro-batch via
     * foreachBatch (each batch is a plain DataFrame -> full batch enrichment

@@ -202,6 +202,30 @@ class ExtendedSpec extends AnyFunSuite {
     assert(out(1L) == 2 && out(2L) == 1, s"got $out")
   }
 
+  test("streaming dedup drops in-horizon refeeds, keeps distinct content") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val mems = Seq(
+      ("m1", "The SAME exact content!", ts("2024-01-01 00:00:00")),
+      ("m2", "the same--EXACT (content)", ts("2024-01-01 00:02:00")), // same fp
+      ("m3", "something else entirely", ts("2024-01-01 00:03:00")),
+      ("m4", "The SAME exact content!", ts("2024-01-01 00:05:00"))) // refeed
+      .toDF("id", "content", "ts")
+    mems.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("id STRING, content STRING, ts TIMESTAMP").parquet(s"$tmp/in")
+    val q = StreamingIngest.dedupStream(stream)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val kept = spark.table("stream_dedup").collect()
+      .map(_.getAs[String]("id")).toSet
+    // one survivor per fingerprint: m2/m4 normalize to m1's fingerprint
+    assert(kept.size == 2 && kept.contains("m3"), s"got $kept")
+  }
+
   test("streaming ingest writes classified memories per micro-batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
