@@ -33,6 +33,9 @@ case class RecallRequest(
     expandMinStrength: Option[Double] = None,
     expandMinImportance: Option[Double] = None,
     expandRespectTags: Boolean = false,
+    // multi-query: cap each sub-query's ranked contribution before the
+    // aggregate re-rank (`recall.py:1875-1887`; None = no per-query cut)
+    perQueryLimit: Option[Int] = None,
     stateMode: String = "all",
     // reference default is OFF (`config.py:586-589` RECALL_RECENCY_BIAS);
     // "auto" further requires temporal intent in the query
@@ -691,13 +694,29 @@ object Recall {
   /** Full recall pipeline (SURVEY §3.1). Returns the ranked result set with
     * score components, provenance, and (optionally) hydrated relations.
     */
-  def recall(memories: DataFrame, edges: DataFrame, req: RecallRequest): DataFrame = {
+  def recall(memories: DataFrame, edges: DataFrame, rawReq: RecallRequest): DataFrame = {
+    // reference guard rails: limit in [1,100] (`recall.py:1749-1752`,
+    // `app.py:234`), relation_limit <= 200, expansion_limit <= 500
+    // (`recall.py:1875-1887`)
+    val req = rawReq.copy(
+      limit = math.max(1, math.min(rawReq.limit, 100)),
+      relationLimit = math.min(rawReq.relationLimit, 200),
+      expansionLimit = math.min(rawReq.expansionLimit, 500))
     val queriesToRun: Seq[Option[String]] =
       if (req.queries.nonEmpty) req.queries.map(Some(_))
       else if (req.autoDecompose && req.query.isDefined)
         autoDecompose(req.query.get).map(Some(_))
       else Seq(req.query)
-    val perQuery = queriesToRun.map(q => runSingleQuery(memories, req, q))
+    val perQuery = queriesToRun.map { q =>
+      val r = runSingleQuery(memories, req, q)
+      // per-query cut before aggregation (`_run_single_query` is handed
+      // per_query_limit as ITS limit; the aggregate re-ranks the union)
+      req.perQueryLimit match {
+        case Some(pq) =>
+          r.orderBy(sortKey(req): _*).limit(math.max(1, math.min(pq, 100)))
+        case None => r
+      }
+    }
     var agg = perQuery.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     // R5 priority injection (`recall.py:1094-1270`): priority ids absent from
     // every channel are fetched directly; priority tags contribute up to

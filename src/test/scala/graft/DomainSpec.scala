@@ -651,6 +651,23 @@ class DomainSpec extends AnyFunSuite {
     assert(res.count() > 0)
   }
 
+  test("recall: per-query limit caps each sub-query; limits clamp to guards") {
+    // per_query_limit=1 (`recall.py:1875-1887`): each sub-query contributes
+    // its single best row before the aggregate re-rank
+    val capped = Recall.recall(memories, edgesDf,
+      RecallRequest(queries = Seq("postgres", "dark mode"), limit = 10,
+        perQueryLimit = Some(1), now = now))
+    assert(capped.count() <= 2, "two sub-queries x per-query cap of 1")
+    val uncapped = Recall.recall(memories, edgesDf,
+      RecallRequest(queries = Seq("postgres", "dark mode"), limit = 10, now = now))
+    assert(uncapped.count() > capped.count(),
+      "the cap must actually cut sub-query contributions")
+    // limit clamps to the reference's [1,100] guard (`app.py:234`)
+    val clamped = Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres"), limit = 100000, now = now))
+    assert(clamped.count() <= 100, "limit must clamp to 100")
+  }
+
   test("batch recall: one plan for many queries matches single-query recall") {
     import spark.implicits._
     val queries = Seq((1, "postgres database"), (2, "dark mode editors"))
