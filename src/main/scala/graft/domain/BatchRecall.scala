@@ -68,11 +68,16 @@ object BatchRecall {
       // 3 per keyword (+2 content, +1 tag) plus 3 for the phrase when the
       // normalized query is >= 3 chars; stopword-only queries take the
       // phrase-only branch maximum of 3
-      val phrase = if (qlower.trim.length >= 3) qlower.trim else ""
+      val phrase =
+        if (qlower.trim.length >= 3 && qlower.trim != "*") qlower.trim else ""
       val kwMax: Double =
         if (toks.nonEmpty) 3.0 * toks.length + (if (phrase.nonEmpty) 3.0 else 0.0)
         else 3.0
-      Row(r.get(0), query, qvec, qlower, toks, kwMax)
+      // empty / "*" / sub-3-char stopword-only queries take the TRENDING
+      // channel instead of keyword search, matching the single-query path
+      // (`runtime_recall_helpers.py:618-629` via Recall.keywordChannel)
+      val isTrend = toks.isEmpty && phrase.isEmpty
+      Row(r.get(0), query, qvec, qlower, toks, kwMax, isTrend)
     }
     val qSchema = StructType(Seq(
       queries.schema("qid"),
@@ -80,7 +85,8 @@ object BatchRecall {
       StructField("qvec", ArrayType(FloatType, containsNull = false)),
       StructField("qlower", StringType),
       StructField("qtokens", ArrayType(StringType, containsNull = true)),
-      StructField("kw_max", DoubleType)))
+      StructField("kw_max", DoubleType),
+      StructField("is_trend", BooleanType)))
     val q = spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
     val base = Recall.baseFilter(memories, RecallRequest(now = now))
 
@@ -150,7 +156,8 @@ object BatchRecall {
     // ALL filtered out (short/stopword); those fall back to a (tiny) x corpus
     // scan.
     val emptyTokPairs = base.select(col("id"))
-      .crossJoin(broadcast(q.filter(size(col("qtokens")) === 0).select(col("qid"))))
+      .crossJoin(broadcast(q.filter(size(col("qtokens")) === 0 && !col("is_trend"))
+        .select(col("qid"))))
       .withColumn("tok_raw", lit(0L))
     // phrase bonus is ADDITIVE (+2 content AND +1 tag can both fire,
     // `runtime_recall_helpers.py:671-674`), only for phrases >= 3 chars;
@@ -176,14 +183,30 @@ object BatchRecall {
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
         col("channel_score"))
 
+    // ---- trending channel for empty/stopword-only queries: importance-
+    // ordered browse rows, score := importance — the batch twin of
+    // Recall.trendingChannel, cut with the single path's exact sort key
+    val wTrend = Window.partitionBy(col("qid"))
+      .orderBy(desc("channel_score"), desc("timestamp"), asc("id"))
+    val trend = base.select(col("id"), col("importance"), col("timestamp"))
+      .crossJoin(broadcast(q.filter(col("is_trend")).select(col("qid"))))
+      .withColumn("channel_score", rounded(col("importance")))
+      .withColumn("_rn", row_number().over(wTrend))
+      .filter(col("_rn") <= overfetch)
+      .select(col("qid"), col("id"), lit("trending").as("match_type"),
+        col("channel_score"))
+
     // ---- union, best score per channel per (qid, id)
-    val perId = vec.unionByName(kw)
+    val perId = vec.unionByName(kw).unionByName(trend)
       .groupBy(col("qid"), col("id"))
       .agg(
         max(when(col("match_type") === "vector", col("channel_score"))).as("vector_score"),
-        max(when(col("match_type") === "keyword", col("channel_score"))).as("keyword_score"))
+        max(when(col("match_type") === "keyword", col("channel_score"))).as("keyword_score"),
+        max(when(col("match_type") === "trending", col("channel_score"))).as("trending_score"))
       .withColumn("match_type",
-        when(col("vector_score").isNotNull, "vector").otherwise("keyword"))
+        when(col("vector_score").isNotNull, "vector")
+          .when(col("keyword_score").isNotNull, "keyword")
+          .otherwise("trending"))
 
     // ---- hydrate + component scoring (same formulas as Recall.scoreCandidates).
     // Hydration joins only the columns scoring needs — no embedding arrays.
@@ -196,26 +219,40 @@ object BatchRecall {
     val kwFallback = when(size(col("qtokens")) === 0, 0.0).otherwise(
       aggregate(col("qtokens"), lit(0), (acc, t) =>
         acc + when(lc.contains(t), 1).otherwise(0)).cast("double") / size(col("qtokens")))
+    // term-set semantics, same as the single path (Recall.scoreCandidates):
+    // the tag component counts query tokens in tags OR metadata terms
+    // (`scoring.py:150-153`); exact is whole-query membership in the
+    // metadata TERM SET (`scoring.py:155-158` — not a substring probe on
+    // raw JSON, which fires on key names / across token boundaries). The
+    // scalar term walk runs on the bounded hydrated candidate set only.
+    val termsUdf = udf((json: String) => MetadataScoring.collectTerms(json).toSeq)
+    val mdTerms = col("_md_terms")
+    val termSet = array_union(col("tags"), mdTerms)
+    val trendingComp = when(col("match_type") === "trending",
+      least(lit(1.0), col("trending_score")))
     val tagScore = when(size(col("qtokens")) === 0, 0.0).otherwise(
-      size(array_intersect(col("qtokens"), col("tags"))).cast("double") /
+      size(array_intersect(col("qtokens"), termSet)).cast("double") /
         size(col("qtokens")))
     val comps = Scoring.ComponentColumns(
       vector = coalesce(col("vector_score"), lit(0.0)),
-      keyword = coalesce(col("keyword_score"), kwFallback),
+      keyword = coalesce(col("keyword_score"), trendingComp, kwFallback),
       metadata = lit(0.0),
       relation = lit(0.0),
       tag = tagScore,
       importance = coalesce(col("importance"), lit(0.0)),
       confidence = coalesce(col("confidence"), lit(0.0)),
       recency = Scoring.recency(ageDays),
-      exact = when(lower(col("metadata")).contains(col("qlower")), 1.0).otherwise(0.0),
+      exact = when(length(trim(col("qlower"))) > 0 &&
+        array_contains(mdTerms, trim(col("qlower"))), 1.0).otherwise(0.0),
       relevance = coalesce(col("relevance_score"), lit(0.0)),
       context = lit(0.0))
     val scored = hydrated
+      .withColumn("_md_terms", termsUdf(col("metadata")))
       .withColumn("s_vector", rounded(comps.vector))
       .withColumn("s_keyword", rounded(comps.keyword))
       .withColumn("s_tag", rounded(comps.tag))
       .withColumn("final_score", rounded(Scoring.finalScore(comps, weights)))
+      .drop("_md_terms")
 
     // ---- R1 fingerprint dedup per qid, R2 sort, per-qid top-k
     val fp = TextFunctions.fingerprint(col("content"), 320)

@@ -683,6 +683,10 @@ object Recall {
     for (entity <- entities.take(2)) {
       decomposed += entity
       topics.take(3).foreach(t => decomposed += s"$entity $t")
+      // bug-for-bug faithful: the reference tests TOPICS (`recall.py:2173`),
+      // and its topic extractor also only emits 4+-letter words
+      // (`recall.py:296` \b[a-z]{4,}\b) — so "job" can never fire there
+      // either; "fixing" this here would diverge from reference rankings
       if (Seq("career", "job", "work").exists(topics.contains))
         decomposed += s"$entity interests goals plans"
     }

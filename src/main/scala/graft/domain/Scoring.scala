@@ -100,22 +100,44 @@ object Scoring {
     * must hit a `project/foo`-tagged memory). The keyword hit probes the
     * METADATA TERM SET, not the content (`scoring.py:125-127`).
     */
+  /** Python str.title(): capitalize each letter run, lowercase the rest —
+    * how the reference normalizes priority types at profile construction
+    * (`recall.py:1007` `.strip().title()`).
+    */
+  private def pyTitle(s: String): String = {
+    val sb = new StringBuilder
+    var prevLetter = false
+    s.foreach { c =>
+      if (c.isLetter) { sb += (if (prevLetter) c.toLower else c.toUpper); prevLetter = true }
+      else { sb += c; prevLetter = false }
+    }
+    sb.toString
+  }
+
   def contextBonus(tags: Column, typ: Column, metadataTerms: Column, id: Column,
       priorityTags: Seq[String], priorityTypes: Seq[String],
       contextKeywords: Seq[String], priorityIds: Seq[String]): Column = {
     val tagHit = if (priorityTags.isEmpty) lit(0.0)
       else {
-        val normPriorities = priorityTags.map(_.replaceAll("[:/]+", ":"))
-        val hit = exists(tags, t => {
-          val nt = regexp_replace(t, "[:/]+", ":")
-          normPriorities.map(p =>
-            nt === lit(p) || nt.startsWith(lit(p)) || nt.contains(lit(p)))
-            .reduce(_ || _)
-        })
-        when(hit, 0.45).otherwise(0.0)
+        // reference profile construction lowercases tags (`recall.py:1007`
+        // `.strip().lower()`) before the [:/] canonicalization; exact and
+        // prefix matches are both subsumed by the substring probe
+        // (`scoring.py:95` norm_tag == p or startswith or p in norm_tag)
+        val normPriorities = priorityTags
+          .map(_.trim.toLowerCase.replaceAll("[:/]+", ":"))
+          .filter(_.nonEmpty)
+        if (normPriorities.isEmpty) lit(0.0)
+        else {
+          val hit = exists(tags, t => {
+            val nt = regexp_replace(t, "[:/]+", ":")
+            normPriorities.map(p => nt.contains(lit(p))).reduce(_ || _)
+          })
+          when(hit, 0.45).otherwise(0.0)
+        }
       }
-    val typeHit = if (priorityTypes.isEmpty) lit(0.0)
-      else when(initcap(trim(typ)).isin(priorityTypes: _*), 0.25).otherwise(0.0)
+    val normTypes = priorityTypes.map(t => pyTitle(t.trim)).filter(_.nonEmpty)
+    val typeHit = if (normTypes.isEmpty) lit(0.0)
+      else when(initcap(trim(typ)).isin(normTypes: _*), 0.25).otherwise(0.0)
     val kwHit = if (contextKeywords.isEmpty) lit(0.0)
       else when(contextKeywords.map(k => array_contains(metadataTerms, k))
         .reduce(_ || _), 0.2).otherwise(0.0)

@@ -211,9 +211,9 @@ object RecallPipeline {
                  / len(toks) END) AS c_keyword,
            CASE WHEN len(toks) = 0 THEN 0.0
              ELSE CAST(len(list_intersect(toks, tags)) AS DOUBLE) / len(toks) END AS c_tag,
-           greatest(0.0, 1.0 - (((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
-             / 86400.0) / 180.0)) AS c_recency,
-           CASE WHEN contains('{}', query) THEN 1.0 ELSE 0.0 END AS c_exact
+           greatest(0.0, 1.0 - greatest(0.0, (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
+             / 86400.0) / 180.0) AS c_recency,
+           0.0 AS c_exact -- whole-query term-set membership; '{}' has no terms
          FROM hyd),
        scored AS (SELECT qid, id, match_type, importance, ts, text,
            round((coalesce(vector_score, 0.0)) + 1e-9, 4) AS s_vector,
@@ -259,7 +259,7 @@ object RecallPipeline {
          (CASE WHEN list_contains(tags, 'spark') THEN 1 ELSE 0 END +
           CASE WHEN list_contains(tags, 'join') THEN 1 ELSE 0 END +
           CASE WHEN list_contains(tags, 'window') THEN 1 ELSE 0 END) / CAST(3 AS DOUBLE) AS tag_score,
-         greatest(0.0, 1.0 - ((epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts))
+         greatest(0.0, 1.0 - greatest(0.0, (epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts))
            / 86400000.0) / 180.0) AS recency
        FROM cand),
        final AS (SELECT doc_id, text, ts,

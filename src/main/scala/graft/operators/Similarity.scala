@@ -154,11 +154,22 @@ object Similarity {
     */
   def ivfTopKAll(spark: SparkSession, dir: String, queryId: Long = 0,
       k: Int = 10): DataFrame = {
+    // the cache key fingerprints the SOURCE FILES (path + length + mtime of
+    // every parquet part), not just the dir name: regenerated testdata at
+    // the same path gets a fresh index instead of silently serving top-k
+    // over deleted vectors — the same freshness contract a table format's
+    // snapshot id would provide
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val parts = (if (src.isDirectory) src.listFiles().toSeq else Seq(src))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + parts.mkString("|")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val indexPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-ivf-index",
-      Integer.toHexString(dir.hashCode)).toString
-    // index semantics: built once, reused by every query job (the testdata
-    // is immutable, and the path is keyed by the source dir)
+      System.getProperty("java.io.tmpdir"), "graft-ivf-index", key).toString
+    // index semantics: built once, reused by every query job against the
+    // same (unchanged) source files
     if (!IvfIndex.exists(indexPath))
       IvfIndex.build(Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), col("embedding")), indexPath)

@@ -670,14 +670,23 @@ class DomainSpec extends AnyFunSuite {
 
   test("batch recall: one plan for many queries matches single-query recall") {
     import spark.implicits._
-    val queries = Seq((1, "postgres database"), (2, "dark mode editors"))
+    // m1 carries metadata whose KEY equals query 3 ("project"): the old
+    // substring-on-raw-JSON exact component fired on it while the single
+    // path's term-set membership does not — this row pins the term-set
+    // semantics in BOTH engines. Query 4 pins the trending fallback.
+    val memsMd = memories.withColumn("metadata",
+      when(col("id") === "m1", lit("""{"project": "alpha"}"""))
+        .otherwise(col("metadata")))
+    val queries = Seq((1, "postgres database"), (2, "dark mode editors"),
+      (3, "project"), (4, "*"))
       .toDF("qid", "query")
-    val batch = BatchRecall.batchRecall(memories, edgesDf, queries, limit = 5,
+    val batch = BatchRecall.batchRecall(memsMd, edgesDf, queries, limit = 5,
       now = now).collect()
     val byQid = batch.groupBy(_.getAs[Int]("qid"))
-    Seq(1 -> "postgres database", 2 -> "dark mode editors").foreach {
+    Seq(1 -> "postgres database", 2 -> "dark mode editors",
+      3 -> "project", 4 -> "*").foreach {
       case (qid, q) =>
-        val single = Recall.recall(memories, edgesDf,
+        val single = Recall.recall(memsMd, edgesDf,
           RecallRequest(query = Some(q), limit = 5, now = now))
           .select("id", "final_score").collect()
         val got = byQid(qid).sortBy(_.getAs[Int]("rank"))
