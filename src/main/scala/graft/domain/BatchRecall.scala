@@ -67,9 +67,12 @@ object BatchRecall {
       // theoretical keyword maximum (`runtime_recall_helpers.py:655-660`):
       // 3 per keyword (+2 content, +1 tag) plus 3 for the phrase when the
       // normalized query is >= 3 chars; stopword-only queries take the
-      // phrase-only branch maximum of 3
-      val phrase =
-        if (qlower.trim.length >= 3 && qlower.trim != "*") qlower.trim else ""
+      // phrase-only branch maximum of 3. The trim is JAVA trim (all chars
+      // <= U+0020), same as the single path — Spark's trim() strips spaces
+      // only, so the normalized strings are computed driver-side and
+      // planted as columns rather than recomputed in SQL.
+      val qtrim = qlower.trim
+      val phrase = if (qtrim.length >= 3) qtrim else ""
       val kwMax: Double =
         if (toks.nonEmpty) 3.0 * toks.length + (if (phrase.nonEmpty) 3.0 else 0.0)
         else 3.0
@@ -77,13 +80,15 @@ object BatchRecall {
       // channel instead of keyword search, matching the single-query path
       // (`runtime_recall_helpers.py:618-629` via Recall.keywordChannel)
       val isTrend = toks.isEmpty && phrase.isEmpty
-      Row(r.get(0), query, qvec, qlower, toks, kwMax, isTrend)
+      Row(r.get(0), query, qvec, qlower, qtrim, phrase, toks, kwMax, isTrend)
     }
     val qSchema = StructType(Seq(
       queries.schema("qid"),
       StructField("query", StringType),
       StructField("qvec", ArrayType(FloatType, containsNull = false)),
       StructField("qlower", StringType),
+      StructField("qtrim", StringType),
+      StructField("phrase", StringType),
       StructField("qtokens", ArrayType(StringType, containsNull = true)),
       StructField("kw_max", DoubleType),
       StructField("is_trend", BooleanType)))
@@ -166,11 +171,11 @@ object BatchRecall {
     // less shuffle than the observed-max variant and reference-faithful
     val kwAll = tokHits.unionByName(emptyTokPairs)
       .join(base.select(col("id"), lc.as("_lc"), tagsStr.as("_tags_str")), Seq("id"))
-      .join(broadcast(q.select(col("qid"), col("qlower"), col("kw_max"))), Seq("qid"))
+      .join(broadcast(q.select(col("qid"), col("phrase"), col("kw_max"))), Seq("qid"))
       .withColumn("pb",
-        when(length(trim(col("qlower"))) >= 3,
-          when(col("_lc").contains(trim(col("qlower"))), 2).otherwise(0) +
-            when(col("_tags_str").contains(trim(col("qlower"))), 1).otherwise(0))
+        when(length(col("phrase")) >= 3,
+          when(col("_lc").contains(col("phrase")), 2).otherwise(0) +
+            when(col("_tags_str").contains(col("phrase")), 1).otherwise(0))
           .otherwise(0))
       .select(col("qid"), col("id"), col("kw_max"),
         (col("tok_raw") + col("pb")).as("raw"))
@@ -242,8 +247,8 @@ object BatchRecall {
       importance = coalesce(col("importance"), lit(0.0)),
       confidence = coalesce(col("confidence"), lit(0.0)),
       recency = Scoring.recency(ageDays),
-      exact = when(length(trim(col("qlower"))) > 0 &&
-        array_contains(mdTerms, trim(col("qlower"))), 1.0).otherwise(0.0),
+      exact = when(length(col("qtrim")) > 0 &&
+        array_contains(mdTerms, col("qtrim")), 1.0).otherwise(0.0),
       relevance = coalesce(col("relevance_score"), lit(0.0)),
       context = lit(0.0))
     val scored = hydrated

@@ -331,13 +331,23 @@ object Recall {
     val fp = TextFunctions.fingerprint(col("content"), 320)
     val w = Window.partitionBy(col("_fp"))
       .orderBy(desc("final_score"), desc("timestamp"), asc("id"))
+    // re-applicable (the reference dedups per sub-query AND after the
+    // aggregate union): a pass that merges REPLACES deduped_from with its
+    // own sources, a pass that doesn't preserves the prior pass's value
+    // (`recall.py:382-387` only assigns when len(sources) > 1)
+    val prior: Column =
+      if (df.columns.contains("deduped_from")) col("deduped_from")
+      else typedlit(Seq.empty[String])
     df.withColumn("_fp", when(length(fp) > 0, fp).otherwise(col("id")))
       .withColumn("_rn", row_number().over(w))
-      .withColumn("deduped_from",
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_fp"))))
+      .withColumn("_sources",
         collect_set(col("id")).over(Window.partitionBy(col("_fp"))))
       .filter(col("_rn") === 1)
-      .withColumn("deduped_from", array_remove(col("deduped_from"), col("id")))
-      .drop("_fp", "_rn")
+      .withColumn("deduped_from",
+        when(col("_n") > 1, array_remove(col("_sources"), col("id")))
+          .otherwise(prior))
+      .drop("_fp", "_rn", "_n", "_sources")
   }
 
   /** Rank of an id within the requested priority list (1-based; absent ->
@@ -699,27 +709,35 @@ object Recall {
     * score components, provenance, and (optionally) hydrated relations.
     */
   def recall(memories: DataFrame, edges: DataFrame, rawReq: RecallRequest): DataFrame = {
-    // reference guard rails: limit in [1,100] (`recall.py:1749-1752`,
-    // `app.py:234`), relation_limit <= 200, expansion_limit <= 500
-    // (`recall.py:1875-1887`)
+    // reference guard rails: limit in [1, RecallMaxLimit]
+    // (`recall.py:1749-1752`, `app.py:234`), relation_limit in [1,200],
+    // expansion_limit in [1,500] (`recall.py:1875-1887` — both sides clamp)
     val req = rawReq.copy(
-      limit = math.max(1, math.min(rawReq.limit, 100)),
-      relationLimit = math.min(rawReq.relationLimit, 200),
-      expansionLimit = math.min(rawReq.expansionLimit, 500))
+      limit = math.max(1, math.min(rawReq.limit, RecallMaxLimit)),
+      relationLimit = math.max(1, math.min(rawReq.relationLimit, 200)),
+      expansionLimit = math.max(1, math.min(rawReq.expansionLimit, 500)))
     val queriesToRun: Seq[Option[String]] =
       if (req.queries.nonEmpty) req.queries.map(Some(_))
       else if (req.autoDecompose && req.query.isDefined)
         autoDecompose(req.query.get).map(Some(_))
       else Seq(req.query)
+    // per_query_limit defaults to limit and is handed to `_run_single_query`
+    // as ITS limit (`recall.py:2193-2199, 2207-2209`): channels overfetch
+    // from pq, and each sub-query's ranked output cuts to pq
+    // (`_guarantee_priority_results(..., per_query_limit)` = [:pq]) — then
+    // the aggregate dedups and re-ranks the union (`recall.py:2216-2223`)
+    val pq = math.max(1,
+      math.min(req.perQueryLimit.getOrElse(req.limit), RecallMaxLimit))
+    val subReq = req.copy(limit = pq)
     val perQuery = queriesToRun.map { q =>
-      val r = runSingleQuery(memories, req, q)
-      // per-query cut before aggregation (`_run_single_query` is handed
-      // per_query_limit as ITS limit; the aggregate re-ranks the union)
-      req.perQueryLimit match {
-        case Some(pq) =>
-          r.orderBy(sortKey(req): _*).limit(math.max(1, math.min(pq, 100)))
-        case None => r
+      // reference per-query flow (`_rank_local_results` + cut): min_score ->
+      // dedup -> sort -> [:pq]
+      val scored = runSingleQuery(memories, subReq, q)
+      val gated = req.minScore match {
+        case Some(m) => scored.filter(col("final_score") >= m)
+        case None => scored
       }
+      dedup(gated).orderBy(sortKey(req): _*).limit(pq)
     }
     var agg = perQuery.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     // R5 priority injection (`recall.py:1094-1270`): priority ids absent from

@@ -128,16 +128,24 @@ object Scoring {
           .filter(_.nonEmpty)
         if (normPriorities.isEmpty) lit(0.0)
         else {
+          // memory tags lowercase too (`scoring.py` tag_terms = lowercased
+          // set) — symmetric with the profile side, so mixed-case tags from
+          // non-normalized sources still match
           val hit = exists(tags, t => {
-            val nt = regexp_replace(t, "[:/]+", ":")
+            val nt = regexp_replace(lower(t), "[:/]+", ":")
             normPriorities.map(p => nt.contains(lit(p))).reduce(_ || _)
           })
           when(hit, 0.45).otherwise(0.0)
         }
       }
+    // both sides through the SAME title-case semantics (`scoring.py:121-123`
+    // titles the memory type too): Spark's initcap only capitalizes after
+    // whitespace, which diverges from Python .title() for hyphenated or
+    // digit-embedded types, so the column side uses the same scalar fn
     val normTypes = priorityTypes.map(t => pyTitle(t.trim)).filter(_.nonEmpty)
+    val pyTitleUdf = udf((s: String) => if (s == null) null else pyTitle(s.trim))
     val typeHit = if (normTypes.isEmpty) lit(0.0)
-      else when(initcap(trim(typ)).isin(normTypes: _*), 0.25).otherwise(0.0)
+      else when(pyTitleUdf(typ).isin(normTypes: _*), 0.25).otherwise(0.0)
     val kwHit = if (contextKeywords.isEmpty) lit(0.0)
       else when(contextKeywords.map(k => array_contains(metadataTerms, k))
         .reduce(_ || _), 0.2).otherwise(0.0)

@@ -158,13 +158,16 @@ object Multimodal {
     """WITH a AS (SELECT doc_id AS asset_id,
          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-         text FROM documents),
+         coalesce(text, '') AS text FROM documents),
+       -- the empty/NULL-payload branch mirrors StubDecoder's short-circuit:
+       -- zero dimensions, no features, n_bytes 0
        d AS (SELECT asset_id, modality, mime,
          octet_length(CAST(text AS BLOB)) AS n_bytes,
-         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM a)
+         CASE WHEN length(text) = 0 THEN NULL
+           ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT END AS h FROM a)
        SELECT asset_id, modality, mime, n_bytes,
-         CAST(64 + h % 512 AS INT) AS width,
-         CAST(64 + (h >> 16) % 512 AS INT) AS height,
+         CAST(CASE WHEN h IS NULL THEN 0 ELSE 64 + h % 512 END AS INT) AS width,
+         CAST(CASE WHEN h IS NULL THEN 0 ELSE 64 + (h >> 16) % 512 END AS INT) AS height,
          round((CAST(h % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) AS f0,
          round((CAST((h >> 49) % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) AS f7,
          CASE WHEN modality = 'video'

@@ -105,8 +105,12 @@ object StreamingIngest {
     */
   def dedupStream(memories: DataFrame, lateness: String = "10 minutes"): DataFrame =
     memories
+      // same 320-char normalized fingerprint as the batch R1 dedup
+      // (`recall.py:310-323`) — a shorter prefix would drop distinct
+      // memories sharing a prefix, and dropped rows are unrecoverable at
+      // ingest
       .withColumn("fp",
-        graft.functions.TextFunctions.fingerprint(col("content"), 64))
+        graft.functions.TextFunctions.fingerprint(col("content"), 320))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
