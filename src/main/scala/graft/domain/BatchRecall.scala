@@ -57,11 +57,11 @@ object BatchRecall {
     val qLocal = queries.select(qCols: _*).collect().map { r =>
       val query = r.get(1).asInstanceOf[String]
       val qlower = query.toLowerCase
-      // mirror filter(array_distinct(TextFunctions.tokens(query))):
-      // whitespace tokens of the lowered/trimmed text, first-occurrence
-      // dedup, length >= 3, stopword-filtered
-      val toks = qlower.trim.split("\\s+").toSeq.distinct
-        .filter(t => t.length >= 3 && !Recall.Stopwords.contains(t))
+      // the SAME keyword extractor as the single path (`Recall.keywords`:
+      // [a-z0-9]+ runs, >= 3 chars, stopword-filtered, order-preserving
+      // dedup — `automem/utils/text.py:81-101`); a whitespace split would
+      // tokenize "dark-mode" as one token and diverge from single recall
+      val toks = Recall.keywords(query)
       val qvec = if (hasQvec) r.getSeq[Float](2)
         else PlaceholderEmbedding.embed(query).toSeq
       // theoretical keyword maximum (`runtime_recall_helpers.py:655-660`):
@@ -80,13 +80,12 @@ object BatchRecall {
       // channel instead of keyword search, matching the single-query path
       // (`runtime_recall_helpers.py:618-629` via Recall.keywordChannel)
       val isTrend = toks.isEmpty && phrase.isEmpty
-      Row(r.get(0), query, qvec, qlower, qtrim, phrase, toks, kwMax, isTrend)
+      Row(r.get(0), query, qvec, qtrim, phrase, toks, kwMax, isTrend)
     }
     val qSchema = StructType(Seq(
       queries.schema("qid"),
       StructField("query", StringType),
       StructField("qvec", ArrayType(FloatType, containsNull = false)),
-      StructField("qlower", StringType),
       StructField("qtrim", StringType),
       StructField("phrase", StringType),
       StructField("qtokens", ArrayType(StringType, containsNull = true)),

@@ -33,8 +33,10 @@ case class RecallRequest(
     expandMinStrength: Option[Double] = None,
     expandMinImportance: Option[Double] = None,
     expandRespectTags: Boolean = false,
-    // multi-query: cap each sub-query's ranked contribution before the
-    // aggregate re-rank (`recall.py:1875-1887`; None = no per-query cut)
+    // multi-query: each sub-query runs with this as ITS limit and cuts its
+    // ranked output to it before the aggregate re-rank
+    // (`recall.py:1875-1887,2193-2199`; None = defaults to `limit`, the
+    // reference's default — the per-query cut always applies)
     perQueryLimit: Option[Int] = None,
     stateMode: String = "all",
     // reference default is OFF (`config.py:586-589` RECALL_RECENCY_BIAS);
@@ -332,22 +334,29 @@ object Recall {
     val w = Window.partitionBy(col("_fp"))
       .orderBy(desc("final_score"), desc("timestamp"), asc("id"))
     // re-applicable (the reference dedups per sub-query AND after the
-    // aggregate union): a pass that merges REPLACES deduped_from with its
-    // own sources, a pass that doesn't preserves the prior pass's value
-    // (`recall.py:382-387` only assigns when len(sources) > 1)
+    // aggregate union, `recall.py:2094,2216`): provenance ACCUMULATES — the
+    // survivor's deduped_from is the union of every group member's prior
+    // provenance plus the other merged ids. (The reference's own two-pass
+    // behavior is order-dependent here — same-id re-occurrences can
+    // self-reference or drop prior sources depending on arrival order,
+    // `recall.py:355-387`; the accumulate rule is the determinism-over-
+    // arbitrary choice, like the other documented divergences.)
+    // collect_list skips NULLs, so rows injected via unionByName with
+    // allowMissingColumns (R5 priority fetch) fold in as empty provenance.
     val prior: Column =
       if (df.columns.contains("deduped_from")) col("deduped_from")
-      else typedlit(Seq.empty[String])
+      else lit(null).cast("array<string>")
+    val wFp = Window.partitionBy(col("_fp"))
     df.withColumn("_fp", when(length(fp) > 0, fp).otherwise(col("id")))
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_fp"))))
-      .withColumn("_sources",
-        collect_set(col("id")).over(Window.partitionBy(col("_fp"))))
+      .withColumn("_prov",
+        flatten(collect_list(prior).over(wFp)))
+      .withColumn("_sources", collect_set(col("id")).over(wFp))
       .filter(col("_rn") === 1)
       .withColumn("deduped_from",
-        when(col("_n") > 1, array_remove(col("_sources"), col("id")))
-          .otherwise(prior))
-      .drop("_fp", "_rn", "_n", "_sources")
+        array_sort(array_remove(
+          array_distinct(concat(col("_prov"), col("_sources"))), col("id"))))
+      .drop("_fp", "_rn", "_prov", "_sources")
   }
 
   /** Rank of an id within the requested priority list (1-based; absent ->

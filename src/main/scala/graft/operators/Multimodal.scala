@@ -148,8 +148,14 @@ object Multimodal {
     decoded.join(frames, Seq("asset_id"), "left")
       .select(col("asset_id"), col("modality"), col("mime"), col("n_bytes"),
         col("width"), col("height"),
-        round4(element_at(col("features"), 1).cast("double")).as("f0"),
-        round4(element_at(col("features"), 8).cast("double")).as("f7"),
+        // size-guarded: ANSI mode (Spark 4 default) makes element_at on an
+        // empty array THROW, and the stub codec emits empty features for
+        // empty/NULL payloads — the guard yields NULL, matching the oracle's
+        // empty-payload branch
+        round4(when(size(col("features")) >= 1,
+          element_at(col("features"), 1)).cast("double")).as("f0"),
+        round4(when(size(col("features")) >= 8,
+          element_at(col("features"), 8)).cast("double")).as("f7"),
         coalesce(col("n_frames"), lit(0L)).as("n_frames"))
       .orderBy("asset_id")
   }

@@ -137,8 +137,9 @@ object RecallPipeline {
          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
          WHERE d.doc_id < 100),
        qtok AS (
+         -- [a-z0-9]+ runs, mirroring Recall.keywords / utils/text.py:81-101
          SELECT qid, tok FROM (
-           SELECT qid, unnest(list_distinct(regexp_split_to_array(query, '\s+'))) AS tok
+           SELECT qid, unnest(list_distinct(regexp_extract_all(query, '[a-z0-9]+'))) AS tok
            FROM q0)
          WHERE length(tok) >= 3 AND tok NOT IN ('the','and','for','with','that',
            'this','from','was','are','has','had','were','will','would','into','about')),

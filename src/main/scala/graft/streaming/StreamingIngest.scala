@@ -108,9 +108,13 @@ object StreamingIngest {
       // same 320-char normalized fingerprint as the batch R1 dedup
       // (`recall.py:310-323`) — a shorter prefix would drop distinct
       // memories sharing a prefix, and dropped rows are unrecoverable at
-      // ingest
-      .withColumn("fp",
-        graft.functions.TextFunctions.fingerprint(col("content"), 320))
+      // ingest. Same empty-fingerprint fallback as the batch dedup too:
+      // punctuation-only contents normalize to "", which must NOT collapse
+      // distinct rows into one dedup key
+      .withColumn("fp", {
+        val fp = graft.functions.TextFunctions.fingerprint(col("content"), 320)
+        when(length(fp) > 0, fp).otherwise(col("id"))
+      })
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
