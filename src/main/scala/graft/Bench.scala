@@ -1,5 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line with per-query COLD and WARM times.
+  *
+  * Each query runs twice back-to-back: the first (cold) run pays whole-stage
+  * codegen compilation, parquet footer reads, and JVM warmup; the second
+  * (warm) run measures the plan itself. `queries` carries the WARM numbers —
+  * the cross-round comparison signal (round 3's +41% "regression" was cold
+  * noise: uniform ~0.5-1 s added to mid-size queries whose plans had not
+  * changed) — and `queries_cold` keeps the cold numbers so one-time costs
+  * stay visible rather than hidden.
+  *
+  * `load_phase_secs` records the one-time IVF index build separately (it
+  * used to vanish into an untimed load phase, making q_sim_ivf_topk
+  * incomparable across rounds), and `single_recall_warm_ms` is the
+  * best-of-3 warm latency of one full recall (`q_recall_pipeline`) — the
+  * number a user comparing against the reference's 189-204 ms single-recall
+  * anchor asks for first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,19 +40,36 @@ object Bench {
     catch { case _: Throwable => () }
     // Load phase: build the persisted IVF index before timing, the way
     // TPC-style benchmarks build indexes during load — q_sim_ivf_topk then
-    // measures QUERY latency against the index, not one-time ingest cost
-    // (which this line still pays visibly, just outside the per-query timer).
+    // measures QUERY latency against the index. The build cost is recorded
+    // as load_phase_secs (near-zero when a prior run's index is fresh).
+    val loadT0 = System.nanoTime()
     try operators.Similarity.ivfTopKAll(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val loadSecs = (System.nanoTime() - loadT0) / 1e9
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val timed = SparkEntry.queries.map { case (name, fn) =>
+      val cold = timeOnce(fn)
+      val warm = timeOnce(fn)
+      name -> (cold, warm)
+    }
+    // Warm single-recall latency: best of 3 further runs, in milliseconds.
+    val singleRecallMs = SparkEntry.queries.get("q_recall_pipeline")
+      .map(fn => (1 to 3).map(_ => timeOnce(fn)).min * 1000.0)
+      .getOrElse(-1.0)
+
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val warmQs = jsonMap(timed.map { case (k, (_, w)) => k -> w })
+    val coldQs = jsonMap(timed.map { case (k, (c, _)) => k -> c })
+    val totalWarm = timed.values.map(_._2).sum
+    val totalCold = timed.values.map(_._1).sum
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,6 +191,7 @@ object Consolidation {
     var labels = vertices.select(col("id"), col("id").as("component"),
       lit(false).as("_changed"))
     var prevCached: Option[DataFrame] = None
+    var prevCheckpointed: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -207,6 +208,12 @@ object Consolidation {
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .as("_changed"))
         .localCheckpoint()
+      // the new checkpoint is materialized (localCheckpoint is eager), so the
+      // previous round's checkpointed blocks have no live consumer left
+      // (its only reader, last round's cached labels frame, is superseded
+      // below) — release them or executor storage grows linearly with rounds
+      prevCheckpointed.foreach(releaseCheckpoint)
+      prevCheckpointed = Some(propagated)
       // pointer jump: labels only ever decrease toward the component min, so
       // component(component) <= component — adopt it unconditionally. The
       // join always matches (a component label is itself a vertex id).
@@ -231,8 +238,25 @@ object Consolidation {
         println(s"[cc] iter=$iter changed=$changed")
     }
     sym.unpersist()
-    labels.drop("_changed")
+    // the final labels frame is cached and materialized; collapse it away
+    // from the last checkpoint's blocks before releasing them
+    val result = labels.drop("_changed").localCheckpoint()
+    prevCheckpointed.foreach(releaseCheckpoint)
+    prevCached.foreach(_.unpersist())
+    result
   }
+
+  /** Unpersist the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only consults the cache manager, which does not
+    * track checkpoint RDDs — the blocks live on the `LogicalRDD` leaf's RDD,
+    * so walk the plan and unpersist that directly.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** C3 clustering (`consolidation.py:457-617`): similarity graph at 0.75 ->
     * connected components -> clusters of >= minSize; clusters >= metaSize

@@ -257,9 +257,10 @@ object Dedup {
       .withColumn("fp", fingerprint(col("text"), 64))
       .groupBy(col("fp"))
       .agg(
-        // composite keep-best key (n_chars desc, doc_id asc) folded into one
-        // scalar — DuckDB's arg_max has no struct overload to mirror
-        max_by(col("doc_id"), col("n_chars") * 10000000L - col("doc_id"))
+        // composite keep-best key (n_chars desc, doc_id asc) as a struct
+        // ordering key — overflow-free at any doc_id/n_chars magnitude
+        // (the DuckDB twin mirrors it with a row_number window)
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
           .as("keep_id"),
         count(lit(1)).as("n_dup"),
         sort_array(collect_list(col("doc_id"))).as("all_ids"))
@@ -270,14 +271,18 @@ object Dedup {
       .orderBy("keep_id")
 
   val dedupSourcesSql: String =
-    """WITH g AS (SELECT
-           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS fp,
-           count(*) AS n_dup,
-           arg_max(doc_id, n_chars * 10000000 - doc_id) AS keep_id,
+    """WITH base AS (SELECT doc_id, n_chars,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS fp
+         FROM documents),
+       g AS (SELECT fp, count(*) AS n_dup,
            list_sort(list(doc_id)) AS all_ids
-         FROM documents GROUP BY 1)
-       SELECT keep_id, fp, n_dup - 1 AS n_merged,
-         array_to_string(list_filter(all_ids, x -> x <> keep_id), ',')
+         FROM base GROUP BY 1),
+       k AS (SELECT fp, doc_id AS keep_id FROM (
+           SELECT fp, doc_id, row_number() OVER (
+             PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rk
+           FROM base) WHERE rk = 1)
+       SELECT k.keep_id, g.fp, g.n_dup - 1 AS n_merged,
+         array_to_string(list_filter(g.all_ids, x -> x <> k.keep_id), ',')
            AS deduped_from
-       FROM g WHERE n_dup > 1 ORDER BY keep_id"""
+       FROM g JOIN k USING (fp) WHERE g.n_dup > 1 ORDER BY keep_id"""
 }

@@ -160,9 +160,18 @@ object Similarity {
     // over deleted vectors — the same freshness contract a table format's
     // snapshot id would provide
     val src = new java.io.File(s"$dir/embeddings.parquet")
-    val parts = (if (src.isDirectory) src.listFiles().toSeq else Seq(src))
+    // listFiles() returns null on I/O or permission errors — treat that as
+    // "no stable fingerprint" (empty part list) rather than NPE; the key
+    // then degrades to the dir name alone and the build-if-absent check
+    // still runs. mtime alone has 1-second granularity on some filesystems,
+    // so the crc of each part's parquet footer tail (last 64 bytes: metadata
+    // length + magic + the end of the serialized footer) joins the key —
+    // same-size same-second regeneration still flips it.
+    val listed = if (src.isDirectory) Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+                 else Seq(src)
+    val parts = listed
       .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${footerCrc(f)}")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((dir + "|" + parts.mkString("|")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -176,6 +185,26 @@ object Similarity {
     IvfIndex.topK(spark, indexPath, queryVector(spark, dir, queryId), k,
       nprobe = 64)
       .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** CRC32 of a file's trailing 64 bytes (covers the parquet footer-length
+    * word, magic, and the tail of the serialized metadata) — a cheap content
+    * component for index-freshness keys where (length, mtime) alone can
+    * collide. 0 for unreadable/short files.
+    */
+  private def footerCrc(f: java.io.File): Long = {
+    try {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val n = math.min(64L, raf.length()).toInt
+        raf.seek(raf.length() - n)
+        val buf = new Array[Byte](n)
+        raf.readFully(buf)
+        val crc = new java.util.zip.CRC32()
+        crc.update(buf)
+        crc.getValue
+      } finally raf.close()
+    } catch { case _: java.io.IOException => 0L }
   }
 
   /** Per-label mean centroid, then each vector's cosine to its own label's
