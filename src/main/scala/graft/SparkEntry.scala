@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sim_band_pairs" -> ((s, d) => Similarity.bandedNearDupPairs(s, d)),
     "q_fp_rolling" -> (TextAnalysis.rollingFingerprints _),
     "q_c3_clusters" -> (Maintenance.clusterSummary _),
+    "q_c3_clusters_banded" -> (Maintenance.clusterSummaryBanded _),
     "q_a7_top_prefs" -> ((s, d) => Analytics.topPreferences(s, d)),
     "q_e3_neighbors" -> ((s, d) => Similarity.semanticNeighborEdges(s, d)),
     "q_e2_patterns" -> ((s, d) => TextAnalysis.patternKeyTerms(s, d)),
@@ -230,7 +231,7 @@ object SparkEntry {
          SELECT a_id, b_id, sim FROM (
            SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
              ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
-         WHERE sim >= 0.9 ORDER BY a_id, b_id""",
+         WHERE sim >= 0.3 ORDER BY a_id, b_id""",
     "q_text_stats" -> TextAnalysis.docStatsSql,
     "q_lang_id" -> TextAnalysis.langPredictionSql,
     "q_q3_keyword" -> TextAnalysis.keywordSearchSql,
@@ -260,6 +261,7 @@ object SparkEntry {
     "q_pii_redact" -> TextPolicy.piiRedactSql,
     "q_contamination" -> TextPolicy.contaminationSql,
     "q_c3_clusters" -> Maintenance.clusterSummarySql,
+    "q_c3_clusters_banded" -> Maintenance.clusterSummaryBandedSql,
     "q_a7_top_prefs" -> Analytics.topPreferencesSql,
     "q_e3_neighbors" -> Similarity.semanticNeighborEdgesSql,
     "q_e2_patterns" -> TextAnalysis.patternKeyTermsSql,

@@ -198,4 +198,84 @@ object Maintenance {
          cl.span_start, cl.span_end, cl.exemplar_id,
          cl.cluster_size >= 5 AS spawns_meta
        FROM cl JOIN dom USING (component) ORDER BY cl.component"""
+
+  /** C3 clustering via the 100 TB path: the BAND-OR blocked similarity graph
+    * (`Consolidation.similarityEdges(exact = false)` — four offset 10-bit
+    * sign bucketings, candidates only where some band agrees, deduped, then
+    * the threshold) feeding the same pointer-jumping connected components and
+    * rollup as [[clusterSummary]]. The DuckDB oracle mirrors the band
+    * bucketing — NOT the exact pair set — so the blocked candidate
+    * generation, max-over-bands dedup, threshold, and transitive closure are
+    * all exercised end-to-end on real rows (threshold 0.25 yields 46 banded
+    * edges / 6 clusters on the driver's isotropic embeddings; the exact-path
+    * parity threshold 0.4 yields no banded cluster at all).
+    */
+  def clusterSummaryBanded(spark: SparkSession, dir: String): DataFrame = {
+    val mem = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 500)
+      .select(
+        col("vec_id").as("id"),
+        col("embedding"),
+        concat(lit("L"), col("label")).as("type"),
+        date_add(lit("1995-01-01").cast("date"), col("vec_id").cast("int"))
+          .as("timestamp"),
+        lit(1.0).as("relevance_score"))
+    val (clusters, _) = graft.domain.Consolidation.cluster(mem,
+      threshold = 0.25, minSize = 3, metaSize = 5, exact = false,
+      roundSims = true)
+    clusters.select(col("component"), col("cluster_size"), col("dominant_type"),
+        col("span_start").cast("string").as("span_start"),
+        col("span_end").cast("string").as("span_end"),
+        col("exemplar_id"),
+        (col("cluster_size") >= 5).as("spawns_meta"))
+      .orderBy("component")
+  }
+
+  val clusterSummaryBandedSql: String = {
+    def bucketExpr(off: Int): String =
+      (0 until 10).map(i =>
+        s"(CASE WHEN embedding[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+    val bands = Seq(0, 10, 20, 30).map(off =>
+      s"SELECT vec_id, embedding, '$off:' || (${bucketExpr(off)}) AS b FROM emb")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 500),
+       keyed AS ($bands),
+       cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+           a.embedding AS ae, b.embedding AS be
+         FROM keyed a JOIN keyed b ON a.b = b.b AND a.vec_id < b.vec_id),
+       px AS (SELECT a_id, b_id, unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
+         FROM cand),
+       s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM px GROUP BY 1, 2),
+       sims AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+         WHERE sim >= 0.25),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM sims
+         UNION ALL SELECT b_id, a_id FROM sims),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
+         SELECT a AS id, min(b) AS component FROM r GROUP BY a),
+       members AS (SELECT e.vec_id AS id, r.component,
+           'L' || e.label AS type,
+           DATE '1995-01-01' + CAST(e.vec_id AS INT) AS ts
+         FROM emb e JOIN reach r ON r.id = e.vec_id),
+       tc AS (SELECT component, type, count(*) AS n_type
+         FROM members GROUP BY 1, 2),
+       dom AS (SELECT component, type AS dominant_type FROM (
+           SELECT component, type, row_number() OVER (PARTITION BY component
+             ORDER BY n_type DESC, type ASC) AS rn FROM tc) d WHERE rn = 1),
+       cl AS (SELECT component, count(*) AS cluster_size,
+           CAST(min(ts) AS VARCHAR) AS span_start,
+           CAST(max(ts) AS VARCHAR) AS span_end, min(id) AS exemplar_id
+         FROM members GROUP BY 1 HAVING count(*) >= 3)
+       SELECT cl.component, cl.cluster_size, dom.dominant_type,
+         cl.span_start, cl.span_end, cl.exemplar_id,
+         cl.cluster_size >= 5 AS spawns_meta
+       FROM cl JOIN dom USING (component) ORDER BY cl.component"""
+  }
 }

@@ -46,7 +46,7 @@ object Similarity {
     * At scale the bucket key is the shuffle key — no cross join.
     */
   def bucketedNearDupPairs(spark: SparkSession, dir: String,
-      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+      bits: Int = 8, threshold: Double = 0.3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), bits).as("bucket"))
@@ -69,7 +69,7 @@ object Similarity {
     * survive a few sign flips.
     */
   def bandedNearDupPairs(spark: SparkSession, dir: String,
-      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+      bits: Int = 8, threshold: Double = 0.3): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     def bandPairs(off: Int): DataFrame = {
       val keyed = e.select(col("vec_id"), col("embedding"),
@@ -92,7 +92,7 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  def bandedNearDupPairsSql(bits: Int = 8, threshold: Double = 0.9): String = {
+  def bandedNearDupPairsSql(bits: Int = 8, threshold: Double = 0.3): String = {
     def bucketExpr(off: Int): String =
       (0 until bits).map(i =>
         s"(CASE WHEN embedding[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
