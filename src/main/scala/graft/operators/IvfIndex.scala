@@ -38,8 +38,29 @@ object IvfIndex {
       .select(col("cell"),
         transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
 
+  /** Per-cell (sum-vector, count) — the sufficient statistic behind a mean
+    * centroid, kept in the centroid table so appends can merge exactly
+    * instead of rescanning the corpus.
+    */
+  private def cellSums(cells: DataFrame): DataFrame =
+    cells
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pairs"),
+        first(col("cnt")).as("n"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("sx")).as("sums"), col("n"))
+
+  private def sumsToCentroids(sums: DataFrame): DataFrame =
+    sums.select(col("cell"),
+      transform(col("sums"), s => (s / col("n")).cast("float")).as("centroid"),
+      col("n"))
+
   /** Build the index: one pass assigns cells and writes assignments
-    * cell-partitioned; the centroid aggregate is tiny (<= 2^cellBits rows).
+    * cell-partitioned; the centroid aggregate is tiny (<= 2^cellBits rows)
+    * and carries the per-cell count so [[append]] can update means exactly.
     */
   def build(vectors: DataFrame, path: String,
       cellBits: Int = DefaultCellBits): Unit = {
@@ -51,8 +72,117 @@ object IvfIndex {
     cells.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
-    cellCentroids(cells).coalesce(1)
+    sumsToCentroids(cellSums(cells)).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Append vectors to an existing index WITHOUT a full rebuild — the
+    * growing-corpus maintenance path. The quantizer is a FIXED hyperplane
+    * split (data-independent), so new vectors route to their cells with no
+    * reassignment of existing rows: the write appends files only under the
+    * touched cell partitions, and the centroid table merges as a weighted
+    * mean of (old sum-statistic, append batch) — exact, no corpus rescan.
+    * Cost is O(batch) regardless of index size.
+    *
+    * Repeated appends accumulate small files per cell; call [[compact]]
+    * when [[filesPerCell]] crosses an operational bound (the analogue of a
+    * table format's compaction job).
+    */
+  def append(vectors: DataFrame, path: String,
+      cellBits: Int = DefaultCellBits): Unit = {
+    require(exists(path), s"no completed index at $path — use build()")
+    val spark = vectors.sparkSession
+    val cells = vectors.withColumn("cell", signBucket(col("embedding"), cellBits))
+    cells.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assignments")
+    val old = spark.read.parquet(s"$path/centroids")
+    val oldSums =
+      if (old.columns.contains("n"))
+        old.select(col("cell"),
+          transform(col("centroid"), c => c.cast("double") * col("n")).as("sums"),
+          col("n"))
+      else
+        // legacy index without counts: recover the statistic with one
+        // full-assignments pass, then future appends stay incremental
+        cellSums(spark.read.parquet(s"$path/assignments"))
+    val union = oldSums.unionByName(cellSums(cells))
+    val nTot = union.groupBy(col("cell")).agg(sum(col("n")).as("n"))
+    val merged = union
+      .select(col("cell"), posexplode(col("sums")).as(Seq("pos", "sx")))
+      .groupBy(col("cell"), col("pos")).agg(sum(col("sx")).as("sx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pairs"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("sx")).as("sums"))
+      .join(nTot, Seq("cell"))
+    // write via temp path: the centroid read above is lazy-planned off the
+    // same files we are replacing
+    val tmp = s"$path/centroids_next"
+    sumsToCentroids(merged).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Mean data files per cell partition — the append-induced small-file
+    * pressure gauge that decides when [[compact]] is worth running.
+    */
+  def filesPerCell(path: String): Double = {
+    val root = java.nio.file.Paths.get(path, "assignments")
+    if (!java.nio.file.Files.isDirectory(root)) return 0.0
+    val cellDirs = java.nio.file.Files.list(root).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("cell="))
+    if (cellDirs.isEmpty) return 0.0
+    val files = cellDirs.map(d => java.nio.file.Files.list(d).toArray.toSeq
+      .count(_.asInstanceOf[java.nio.file.Path].getFileName.toString.endsWith(".parquet")))
+    files.sum.toDouble / cellDirs.length
+  }
+
+  /** Max per-cell drift between the STORED centroid and the exact mean
+    * recomputed from assignments, as cosine distance. With exact
+    * weighted-mean appends this stays at float-rounding level; a large
+    * value means the table was hand-edited or partially written and
+    * [[compact]] should rebuild it.
+    */
+  def centroidDrift(spark: SparkSession, path: String): Double = {
+    val exact = sumsToCentroids(cellSums(spark.read.parquet(s"$path/assignments")))
+      .select(col("cell"), col("centroid").as("exact"))
+    val stored = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+    val d = stored.join(exact, Seq("cell"))
+      .select(max(lit(1.0) - cosineSim(col("centroid"), col("exact"))).as("drift"))
+      .head()
+    if (d.isNullAt(0)) 0.0 else d.getDouble(0)
+  }
+
+  /** Rewrite assignments one-file-per-cell and recompute centroids exactly:
+    * run when [[filesPerCell]] or [[centroidDrift]] crosses its bound.
+    * Equivalent to build() over the current contents.
+    */
+  def compact(spark: SparkSession, path: String,
+      cellBits: Int = DefaultCellBits): Unit = {
+    val current = spark.read.parquet(s"$path/assignments")
+      .drop("cell")
+      .localCheckpoint() // materialize before overwriting the source files
+    build(current, path, cellBits)
+  }
+
+  /** Append, then compact if small-file pressure or centroid drift crossed
+    * the bounds — the single entry point a growing-corpus pipeline calls.
+    */
+  def appendWithMaintenance(vectors: DataFrame, path: String,
+      cellBits: Int = DefaultCellBits, maxFilesPerCell: Double = 8.0,
+      maxDrift: Double = 1e-3): Boolean = {
+    append(vectors, path, cellBits)
+    val spark = vectors.sparkSession
+    val needs = filesPerCell(path) > maxFilesPerCell ||
+      centroidDrift(spark, path) > maxDrift
+    if (needs) compact(spark, path, cellBits)
+    needs
   }
 
   /** True when `path` already holds a completed index (both relations have

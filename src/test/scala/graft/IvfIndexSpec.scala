@@ -69,4 +69,72 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!plan.contains("centroids"), s"centroid table must not be in the query plan")
     assert(q.count() > 0)
   }
+
+  test("append serves fresh vectors without a full rebuild, centroids stay exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(corpus, tmp)
+    val filesBefore = IvfIndex.filesPerCell(tmp)
+    // append a batch including a near-duplicate of the query text
+    val fresh = (400 until 500).map { i =>
+      (i.toLong, s"label${i % 4}", PlaceholderEmbedding.embed(s"doc $i").toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    IvfIndex.append(fresh, tmp)
+    val qvec = PlaceholderEmbedding.embed("doc 450")
+    // the appended vector is served: exact self-match at full probe
+    val hit = IvfIndex.topK(spark, tmp, qvec, k = 1, nprobe = 64).head()
+    assert(hit.getAs[Long]("vec_id") == 450L && hit.getAs[Double]("sim") == 1.0)
+    // index answers equal the ephemeral path over the UNION at every nprobe
+    val union = corpus.unionByName(fresh)
+    for (nprobe <- Seq(2, 8, 64)) {
+      val fromIndex = IvfIndex.topK(spark, tmp, qvec, k = 10, nprobe = nprobe)
+        .select("vec_id", "label", "sim").collect().map(_.toSeq).toSeq
+      val ephemeral = Similarity.ivfTopK(union, qvec, k = 10, nprobe = nprobe)
+        .collect().map(_.toSeq).toSeq
+      assert(fromIndex == ephemeral, s"nprobe=$nprobe diverged after append")
+    }
+    // the incremental weighted-mean centroids match an exact recompute
+    assert(IvfIndex.centroidDrift(spark, tmp) < 1e-6,
+      "append must keep centroids at the exact per-cell mean")
+    // append wrote new files only — small-file pressure grew
+    assert(IvfIndex.filesPerCell(tmp) > filesBefore)
+  }
+
+  test("compaction restores one-file-per-cell and preserves answers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(corpus, tmp)
+    val batches = (0 until 3).map { b =>
+      (400 + b * 10 until 410 + b * 10).map { i =>
+        (i.toLong, s"label${i % 4}", PlaceholderEmbedding.embed(s"doc $i").toSeq)
+      }.toDF("vec_id", "label", "embedding")
+    }
+    batches.foreach(IvfIndex.append(_, tmp))
+    assert(IvfIndex.filesPerCell(tmp) > 1.0)
+    val qvec = PlaceholderEmbedding.embed("doc 425")
+    val before = IvfIndex.topK(spark, tmp, qvec, k = 10, nprobe = 64)
+      .select("vec_id", "sim").collect().map(_.toSeq).toSeq
+    IvfIndex.compact(spark, tmp)
+    assert(IvfIndex.filesPerCell(tmp) <= 1.0, "compaction must leave one file per cell")
+    val after = IvfIndex.topK(spark, tmp, qvec, k = 10, nprobe = 64)
+      .select("vec_id", "sim").collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not change answers")
+    assert(IvfIndex.centroidDrift(spark, tmp) < 1e-6)
+  }
+
+  test("appendWithMaintenance triggers compaction only past the file bound") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(corpus, tmp)
+    // 100-vector batches touch most of the 64 cells, adding ~1 file per cell
+    def batch(b: Int) = (500 + b * 100 until 600 + b * 100).map { i =>
+      (i.toLong, s"label${i % 4}", PlaceholderEmbedding.embed(s"doc $i").toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val first = IvfIndex.appendWithMaintenance(batch(0), tmp, maxFilesPerCell = 2.5)
+    assert(!first, "one append must not trigger compaction at bound 2.5")
+    val compacted = (1 to 3).map(b =>
+      IvfIndex.appendWithMaintenance(batch(b), tmp, maxFilesPerCell = 2.5))
+    assert(compacted.contains(true), "repeated appends must cross the bound")
+    assert(IvfIndex.filesPerCell(tmp) <= 2.5)
+  }
 }
