@@ -91,6 +91,8 @@ object SparkEntry {
     "q_r8_touch" -> (Relational.touchAccess _),
     "q_s1_tag_prep" -> (TextAnalysis.tagPrepare _),
     "q_mm_decode" -> (Multimodal.decodePipeline _),
+    "q_quality_repetition" -> (TextPolicy.repetitionSignals _),
+    "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
   )
 
   private val centsSum: String => String = e =>
@@ -270,6 +272,8 @@ object SparkEntry {
     "q_r8_touch" -> Relational.touchAccessSql,
     "q_s1_tag_prep" -> TextAnalysis.tagPrepareSql,
     "q_mm_decode" -> Multimodal.decodePipelineSql,
+    "q_quality_repetition" -> TextPolicy.repetitionSignalsSql,
+    "q_dedup_semantic" -> Dedup.semanticDedupSql(),
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -285,4 +285,46 @@ object Dedup {
          array_to_string(list_filter(g.all_ids, x -> x <> k.keep_id), ',')
            AS deduped_from
        FROM g JOIN k USING (fp) WHERE g.n_dup > 1 ORDER BY keep_id"""
+
+  /** Semantic (embedding-cosine) dedup keep-best, the SemDeDup-style stage
+    * of a pre-training pipeline (Abbas et al. 2023: cluster near-identical
+    * embeddings, keep one exemplar per cluster): band-OR blocked near-dup
+    * pairs ([[Similarity.bandedNearDupPairs]] — sign-bucket LSH candidates,
+    * never O(n^2)) -> pointer-jumping connected components over the pair
+    * graph ([[graft.domain.Consolidation.connectedComponents]]) -> keeper =
+    * the min-id member (the CC label itself under min-label propagation).
+    * Emits one row per clustered vector; vectors with no near-dup neighbor
+    * are untouched survivors and stay out of the result, so the output size
+    * is bounded by the duplicate mass, not the corpus.
+    *
+    * Scale shape: the pair generation shuffles on (band, bucket), CC on the
+    * pair graph only (duplicate clusters, tiny vs corpus), keep-best is the
+    * label compare — every stage linear in corpus size at fixed duplicate
+    * density. The DuckDB oracle mirrors the band bucketing and closes the
+    * graph with a recursive CTE.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.25): DataFrame = {
+    val pairs = Similarity.bandedNearDupPairs(spark, dir, threshold = threshold)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val vertices = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    graft.domain.Consolidation.connectedComponents(vertices, edges)
+      .select(col("id").as("vec_id"), col("component"),
+        (col("id") === col("component")).as("is_keeper"))
+      .orderBy("component", "vec_id")
+  }
+
+  def semanticDedupSql(threshold: Double = 0.25): String =
+    s"""WITH np AS (${Similarity.bandedNearDupPairsSql(threshold = threshold)}),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM np
+         UNION ALL SELECT b_id, a_id FROM np),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
+         SELECT a AS vec_id, min(b) AS component FROM r GROUP BY a)
+       SELECT vec_id, component, vec_id = component AS is_keeper
+       FROM reach ORDER BY component, vec_id"""
 }

@@ -122,4 +122,71 @@ object TextPolicy {
        GROUP BY 1, 2 HAVING count(*) >= 1
        ORDER BY train_id, bench_id"""
   }
+
+  /** Repetition quality signals in the Gopher/MassiveText style (Rae et al.
+    * 2021 §A1.1: "fraction of characters in the most frequent n-gram",
+    * duplicate-content fractions) — the standard pre-training quality
+    * filters that drop boilerplate and degenerate repetition. Per document:
+    * duplicate-word fraction (1 - distinct/total; the single-line analog of
+    * duplicate-line fraction) and the character fraction covered by the most
+    * frequent word bigram (count x bigram length / text length, capped at 1
+    * — adjacent occurrences share a word, so the naive product can exceed
+    * the text).
+    *
+    * Scale shape: one shuffle on (doc_id, bigram) for the count, one window
+    * per doc for the arg-max — linear in corpus size, no cross-document
+    * state, the same plan at 100 TB. Ties on count break by bigram text so
+    * both engines pick the same winner.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"),
+        length(col("text")).as("len_text"))
+      .withColumn("n_words", size(col("ws")))
+      .filter(col("n_words") >= 2)
+      .withColumn("dup_word_frac", graft.functions.round4(
+        (col("n_words") - size(array_distinct(col("ws")))).cast("double") /
+          col("n_words")))
+    val bigrams = docs.select(col("doc_id"), col("n_words"),
+        col("dup_word_frac"), col("len_text"),
+        explode(expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("bigram"))
+    val counts = bigrams
+      .groupBy("doc_id", "n_words", "dup_word_frac", "len_text", "bigram")
+      .agg(count(lit(1)).as("c"))
+    val top = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("c"), asc("bigram"))
+    counts.withColumn("_rn", row_number().over(top))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("bigram").as("top_bigram"),
+        graft.functions.round4(least(lit(1.0),
+          col("c") * length(col("bigram")) / col("len_text")))
+          .as("top_bigram_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSignalsSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    s"""WITH t AS (SELECT doc_id, $toks AS ws, length(text) AS len_text
+         FROM documents),
+       base AS (SELECT doc_id, len_text, ws, len(ws) AS n_words,
+           round((len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws) + 1e-9, 4)
+             AS dup_word_frac
+         FROM t WHERE len(ws) >= 2),
+       pos AS (SELECT doc_id, n_words, dup_word_frac, len_text, ws,
+           unnest(range(1, len(ws))) AS i FROM base),
+       bg AS (SELECT doc_id, n_words, dup_word_frac, len_text,
+           ws[i] || ' ' || ws[i+1] AS bigram FROM pos),
+       cnt AS (SELECT doc_id, n_words, dup_word_frac, len_text, bigram,
+           count(*) AS c
+         FROM bg GROUP BY 1, 2, 3, 4, 5),
+       top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY c DESC, bigram ASC) AS rn FROM cnt)
+       SELECT doc_id, n_words, dup_word_frac, bigram AS top_bigram,
+         round(least(1.0, c * length(bigram) / len_text) + 1e-9, 4)
+           AS top_bigram_char_frac
+       FROM top WHERE rn = 1 ORDER BY doc_id"""
+  }
 }

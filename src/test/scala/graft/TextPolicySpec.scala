@@ -40,4 +40,42 @@ class TextPolicySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("train_id") >= 20 &&
       r.getAs[Long]("bench_id") < 20))
   }
+
+  test("repetition signals match hand-computed Gopher fractions") {
+    val rows = TextPolicy.repetitionSignals(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // recompute doc 0 by hand from the raw text
+    val text = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val ws = text.trim.toLowerCase.split("\\s+").toSeq
+    val dupFrac = (ws.size - ws.distinct.size).toDouble / ws.size
+    val bigrams = ws.sliding(2).map(_.mkString(" ")).toSeq
+    val (topBg, topCnt) = bigrams.groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (bg, c) => (-c, bg) }.head
+    val row = rows(0L)
+    assert(row.getAs[Int]("n_words") == ws.size)
+    assert(math.abs(row.getAs[Double]("dup_word_frac") - dupFrac) < 1e-3)
+    assert(row.getAs[String]("top_bigram") == topBg)
+    val expectFrac = math.min(1.0, topCnt.toDouble * topBg.length / text.length)
+    assert(math.abs(row.getAs[Double]("top_bigram_char_frac") - expectFrac) < 1e-3)
+    // the synthetic word-soup corpus is highly repetitive — the signal must
+    // actually discriminate (non-constant across docs)
+    val fracs = rows.values.map(_.getAs[Double]("dup_word_frac")).toSet
+    assert(fracs.size > 10, s"dup_word_frac is near-constant: $fracs")
+  }
+
+  test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
+    val rows = graft.operators.Dedup.semanticDedup(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "threshold 0.25 must produce clusters on the driver corpus")
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (comp, members) =>
+      val ids = members.map(_.getAs[Long]("vec_id"))
+      assert(ids.min == comp, s"component label $comp != min id ${ids.min}")
+      val keepers = members.filter(_.getAs[Boolean]("is_keeper"))
+      assert(keepers.map(_.getAs[Long]("vec_id")).toSeq == Seq(comp),
+        s"exactly the min-id member keeps; got ${keepers.toSeq}")
+      assert(ids.length >= 2, s"singleton component $comp should not appear")
+    }
+  }
 }
