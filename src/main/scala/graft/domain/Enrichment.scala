@@ -131,7 +131,7 @@ object Enrichment {
     * in tool-context prose are rejected. Emits
     * (id, category, name, slug, confidence) rows with the CANONICAL slug.
     */
-  def extractEntities(memories: DataFrame): DataFrame = {
+  def extractEntities(memories: DataFrame, ner: Boolean = false): DataFrame = {
     val pats = Seq(
       ("tools", "`([A-Za-z][A-Za-z0-9_.-]{1,40})`"),
       ("people", "(?:met with|pairing with|talked to|with)\\s+([A-Z][a-z]{2,20}(?:\\s+[A-Z][a-z]{2,20})?)\\b"),
@@ -144,17 +144,38 @@ object Enrichment {
       val r = EntityQuality.validateValue(category, name, Option(context))
       (r.accepted, r.canonicalSlug, r.confidence)
     })
-    pats.map { case (cat, pat) =>
+    val regexChannel = pats.map { case (cat, pat) =>
       memories.select(col("id"), col("content"),
           explode(regexp_extract_all(col("content"), lit(pat), lit(1))).as("name"))
         .withColumn("category", lit(cat))
     }.reduce(_ unionByName _)
+    // the NER channel (opt-in, like the reference's optional spaCy model —
+    // `entity_extraction.py:165-182`): rule-based span recognition per
+    // document, merged with the regex channel before the shared gate
+    val channels = if (!ner) regexChannel else {
+      val nerCands = udf((text: String) => NerLite.candidates(text))
+      regexChannel.unionByName(
+        memories.select(col("id"), col("content"),
+            explode(nerCands(col("content"))).as("cand"))
+          .select(col("id"), col("content"), col("cand._2").as("name"),
+            col("cand._1").as("category")))
+    }
+    val validated = channels
       .filter(length(col("name")) >= 3)
       .withColumn("_v", validate(col("category"), col("name"), col("content")))
       .filter(col("_v._1"))
       .select(col("id"), col("category"), col("name"),
         col("_v._2").as("slug"), col("_v._3").as("confidence"))
       .distinct()
+    // tools.difference_update(people) per document
+    // (`entity_extraction.py:240`) — a person found by the people rules
+    // must not survive as a tool from a cue-pattern match
+    val people = validated.filter(col("category") === "people")
+      .select(col("id").as("_pid"), col("slug").as("_pslug"))
+    validated.join(people,
+        validated("id") === col("_pid") && validated("slug") === col("_pslug") &&
+          validated("category") === "tools",
+        "left_anti")
   }
 
   /** E4 orchestration: entity tags + prefixes + the three edge/pattern
