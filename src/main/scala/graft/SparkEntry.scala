@@ -93,6 +93,7 @@ object SparkEntry {
     "q_mm_decode" -> (Multimodal.decodePipeline _),
     "q_quality_repetition" -> (TextPolicy.repetitionSignals _),
     "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "q_mix_sample" -> (TextAnalysis.mixtureSample _),
   )
 
   private val centsSum: String => String = e =>
@@ -274,6 +275,7 @@ object SparkEntry {
     "q_mm_decode" -> Multimodal.decodePipelineSql,
     "q_quality_repetition" -> TextPolicy.repetitionSignalsSql,
     "q_dedup_semantic" -> Dedup.semanticDedupSql(),
+    "q_mix_sample" -> TextAnalysis.mixtureSampleSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -304,18 +304,23 @@ object Dedup {
     * graph with a recursive CTE.
     */
   def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.25): DataFrame = {
+      threshold: Double = 0.35): DataFrame = {
+    // the pair graph feeds BOTH the vertex derivation and the CC edge side
+    // — cache it so the 4-band bucket join runs once, not once per consumer
     val pairs = Similarity.bandedNearDupPairs(spark, dir, threshold = threshold)
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val vertices = edges.select(col("src").as("id"))
-      .unionByName(edges.select(col("dst").as("id"))).distinct()
-    graft.domain.Consolidation.connectedComponents(vertices, edges)
+      .select(col("a_id").as("src"), col("b_id").as("dst")).cache()
+    val vertices = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct()
+    val out = graft.domain.Consolidation.connectedComponents(vertices, pairs)
       .select(col("id").as("vec_id"), col("component"),
         (col("id") === col("component")).as("is_keeper"))
       .orderBy("component", "vec_id")
+      .localCheckpoint() // materialize before releasing the pair cache
+    pairs.unpersist()
+    out
   }
 
-  def semanticDedupSql(threshold: Double = 0.25): String =
+  def semanticDedupSql(threshold: Double = 0.35): String =
     s"""WITH np AS (${Similarity.bandedNearDupPairsSql(threshold = threshold)}),
        edges AS (SELECT a_id AS src, b_id AS dst FROM np
          UNION ALL SELECT b_id, a_id FROM np),

@@ -98,6 +98,51 @@ object TextAnalysis {
            FROM documents) t) s
        GROUP BY 1 ORDER BY 1"""
 
+  /** Training-mixture sampling (domain mixing): downsample each source to
+    * its recipe rate with a deterministic per-document coin — the standard
+    * mixture-weighting stage of a pre-training pipeline (The Pile / Gopher
+    * publish per-source epochs-over-corpus weights; at 100 TB this IS the
+    * operator that enforces them). The coin is the md5-bucket idiom of
+    * [[trainSplit]] (salted so mixing and splitting draw independent
+    * coins), keep iff bucket < rate x 1000; the per-source recipe here is a
+    * deterministic function of the source suffix so the oracle can mirror
+    * it. One scan, one groupBy(source) — linear, no shuffle of kept rows.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("mix#"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(1000))
+    // recipe: src0 -> 0.2, src1 -> 0.4, src2 -> 0.6, src3 -> 0.8, cycling
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val rate = (pmod(srcNum, lit(4)) + 1).cast("double") / 5.0
+    Tables.documents(spark, dir)
+      .withColumn("_keep", bucket < rate * 1000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_keep"), 1).otherwise(0)).as("n_kept"),
+        graft.functions.round4(
+          sum(when(col("_keep"), 1.0).otherwise(0.0)) / count(lit(1)))
+          .as("achieved_rate"),
+        min(when(col("_keep"), col("doc_id"))).as("first_kept"))
+      .withColumn("target_rate",
+        graft.functions.round4((pmod(srcNum, lit(4)) + 1).cast("double") / 5.0))
+      .orderBy("source")
+  }
+
+  val mixtureSampleSql: String =
+    """WITH coin AS (SELECT doc_id, source,
+         ('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b,
+         (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 + 1) / 5.0 AS rate
+         FROM documents),
+       k AS (SELECT doc_id, source, rate, b < rate * 1000 AS keep FROM coin)
+       SELECT source, count(*) AS n_total,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 4)
+           AS achieved_rate,
+         min(CASE WHEN keep THEN doc_id END) AS first_kept,
+         round(any_value(rate) + 1e-9, 4) AS target_rate
+       FROM k GROUP BY source ORDER BY source"""
+
   /** Rolling-hash fingerprint per document + duplicate-group stats: the
     * order-sensitive counterpart to the MinHash/fingerprint dedup family.
     */

@@ -64,6 +64,25 @@ class TextPolicySpec extends AnyFunSuite {
     assert(fracs.size > 10, s"dup_word_frac is near-constant: $fracs")
   }
 
+  test("mixture sampling hits each source's recipe rate with a deterministic coin") {
+    val rows = graft.operators.TextAnalysis.mixtureSample(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (target, achieved) =
+        (r.getAs[Double]("target_rate"), r.getAs[Double]("achieved_rate"))
+      val n = r.getAs[Long]("n_total")
+      // the md5 coin is uniform: achieved rate within 4 sigma of target
+      val sigma = math.sqrt(target * (1 - target) / n)
+      assert(math.abs(achieved - target) < 4 * sigma + 0.02,
+        s"source ${r.getAs[String]("source")}: achieved $achieved vs target $target (n=$n)")
+    }
+    // deterministic: a second run is bit-identical
+    val again = graft.operators.TextAnalysis.mixtureSample(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
     val rows = graft.operators.Dedup.semanticDedup(spark, "/root/testdata/sf0.001")
       .collect()
