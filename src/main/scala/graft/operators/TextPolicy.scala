@@ -155,14 +155,19 @@ object TextPolicy {
     val counts = bigrams
       .groupBy("doc_id", "n_words", "dup_word_frac", "len_text", "bigram")
       .agg(count(lit(1)).as("c"))
-    val top = Window.partitionBy(col("doc_id"))
-      .orderBy(desc("c"), asc("bigram"))
-    counts.withColumn("_rn", row_number().over(top))
-      .filter(col("_rn") === 1)
+    // per-doc arg-max as min_by over (-count, bigram) — an AGGREGATE, not a
+    // window: partial aggregation runs map-side, so only one candidate per
+    // doc per partition crosses the second exchange (a window would shuffle
+    // every bigram count). Ordering key (-c, bigram) = count desc, text asc
+    // — the oracle's row_number tie-break.
+    counts
+      .groupBy("doc_id", "n_words", "dup_word_frac", "len_text")
+      .agg(min_by(struct(col("bigram"), col("c")),
+        struct((-col("c")).as("nc"), col("bigram"))).as("top"))
       .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
-        col("bigram").as("top_bigram"),
+        col("top.bigram").as("top_bigram"),
         graft.functions.round4(least(lit(1.0),
-          col("c") * length(col("bigram")) / col("len_text")))
+          col("top.c") * length(col("top.bigram")) / col("len_text")))
           .as("top_bigram_char_frac"))
       .orderBy("doc_id")
   }

@@ -11,6 +11,8 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    if (sys.env.contains("GRAFT_EXPLAIN"))
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()

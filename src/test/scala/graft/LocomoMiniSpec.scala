@@ -91,6 +91,30 @@ class LocomoMiniSpec extends AnyFunSuite {
       0.12142857142857143)
   }
 
+  test("recency bias does the temporal work: the later event needs it to lead") {
+    import spark.implicits._
+    val mem = LocomoMini.memories(spark).cache()
+    val edges = Seq.empty[graft.domain.Edge].toDF()
+    // "When did Elena last visit the glacier?" — two glacier visits exist
+    // (S2 first, S4 last). The harness golden pins the S4 visit at rank 1
+    // WITH recencyBias=auto; this test asserts the mechanism: the re-rank
+    // strictly raises the later visit's score relative to the earlier one.
+    def scores(bias: String): Map[String, Double] =
+      Recall.recall(mem, edges, RecallRequest(
+        query = Some("When did Elena last visit the glacier?"), limit = 75,
+        tags = Seq("conversation:conv-1"), recencyBias = bias,
+        now = LocomoMini.Now))
+        .select("id", "final_score").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val off = scores("off")
+    val auto = scores("auto")
+    val gapOff = off("D1:4:1") - off("D1:2:1")
+    val gapAuto = auto("D1:4:1") - auto("D1:2:1")
+    assert(gapAuto > gapOff + 1e-9,
+      f"recency re-rank must widen the later-visit margin: off=$gapOff%.4f auto=$gapAuto%.4f")
+    mem.unpersist()
+  }
+
   test("entity expansion does the bridging work: answers vanish without it") {
     import spark.implicits._
     val mem = LocomoMini.memories(spark).cache()
