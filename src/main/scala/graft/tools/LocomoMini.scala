@@ -73,6 +73,7 @@ object LocomoMini {
       t(1, 6, "Marcus", "I would love to meet Dario, bring him to the rehearsal", Seq("dario")),
       t(1, 7, "Elena", "How do you find time to rehearse every week"),
       t(1, 8, "Marcus", "We rehearse on Thursday evenings after work"),
+      t(1, 9, "Elena", "I work as a cartographer at the city map bureau"),
       t(2, 1, "Elena", "I visited the Vatnajokull glacier and hiked the ice caves"),
       t(2, 2, "Marcus", "Incredible, I watched a documentary about glacier caves last winter"),
       t(2, 3, "Marcus", "I started learning Portuguese with a tutor this month"),
@@ -97,6 +98,7 @@ object LocomoMini {
       t(4, 6, "Marcus", "Dario should hear about the festival, is he still at the lab", Seq("dario")),
       t(4, 7, "Elena", "Yes, though he keeps talking about moving to a field station"),
       t(4, 8, "Marcus", "Tell him the quartet sends greetings"),
+      t(4, 9, "Elena", "I left the map bureau job and now guide mountain trails full time"),
       t(5, 1, "Elena", "I started a sourdough baking course at the mill bakery"),
       t(5, 2, "Marcus", "Fresh bread beats anything from the shop"),
       t(5, 3, "Elena", "Dario moved to the coastal research station at Skagen this week", Seq("dario")),
@@ -123,6 +125,7 @@ object LocomoMini {
       t(1, 6, "Tomas", "Ingrid sounds like a demanding teacher", Seq("ingrid")),
       t(1, 7, "Priya", "Demanding but generous with her secrets"),
       t(1, 8, "Tomas", "My training plan has me at forty kilometers a week"),
+      t(1, 9, "Tomas", "I live in Porto in a small flat near the river"),
       t(2, 1, "Tomas", "I ran a half marathon along the coast road as practice"),
       t(2, 2, "Priya", "I hosted a glazing workshop for six students"),
       t(2, 3, "Tomas", "Ingrid exhibited her porcelain at the harbor gallery last month", Seq("ingrid")),
@@ -147,6 +150,7 @@ object LocomoMini {
       t(4, 6, "Tomas", "Maybe I will sign up for clay instead of running"),
       t(4, 7, "Priya", "Clay is kinder to the knees"),
       t(4, 8, "Tomas", "My physiotherapist would agree"),
+      t(4, 9, "Tomas", "I moved to a flat in Valencia to be close to the coast"),
       t(5, 1, "Priya", "I fired a batch of celadon vases in the kiln this morning"),
       t(5, 2, "Tomas", "I am planning a trail race in the autumn hills"),
       t(5, 3, "Priya", "The celadon came out with a perfect crackle"),
@@ -159,7 +163,8 @@ object LocomoMini {
 
   def turns: Seq[Turn] = conv1 ++ conv2
 
-  /** The 12 questions, 4 per LoCoMo category. Question wording is part of
+  /** The 14 questions: 4 per LoCoMo category (single/temporal/multihop)
+    * plus 2 knowledge-update questions. Question wording is part of
     * the fixture: temporal questions carry a temporal-intent keyword
     * (`last`/`recently`) so `recencyBias = "auto"` fires for them and ONLY
     * them; multi-hop questions name the speaker possessively so both query
@@ -186,7 +191,34 @@ object LocomoMini {
     Question("multihop", 2, "What did Priya's mentor publish?",
       Seq("D2:1:3", "D2:4:2")),
     Question("multihop", 2, "Where did Priya's mentor exhibit her porcelain?",
-      Seq("D2:1:3", "D2:2:3")))
+      Seq("D2:1:3", "D2:2:3")),
+    // knowledge-update questions (the LongMemEval category the reference's
+    // second conversational benchmark adds, `tests/benchmarks/longmemeval/
+    // test_longmemeval.py`): a later session supersedes an earlier fact;
+    // the harness answers them with stateMode="current", so the J4
+    // supersession walk must surface the NEW dialog and suppress the old
+    Question("update", 1, "What job does Elena do for a living?",
+      Seq("D1:4:9")),
+    Question("update", 2, "Which city does Tomas live in?", Seq("D2:4:9")))
+
+  /** Superseded facts, old dialog -> new dialog (`EVOLVED_INTO` is the
+    * supersession relation the current-state walk follows, Schema
+    * .SupersessionRelations). In the reference these edges come from the
+    * enrichment/consolidation pass; the fixture declares them directly.
+    */
+  val Supersessions: Seq[(String, String)] =
+    Seq("D1:1:9" -> "D1:4:9", "D2:1:9" -> "D2:4:9")
+
+  def edges(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Supersessions.map { case (old, nu) =>
+      val turn = turns.find(_.dialogId == nu).get
+      val ts = new Timestamp(
+        SessionStart((turn.conv, turn.session)).getTime + turn.idx * 60000L)
+      graft.domain.Edge(old, nu, "EVOLVED_INTO", Some(1.0), None, None, None,
+        None, None, None, ts)
+    }.toDF()
+  }
 
   /** Ingest the conversations through the real batch-store transform
     * ([[Ingest.prepare]]), one memory per utterance with the reference's tag
@@ -276,7 +308,9 @@ object LocomoMini {
     val req = RecallRequest(query = Some(query), limit = limit,
       tags = Seq(s"conversation:conv-${q.conv}"), tagMatch = "exact",
       autoDecompose = multiHop, expandEntities = multiHop,
-      recencyBias = "auto", now = Now)
+      recencyBias = "auto",
+      stateMode = if (q.category == "update") "current" else "all",
+      now = Now)
     var ids = Recall.recall(memories, edges, req)
       .select("id").collect().map(_.getString(0)).toSeq
     if (multiHop) speakerFromQuestion(q.question).foreach { sp =>
@@ -292,12 +326,11 @@ object LocomoMini {
 
   /** Ranked ids per question index — the spec's golden input. */
   def rankings(spark: SparkSession): Map[Int, Seq[String]] = {
-    import spark.implicits._
     val mem = memories(spark).cache()
     mem.count()
-    val edges = Seq.empty[graft.domain.Edge].toDF()
+    val es = edges(spark)
     val out = questions.zipWithIndex.map { case (q, i) =>
-      i -> answer(mem, edges, q)
+      i -> answer(mem, es, q)
     }.toMap
     mem.unpersist()
     out

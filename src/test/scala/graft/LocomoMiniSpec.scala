@@ -67,7 +67,7 @@ class LocomoMiniSpec extends AnyFunSuite {
     assertPinned("single recall@10",
       catMean("single", RetrievalMetrics.recallAtK(_, _, 10)), 1.0)
     assertPinned("single mrr", catMean("single", RetrievalMetrics.mrr),
-      0.4791666666666667)
+      0.4666666666666667)
   }
 
   test("temporal: recency bias ranks the latest matching event first") {
@@ -86,9 +86,28 @@ class LocomoMiniSpec extends AnyFunSuite {
     assertPinned("multihop recall@5",
       catMean("multihop", RetrievalMetrics.recallAtK(_, _, 5)), 0.0)
     assertPinned("multihop recall@10",
-      catMean("multihop", RetrievalMetrics.recallAtK(_, _, 10)), 0.5)
+      catMean("multihop", RetrievalMetrics.recallAtK(_, _, 10)), 0.25)
     assertPinned("multihop mrr", catMean("multihop", RetrievalMetrics.mrr),
-      0.12142857142857143)
+      0.11688311688311688)
+  }
+
+  test("knowledge update: current-state surfaces the new fact, never the old") {
+    // the LongMemEval-shaped category: stateMode="current" must resolve the
+    // superseded dialog through the J4 walk — the NEW dialog ranks, the OLD
+    // one is absent from the entire result
+    LocomoMini.questions.zipWithIndex
+      .filter(_._1.category == "update").foreach { case (q, i) =>
+        val newId = q.evidence.head
+        val oldId = LocomoMini.Supersessions.find(_._2 == newId).get._1
+        assert(ranked(i).contains(newId),
+          s"'${q.question}': current fact $newId not retrieved")
+        assert(!ranked(i).contains(oldId),
+          s"'${q.question}': superseded $oldId leaked into current-state results")
+      }
+    assertPinned("update recall@5",
+      catMean("update", RetrievalMetrics.recallAtK(_, _, 5)), 0.5)
+    assertPinned("update mrr", catMean("update", RetrievalMetrics.mrr),
+      0.19444444444444442)
   }
 
   test("recency bias does the temporal work: the later event needs it to lead") {
@@ -146,7 +165,7 @@ class LocomoMiniSpec extends AnyFunSuite {
         s"$e@${ranked(i).indexOf(e) match { case -1 => "miss"; case r => r + 1 }}")
       info(f"[${q.category}%8s] '${q.question}' -> ${ranks.mkString(", ")}")
     }
-    Seq("single", "temporal", "multihop").foreach { cat =>
+    Seq("single", "temporal", "multihop", "update").foreach { cat =>
       info(s"$cat: r@5=${catMean(cat, RetrievalMetrics.recallAtK(_, _, 5))} " +
         s"r@10=${catMean(cat, RetrievalMetrics.recallAtK(_, _, 10))} " +
         s"mrr=${catMean(cat, RetrievalMetrics.mrr)}")
