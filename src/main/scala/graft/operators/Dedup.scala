@@ -304,10 +304,20 @@ object Dedup {
     * graph with a recursive CTE.
     */
   def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35): DataFrame =
+    semanticDedup(graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), threshold)
+
+  /** DataFrame-parametric form — the library API; needs (vec_id, embedding).
+    * Uses BOUNDED per-bucket pair generation
+    * ([[Similarity.boundedBandedPairs]]): the CC consumer only needs
+    * connectivity, so a duplicate mega-bucket contributes O(k) candidates,
+    * not C(k,2) — PipelineScaleProbe measures the difference.
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double): DataFrame = {
     // the pair graph feeds BOTH the vertex derivation and the CC edge side
     // — cache it so the 4-band bucket join runs once, not once per consumer
-    val pairs = Similarity.bandedNearDupPairs(spark, dir, threshold = threshold)
+    val pairs = Similarity.boundedBandedPairs(vectors, 8, threshold)
       .select(col("a_id").as("src"), col("b_id").as("dst")).cache()
     val vertices = pairs.select(col("src").as("id"))
       .unionByName(pairs.select(col("dst").as("id"))).distinct()
@@ -320,8 +330,37 @@ object Dedup {
     out
   }
 
-  def semanticDedupSql(threshold: Double = 0.35): String =
-    s"""WITH np AS (${Similarity.bandedNearDupPairsSql(threshold = threshold)}),
+  def semanticDedupSql(threshold: Double = 0.35): String = {
+    def bucketExpr(off: Int): String =
+      (0 until 8).map(i =>
+        s"(CASE WHEN embedding[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+    val bands = Seq(0, 8, 16, 24).map(off =>
+      s"SELECT vec_id, embedding, '$off:' || (${bucketExpr(off)}) AS bucket FROM embeddings")
+      .mkString("\n         UNION ALL\n         ")
+    // mirrors boundedBandedPairs: per (band, bucket) the chain (id-order
+    // neighbor) + star (bucket min anchor) candidates, cosine-verified
+    s"""WITH keyed AS ($bands),
+       nbr AS (SELECT bucket, vec_id, embedding,
+           lag(vec_id) OVER w AS prev_id, lag(embedding) OVER w AS prev_emb,
+           first_value(vec_id) OVER w AS anchor_id,
+           first_value(embedding) OVER w AS anchor_emb
+         FROM keyed WINDOW w AS (PARTITION BY bucket ORDER BY vec_id)),
+       cand AS (
+         SELECT DISTINCT a_id, b_id, ae, be FROM (
+           SELECT prev_id AS a_id, vec_id AS b_id, prev_emb AS ae,
+             embedding AS be FROM nbr WHERE prev_id IS NOT NULL
+           UNION ALL
+           SELECT anchor_id, vec_id, anchor_emb, embedding FROM nbr
+           WHERE anchor_id <> vec_id AND (prev_id IS NULL OR anchor_id <> prev_id))),
+       px AS (SELECT a_id, b_id, unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
+         FROM cand),
+       s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM px GROUP BY 1, 2),
+       np AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+         WHERE sim >= $threshold),
        edges AS (SELECT a_id AS src, b_id AS dst FROM np
          UNION ALL SELECT b_id, a_id FROM np),
        reach AS (
@@ -332,4 +371,5 @@ object Dedup {
          SELECT a AS vec_id, min(b) AS component FROM r GROUP BY a)
        SELECT vec_id, component, vec_id = component AS is_keeper
        FROM reach ORDER BY component, vec_id"""
+  }
 }

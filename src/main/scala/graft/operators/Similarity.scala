@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFunctions._
 import graft.functions.round4
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -69,8 +70,14 @@ object Similarity {
     * survive a few sign flips.
     */
   def bandedNearDupPairs(spark: SparkSession, dir: String,
-      bits: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      bits: Int = 8, threshold: Double = 0.3): DataFrame =
+    bandedNearDupPairs(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      bits, threshold)
+
+  /** DataFrame-parametric form — the library API; needs (vec_id, embedding). */
+  def bandedNearDupPairs(e: DataFrame, bits: Int,
+      threshold: Double): DataFrame = {
     def bandPairs(off: Int): DataFrame = {
       val keyed = e.select(col("vec_id"), col("embedding"),
         concat_ws(":", lit(off.toString),
@@ -90,6 +97,51 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Band-OR near-dup CANDIDATES with bounded per-bucket pair generation —
+    * the mega-bucket fix for CC-based dedup. All-pairs within a bucket is
+    * C(k,2): a viral duplicate cluster of 10^5 copies at 100 TB would emit
+    * 10^10 candidates from one bucket (PipelineScaleProbe measured the
+    * super-linearity: 5.3/12.7/33.7 s at 1x/5x/10x with planted clusters).
+    * For CONNECTIVITY — all the connected-components consumer needs — a
+    * bucket of k members needs O(k) edges, not C(k,2): each member pairs
+    * with its id-order neighbor (chain) and with the bucket's min-id member
+    * (star anchor), 2k-2 candidates per bucket, every one still
+    * cosine-verified so precision is unchanged. The trade (a mixed bucket
+    * whose non-adjacent members are similar but whose chain/star links are
+    * not may fragment a component) is the same recall-for-scale cap the
+    * MinHash-LSH path takes with maxBucket, and the probe shows the planted
+    * clusters stay intact.
+    */
+  def boundedBandedPairs(e: DataFrame, bits: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    def bandPairs(off: Int): DataFrame = {
+      val keyed = e.select(col("vec_id"), col("embedding"),
+        concat_ws(":", lit(off.toString),
+          signBucketAt(col("embedding"), bits, off)).as("bucket"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+      val nbrs = keyed
+        .withColumn("prev_id", lag(col("vec_id"), 1).over(w))
+        .withColumn("prev_emb", lag(col("embedding"), 1).over(w))
+        .withColumn("anchor_id", first(col("vec_id")).over(w))
+        .withColumn("anchor_emb", first(col("embedding")).over(w))
+      val chain = nbrs.filter(col("prev_id").isNotNull)
+        .select(col("prev_id").as("a_id"), col("vec_id").as("b_id"),
+          col("prev_emb").as("a_emb"), col("embedding").as("b_emb"))
+      val star = nbrs
+        .filter(col("anchor_id") =!= col("vec_id") &&
+          col("anchor_id") =!= col("prev_id"))
+        .select(col("anchor_id").as("a_id"), col("vec_id").as("b_id"),
+          col("anchor_emb").as("a_emb"), col("embedding").as("b_emb"))
+      chain.unionByName(star)
+        .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
+        .select(col("a_id"), col("b_id"), col("sim"))
+    }
+    Seq(0, 8, 16, 24).map(bandPairs).reduce(_ unionByName _)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("sim")).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   def bandedNearDupPairsSql(bits: Int = 8, threshold: Double = 0.3): String = {

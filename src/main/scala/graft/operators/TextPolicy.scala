@@ -138,8 +138,12 @@ object TextPolicy {
     * state, the same plan at 100 TB. Ties on count break by bigram text so
     * both engines pick the same winner.
     */
-  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — the library API; needs (doc_id, text). */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), tokens(col("text")).as("ws"),
         length(col("text")).as("len_text"))
       .withColumn("n_words", size(col("ws")))

@@ -118,6 +118,27 @@ object StreamingIngest {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of the training-data hygiene stages: PII redaction,
+    * language-ID, quality/token stats, and the mixture-sampling keep flag
+    * are all STATELESS column transforms, so the exact same expressions the
+    * batch oracles gate (`q_pii_redact`, `q_lang_id`, `q_text_stats`,
+    * `q_mix_sample`) run unchanged on a stream — no watermark, no state
+    * store, append mode. This is the shape of a 100 TB ingest-time filter:
+    * hygiene applied as documents arrive rather than in a later sweep.
+    */
+  def hygieneStream(docs: DataFrame, keepRate: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    val coin = pmod(
+      conv(substring(md5(concat(lit("mix#"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(1000))
+    docs
+      .withColumn("redacted", graft.operators.TextPolicy.redactPii(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("keep", coin < keepRate * 1000)
+  }
+
   /** Micro-batch ingest into the memories table: the streaming counterpart
     * of `graft.domain.Ingest.prepare`, applied per micro-batch via
     * foreachBatch (each batch is a plain DataFrame -> full batch enrichment

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Measured scale evidence for the training-data pipeline operators (the
+  * ScaleProbe discipline from round 3, applied to this round's additions):
+  * synthesize corpora of growing size with PLANTED duplicate structure, run
+  * each operator warm, and print per-size timings so linearity is a
+  * recorded fact rather than a plan-shape argument.
+  *
+  * Synthetic corpus (fully deterministic, generated distributed via
+  * `spark.range` — the driver never materializes rows):
+  *  - documents: ~40-word word-soup from a small vocabulary keyed by a
+  *    64-bit mix of (id, position); every 10th doc repeats one phrase so
+  *    repetition signals vary.
+  *  - embeddings: 64-dim unit-ish vectors; 10% of docs are jittered copies
+  *    of a base vector (id % 7 buckets) so the near-dup graph has real
+  *    clusters of bounded size.
+  *
+  * Run: `sbt "runMain graft.tools.PipelineScaleProbe [sizes...]"`
+  */
+object PipelineScaleProbe {
+
+  private def mix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    abs(xxhash64(c))
+
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = Seq("pipeline", "review", "standup", "retro", "incident",
+      "migration", "rollout", "oncall", "postmortem", "planning", "shuffle",
+      "broadcast", "partition", "executor", "catalyst", "codegen")
+    val vocabCol = array(vocab.map(lit): _*)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(p =>
+        // every 10th doc collapses to a 4-word cycle -> high repetition
+        element_at(vocabCol,
+          (mix(col("id") * 41 + p) % when(col("id") % 10 === 0, 4)
+            .otherwise(vocab.size)).cast("int") + 1)): _*).as("text"))
+  }
+
+  def syntheticVectors(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        // 10% of ids share a per-(id%7) base vector with tiny jitter ->
+        // planted near-dup clusters; the rest are hash-isotropic
+        val base = (mix(col("id") % 7 * 131 + i) % 2000 - 1000).cast("float") / 1000f
+        val noise = (mix(col("id") * 257 + i) % 2000 - 1000).cast("float") / 1000f
+        when(col("id") % 10 === 0, base + noise / lit(50f)).otherwise(noise)
+      }).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(10000L, 50000L, 100000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def time(label: String)(f: => Long): Unit = {
+      f // warm-up run (codegen)
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[pipescale] $label ${(System.nanoTime() - t0) / 1e9}%7.2f s ($rows rows)")
+    }
+
+    for (n <- sizes) {
+      val docs = syntheticDocs(spark, n).cache(); docs.count()
+      val vecs = syntheticVectors(spark, n).cache(); vecs.count()
+      time(s"repetition  n=$n") {
+        graft.operators.TextPolicy.repetitionSignals(docs).count()
+      }
+      time(s"semanticdup n=$n") {
+        graft.operators.Dedup.semanticDedup(vecs, threshold = 0.9).count()
+      }
+      docs.unpersist(); vecs.unpersist()
+    }
+    spark.stop()
+  }
+}

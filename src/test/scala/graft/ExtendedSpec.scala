@@ -226,6 +226,38 @@ class ExtendedSpec extends AnyFunSuite {
     assert(kept.size == 2 && kept.contains("m3"), s"got $kept")
   }
 
+  test("streaming hygiene: PII/lang/quality/mixture run stateless on a stream") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hyg").toString
+    Seq(
+      (100L, "reach me at jo.doe@example.com about the spark rollout plan"),
+      (101L, "el informe de la semana pasada sobre los datos y las tablas"),
+      (102L, "plain unremarkable note with no sensitive content at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+    val q = StreamingIngest.hygieneStream(stream)
+      .writeStream.format("memory").queryName("stream_hygiene")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val rows = spark.table("stream_hygiene").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(100L).getAs[String]("redacted").contains("<EMAIL>"))
+    assert(!rows(100L).getAs[String]("redacted").contains("example.com"))
+    assert(rows(101L).getAs[String]("lang_pred") == "es")
+    assert(rows.values.forall(_.getAs[Int]("n_tokens") > 0))
+    // the streaming coin is the same md5 coin the batch oracle gates —
+    // flags must agree with the batch expression bit-for-bit
+    val batchKeep = StreamingIngest.hygieneStream(
+      spark.read.parquet(s"$tmp/in")).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("keep") == batchKeep(id)) }
+  }
+
   test("streaming ingest writes classified memories per micro-batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
