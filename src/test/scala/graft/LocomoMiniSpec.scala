@@ -110,6 +110,38 @@ class LocomoMiniSpec extends AnyFunSuite {
       0.19444444444444442)
   }
 
+  test("abstention: unanswerable questions score below answerable top-1s") {
+    import spark.implicits._
+    // LongMemEval's abstention category, deterministically: the fixture
+    // holds nothing about these topics, so with the relevance gate on
+    // (scoring.py:229-262 — query-independent components scale by
+    // evidence/gate when topical evidence is weak) every returned row must
+    // score clearly below the single-hop answerable questions' top-1s.
+    // This is the calibration signal a no-answer policy thresholds on.
+    val mem = LocomoMini.memories(spark).cache()
+    val edges = Seq.empty[graft.domain.Edge].toDF()
+    def top1(conv: Int, question: String): Double =
+      Recall.recall(mem, edges, RecallRequest(query = Some(question),
+        limit = 5, tags = Seq(s"conversation:conv-$conv"),
+        relevanceGate = Some(0.6), now = LocomoMini.Now))
+        .select("final_score").collect().headOption
+        .map(_.getDouble(0)).getOrElse(0.0)
+    val unanswerable = Seq(
+      top1(1, "What color is the submarine parked outside?"),
+      top1(2, "Which opera premiered at the festival?"))
+    val answerable = LocomoMini.questions.filter(_.category == "single")
+      .map(q => top1(q.conv, q.question))
+    // the placeholder hash embeddings put a ~0.2 vector-noise floor under
+    // every query, so the separation is real but thin — assert the strict
+    // ordering and pin the boundary scores (deterministic fixture; a wider
+    // margin would need real embeddings, which this container cannot run)
+    assert(unanswerable.max < answerable.min,
+      s"gate failed to separate: answerable=$answerable unanswerable=$unanswerable")
+    assertPinned("abstention ceiling", unanswerable.max, 0.20969606447073852)
+    assertPinned("answerable floor", answerable.min, 0.22735148159146007)
+    mem.unpersist()
+  }
+
   test("recency bias does the temporal work: the later event needs it to lead") {
     import spark.implicits._
     val mem = LocomoMini.memories(spark).cache()
