@@ -74,7 +74,12 @@ object Bench {
       .getOrElse(-1.0)
 
     def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+      // emit invalid JSON
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
     val warmQs = jsonMap(timed.toMap.map { case (k, (_, w)) => k -> w })
     val coldQs = jsonMap(timed.toMap.map { case (k, (c, _)) => k -> c })
     val totalWarm = timed.map(_._2._2).sum

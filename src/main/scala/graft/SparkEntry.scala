@@ -37,7 +37,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashGroups(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
-    "q_sim_bucket_pairs" -> ((s, d) => Similarity.bucketedNearDupPairs(s, d)),
+    "q_sim_bucket_pairs" -> ((s, d) => Similarity.bucketedNearDupPairs(s, d, threshold = 0.3)),
     "q_text_stats" -> (TextAnalysis.docStats _),
     "q_lang_id" -> (TextAnalysis.langPrediction _),
     "q_q3_keyword" -> (TextAnalysis.keywordSearch _),
@@ -79,7 +79,7 @@ object SparkEntry {
     "q_s8_sync_diff" -> (RecallShapes.syncDiff _),
     "q_q6_multi" -> (RecallShapes.multiQueryUnion _),
     "q_u7_lev_pairs" -> ((s, d) => Dedup.levenshteinPairs(s, d)),
-    "q_sim_band_pairs" -> ((s, d) => Similarity.bandedNearDupPairs(s, d)),
+    "q_sim_band_pairs" -> ((s, d) => Similarity.bandedNearDupPairs(s, d, threshold = 0.3)),
     "q_fp_rolling" -> (TextAnalysis.rollingFingerprints _),
     "q_c3_clusters" -> (Maintenance.clusterSummary _),
     "q_c3_clusters_banded" -> (Maintenance.clusterSummaryBanded _),
@@ -92,7 +92,7 @@ object SparkEntry {
     "q_s1_tag_prep" -> (TextAnalysis.tagPrepare _),
     "q_mm_decode" -> (Multimodal.decodePipeline _),
     "q_quality_repetition" -> (TextPolicy.repetitionSignals _),
-    "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d, threshold = 0.35)),
     "q_mix_sample" -> (TextAnalysis.mixtureSample _),
   )
 
@@ -274,7 +274,7 @@ object SparkEntry {
     "q_s1_tag_prep" -> TextAnalysis.tagPrepareSql,
     "q_mm_decode" -> Multimodal.decodePipelineSql,
     "q_quality_repetition" -> TextPolicy.repetitionSignalsSql,
-    "q_dedup_semantic" -> Dedup.semanticDedupSql(),
+    "q_dedup_semantic" -> Dedup.semanticDedupSql(threshold = 0.35),
     "q_mix_sample" -> TextAnalysis.mixtureSampleSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
@@ -311,7 +311,7 @@ object SparkEntry {
     "q_s8_sync_diff" -> RecallShapes.syncDiffSql,
     "q_q6_multi" -> RecallShapes.multiQueryUnionSql,
     "q_u7_lev_pairs" -> Dedup.levenshteinPairsSql(),
-    "q_sim_band_pairs" -> Similarity.bandedNearDupPairsSql(),
+    "q_sim_band_pairs" -> Similarity.bandedNearDupPairsSql(threshold = 0.3),
     "q_fp_rolling" -> TextAnalysis.rollingFingerprintsSql,
   )
 }

@@ -75,13 +75,16 @@ object Backup {
     }
     if (includes.contains("vectors")) {
       val base = s"$dir/vectors/$timestamp"
-      val dim = memories.select(size(col("embedding"))).head().getInt(0)
+      // headOption: an EMPTY store must still produce a complete (empty)
+      // snapshot + manifest, not crash mid-backup leaving a partial dir
+      val dim = memories.select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0).toLong).getOrElse(0L)
       memories.select(col("id"), col("embedding"), col("type"), col("tags"),
           col("timestamp"), col("importance"))
         .write.mode("overwrite").parquet(s"$base/points")
       stats("vectors") = Map(
         "points_count" -> memories.count(),
-        "vector_size" -> dim.toLong)
+        "vector_size" -> dim)
     }
     val manifest = stats.toSeq.sortBy(_._1).map { case (svc, m) =>
       "\"" + svc + "\":" + m.toSeq.sortBy(_._1)
@@ -99,12 +102,21 @@ object Backup {
     * find_latest_backup — the reference sorts file names; the timestamp
     * format makes name order chronological).
     */
+  /** Child names of a directory with the stream CLOSED (Files.list leaks a
+    * directory file descriptor until GC otherwise).
+    */
+  private def childNames(p: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(p)
+    try s.toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    finally s.close()
+  }
+
   def latestTimestamp(dir: String, service: String): Option[String] = {
     val p = Paths.get(dir, service)
     if (!Files.isDirectory(p)) None
     else {
-      val names = Files.list(p).toArray.toSeq
-        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      val names = childNames(p)
         .filter(n => Files.exists(Paths.get(dir, service, n, "manifest.json")))
       if (names.isEmpty) None else Some(names.max)
     }
@@ -166,17 +178,24 @@ object Backup {
   def cleanupOldBackups(dir: String, keep: Int): Map[String, (Int, Int)] =
     ValidIncludes.map { svc =>
       val p = Paths.get(dir, svc)
-      val names =
+      val all =
         if (!Files.isDirectory(p)) Seq.empty[String]
-        else Files.list(p).toArray.toSeq
-          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).sorted.reverse
-      val (kept, doomed) = names.splitAt(keep)
-      doomed.foreach { n =>
+        else childNames(p).sorted.reverse
+      // only COMPLETE snapshots (manifest present — the same filter
+      // latestTimestamp applies) count toward the keep quota: an aborted
+      // partial dir must never displace a restorable backup. Partial dirs
+      // are deleted outright — they are unrestorable garbage.
+      val (complete, partial) = all.partition(n =>
+        Files.exists(Paths.get(dir, svc, n, "manifest.json")))
+      val (kept, doomed) = complete.splitAt(keep)
+      (doomed ++ partial).foreach { n =>
         val root = Paths.get(dir, svc, n)
-        Files.walk(root).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        val w = Files.walk(root)
+        try w.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
           .sortBy(_.getNameCount)(Ordering[Int].reverse)
           .foreach(Files.deleteIfExists(_))
+        finally w.close()
       }
-      svc -> (kept.length, doomed.length)
+      svc -> (kept.length, doomed.length + partial.length)
     }.toMap
 }

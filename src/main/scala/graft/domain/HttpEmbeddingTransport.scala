@@ -174,7 +174,9 @@ class HttpTransportFactory(env: Map[String, String], dimension: Int,
           dimension, sendOutputDimension = native)
       }
       case "ollama" =>
-        val host = env.getOrElse("OLLAMA_HOST", "http://localhost:11434")
+        // OLLAMA_BASE_URL is the env the selection chain gates on and the
+        // reference reads (`provider_init.py:142`)
+        val host = env.getOrElse("OLLAMA_BASE_URL", "http://localhost:11434")
         Some(new HttpEmbeddingTransport(
           endpoint("ollama", s"${host.stripSuffix("/")}/api/embed"),
           None, env.getOrElse("OLLAMA_MODEL", "nomic-embed-text"),

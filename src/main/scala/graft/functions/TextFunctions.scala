@@ -18,6 +18,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
+  /** Deterministic uniform bucket in [0, mod) from a salted md5 of `c` —
+    * the ONE portable coin behind train/val/test splitting, mixture
+    * sampling, and the streaming hygiene twin (DuckDB mirror:
+    * `('0x' || substr(md5(salt || CAST(c AS VARCHAR)), 1, 15))::BIGINT
+    * % mod`). A single definition so batch and streaming flags can never
+    * drift.
+    */
+  def md5Bucket(salt: String, c: Column, mod: Int): Column =
+    pmod(conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(mod))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

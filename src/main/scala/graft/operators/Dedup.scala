@@ -304,7 +304,7 @@ object Dedup {
     * graph with a recursive CTE.
     */
   def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame =
+      threshold: Double = 0.9): DataFrame =
     semanticDedup(graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")), threshold)
 
@@ -330,7 +330,7 @@ object Dedup {
     out
   }
 
-  def semanticDedupSql(threshold: Double = 0.35): String = {
+  def semanticDedupSql(threshold: Double = 0.9): String = {
     def bucketExpr(off: Int): String =
       (0 until 8).map(i =>
         s"(CASE WHEN embedding[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")

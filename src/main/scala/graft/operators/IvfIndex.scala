@@ -93,11 +93,8 @@ object IvfIndex {
     require(exists(path), s"no completed index at $path — use build()")
     val spark = vectors.sparkSession
     val cells = vectors.withColumn("cell", signBucket(col("embedding"), cellBits))
-    cells.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/assignments")
     val old = spark.read.parquet(s"$path/centroids")
-    val oldSums =
+    val oldSumsPlan =
       if (old.columns.contains("n"))
         old.select(col("cell"),
           transform(col("centroid"), c => c.cast("double") * col("n")).as("sums"),
@@ -106,6 +103,16 @@ object IvfIndex {
         // legacy index without counts: recover the statistic with one
         // full-assignments pass, then future appends stay incremental
         cellSums(spark.read.parquet(s"$path/assignments"))
+    // MATERIALIZE the old statistic before the batch write: both branches
+    // are lazy plans over the very files mutated below — the legacy branch
+    // would re-read assignments WITH the appended batch (double-counting
+    // every new vector), and the count branch reads the centroid files the
+    // rename replaces. localCheckpoint pins the pre-append state
+    // (<= 2^cellBits rows — trivially small).
+    val oldSums = oldSumsPlan.localCheckpoint()
+    cells.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assignments")
     val union = oldSums.unionByName(cellSums(cells))
     val nTot = union.groupBy(col("cell")).agg(sum(col("n")).as("n"))
     val merged = union
@@ -130,15 +137,24 @@ object IvfIndex {
   /** Mean data files per cell partition — the append-induced small-file
     * pressure gauge that decides when [[compact]] is worth running.
     */
+  /** List a directory with the stream CLOSED (Files.list leaks a directory
+    * file descriptor until GC if the stream is abandoned — its javadoc
+    * requires try-with-resources).
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    finally s.close()
+  }
+
   def filesPerCell(path: String): Double = {
     val root = java.nio.file.Paths.get(path, "assignments")
     if (!java.nio.file.Files.isDirectory(root)) return 0.0
-    val cellDirs = java.nio.file.Files.list(root).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
+    val cellDirs = listDir(root)
       .filter(p => p.getFileName.toString.startsWith("cell="))
     if (cellDirs.isEmpty) return 0.0
-    val files = cellDirs.map(d => java.nio.file.Files.list(d).toArray.toSeq
-      .count(_.asInstanceOf[java.nio.file.Path].getFileName.toString.endsWith(".parquet")))
+    val files = cellDirs.map(d => listDir(d)
+      .count(_.getFileName.toString.endsWith(".parquet")))
     files.sum.toDouble / cellDirs.length
   }
 
@@ -179,8 +195,16 @@ object IvfIndex {
       maxDrift: Double = 1e-3): Boolean = {
     append(vectors, path, cellBits)
     val spark = vectors.sparkSession
-    val needs = filesPerCell(path) > maxFilesPerCell ||
-      centroidDrift(spark, path) > maxDrift
+    // centroidDrift is a full-assignments rescan (O(corpus)) while append
+    // itself is O(batch) — so the drift audit only runs once small-file
+    // pressure has built to half the compaction bound, keeping the common
+    // small-append call at its advertised cost. Drift after exact
+    // weighted-mean appends is float-rounding-level by construction; the
+    // audit exists to catch hand-edited or partially written tables, and
+    // those are still caught on the next pressured append or direct call.
+    val fpc = filesPerCell(path)
+    val needs = fpc > maxFilesPerCell ||
+      (fpc > maxFilesPerCell / 2 && centroidDrift(spark, path) > maxDrift)
     if (needs) compact(spark, path, cellBits)
     needs
   }

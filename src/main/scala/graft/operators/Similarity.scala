@@ -47,7 +47,7 @@ object Similarity {
     * At scale the bucket key is the shuffle key — no cross join.
     */
   def bucketedNearDupPairs(spark: SparkSession, dir: String,
-      bits: Int = 8, threshold: Double = 0.3): DataFrame = {
+      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), bits).as("bucket"))
@@ -70,7 +70,7 @@ object Similarity {
     * survive a few sign flips.
     */
   def bandedNearDupPairs(spark: SparkSession, dir: String,
-      bits: Int = 8, threshold: Double = 0.3): DataFrame =
+      bits: Int = 8, threshold: Double = 0.9): DataFrame =
     bandedNearDupPairs(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       bits, threshold)
@@ -115,7 +115,7 @@ object Similarity {
     * clusters stay intact.
     */
   def boundedBandedPairs(e: DataFrame, bits: Int = 8,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.9): DataFrame = {
     def bandPairs(off: Int): DataFrame = {
       val keyed = e.select(col("vec_id"), col("embedding"),
         concat_ws(":", lit(off.toString),
@@ -144,7 +144,7 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  def bandedNearDupPairsSql(bits: Int = 8, threshold: Double = 0.3): String = {
+  def bandedNearDupPairsSql(bits: Int = 8, threshold: Double = 0.9): String = {
     def bucketExpr(off: Int): String =
       (0 until bits).map(i =>
         s"(CASE WHEN embedding[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")

@@ -77,9 +77,7 @@ object TextAnalysis {
     * rebuilt incrementally at scale.
     */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(100))
+    val bucket = graft.functions.TextFunctions.md5Bucket("", col("doc_id"), 100)
     Tables.documents(spark, dir)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -109,9 +107,8 @@ object TextAnalysis {
     * it. One scan, one groupBy(source) — linear, no shuffle of kept rows.
     */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("mix#"), col("doc_id").cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(1000))
+    val bucket =
+      graft.functions.TextFunctions.md5Bucket("mix#", col("doc_id"), 1000)
     // recipe: src0 -> 0.2, src1 -> 0.4, src2 -> 0.6, src3 -> 0.8, cycling
     val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
     val rate = (pmod(srcNum, lit(4)) + 1).cast("double") / 5.0

@@ -128,9 +128,7 @@ object StreamingIngest {
     */
   def hygieneStream(docs: DataFrame, keepRate: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
-    val coin = pmod(
-      conv(substring(md5(concat(lit("mix#"), col("doc_id").cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(1000))
+    val coin = TextFunctions.md5Bucket("mix#", col("doc_id"), 1000)
     docs
       .withColumn("redacted", graft.operators.TextPolicy.redactPii(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))

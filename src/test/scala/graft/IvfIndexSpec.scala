@@ -100,6 +100,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.filesPerCell(tmp) > filesBefore)
   }
 
+  test("append to a legacy count-less index recovers stats BEFORE the write") {
+    import spark.implicits._
+    // regression: the legacy-recovery scan used to run AFTER the batch was
+    // appended to assignments, so every appended vector was counted twice
+    // (once by the recovery scan, once by the batch sums) and centroids
+    // skewed toward the new batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
+    IvfIndex.build(corpus, tmp)
+    // strip the count column to simulate an index built before counts existed
+    val legacy = spark.read.parquet(s"$tmp/centroids").drop("n").localCheckpoint()
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    val fresh = (400 until 500).map { i =>
+      (i.toLong, s"label${i % 4}", PlaceholderEmbedding.embed(s"doc $i").toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    IvfIndex.append(fresh, tmp)
+    assert(IvfIndex.centroidDrift(spark, tmp) < 1e-6,
+      "legacy append must not double-count the batch in the recovered sums")
+  }
+
   test("compaction restores one-file-per-cell and preserves answers") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
