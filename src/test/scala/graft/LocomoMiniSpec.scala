@@ -110,6 +110,33 @@ class LocomoMiniSpec extends AnyFunSuite {
       0.19444444444444442)
   }
 
+  test("time-bounded recall answers as-of the question date (LongMemEval bounds)") {
+    import spark.implicits._
+    // LongMemEval's temporal-bounds mechanism (test_longmemeval.py:441-481:
+    // temporal questions carry end = the question date): the same question
+    // bounded to BEFORE the second glacier visit must surface the FIRST
+    // visit as the latest event — F1's half-open end bound and the recency
+    // re-rank working together on the conversational corpus.
+    val mem = LocomoMini.memories(spark).cache()
+    val edges = Seq.empty[graft.domain.Edge].toDF()
+    def ids(end: Option[java.sql.Timestamp]): Seq[String] =
+      Recall.recall(mem, edges, RecallRequest(
+        query = Some("When did Elena last visit the glacier?"), limit = 5,
+        tags = Seq("conversation:conv-1"), recencyBias = "auto", end = end,
+        now = LocomoMini.Now))
+        .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids(None).head == "D1:4:1", "unbounded: the April visit leads")
+    val asOfMarch = ids(Some(java.sql.Timestamp.valueOf("2026-04-01 00:00:00")))
+    assert(asOfMarch.head == "D1:2:1",
+      s"as-of March the FIRST visit must lead; got $asOfMarch")
+    // nothing after the bound may appear at all (half-open [,end))
+    val post = LocomoMini.turns.filter(t => t.conv == 1 && t.session >= 3)
+      .map(_.dialogId).toSet
+    assert(asOfMarch.forall(!post.contains(_)),
+      s"rows after the bound leaked: ${asOfMarch.filter(post.contains)}")
+    mem.unpersist()
+  }
+
   test("abstention: unanswerable questions score below answerable top-1s") {
     import spark.implicits._
     // LongMemEval's abstention category, deterministically: the fixture
