@@ -109,6 +109,37 @@ object Ingest {
       .otherwise(regexp_replace(substring(base, 1, 240), "\\s+\\S*$", ""))
   }
 
+  /** Content-size governance trichotomy
+    * (`automem/utils/text.py:191-209` should_summarize_content):
+    * "ok" at or under the soft limit, "summarize" above it up to and
+    * including the hard limit, "reject" beyond. Empty/null content is "ok"
+    * there (the reference's 400 for empty content fires elsewhere); the
+    * batch filter in [[prepare]] drops empties at the same boundary.
+    */
+  def contentFate(content: Column, softLimit: Int = SoftLimit,
+      hardLimit: Int = HardLimit): Column = {
+    val len = length(coalesce(content, lit("")))
+    when(len <= softLimit, "ok")
+      .when(len <= hardLimit, "summarize")
+      .otherwise("reject")
+  }
+
+  /** [[prepare]] plus the reject side-channel: a batch pipeline needs the
+    * rows the reference's API would 400 (empty or beyond the hard limit)
+    * accounted for, not silently dropped. Returns (prepared, rejected);
+    * `rejected` carries the input columns plus a `reject_reason`.
+    */
+  def prepareWithRejects(df: DataFrame,
+      dim: Int = PlaceholderEmbedding.DefaultDim): (DataFrame, DataFrame) = {
+    val rejected = df
+      .filter(length(coalesce(col("content"), lit(""))) === 0 ||
+        length(col("content")) > HardLimit)
+      .withColumn("reject_reason",
+        when(length(coalesce(col("content"), lit(""))) === 0, "empty_content")
+          .otherwise("content_exceeds_hard_limit"))
+    (prepare(df, dim), rejected)
+  }
+
   /** Normalize raw tags: trim, lowercase, drop empties, dedupe
     * (`automem/utils/tags.py:7-20`).
     */

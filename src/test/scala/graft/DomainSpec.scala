@@ -87,6 +87,30 @@ class DomainSpec extends AnyFunSuite {
     assert(infra.getAs[scala.collection.Seq[Float]]("embedding").length == PlaceholderEmbedding.DefaultDim)
   }
 
+  test("content-size governance: the reference's ok/summarize/reject boundaries") {
+    import spark.implicits._
+    // test_content_size.py:16-38 pins the trichotomy at the exact limits
+    val cases = Seq("" -> "ok", "Short memory content." -> "ok",
+      ("x" * 500) -> "ok", ("x" * 501) -> "summarize",
+      ("x" * 2000) -> "summarize", ("x" * 2001) -> "reject")
+    val got = cases.map(_._1).toDF("content")
+      .select(col("content"), Ingest.contentFate(col("content")).as("fate"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (c, want) =>
+      assert(got(c) == want, s"len=${c.length}: got ${got(c)}, want $want") }
+    // prepareWithRejects: dropped rows surface with a reason instead of
+    // vanishing; survivors above the soft limit carry the summary
+    val raw = Seq("fine", "x" * 501, "x" * 2001, "").toDF("content")
+    val (prepared, rejected) = Ingest.prepareWithRejects(raw)
+    assert(prepared.count() == 2)
+    val reasons = rejected.select("reject_reason").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(reasons == Seq("content_exceeds_hard_limit", "empty_content"))
+    val longRow = prepared.filter(length(col("content")) === 501).head()
+    assert(longRow.getAs[String]("summary") != null,
+      "above-soft-limit survivor must carry the extractive summary")
+  }
+
   test("placeholder embeddings are deterministic and unit-norm") {
     val a = PlaceholderEmbedding.embed("hello world")
     val b = PlaceholderEmbedding.embed("hello world")
