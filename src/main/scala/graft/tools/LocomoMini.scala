@@ -54,7 +54,12 @@ object LocomoMini {
     (2, 2) -> Timestamp.valueOf("2026-03-01 14:00:00"),
     (2, 3) -> Timestamp.valueOf("2026-03-25 09:30:00"),
     (2, 4) -> Timestamp.valueOf("2026-04-15 17:00:00"),
-    (2, 5) -> Timestamp.valueOf("2026-05-10 12:00:00"))
+    (2, 5) -> Timestamp.valueOf("2026-05-10 12:00:00"),
+    (3, 1) -> Timestamp.valueOf("2026-01-20 09:30:00"),
+    (3, 2) -> Timestamp.valueOf("2026-02-14 15:00:00"),
+    (3, 3) -> Timestamp.valueOf("2026-03-10 11:30:00"),
+    (3, 4) -> Timestamp.valueOf("2026-04-05 17:30:00"),
+    (3, 5) -> Timestamp.valueOf("2026-05-20 08:30:00"))
 
   // Conversation 1: Elena & Marcus. Planted facts: parrot Kiwi (S1),
   // cello/quartet (S1), brother Dario (S1) -> marine biologist (S2) ->
@@ -161,10 +166,62 @@ object LocomoMini {
       t(5, 8, "Tomas", "Then the vases must truly shine"))
   }
 
-  def turns: Seq[Turn] = conv1 ++ conv2
+  // Conversation 3: Aiko & Ben. Planted facts: 1890 telescope restoration
+  // (S3), honey harvests (S2 first, S4 last), cousin Mirela (S1) -> bakery
+  // (S2), workshop on Castle Lane (S1) -> moved to Mill Street (S4).
+  private def conv3: Seq[Turn] = {
+    def t(s: Int, i: Int, sp: String, tx: String, e: Seq[String] = Nil) =
+      Turn(3, s, i, sp, tx, e)
+    Seq(
+      t(1, 1, "Aiko", "I restore antique telescopes in my little workshop"),
+      t(1, 2, "Ben", "I keep three beehives on the rooftop of my building"),
+      t(1, 3, "Aiko", "My cousin Mirela moved back to town this winter", Seq("mirela")),
+      t(1, 4, "Ben", "Rooftop bees are calmer than people expect"),
+      t(1, 5, "Aiko", "Telescope restoration takes patience and steady hands"),
+      t(1, 6, "Ben", "I would love to look through one of your telescopes"),
+      t(1, 7, "Aiko", "Come by the workshop when the big refractor is done"),
+      t(1, 8, "Ben", "Deal, I will bring honey when the hives produce"),
+      t(1, 9, "Aiko", "My workshop sits on Castle Lane near the clock tower"),
+      t(2, 1, "Ben", "The hives produced their first honey harvest this week"),
+      t(2, 2, "Aiko", "I spent the weekend polishing telescope lenses"),
+      t(2, 3, "Aiko", "Mirela opened a bakery on Harbor Street", Seq("mirela")),
+      t(2, 4, "Ben", "A bakery next to the harbor sounds perfect"),
+      t(2, 5, "Aiko", "Her cinnamon knots sold out on opening day"),
+      t(2, 6, "Ben", "I will trade honey for cinnamon knots"),
+      t(2, 7, "Aiko", "The lens polishing jig needs a new belt"),
+      t(2, 8, "Ben", "Check the hardware stall at the market"),
+      t(3, 1, "Aiko", "I finished restoring a brass telescope built in 1890"),
+      t(3, 2, "Ben", "An instrument from 1890, that is remarkable"),
+      t(3, 3, "Aiko", "The 1890 refractor needed a completely new mount"),
+      t(3, 4, "Ben", "The bees are quiet, winter stores are holding"),
+      t(3, 5, "Aiko", "Mirela's bakery added a second oven already", Seq("mirela")),
+      t(3, 6, "Ben", "Success smells like fresh bread and honey"),
+      t(3, 7, "Aiko", "Next project is a pocket sextant from the thirties"),
+      t(3, 8, "Ben", "Your workshop must look like a museum"),
+      t(4, 1, "Ben", "I harvested honey from all three hives this morning"),
+      t(4, 2, "Aiko", "The sextant restoration is halfway done"),
+      t(4, 3, "Ben", "This harvest filled twice as many jars as the first"),
+      t(4, 4, "Aiko", "Save me a jar for the workshop shelf"),
+      t(4, 5, "Ben", "The rooftop garden helps the bees thrive"),
+      t(4, 6, "Aiko", "Mirela wants honey for her bakery glazes", Seq("mirela")),
+      t(4, 7, "Ben", "A bakery and an apiary make natural partners"),
+      t(4, 8, "Aiko", "I will deliver a jar when I visit her"),
+      t(4, 9, "Aiko", "I moved the workshop to Mill Street for better light"),
+      t(5, 1, "Aiko", "The pocket sextant is finished and calibrated"),
+      t(5, 2, "Ben", "I am building two more hives for spring"),
+      t(5, 3, "Aiko", "The workshop window display now shows the 1890 telescope"),
+      t(5, 4, "Ben", "The new hives should be ready before summer"),
+      t(5, 5, "Aiko", "Mirela's bakery started weekend baking classes", Seq("mirela")),
+      t(5, 6, "Ben", "Maybe I will learn to bake at last"),
+      t(5, 7, "Aiko", "Bring honey to class and you will be popular"),
+      t(5, 8, "Ben", "Strategy accepted"))
+  }
 
-  /** The 14 questions: 4 per LoCoMo category (single/temporal/multihop)
-    * plus 2 knowledge-update questions. Question wording is part of
+  def turns: Seq[Turn] = conv1 ++ conv2 ++ conv3
+
+  /** The 18 questions across three conversations: 5 each for the LoCoMo
+    * single/temporal/multihop categories and 3 knowledge-update questions
+    * (LongMemEval shape). Question wording is part of
     * the fixture: temporal questions carry a temporal-intent keyword
     * (`last`/`recently`) so `recencyBias = "auto"` fires for them and ONLY
     * them; multi-hop questions name the speaker possessively so both query
@@ -199,7 +256,14 @@ object LocomoMini {
     // supersession walk must surface the NEW dialog and suppress the old
     Question("update", 1, "What job does Elena do for a living?",
       Seq("D1:4:9")),
-    Question("update", 2, "Which city does Tomas live in?", Seq("D2:4:9")))
+    Question("update", 2, "Which city does Tomas live in?", Seq("D2:4:9")),
+    Question("single", 3, "What was Aiko restoring that was built in 1890?",
+      Seq("D3:3:1")),
+    Question("temporal", 3, "When did Ben last harvest honey?", Seq("D3:4:1")),
+    Question("multihop", 3, "What did Aiko's cousin open?",
+      Seq("D3:1:3", "D3:2:3")),
+    Question("update", 3, "Which street is Aiko's workshop on?",
+      Seq("D3:4:9")))
 
   /** Superseded facts, old dialog -> new dialog (`EVOLVED_INTO` is the
     * supersession relation the current-state walk follows, Schema
@@ -207,7 +271,7 @@ object LocomoMini {
     * enrichment/consolidation pass; the fixture declares them directly.
     */
   val Supersessions: Seq[(String, String)] =
-    Seq("D1:1:9" -> "D1:4:9", "D2:1:9" -> "D2:4:9")
+    Seq("D1:1:9" -> "D1:4:9", "D2:1:9" -> "D2:4:9", "D3:1:9" -> "D3:4:9")
 
   def edges(spark: SparkSession): DataFrame = {
     import spark.implicits._
