@@ -179,10 +179,18 @@ object BatchRecall {
       .select(col("qid"), col("id"), col("kw_max"),
         (col("tok_raw") + col("pb")).as("raw"))
       .filter(col("raw") > 0)
+    // the keyword cut mirrors the SINGLE path's exact sort key
+    // (Recall.keywordChannel: score desc, importance desc, timestamp desc,
+    // id asc) — `wq`'s (score, id) key diverges on score ties, which
+    // roundScores quantization makes common
+    val wKw = Window.partitionBy(col("qid"))
+      .orderBy(desc("channel_score"), desc("importance"), desc("timestamp"),
+        asc("id"))
     val kw = kwAll
+      .join(base.select(col("id"), col("importance"), col("timestamp")), Seq("id"))
       .withColumn("channel_score",
         rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max"))))
-      .withColumn("_rn", row_number().over(wq))
+      .withColumn("_rn", row_number().over(wKw))
       .filter(col("_rn") <= overfetch)
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
         col("channel_score"))

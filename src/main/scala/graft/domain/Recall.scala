@@ -392,12 +392,12 @@ object Recall {
   }
 
   /** R2 score-sort key: final desc, vector-channel first, importance desc,
-    * timestamp desc (`recall.py:420-434`).
+    * timestamp desc (`recall.py:420-434`). One definition — the default
+    * branch of [[sortKey]] — so the main ranking and the scope-fallback
+    * fill ranking can never drift apart.
     */
   def scoreSort(df: DataFrame): DataFrame =
-    df.orderBy(desc("final_score"),
-      when(col("match_type") === "vector", 0).otherwise(1).asc,
-      desc("importance"), desc("timestamp"), asc("id"))
+    df.orderBy(sortKey(RecallRequest(sort = "score")): _*)
 
   /** J2 graph expansion (`recall.py:1498-1700`): undirected 1-hop from the
     * seed results over whitelisted relation types, per-seed top-k by
@@ -782,10 +782,12 @@ object Recall {
     // ids come first (in request order), the rest follow in score order
     val prioRank = priorityRank(req.priorityIds)
     agg = agg.orderBy(prioRank.asc +: sortKey(req): _*).limit(req.limit)
-    // the bounded (<= limit rows) result set is re-consumed by the entity
-    // collect and the scope-fallback count — cache so the channel-union DAG
+    // the bounded (<= limit rows) result set is re-consumed by driver-side
+    // actions — the entity collect, the scope-fallback count, and the
+    // adaptive-floor score collect — cache so the channel-union DAG
     // executes once, not once per downstream action
-    if (req.scopeFallback || req.expandEntities) agg = agg.cache()
+    if (req.scopeFallback || req.expandEntities || req.adaptiveFloor)
+      agg = agg.cache()
     if (req.expandRelations) {
       val expanded = expand(agg, memories, edges, req)
       agg = agg.unionByName(expanded, allowMissingColumns = true)
@@ -795,8 +797,21 @@ object Recall {
       val expandedE = expandEntities(agg, memories, req)
       agg = agg.unionByName(expandedE, allowMissingColumns = true)
     }
-    if (req.stateMode == "current")
+    if (req.stateMode == "current") {
       agg = Supersession.applyCurrentState(agg, memories, edges, req.now)
+      // replacement rows re-check the REQUEST filters
+      // (`recall.py:690-700`: the injected candidate must pass
+      // result_passes_filters with the original time/tag/exclude scope) —
+      // a head outside the request's tag or time scope is dropped, not
+      // smuggled in under its superseded source's colors
+      val replOk = excludePredicate(req.excludeTags) &&
+        !col("type").isin(Schema.RecallExcludedTypes: _*) &&
+        req.start.map(s => col("timestamp") >= lit(s)).getOrElse(lit(true)) &&
+        req.end.map(e => col("timestamp") < lit(e)).getOrElse(lit(true)) &&
+        (if (req.tags.nonEmpty) tagPredicate(req.tags, req.tagMode, req.tagMatch)
+         else lit(true))
+      agg = agg.filter(col("superseded_from").isNull || replOk)
+    }
     agg = recencyRerank(agg, req)
     if (req.adaptiveFloor) agg = adaptiveFloor(agg)
     req.minScore.foreach(m => agg = agg.filter(col("final_score") >= m))
@@ -809,7 +824,13 @@ object Recall {
     if (req.scopeFallback && req.tags.nonEmpty) {
       val have = agg.count()
       if (have < req.limit) {
-        val unscoped = runSingleQuery(memories, req.copy(tags = Nil), req.query)
+        // the fill query is the primary query, falling back to the first
+        // non-empty multi-query (`recall.py:2387`: `query_text or
+        // next(q for q in queries_to_run if q)`) — a queries-only request
+        // with scope_fallback must still produce fills
+        val fallbackQuery = req.query.orElse(
+          queriesToRun.flatten.find(_.nonEmpty))
+        val unscoped = runSingleQuery(memories, req.copy(tags = Nil), fallbackQuery)
           .filter(!tagPredicate(req.tags, req.tagMode, req.tagMatch))
         var fillPool = unscoped.join(agg.select(col("id")), Seq("id"), "left_anti")
         req.minScore.foreach(m =>
@@ -823,10 +844,17 @@ object Recall {
           .unionByName(fill, allowMissingColumns = true)
       } else agg = agg.withColumn("outside_tag_scope", lit(false))
     } else agg = agg.withColumn("outside_tag_scope", lit(false))
-    val ordered = agg.orderBy(
+    val finalKey =
       asc("outside_tag_scope") +: priorityRank(req.priorityIds).asc +:
-        sortKey(req): _*)
-    if (req.expandRelations) hydrateRelations(ordered, memories, edges, req.relationLimit)
+        sortKey(req)
+    val ordered = agg.orderBy(finalKey: _*)
+    if (req.expandRelations)
+      // a join does NOT preserve its left side's sort (Spark may plan a
+      // sort-merge join and re-sort by the key) — re-apply the ranking
+      // after hydration so the returned frame honors the ranked-order
+      // contract
+      hydrateRelations(ordered, memories, edges, req.relationLimit)
+        .orderBy(finalKey: _*)
     else ordered
   }
 }

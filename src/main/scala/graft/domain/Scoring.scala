@@ -146,8 +146,13 @@ object Scoring {
     val pyTitleUdf = udf((s: String) => if (s == null) null else pyTitle(s.trim))
     val typeHit = if (normTypes.isEmpty) lit(0.0)
       else when(pyTitleUdf(typ).isin(normTypes: _*), 0.25).otherwise(0.0)
-    val kwHit = if (contextKeywords.isEmpty) lit(0.0)
-      else when(contextKeywords.map(k => array_contains(metadataTerms, k))
+    // the metadata term set is lowercased (MetadataScoring.collectTerms),
+    // and the reference's priority_keywords are lowercase by construction
+    // (language hints, `recall.py:1016-1027`) — normalize free-form
+    // keywords the same way or a mixed-case keyword can never hit
+    val normKws = contextKeywords.map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val kwHit = if (normKws.isEmpty) lit(0.0)
+      else when(normKws.map(k => array_contains(metadataTerms, k))
         .reduce(_ || _), 0.2).otherwise(0.0)
     val idHit = if (priorityIds.isEmpty) lit(0.0)
       else when(id.isin(priorityIds: _*), 0.9).otherwise(0.0)

@@ -66,9 +66,16 @@ object Supersession {
         array_append(col("path"), col("next")).as("path"),
         (col("depth") + 1).as("depth"))
     }
-    // rows still walking at MaxDepth stop where they are
-    finished.get.unionByName(active)
+    // rows still walking at MaxDepth stop where they are. The resolution is
+    // bounded (<= candidate-set rows) — materialize it so the next-hop
+    // cache can be RELEASED here; a long-lived session running one
+    // current-state recall per request would otherwise accumulate one
+    // cached hop frame per call
+    val resolved = finished.get.unionByName(active)
       .select(col("id"), col("cur").as("head_id"), col("first_rel"), col("depth"))
+      .localCheckpoint()
+    hops.unpersist()
+    resolved
   }
 
   /** Apply current-state mode to a recall candidate set (`id` + any score
@@ -104,8 +111,19 @@ object Supersession {
       .filter(col("t_valid").isNull || col("t_valid") <= nowCol)
       .filter(col("t_invalid").isNull || col("t_invalid") > nowCol)
     val hydrated = mapped.join(live, Seq("id"))
+    // collapse candidates resolving to the same head: self-resolutions win
+    // (the reference seeds seen_ids with every result id upfront,
+    // `recall.py:623` — a replacement targeting an id present anywhere in
+    // the results is dropped), then the HIGHEST-RANKED replacement
+    // (`recall.py:635` iterates in rank order, first wins — rank order is
+    // score order), with superseded_from as the determinism tie-break
+    val rankScore =
+      if (hydrated.columns.contains("final_score"))
+        coalesce(col("final_score"), lit(0.0))
+      else lit(0.0)
     val w = Window.partitionBy(col("id"))
-      .orderBy(asc_nulls_first("superseded_from"))
+      .orderBy(when(col("superseded_from").isNull, 0).otherwise(1).asc,
+        rankScore.desc, asc_nulls_first("superseded_from"))
     hydrated.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }

@@ -189,9 +189,10 @@ object RecallPipeline {
            round((least(1.0, CAST(k.raw AS DOUBLE) / t.kw_max)) + 1e-9, 4) AS ks
          FROM kwall k JOIN qtl t ON t.qid = k.qid WHERE k.raw > 0),
        ktop AS (SELECT qid, id, ks FROM (
-           SELECT qid, id, ks,
-             row_number() OVER (PARTITION BY qid ORDER BY ks DESC, id ASC) AS rn
-           FROM kwn) WHERE rn <= 20),
+           SELECT k.qid, k.id, k.ks,
+             row_number() OVER (PARTITION BY k.qid ORDER BY k.ks DESC,
+               m.importance DESC, m.ts DESC, k.id ASC) AS rn
+           FROM kwn k JOIN mems m ON m.id = k.id) WHERE rn <= 20),
        merged AS (SELECT qid, id,
            max(CASE WHEN ch = 'v' THEN s END) AS vector_score,
            max(CASE WHEN ch = 'k' THEN s END) AS keyword_score
