@@ -169,7 +169,8 @@ object BatchRecall {
     // column on the request relation), clamped — no per-qid max window, one
     // less shuffle than the observed-max variant and reference-faithful
     val kwAll = tokHits.unionByName(emptyTokPairs)
-      .join(base.select(col("id"), lc.as("_lc"), tagsStr.as("_tags_str")), Seq("id"))
+      .join(base.select(col("id"), lc.as("_lc"), tagsStr.as("_tags_str"),
+        col("importance"), col("timestamp")), Seq("id"))
       .join(broadcast(q.select(col("qid"), col("phrase"), col("kw_max"))), Seq("qid"))
       .withColumn("pb",
         when(length(col("phrase")) >= 3,
@@ -177,6 +178,7 @@ object BatchRecall {
             when(col("_tags_str").contains(col("phrase")), 1).otherwise(0))
           .otherwise(0))
       .select(col("qid"), col("id"), col("kw_max"),
+        col("importance"), col("timestamp"),
         (col("tok_raw") + col("pb")).as("raw"))
       .filter(col("raw") > 0)
     // the keyword cut mirrors the SINGLE path's exact sort key
@@ -187,7 +189,6 @@ object BatchRecall {
       .orderBy(desc("channel_score"), desc("importance"), desc("timestamp"),
         asc("id"))
     val kw = kwAll
-      .join(base.select(col("id"), col("importance"), col("timestamp")), Seq("id"))
       .withColumn("channel_score",
         rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max"))))
       .withColumn("_rn", row_number().over(wKw))
