@@ -99,10 +99,19 @@ object Consolidation {
       .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
       .withColumn("dt_days",
         abs(unix_timestamp(col("a_ts")) - unix_timestamp(col("b_ts"))) / 86400.0)
+    // the reference's if/elif chain (`consolidation.py:418-440`) —
+    // faithfully including its TERMINAL branches: a Decision-Decision pair
+    // either contrasts (sim < 0.3) or produces NOTHING (the branch ends the
+    // chain, it never falls through to parallel_context); `explains`
+    // requires the pair's type SET to equal {Insight, Pattern} (one of
+    // each), not one side merely being one of them
+    val bothDecision = col("a_type") === "Decision" && col("b_type") === "Decision"
+    val insightPatternPair =
+      (col("a_type") === "Insight" && col("b_type") === "Pattern") ||
+        (col("a_type") === "Pattern" && col("b_type") === "Insight")
     val classified = pairs.withColumn("kind",
-        when(col("a_type") === "Decision" && col("b_type") === "Decision" &&
-          col("sim") < 0.3, "contradicts")
-          .when(col("a_type").isin("Insight", "Pattern") && col("sim") > 0.5, "explains")
+        when(bothDecision, when(col("sim") < 0.3, "contradicts"))
+          .when(insightPatternPair && col("sim") > 0.5, "explains")
           .when(col("sim") > 0.7 && col("a_type") =!= col("b_type"), "shares_theme")
           .when(col("dt_days") < 7 && col("sim") < 0.4, "parallel_context"))
       .filter(col("kind").isNotNull)
@@ -110,11 +119,12 @@ object Consolidation {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     classified.join(existing, Seq("src", "dst"), "left_anti")
       .select(col("src"), col("dst"),
-        when(col("kind") === "contradicts", "CONTRADICTS")
+        when(col("kind") === "contradicts", "CONTRASTS_WITH")
           .otherwise("DISCOVERED").as("rel_type"),
         when(col("kind") === "contradicts", 0.6)
           .when(col("kind") === "explains", 0.7)
-          .when(col("kind") === "shares_theme", 0.65)
+          // `consolidation.py:432`: shares_theme confidence = min(1, sim)
+          .when(col("kind") === "shares_theme", least(lit(1.0), col("sim")))
           .otherwise(0.5).as("confidence"),
         col("sim").as("similarity"),
         col("kind"),

@@ -51,14 +51,22 @@ object Enrichment {
       threshold: Double = 0.8, exact: Boolean = true): DataFrame = {
     val base = memories.select(col("id"), col("embedding"),
       col("updated_at"))
-    val withKey = if (exact) base.withColumn("b", lit(0))
+    val withKey = if (exact) base
       else base.withColumn("b", signBucket(col("embedding"), 12))
-    val a = withKey.select(col("b"), col("id").as("src"),
-      col("embedding").as("a_emb"), col("updated_at"))
-    val bb = withKey.select(col("b"), col("id").as("dst"),
-      col("embedding").as("b_emb"))
+    val a = withKey.select(
+      (if (exact) Seq.empty[org.apache.spark.sql.Column] else Seq(col("b"))) ++
+        Seq(col("id").as("src"), col("embedding").as("a_emb"),
+          col("updated_at")): _*)
+    val bb = withKey.select(
+      (if (exact) Seq.empty[org.apache.spark.sql.Column] else Seq(col("b"))) ++
+        Seq(col("id").as("dst"), col("embedding").as("b_emb")): _*)
     val w = Window.partitionBy(col("src")).orderBy(desc("sim"), asc("dst"))
-    val pairs = a.join(bb, Seq("b"))
+    // exact mode CROSS-joins: a constant join key would hash-partition the
+    // whole relation into ONE task and serialize the O(n^2) pass (the
+    // pitfall Consolidation.similarityEdges documents) — crossJoin keeps
+    // the nested loop parallel over the left side's partitions
+    val joined = if (exact) a.crossJoin(bb) else a.join(bb, Seq("b"))
+    val pairs = joined
       .filter(col("src") =!= col("dst"))
       .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
       .filter(col("sim") >= threshold)
@@ -88,10 +96,14 @@ object Enrichment {
     val typeCounts = confident.groupBy(col("type"))
       .agg(count(lit(1)).as("n_obs"), max(col("timestamp")).as("updated_at"))
       .filter(col("n_obs") >= 3)
+    // letter-run extraction, not whitespace tokens
+    // (`runtime_helpers.py:106-110` re.findall("[a-zA-Z]{4,}", lowered)):
+    // punctuation-attached words ("build,") must not split frequencies or
+    // smuggle stopwords past the filter
     val tokens = confident
-      .select(col("type"), explode(TextFunctions.tokens(col("content"))).as("tok"))
-      .filter(length(col("tok")) >= 4 &&
-        !col("tok").isin("the", "that", "with", "from", "this", "have", "were"))
+      .select(col("type"), explode(expr(
+        "regexp_extract_all(lower(content), '[a-z]{4,}', 0)")).as("tok"))
+      .filter(!col("tok").isin("the", "that", "with", "from", "this", "have", "were"))
       .groupBy(col("type"), col("tok")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("type")).orderBy(desc("n"), asc("tok"))
     val keyTerms = tokens.withColumn("_rn", row_number().over(w))
@@ -195,8 +207,15 @@ object Enrichment {
       .withColumn("tag_prefixes", TextFunctions.tagPrefixes(col("tags")))
       .withColumn("enriched", lit(true))
       .withColumn("processed", lit(true))
+    val patterns = detectPatterns(memories)
+    // the reference MERGEs an EXEMPLIFIES edge per confident memory of a
+    // detected pattern's type during the same pass
+    // (`runtime_helpers.py:148-162`) — without them the pattern nodes are
+    // unreachable from the graph
     val edges = temporalLinks(memories)
       .unionByName(similarToEdges(memories), allowMissingColumns = true)
-    (enriched, edges, detectPatterns(memories))
+      .unionByName(exemplifiesEdges(memories, patterns),
+        allowMissingColumns = true)
+    (enriched, edges, patterns)
   }
 }

@@ -26,8 +26,25 @@ object EntityOps {
     val a = blocked.select(col("category"), col("slug").as("a_slug"), col("lb"))
       .withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
     val b = blocked.select(col("category"), col("slug").as("b_slug"), col("lb"))
-    a.join(b, Seq("category", "lb"))
+    val byLength = a.join(b, Seq("category", "lb"))
+      .select(col("category"), col("a_slug"), col("b_slug"))
+    // second candidate channel: shared hyphen-token blocking. The length
+    // buckets alone can never pair slugs whose lengths differ by more than
+    // ~7 chars, yet those are exactly the containment pairs the reference
+    // merges ("bob" vs "bob-the-builder", `entity_dedup.py` substring rule
+    // scores max(0.6, ratio)); a contained slug shares at least one full
+    // token with its container, so token-equality is a complete block for
+    // the token-aligned containment case
+    val tokens = blocked.select(col("category"), col("slug"),
+      explode(split(col("slug"), "-")).as("tk"))
+      .filter(length(col("tk")) >= 3)
+    val byToken = tokens.select(col("category"), col("slug").as("a_slug"), col("tk"))
+      .join(tokens.select(col("category"), col("slug").as("b_slug"), col("tk")),
+        Seq("category", "tk"))
+      .select(col("category"), col("a_slug"), col("b_slug"))
+    byLength.unionByName(byToken)
       .filter(col("a_slug") < col("b_slug"))
+      .distinct()
       .withColumn("sim",
         lit(1.0) - levenshtein(col("a_slug"), col("b_slug")) /
           greatest(length(col("a_slug")), length(col("b_slug"))).cast("double"))
@@ -44,12 +61,21 @@ object EntityOps {
     * (`entity_dedup.py` merge-moves-edges semantics).
     */
   def mergeMap(entities: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // merges are CATEGORY-SCOPED (the reference merges Entity nodes within
+    // a category) — key the CC by "category|slug" so a people merge can
+    // never rewrite a same-slugged project, then split the key back out
+    val keyed = (c: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =>
+      concat(c, lit("|"), s)
     val pairs = dedupCandidates(entities, threshold)
-      .select(col("a_slug").as("src"), col("b_slug").as("dst"))
-    val vertices = entities.select(col("slug").as("id")).distinct()
+      .select(keyed(col("category"), col("a_slug")).as("src"),
+        keyed(col("category"), col("b_slug")).as("dst"))
+    val vertices = entities
+      .select(keyed(col("category"), col("slug")).as("id")).distinct()
     Consolidation.connectedComponents(vertices, pairs)
-      .withColumnRenamed("id", "slug")
-      .withColumnRenamed("component", "canonical_slug")
+      .select(
+        substring_index(col("id"), "|", 1).as("category"),
+        substring_index(col("id"), "|", -1).as("slug"),
+        substring_index(col("component"), "|", -1).as("canonical_slug"))
   }
 }
 
@@ -87,9 +113,16 @@ object IdentitySynthesis {
         substring(col("content"), 1, 160).as("snippet"), entityTag.as("etag"))
       .withColumn("slug", element_at(split(col("etag"), ":"), 3))
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxSnippets)
       .groupBy(col("slug"))
-      .agg(collect_list(col("snippet")).as("snippets"),
+      .agg(
+        // snippets are bounded, but the SOURCE COUNT is the total current
+        // memory count (`identity_synthesis.py` gathers refs with
+        // limit=None) — the reference's staleness check compares it to the
+        // live reference count, so a capped value would mis-trigger
+        // re-synthesis forever past maxSnippets memories
+        sort_array(collect_list(when(col("_rn") <= maxSnippets,
+          struct(col("_rn"), col("snippet"))))).getField("snippet")
+          .as("snippets"),
         count(lit(1)).as("identity_source_count"),
         max(col("timestamp")).as("identity_updated_at"))
     val writeUdf = org.apache.spark.sql.functions.udf(

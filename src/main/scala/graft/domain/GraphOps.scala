@@ -104,9 +104,16 @@ object GraphOps {
     * validates replicas/exports instead of FalkorDB-vs-Qdrant.
     */
   def syncDiff(canonical: DataFrame, replica: DataFrame): DataFrame = {
-    val a = canonical.filter(!col("type").isin(Schema.RecallExcludedTypes: _*))
-      .select(col("id"))
-    val b = replica.select(col("id"))
+    // the artifact-type exclusion applies to BOTH sides (the reference's
+    // accounting filters excluded types on Falkor AND Qdrant) — filtering
+    // only the canonical side would report every legitimately replicated
+    // artifact row as missing_in=canonical on an identical pair
+    def noArtifacts(df: DataFrame): DataFrame =
+      if (df.columns.contains("type"))
+        df.filter(!col("type").isin(Schema.RecallExcludedTypes: _*))
+      else df
+    val a = noArtifacts(canonical).select(col("id"))
+    val b = noArtifacts(replica).select(col("id"))
     a.exceptAll(b).withColumn("missing_in", lit("replica"))
       .unionByName(b.exceptAll(a).withColumn("missing_in", lit("canonical")))
   }

@@ -170,9 +170,19 @@ object Ingest {
       // types are rejected, i.e. dropped); absent types are classified
       .withColumn("_type_norm", normalizeMemoryType(col("type")))
       .filter(col("type").isNull || col("_type_norm").isNotNull)
+      // confidence follows the reference's explicit-type rule
+      // (`api/memory.py:550-561`): an explicitly typed row takes the
+      // provided confidence (clamped like importance) or 0.9; only
+      // untyped rows take the classifier's confidence
+      .withColumn("confidence",
+        when(col("_type_norm").isNotNull,
+          if (df.columns.contains("confidence"))
+            least(greatest(coalesce(col("confidence"), lit(0.9)), lit(0.0)),
+              lit(1.0))
+          else lit(0.9))
+          .otherwise(confCol))
       .withColumn("type", coalesce(col("_type_norm"), typeCol))
       .drop("_type_norm")
-      .withColumn("confidence", confCol)
       .withColumn("importance", least(greatest(col("importance"), lit(0.0)), lit(1.0)))
       .withColumn("summary",
         when(length(col("content")) > SoftLimit, extractiveSummary(col("content")))

@@ -93,8 +93,11 @@ object Schema {
     "CONTRADICTS", "REINFORCES", "INVALIDATED_BY", "EVOLVED_INTO",
     "DERIVED_FROM", "PART_OF")
 
-  /** System-generated relationship types. */
-  val SystemRelations: Seq[String] = Seq("SIMILAR_TO", "PRECEDED_BY", "DISCOVERED")
+  /** System-generated relationship types (CONTRASTS_WITH is the creative
+    * consolidation engine's Decision-contrast edge, `consolidation.py:419`).
+    */
+  val SystemRelations: Seq[String] =
+    Seq("SIMILAR_TO", "PRECEDED_BY", "DISCOVERED", "CONTRASTS_WITH")
 
   /** Supersession edge types walked by current-state resolution
     * (`automem/api/recall.py:82-87`).

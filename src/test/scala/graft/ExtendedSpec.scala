@@ -71,13 +71,26 @@ class ExtendedSpec extends AnyFunSuite {
     import spark.implicits._
     val entities = Seq(
       ("people", "alice"), ("people", "alicia"), ("people", "bob"),
-      ("tools", "spark-submit"), ("tools", "sparksubmit"))
+      ("tools", "spark-submit"), ("tools", "sparksubmit"),
+      // same slug as a people entity in ANOTHER category: the people merge
+      // must not leak across categories
+      ("projects", "alicia"))
       .toDF("category", "slug")
     val merged = EntityOps.mergeMap(entities)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(merged("alicia") == "alice")
-    assert(merged("sparksubmit") == "spark-submit")
-    assert(merged("bob") == "bob")
+      .collect().map(r => (r.getAs[String]("category"), r.getAs[String]("slug")) ->
+        r.getAs[String]("canonical_slug")).toMap
+    assert(merged(("people", "alicia")) == "alice")
+    assert(merged(("tools", "sparksubmit")) == "spark-submit")
+    assert(merged(("people", "bob")) == "bob")
+    assert(merged(("projects", "alicia")) == "alicia",
+      "a people merge must never rewrite a same-slug project")
+    // token-block channel: containment pairs beyond the length buckets
+    val far = Seq(("people", "bob"), ("people", "bob-the-builder"))
+      .toDF("category", "slug")
+    val farMerged = EntityOps.mergeMap(far)
+      .collect().map(r => r.getAs[String]("slug") -> r.getAs[String]("canonical_slug")).toMap
+    assert(farMerged("bob-the-builder") == "bob",
+      "token-aligned containment must merge across a >7-char length gap")
   }
 
   test("multimodal decode stage is deterministic, schema-stable, null-safe") {
