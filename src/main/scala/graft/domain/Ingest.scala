@@ -106,7 +106,7 @@ object Ingest {
     val firstSentence = regexp_extract(content, "^(.*?[.!?])(\\s|$)", 1)
     val base = when(length(firstSentence) > 0, firstSentence).otherwise(content)
     when(length(base) <= 240, base)
-      .otherwise(regexp_replace(substring(base, 1, 240), "\\s+\\S*$", ""))
+      .otherwise(regexp_replace(substring(base, 1, 240), "\\s+\\S*\\z", ""))
   }
 
   /** Content-size governance trichotomy

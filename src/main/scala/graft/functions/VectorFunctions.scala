@@ -39,7 +39,13 @@ object VectorFunctions {
     */
   def signBucketAt(v: Column, bits: Int, offset: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, offset + i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
+      // get() is 0-based and returns null past the end — under ANSI mode
+      // (this Spark's default) element_at would ABORT the job on one
+      // short/malformed vector instead of bucketing it; null > 0 is false,
+      // which matches the DuckDB mirrors (out-of-range list index -> NULL
+      // -> CASE falls to 0), so short vectors zero-fill their missing bits
+      // identically in both engines
+      when(get(v, lit(offset + i)) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Scalar int8 quantization of an embedding: per-vector min/max affine

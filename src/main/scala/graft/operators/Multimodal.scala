@@ -48,10 +48,18 @@ object Multimodal {
     * (JNI/FFM image lib) without touching the pipeline.
     */
   object StubDecoder extends Serializable {
-    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+      decode(payload, java.security.MessageDigest.getInstance("MD5"))
+
+    /** Digest-reusing form for the per-partition loop: `digest()` resets
+      * the instance, so ONE MessageDigest serves a whole partition —
+      * per-row JCA provider lookups are exactly the per-row codec state
+      * the mapPartitions shape exists to avoid.
+      */
+    def decode(payload: Array[Byte],
+        md: java.security.MessageDigest): (Int, Int, Array[Float]) = {
       if (payload == null || payload.isEmpty) return (0, 0, Array.empty)
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(payload).map("%02x".format(_)).mkString
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
       // first 15 hex chars < 2^60: positive, so % and >> agree with SQL
       val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       val width = 64 + (h % 512).toInt
@@ -95,11 +103,14 @@ object Multimodal {
     import spark.implicits._
     assets.select(col("asset_id"), col("modality"), col("mime"), col("payload"))
       .as[AssetIn]
-      .mapPartitions(_.map { a =>
-        val (w, h, feats) = StubDecoder.decode(a.payload)
-        AssetDecoded(a.asset_id, a.modality, a.mime, a.payload, w, h,
-          if (a.payload == null) 0 else a.payload.length, feats)
-      })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { a =>
+          val (w, h, feats) = StubDecoder.decode(a.payload, md)
+          AssetDecoded(a.asset_id, a.modality, a.mime, a.payload, w, h,
+            if (a.payload == null) 0 else a.payload.length, feats)
+        }
+      }
       .toDF()
   }
 

@@ -15,6 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RecallShapes {
 
+  /** The documents-table importance mapping used by every recall shape
+    * (length-derived, capped at 1): ONE definition so the three shapes that
+    * fold it into scores cannot drift apart. `rawDocImportance` is the
+    * unrounded form for shapes that add a bonus BEFORE rounding.
+    */
+  private def rawDocImportance = least(lit(1.0), col("n_chars") / 500.0)
+  private def docImportance = round4(rawDocImportance)
+
   /** Q4 trending: no-query recall = top-k by importance desc, time desc
     * (`runtime_recall_helpers.py:524-592`). Raw stored doubles — no
     * arithmetic, so values are bit-identical across engines.
@@ -103,7 +111,7 @@ object RecallShapes {
     Tables.documents(spark, dir)
       .withColumn("tags", array(col("lang"), col("source")))
       .filter(arrays_overlap(col("tags"), array(lit("en"), lit("news"))))
-      .withColumn("score", round4(least(lit(1.0), col("n_chars") / 500.0)))
+      .withColumn("score", docImportance)
       .select(col("doc_id"), col("lang"), col("source"), col("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(50)
@@ -174,12 +182,11 @@ object RecallShapes {
     * (and counting contributing queries), re-sort.
     */
   def multiQueryUnion(spark: SparkSession, dir: String): DataFrame = {
-    def channel(kw: String, qid: Int): DataFrame =
+    def channel(kw: String): DataFrame =
       Tables.documents(spark, dir)
         .filter(lower(col("text")).contains(kw))
-        .select(col("doc_id"), lit(qid).as("qid"),
-          round4(least(lit(1.0), col("n_chars") / 500.0)).as("score"))
-    channel("spark", 0).unionByName(channel("window", 1))
+        .select(col("doc_id"), docImportance.as("score"))
+    channel("spark").unionByName(channel("window"))
       .groupBy(col("doc_id"))
       .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_queries"))
       .orderBy(desc("best_score"), asc("doc_id"))
@@ -211,7 +218,7 @@ object RecallShapes {
     docs.join(broadcast(entities), Seq("source"))
       .join(seeds.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("score",
-        round4(least(lit(1.0), col("n_chars") / 500.0) + lit(0.15)))
+        round4(rawDocImportance + lit(0.15)))
       .select(col("doc_id"), col("source"), col("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(20)
@@ -408,7 +415,7 @@ object RecallShapes {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         when(length(col("text")) <= 160, col("text"))
-          .otherwise(regexp_replace(substring(col("text"), 1, 160), "\\s+\\S*$", ""))
+          .otherwise(regexp_replace(substring(col("text"), 1, 160), "\\s+\\S*\\z", ""))
           .as("snippet"))
       .orderBy("doc_id")
 

@@ -36,7 +36,7 @@ object StreamingIngest {
         col("n"), col("total"))
 
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
-  case class SessionState(nEvents: Long, lastTs: Long)
+  case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   case class SessionUpdate(user_id: Long, nEvents: Long, sessionSeconds: Long)
 
   /** Stateful sessionization via mapGroupsWithState (the
@@ -49,15 +49,27 @@ object StreamingIngest {
       .mapGroupsWithState[SessionState, SessionUpdate](
         GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val evs = it.toSeq
-          val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue))
-          val first = math.min(prev.lastTs,
-            evs.map(_.ts.getTime).foldLeft(Long.MaxValue)(math.min))
-          val last = evs.map(_.ts.getTime).foldLeft(0L)(math.max)
-          val st = SessionState(prev.nEvents + evs.size, math.min(first, last))
-          state.update(st)
-          state.setTimeoutDuration("30 minutes")
-          SessionUpdate(uid, st.nEvents, math.max(0L, (last - first) / 1000))
+          if (state.hasTimedOut) {
+            // timeout invocation: EMPTY iterator — emit the closing
+            // summary from state and remove it (without this branch the
+            // fold over the empty iterator fabricated epoch-0 timestamps,
+            // state never closed, and the group re-fired forever)
+            val st = state.get
+            state.remove()
+            SessionUpdate(uid, st.nEvents,
+              math.max(0L, (st.lastTs - st.firstTs) / 1000))
+          } else {
+            val evs = it.toSeq
+            val times = evs.map(_.ts.getTime)
+            val prev = state.getOption
+              .getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+            val first = math.min(prev.firstTs, times.min)
+            val last = math.max(prev.lastTs, times.max)
+            val st = SessionState(prev.nEvents + evs.size, first, last)
+            state.update(st)
+            state.setTimeoutDuration("30 minutes")
+            SessionUpdate(uid, st.nEvents, math.max(0L, (last - first) / 1000))
+          }
       }
   }
 
@@ -113,7 +125,12 @@ object StreamingIngest {
       // distinct rows into one dedup key
       .withColumn("fp", {
         val fp = graft.functions.TextFunctions.fingerprint(col("content"), 320)
-        when(length(fp) > 0, fp).otherwise(col("id"))
+        // the empty-content fallback key must live in a DISJOINT keyspace:
+        // fingerprints are [a-z0-9]*, so an alphanumeric id could collide
+        // with another row's real fingerprint and silently drop it — and
+        // streamed drops are unrecoverable. '#' can never appear in a
+        // fingerprint.
+        when(length(fp) > 0, fp).otherwise(concat(lit("#id:"), col("id")))
       })
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
