@@ -43,34 +43,39 @@ object StreamingIngest {
     * KeyValueGroupedDataset custom-state pattern): per user, count events and
     * track session span; a 30-minute processing-timeout closes idle state.
     */
+  /** The sessionize state transition, extracted so the timeout path (which
+    * AvailableNow triggers never exercise) is unit-testable with
+    * `TestGroupState`.
+    */
+  def sessionStep(uid: Long, it: Iterator[SessionEvent],
+      state: GroupState[SessionState]): SessionUpdate =
+    if (state.hasTimedOut) {
+      // timeout invocation: EMPTY iterator — emit the closing summary from
+      // state and remove it (without this branch the fold over the empty
+      // iterator fabricated epoch-0 timestamps, state never closed, and
+      // the group re-fired forever)
+      val st = state.get
+      state.remove()
+      SessionUpdate(uid, st.nEvents,
+        math.max(0L, (st.lastTs - st.firstTs) / 1000))
+    } else {
+      val evs = it.toSeq
+      val times = evs.map(_.ts.getTime)
+      val prev = state.getOption
+        .getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+      val first = math.min(prev.firstTs, times.min)
+      val last = math.max(prev.lastTs, times.max)
+      val st = SessionState(prev.nEvents + evs.size, first, last)
+      state.update(st)
+      state.setTimeoutDuration("30 minutes")
+      SessionUpdate(uid, st.nEvents, math.max(0L, (last - first) / 1000))
+    }
+
   def sessionize(events: Dataset[SessionEvent]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.ProcessingTimeTimeout) {
-        case (uid, it, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // timeout invocation: EMPTY iterator — emit the closing
-            // summary from state and remove it (without this branch the
-            // fold over the empty iterator fabricated epoch-0 timestamps,
-            // state never closed, and the group re-fired forever)
-            val st = state.get
-            state.remove()
-            SessionUpdate(uid, st.nEvents,
-              math.max(0L, (st.lastTs - st.firstTs) / 1000))
-          } else {
-            val evs = it.toSeq
-            val times = evs.map(_.ts.getTime)
-            val prev = state.getOption
-              .getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
-            val first = math.min(prev.firstTs, times.min)
-            val last = math.max(prev.lastTs, times.max)
-            val st = SessionState(prev.nEvents + evs.size, first, last)
-            state.update(st)
-            state.setTimeoutDuration("30 minutes")
-            SessionUpdate(uid, st.nEvents, math.max(0L, (last - first) / 1000))
-          }
-      }
+        GroupStateTimeout.ProcessingTimeTimeout)(sessionStep)
   }
 
   /** E1 temporal linking as a STREAM-STREAM interval self-join

@@ -239,6 +239,35 @@ class ExtendedSpec extends AnyFunSuite {
     assert(kept.size == 2 && kept.contains("m3"), s"got $kept")
   }
 
+  test("sessionize timeout closes state and emits the final summary") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import StreamingIngest.{SessionEvent, SessionState, sessionStep}
+    // data step: state accumulates and a timeout is armed
+    val s1 = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    val up1 = sessionStep(7L, Iterator(
+      SessionEvent(7L, ts("2024-01-01 00:00:00"), "click"),
+      SessionEvent(7L, ts("2024-01-01 00:05:00"), "view")), s1)
+    assert(up1.nEvents == 2 && up1.sessionSeconds == 300)
+    assert(s1.exists)
+    // timeout step (empty iterator): the closing summary is emitted from
+    // state — no fabricated epoch-0 timestamps — and the state is removed
+    val s2 = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(s1.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    val up2 = sessionStep(7L, Iterator.empty, s2)
+    assert(up2.nEvents == 2 && up2.sessionSeconds == 300,
+      s"closing summary must come from state, got $up2")
+    assert(s2.isRemoved, "timed-out state must be removed")
+  }
+
   test("streaming hygiene: PII/lang/quality/mixture run stateless on a stream") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-hyg").toString
