@@ -222,8 +222,9 @@ object LocomoMini {
   /** The 18 questions across three conversations: 5 each for the LoCoMo
     * single/temporal/multihop categories and 3 knowledge-update questions
     * (LongMemEval shape). Question wording is part of
-    * the fixture: temporal questions carry a temporal-intent keyword
-    * (`last`/`recently`) so `recencyBias = "auto"` fires for them and ONLY
+    * the fixture: temporal questions carry a reference-grade temporal-intent keyword
+    * (`recently` — `automem/utils/time.py:10-17`; bare `last` is intent
+    * only in the harness's own keyword list, not the engine's) so `recencyBias = "auto"` fires for them and ONLY
     * them; multi-hop questions name the speaker possessively so both query
     * entity extraction and the speaker-tag secondary search engage.
     */
@@ -235,15 +236,15 @@ object LocomoMini {
       Seq("D2:1:2")),
     Question("single", 2, "What did Priya open near the old market?",
       Seq("D2:1:1")),
-    Question("temporal", 1, "When did Elena last visit the glacier?",
+    Question("temporal", 1, "When did Elena most recently visit the glacier?",
       Seq("D1:4:1")),
     Question("temporal", 1, "What did the quartet do recently?", Seq("D1:4:2")),
-    Question("temporal", 2, "When did Tomas last run a race?", Seq("D2:3:1")),
+    Question("temporal", 2, "When did Tomas most recently run a race?", Seq("D2:3:1")),
     Question("temporal", 2, "What did Priya fire in the kiln recently?",
       Seq("D2:5:1")),
     Question("multihop", 1, "What job does Elena's brother have?",
       Seq("D1:1:5", "D1:2:4")),
-    Question("multihop", 1, "Where does Elena's brother work now?",
+    Question("multihop", 1, "Where does Elena's brother work?",
       Seq("D1:1:5", "D1:5:3")),
     Question("multihop", 2, "What did Priya's mentor publish?",
       Seq("D2:1:3", "D2:4:2")),
@@ -259,7 +260,7 @@ object LocomoMini {
     Question("update", 2, "Which city does Tomas live in?", Seq("D2:4:9")),
     Question("single", 3, "What was Aiko restoring that was built in 1890?",
       Seq("D3:3:1")),
-    Question("temporal", 3, "When did Ben last harvest honey?", Seq("D3:4:1")),
+    Question("temporal", 3, "When did Ben most recently harvest honey?", Seq("D3:4:1")),
     Question("multihop", 3, "What did Aiko's cousin open?",
       Seq("D3:1:3", "D3:2:3")),
     Question("update", 3, "Which street is Aiko's workshop on?",

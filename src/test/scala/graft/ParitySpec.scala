@@ -28,12 +28,33 @@ class ParitySpec extends AnyFunSuite {
       Some(("2026-08-01 00:00:00.0", "2026-09-01 00:00:00.0")))
     assert(p("last month") ==
       Some(("2026-07-01 00:00:00.0", "2026-08-01 00:00:00.0")))
+    // "last N days" keeps the time of day (`time.py:140-145` timedelta
+    // against now, NOT a midnight floor)
     assert(p("last 7 days") ==
-      Some(("2026-08-05 00:00:00.0", "2026-08-12 15:30:00.0")))
-    assert(p("last 2 weeks").get._1 == "2026-07-29 00:00:00.0")
+      Some(("2026-08-05 15:30:00.0", "2026-08-12 15:30:00.0")))
+    assert(p("last 24 hours") ==
+      Some(("2026-08-11 15:30:00.0", "2026-08-12 15:30:00.0")))
+    assert(p("last week") ==
+      Some(("2026-08-03 00:00:00.0", "2026-08-10 00:00:00.0")))
+    assert(p("past month") == p("last month"))
+    assert(p("this year") ==
+      Some(("2026-01-01 00:00:00.0", "2027-01-01 00:00:00.0")))
+    assert(p("last year") ==
+      Some(("2025-01-01 00:00:00.0", "2026-01-01 00:00:00.0")))
+    // the reference supports no other relative forms
+    assert(p("last 2 weeks") == None)
     assert(p("nonsense") == None)
+    // _TEMPORAL_INTENT_RE parity (`time.py:10-17`): present/latest-state
+    // words only — bare "last"/"ago" are NOT intent there
     assert(TimeExpressions.hasTemporalIntent("what happened recently"))
+    assert(TimeExpressions.hasTemporalIntent("what is my current setup"))
+    assert(TimeExpressions.hasTemporalIntent("has anything changed"))
+    assert(TimeExpressions.hasTemporalIntent("the last time we deployed"))
+    assert(!TimeExpressions.hasTemporalIntent("last sprint planning notes"))
+    assert(!TimeExpressions.hasTemporalIntent("two days ago"))
     assert(!TimeExpressions.hasTemporalIntent("postgres settings"))
+    // word-boundaried: "currency" must not match "current"
+    assert(!TimeExpressions.hasTemporalIntent("currency conversion rates"))
   }
 
   test("time expression narrows recall via applyTo") {
