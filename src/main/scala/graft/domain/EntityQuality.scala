@@ -133,10 +133,21 @@ object EntityQuality {
       .replaceAll("[^a-z0-9]+", "-")
       .replaceAll("^-+|-+$", "")
 
-  /** `entity_quality.py:350-351`. */
-  def nameFromSlug(slug: String): String =
-    slug.split("-").filter(_.nonEmpty)
-      .map(t => t.head.toUpper + t.tail).mkString(" ")
+  /** `entity_quality.py:350-351`: `slug.replace('-', ' ').title()` —
+    * Python title() capitalizes the first letter of every LETTER RUN
+    * (re-capitalizing after digits: 'b2b' -> 'B2B'), not just each
+    * space-token's first char.
+    */
+  def nameFromSlug(slug: String): String = {
+    val sb = new StringBuilder
+    var prevLetter = false
+    slug.replace('-', ' ').foreach { c =>
+      if (c.isLetter) {
+        sb += (if (prevLetter) c.toLower else c.toUpper); prevLetter = true
+      } else { sb += c; prevLetter = false }
+    }
+    sb.toString
+  }
 
   /** `entity_quality.py:354-355`. */
   def normalizeCategory(category: String): String = {

@@ -73,10 +73,41 @@ object Dedup {
       .select(col("a_id"), explode(col("ds")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .distinct()
-    // verify candidates with exact n-gram Jaccard (computed once, joined in)
-    ngramJaccardPairs(spark, dir, threshold = 0.0)
-      .join(candidates, Seq("a_id", "b_id"))
+    // Verify candidates with exact 3-gram Jaccard computed ONLY for the
+    // candidate pairs, CORPUS-WIDE. Two earlier defects live here: the
+    // verification used to reuse the (lang, source)-BLOCKED jaccard table,
+    // which silently dropped every cross-block candidate — cross-source
+    // duplication is the primary catch of an LSH dedup stage — and it
+    // computed jaccard for ALL co-shingled pairs first, making the banded
+    // candidate bound pointless. Now the shingle sets semi-join into the
+    // bounded candidate set, so the pair work is O(candidates), not
+    // O(co-occurring pairs).
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shk"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shk")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shk")), Seq("b_id", "shk"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")),
+        Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")),
+        Seq("b_id"))
+      .withColumn("jaccard", graft.functions.round4(
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("a_n") + col("b_n") - coalesce(col("inter"), lit(0L)))))
       .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -94,23 +125,25 @@ object Dedup {
          (SELECT band, mh, unnest(ds) AS a_id FROM grouped) a
          JOIN (SELECT band, mh, unnest(ds) AS b_id FROM grouped) b
          ON a.band = b.band AND a.mh = b.mh AND a.a_id < b.b_id),
-       t AS (SELECT doc_id, lang, source, $toksE AS tk FROM documents),
-       pos AS (SELECT doc_id, lang, source, tk,
+       t AS (SELECT doc_id, $toksE AS tk FROM documents),
+       pos AS (SELECT doc_id, tk,
            unnest(range(1, len(tk) - 1)) AS i FROM t WHERE len(tk) >= 3),
-       shex AS (SELECT DISTINCT doc_id, lang, source,
+       shex AS (SELECT DISTINCT doc_id,
            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos),
        counts AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY 1),
-       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         FROM shex a JOIN shex b ON a.lang = b.lang AND a.source = b.source
-           AND a.sh = b.sh AND a.doc_id < b.doc_id
+       ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+         FROM cand c JOIN shex a ON a.doc_id = c.a_id
+         JOIN shex b ON b.doc_id = c.b_id AND b.sh = a.sh
          GROUP BY 1, 2),
-       jacc AS (SELECT a_id, b_id,
-           round((inter * 1.0 / (ca.n_sh + cb.n_sh - inter)) + 1e-9, 4) AS jaccard
-         FROM pairs JOIN counts ca ON ca.doc_id = a_id
-         JOIN counts cb ON cb.doc_id = b_id)
-       SELECT j.a_id, j.b_id, j.jaccard FROM jacc j JOIN cand c
-         ON j.a_id = c.a_id AND j.b_id = c.b_id
-       WHERE j.jaccard >= $threshold ORDER BY j.a_id, j.b_id"""
+       jacc AS (SELECT c.a_id, c.b_id,
+           round((coalesce(i.inter, 0) * 1.0 /
+             (ca.n_sh + cb.n_sh - coalesce(i.inter, 0))) + 1e-9, 4) AS jaccard
+         FROM cand c
+         LEFT JOIN ints i ON i.a_id = c.a_id AND i.b_id = c.b_id
+         JOIN counts ca ON ca.doc_id = c.a_id
+         JOIN counts cb ON cb.doc_id = c.b_id)
+       SELECT a_id, b_id, jaccard FROM jacc
+       WHERE jaccard >= $threshold ORDER BY a_id, b_id"""
   }
 
   /** SimHash text dedup: 16-bit signature where bit b is set iff the sum of
@@ -209,6 +242,13 @@ object Dedup {
     */
   def levenshteinPairs(spark: SparkSession, dir: String,
       maxDist: Int = 1): DataFrame = {
+    // the two-half pigeonhole is complete ONLY for distance <= 1 (one edit
+    // leaves at least one half untouched); distance-2 pairs can differ in
+    // BOTH halves, which the half-key equi-joins would silently miss while
+    // the oracle's in-block cross product finds them — generalizing needs
+    // maxDist+1 chunks
+    require(maxDist <= 1,
+      s"half-key blocking only guarantees completeness for maxDist <= 1, got $maxDist")
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"),

@@ -11,7 +11,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 object GraftSqlFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+    "cosine_similarity" -> (exprs => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
+      CosineSimilarity(exprs(0), exprs(1))
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -42,7 +42,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Mismatched lengths
+    * ZERO-PAD the shorter vector: the dot product runs over the common
+    * prefix but each norm covers its OWN full vector — truncating the norms
+    * to the prefix would score a malformed short vector as a perfect match
+    * against any vector sharing its prefix (e.g. [1,1] vs [1] = 1.0
+    * instead of 0.707), silently merging it in every dedup/cluster
+    * consumer. Zero-padding is also exactly what the DuckDB oracles compute
+    * (parallel unnest pads the short side with NULLs; NULL products drop
+    * out of the dot sum while both norms sum their full arrays).
+    */
   def compute(xs: Array[Float], ys: Array[Float]): Double = {
     val n = math.min(xs.length, ys.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -52,6 +61,10 @@ object CosineSimilarity {
       dot += x * y; nx += x * x; ny += y * y
       i += 1
     }
+    var j = n
+    while (j < xs.length) { val x = xs(j).toDouble; nx += x * x; j += 1 }
+    var k = n
+    while (k < ys.length) { val y = ys(k).toDouble; ny += y * y; k += 1 }
     if (nx == 0.0 || ny == 0.0) 0.0
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
