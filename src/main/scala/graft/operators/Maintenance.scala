@@ -141,39 +141,37 @@ object Maintenance {
     * size; the band-OR blocked variant that scales to the full corpus is
     * spec-gated (DomainSpec clustering + blocked-recall >= 95%).
     */
-  def clusterSummary(spark: SparkSession, dir: String): DataFrame = {
-    val mem = Tables.embeddings(spark, dir)
+
+  /** Shared C3 working set: the bounded reference-parity slice of the
+    * embeddings table projected into the memories shape cluster() expects.
+    */
+  private def clusterWorkingSet(spark: SparkSession, dir: String) =
+    Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 500)
       .select(
-      col("vec_id").as("id"),
-      col("embedding"),
-      concat(lit("L"), col("label")).as("type"),
-      date_add(lit("1995-01-01").cast("date"), col("vec_id").cast("int"))
-        .as("timestamp"),
-      lit(1.0).as("relevance_score"))
-    val (clusters, _) = graft.domain.Consolidation.cluster(mem,
-      threshold = 0.4, minSize = 3, metaSize = 5, exact = true,
-      roundSims = true)
+        col("vec_id").as("id"),
+        col("embedding"),
+        concat(lit("L"), col("label")).as("type"),
+        date_add(lit("1995-01-01").cast("date"), col("vec_id").cast("int"))
+          .as("timestamp"),
+        lit(1.0).as("relevance_score"))
+
+  /** Shared C3 rollup projection (ONE definition for both the exact and
+    * banded variants — with the metaSize bound threaded, not re-hardcoded).
+    */
+  private def clusterRollup(clusters: DataFrame, metaSize: Int): DataFrame =
     clusters.select(col("component"), col("cluster_size"), col("dominant_type"),
         col("span_start").cast("string").as("span_start"),
         col("span_end").cast("string").as("span_end"),
         col("exemplar_id"),
-        (col("cluster_size") >= 5).as("spawns_meta"))
+        (col("cluster_size") >= metaSize).as("spawns_meta"))
       .orderBy("component")
-  }
 
-  val clusterSummarySql: String =
-    """WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 500),
-       px AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-         FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
-       s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
-         FROM px GROUP BY 1, 2),
-       sims AS (SELECT a_id, b_id FROM (
-           SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
-         WHERE sim >= 0.4),
-       edges AS (SELECT a_id AS src, b_id AS dst FROM sims
+  /** Shared C3 oracle tail: transitive closure + rollup over an `edges`
+    * CTE the caller provides (exact pair set or banded candidates).
+    */
+  private def clusterOracleTail(minSize: Int, metaSize: Int): String =
+    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM sims
          UNION ALL SELECT b_id, a_id FROM sims),
        reach AS (
          WITH RECURSIVE r(a, b) AS (
@@ -193,11 +191,32 @@ object Maintenance {
        cl AS (SELECT component, count(*) AS cluster_size,
            CAST(min(ts) AS VARCHAR) AS span_start,
            CAST(max(ts) AS VARCHAR) AS span_end, min(id) AS exemplar_id
-         FROM members GROUP BY 1 HAVING count(*) >= 3)
+         FROM members GROUP BY 1 HAVING count(*) >= $minSize)
        SELECT cl.component, cl.cluster_size, dom.dominant_type,
          cl.span_start, cl.span_end, cl.exemplar_id,
-         cl.cluster_size >= 5 AS spawns_meta
+         cl.cluster_size >= $metaSize AS spawns_meta
        FROM cl JOIN dom USING (component) ORDER BY cl.component"""
+
+  def clusterSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (clusters, _) = graft.domain.Consolidation.cluster(
+      clusterWorkingSet(spark, dir),
+      threshold = 0.4, minSize = 3, metaSize = 5, exact = true,
+      roundSims = true)
+    clusterRollup(clusters, metaSize = 5)
+  }
+
+  val clusterSummarySql: String =
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 500),
+       px AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+         FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+       s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM px GROUP BY 1, 2),
+       sims AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+         WHERE sim >= 0.4),
+       ${clusterOracleTail(minSize = 3, metaSize = 5)}"""
 
   /** C3 clustering via the 100 TB path: the BAND-OR blocked similarity graph
     * (`Consolidation.similarityEdges(exact = false)` — four offset 10-bit
@@ -211,24 +230,11 @@ object Maintenance {
     * parity threshold 0.4 yields no banded cluster at all).
     */
   def clusterSummaryBanded(spark: SparkSession, dir: String): DataFrame = {
-    val mem = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < 500)
-      .select(
-        col("vec_id").as("id"),
-        col("embedding"),
-        concat(lit("L"), col("label")).as("type"),
-        date_add(lit("1995-01-01").cast("date"), col("vec_id").cast("int"))
-          .as("timestamp"),
-        lit(1.0).as("relevance_score"))
-    val (clusters, _) = graft.domain.Consolidation.cluster(mem,
+    val (clusters, _) = graft.domain.Consolidation.cluster(
+      clusterWorkingSet(spark, dir),
       threshold = 0.25, minSize = 3, metaSize = 5, exact = false,
       roundSims = true)
-    clusters.select(col("component"), col("cluster_size"), col("dominant_type"),
-        col("span_start").cast("string").as("span_start"),
-        col("span_end").cast("string").as("span_end"),
-        col("exemplar_id"),
-        (col("cluster_size") >= 5).as("spawns_meta"))
-      .orderBy("component")
+    clusterRollup(clusters, metaSize = 5)
   }
 
   val clusterSummaryBandedSql: String = {
@@ -252,30 +258,6 @@ object Maintenance {
            SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
              ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
          WHERE sim >= 0.25),
-       edges AS (SELECT a_id AS src, b_id AS dst FROM sims
-         UNION ALL SELECT b_id, a_id FROM sims),
-       reach AS (
-         WITH RECURSIVE r(a, b) AS (
-           SELECT DISTINCT src, src FROM edges
-           UNION
-           SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
-         SELECT a AS id, min(b) AS component FROM r GROUP BY a),
-       members AS (SELECT e.vec_id AS id, r.component,
-           'L' || e.label AS type,
-           DATE '1995-01-01' + CAST(e.vec_id AS INT) AS ts
-         FROM emb e JOIN reach r ON r.id = e.vec_id),
-       tc AS (SELECT component, type, count(*) AS n_type
-         FROM members GROUP BY 1, 2),
-       dom AS (SELECT component, type AS dominant_type FROM (
-           SELECT component, type, row_number() OVER (PARTITION BY component
-             ORDER BY n_type DESC, type ASC) AS rn FROM tc) d WHERE rn = 1),
-       cl AS (SELECT component, count(*) AS cluster_size,
-           CAST(min(ts) AS VARCHAR) AS span_start,
-           CAST(max(ts) AS VARCHAR) AS span_end, min(id) AS exemplar_id
-         FROM members GROUP BY 1 HAVING count(*) >= 3)
-       SELECT cl.component, cl.cluster_size, dom.dominant_type,
-         cl.span_start, cl.span_end, cl.exemplar_id,
-         cl.cluster_size >= 5 AS spawns_meta
-       FROM cl JOIN dom USING (component) ORDER BY cl.component"""
+       ${clusterOracleTail(minSize = 3, metaSize = 5)}"""
   }
 }
