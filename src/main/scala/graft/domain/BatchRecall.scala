@@ -281,6 +281,7 @@ object BatchRecall {
       .filter(col("_dd") === 1)
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= limit)
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("qid"), col("rank"), col("id"), col("final_score"),
         col("match_type"), col("s_vector"), col("s_keyword"), col("s_tag"))
   }

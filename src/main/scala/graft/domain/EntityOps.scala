@@ -9,9 +9,10 @@ import org.apache.spark.sql.DataFrame
   * (U6, `consolidation/identity_synthesis.py` — the LLM writer stays behind
   * a trait; the deterministic default is extractive).
   *
-  * Candidate generation blocks by (category, slug length bucket) so the
-  * pairwise levenshtein join never goes quadratic in the entity count —
-  * the same blocking idea the reference applies in-memory.
+  * Candidate generation blocks by (category, slug length bucket) plus a
+  * frequency-capped shared-token channel, so the pairwise levenshtein join
+  * never goes quadratic in the entity count — the same blocking idea the
+  * reference applies in-memory.
   */
 object EntityOps {
 
@@ -19,7 +20,8 @@ object EntityOps {
     * slug similarity = 1 - levenshtein/maxlen >= threshold, or one slug
     * contains the other.
     */
-  def dedupCandidates(entities: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def dedupCandidates(entities: DataFrame, threshold: Double = 0.5,
+      maxTokenBlock: Int = 50): DataFrame = {
     val blocked = entities.select(col("category"), col("slug"))
       .distinct()
       .withColumn("lb", (length(col("slug")) / 4).cast("int"))
@@ -33,13 +35,23 @@ object EntityOps {
     // ~7 chars, yet those are exactly the containment pairs the reference
     // merges ("bob" vs "bob-the-builder", `entity_dedup.py` substring rule
     // scores max(0.6, ratio)); a contained slug shares at least one full
-    // token with its container, so token-equality is a complete block for
-    // the token-aligned containment case
+    // token with its container, so token-equality blocks the token-aligned
+    // containment case. Blocks are FREQUENCY-CAPPED like minhashLshPairs'
+    // maxBucket: a token shared by > maxTokenBlock slugs (think thousands
+    // of "john-*" people) would emit C(k,2) candidates from one block —
+    // such a token carries no discriminating signal, so it is dropped and
+    // the pair must surface via the length-bucket channel or another token
     val tokens = blocked.select(col("category"), col("slug"),
       explode(split(col("slug"), "-")).as("tk"))
       .filter(length(col("tk")) >= 3)
-    val byToken = tokens.select(col("category"), col("slug").as("a_slug"), col("tk"))
-      .join(tokens.select(col("category"), col("slug").as("b_slug"), col("tk")),
+    val rareTokens = tokens.groupBy(col("category"), col("tk"))
+      .agg(count(lit(1)).as("_blk"))
+      .filter(col("_blk") <= maxTokenBlock)
+      .select(col("category"), col("tk"))
+    val cappedTokens = tokens.join(rareTokens, Seq("category", "tk"), "left_semi")
+    val byToken = cappedTokens
+      .select(col("category"), col("slug").as("a_slug"), col("tk"))
+      .join(cappedTokens.select(col("category"), col("slug").as("b_slug"), col("tk")),
         Seq("category", "tk"))
       .select(col("category"), col("a_slug"), col("b_slug"))
     byLength.unionByName(byToken)

@@ -105,11 +105,13 @@ object NerLite {
     * shape features in rule-based NER):
     *  1. org suffix/head lexicon -> organizations
     *  2. honorific before the span -> people (honorific stripped)
-    *  3. 2-3 simple capitalized tokens, mid-sentence or honorific-less
+    *  3. location preposition before a short span, mid-sentence -> concepts
+    *     (spaCy GPE/LOC map there, `entity_extraction.py:179-180`); checked
+    *     BEFORE the people shape so "met in New York" labels as a location,
+    *     not a Firstname-Lastname person
+    *  4. 2-3 simple capitalized tokens, mid-sentence or honorific-less
     *     sentence start -> people candidate (Firstname Lastname shape; the
     *     EntityQuality people gates do the fine filtering)
-    *  4. location preposition before a span -> concepts (spaCy GPE/LOC map
-    *     there, `entity_extraction.py:179-180`)
     *  5. single capitalized mid-sentence token with no cue -> dropped: too
     *     noisy without a model, and the regex cue patterns already cover
     *     tools/people introduced by cue words.
@@ -138,12 +140,12 @@ object NerLite {
       Some(("organizations", joined))
     else if (honorific || s.prev.exists(Honorifics.contains))
       Some(("people", joined))
-    else if (toks.length >= 2 && toks.length <= 3 &&
-      toks.forall(t => t.head.isUpper && t.tail.forall(_.isLower)))
-      Some(("people", joined))
     else if (toks.length <= 2 && s.prev.exists(LocPrepositions.contains) &&
       !s.sentenceStart)
       Some(("concepts", joined))
+    else if (toks.length >= 2 && toks.length <= 3 &&
+      toks.forall(t => t.head.isUpper && t.tail.forall(_.isLower)))
+      Some(("people", joined))
     else None
   }
 

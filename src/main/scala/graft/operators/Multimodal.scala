@@ -157,7 +157,8 @@ object Multimodal {
     val frames = frameSample(decoded, everyK = 37, maxFrames = 8)
       .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
     decoded.join(frames, Seq("asset_id"), "left")
-      .select(col("asset_id"), col("modality"), col("mime"), col("n_bytes"),
+      .select(col("asset_id"), col("modality"), col("mime"),
+        col("n_bytes").cast("long").as("n_bytes"),
         col("width"), col("height"),
         // size-guarded: ANSI mode (Spark 4 default) makes element_at on an
         // empty array THROW, and the stub codec emits empty features for

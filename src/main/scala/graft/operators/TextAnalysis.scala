@@ -133,7 +133,7 @@ object TextAnalysis {
          FROM documents),
        k AS (SELECT doc_id, source, rate, b < rate * 1000 AS keep FROM coin)
        SELECT source, count(*) AS n_total,
-         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 4)
            AS achieved_rate,
          min(CASE WHEN keep THEN doc_id END) AS first_kept,
@@ -218,8 +218,8 @@ object TextAnalysis {
     tokCounts.join(groups, Seq("lang"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("lang"), col("n_docs"), col("pattern_conf"), col("rank"),
-        col("token"), col("n"))
+      .select(col("lang"), col("n_docs"), col("pattern_conf"),
+        col("rank").cast("long").as("rank"), col("token"), col("n"))
       .orderBy("lang", "rank")
   }
 

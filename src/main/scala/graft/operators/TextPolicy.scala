@@ -51,9 +51,9 @@ object TextPolicy {
     withPii.select(
         d,
         size(regexp_extract_all(col("raw"), lit(PiiPatterns.head._1), lit(0)))
-          .as("n_emails"),
+          .cast("long").as("n_emails"),
         size(regexp_extract_all(col("raw"), lit(PiiPatterns(3)._1), lit(0)))
-          .as("n_ips"),
+          .cast("long").as("n_ips"),
         redactPii(col("raw")).as("redacted"))
       .orderBy("doc_id")
   }
@@ -168,7 +168,8 @@ object TextPolicy {
       .groupBy("doc_id", "n_words", "dup_word_frac", "len_text")
       .agg(min_by(struct(col("bigram"), col("c")),
         struct((-col("c")).as("nc"), col("bigram"))).as("top"))
-      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("dup_word_frac"),
         col("top.bigram").as("top_bigram"),
         graft.functions.round4(least(lit(1.0),
           col("top.c") * length(col("top.bigram")) / col("len_text")))

@@ -4,7 +4,18 @@
 same test tables, and compares rows/schema/values exactly (columns sorted by
 name, rows sorted, exact equality).
 
+Type parity (the r4 q_mix_sample lesson): the driver materializes the oracle
+through Arrow, where DuckDB's HUGEINT (e.g. `sum(CASE...)`) becomes float64
+while Spark emits int64 — its value hash then sees `8.0` vs `8` and fails even
+though the values are identical. This comparator therefore (a) materializes
+the oracle via .arrow() exactly like the driver, and (b) asserts column dtypes
+match the Spark parquet frame EXACTLY before comparing values. A local PASS
+now requires int64 to stay int64 — no HUGEINT/DECIMAL leakage into final
+oracle projections (wrap integer sums in CAST(... AS BIGINT), decimal
+arithmetic in ::DOUBLE).
+
 Usage: python tools/verify_local.py <sfDir> <verifyOutDir>
+       python tools/verify_local.py --selftest   # proves the dtype gate trips
 """
 import json
 import sys
@@ -25,6 +36,60 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    """One query's comparison; returns True on pass, prints the verdict."""
+    g, w = norm(got), norm(want)
+    if list(g.columns) != list(w.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+        return False
+    # Exact dtype parity — this is what predicts the driver's value hash.
+    bad = [(c, str(g[c].dtype), str(w[c].dtype))
+           for c in g.columns if g[c].dtype != w[c].dtype]
+    if bad:
+        detail = ", ".join(f"{c}: spark={sd} oracle={od}" for c, sd, od in bad)
+        print(f"FAIL {name}: dtype mismatch ({detail}) — "
+              f"CAST the oracle's final projection (BIGINT/DOUBLE) to match Spark")
+        return False
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+        return False
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
+        print(f"PASS {name} ({len(g)} rows)")
+        return True
+    except AssertionError as e:
+        print(f"FAIL {name}: values differ: {str(e).splitlines()[-1] if str(e) else e}")
+        neq = (g != w) & ~(g.isna() & w.isna())
+        rows = neq.any(axis=1)
+        print(pd.concat([g[rows].head(3).add_suffix("_spark"),
+                         w[rows].head(3).add_suffix("_duck")], axis=1).to_string())
+        return False
+
+
+def oracle_df(con, sql: str) -> pd.DataFrame:
+    # Through Arrow, like the driver — HUGEINT/DECIMAL surface as float64 here.
+    return con.execute(sql).arrow().to_pandas()
+
+
+def selftest() -> int:
+    """Regression test for the dtype gate itself: a HUGEINT-producing oracle
+    against an int64 Spark frame must FAIL (this is the r4 q_mix_sample bug),
+    and the CAST-fixed oracle must PASS."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, true), (2, true), (3, false)) v(id, keep)")
+    spark_like = pd.DataFrame({"n_kept": pd.array([2], dtype="int64")})
+    hugeint = oracle_df(con, "SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept FROM t")
+    fixed = oracle_df(con, "SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM t")
+    print("-- selftest: HUGEINT oracle vs int64 spark (must FAIL):")
+    tripped = not compare("selftest_hugeint", spark_like, hugeint)
+    print("-- selftest: CAST AS BIGINT oracle (must PASS):")
+    clean = compare("selftest_cast", spark_like, fixed)
+    ok = tripped and clean
+    print(f"\nselftest {'OK' if ok else 'BROKEN'}: dtype gate "
+          f"{'trips on HUGEINT and passes on BIGINT' if ok else 'did not behave as required'}")
+    return 0 if ok else 1
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -40,35 +105,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         try:
             got = pd.read_parquet(pq)
-            want = con.execute(oracle[name]).df()
+            want = oracle_df(con, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-            n_fail += 1
-            continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            n_fail += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"PASS {name} ({len(g)} rows)")
+        if compare(name, got, want):
             n_pass += 1
-        except AssertionError as e:
-            print(f"FAIL {name}: values differ: {str(e).splitlines()[-1] if str(e) else e}")
-            # show first few diffs
-            neq = (g != w) & ~(g.isna() & w.isna())
-            rows = neq.any(axis=1)
-            print(pd.concat([g[rows].head(3).add_suffix("_spark"),
-                             w[rows].head(3).add_suffix("_duck")], axis=1).to_string())
+        else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
