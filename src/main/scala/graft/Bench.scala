@@ -72,6 +72,32 @@ object Bench {
     val singleRecallMs = SparkEntry.queries.get("q_recall_pipeline")
       .map(fn => (1 to 3).map(_ => timeOnce(fn)).min * 1000.0)
       .getOrElse(-1.0)
+    // Same measurement AT THE ANCHOR'S OWN CORPUS SIZE: the reference's
+    // only latency anchor is 189-204 ms per recall on a 10k-memory corpus
+    // (`benchmarks/EXPERIMENT_LOG.md:126`); the sf-dir figure above mixes
+    // corpus sizes (sf0.1 is ~10x that corpus). One cold run, then best of
+    // 3 warm — cached 10k corpus, one lab question, limit 10. NOTE: a
+    // single-query Spark plan carries a job-scheduling floor of roughly
+    // 200-400 ms at local[32] regardless of corpus size; the amortized
+    // batch number (q_batch_recall_100q / 100) is the fairer
+    // throughput-per-query comparison.
+    val singleRecall10kMs = {
+      val memories = tools.LabCorpus.corpus(spark)
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      memories.count()
+      val q = tools.LabCorpus.questions.head.query
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        domain.Recall.recall(memories, spark.emptyDataFrame,
+          domain.RecallRequest(query = Some(q), limit = 10,
+            now = tools.LabCorpus.Now)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val best = (1 to 3).map(_ => once()).min * 1000.0
+      memories.unpersist()
+      best
+    }
 
     def jsonMap(m: Iterable[(String, Double)]): String =
       // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
@@ -84,7 +110,7 @@ object Bench {
     val coldQs = jsonMap(timed.toMap.map { case (k, (c, _)) => k -> c })
     val totalWarm = timed.map(_._2._2).sum
     val totalCold = timed.map(_._2._1).sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,11 +41,14 @@ object EntityOps {
     // of "john-*" people) would emit C(k,2) candidates from one block —
     // such a token carries no discriminating signal, so it is dropped and
     // the pair must surface via the length-bucket channel or another token
-    val tokens = blocked.select(col("category"), col("slug"),
-      explode(split(col("slug"), "-")).as("tk"))
-      .filter(length(col("tk")) >= 3)
+    val tokens = slugTokens(blocked)
     val rareTokens = tokens.groupBy(col("category"), col("tk"))
-      .agg(count(lit(1)).as("_blk"))
+      // countDistinct, not count: a slug with a repeated token
+      // ("bob-bob-bob") must not inflate the block size and drop a token
+      // shared by fewer than maxTokenBlock DISTINCT slugs. (tokens is
+      // already distinct on (category, slug, tk), so this is belt and
+      // braces against future callers.)
+      .agg(countDistinct(col("slug")).as("_blk"))
       .filter(col("_blk") <= maxTokenBlock)
       .select(col("category"), col("tk"))
     val cappedTokens = tokens.join(rareTokens, Seq("category", "tk"), "left_semi")
@@ -65,6 +68,33 @@ object EntityOps {
       .filter(col("sim") >= threshold || col("containment"))
       .select(col("category"), col("a_slug"), col("b_slug"), col("sim"))
       .distinct()
+  }
+
+  /** Distinct (category, slug, token) rows feeding the shared-token
+    * candidate channel: hyphen tokens of length >= 3, one row per distinct
+    * slug even when the slug repeats a token.
+    */
+  private def slugTokens(blocked: DataFrame): DataFrame =
+    blocked.select(col("category"), col("slug"),
+      explode(split(col("slug"), "-")).as("tk"))
+      .filter(length(col("tk")) >= 3)
+      .distinct()
+
+  /** No-silent-caps signal for [[dedupCandidates]]: the tokens whose blocks
+    * exceeded `maxTokenBlock` distinct slugs and were therefore excluded
+    * from the shared-token channel, with their true block sizes. Pairs in a
+    * dropped block only surface via the length-bucket channel (which spans
+    * ~±7 chars), so token-aligned containment pairs across a dropped token
+    * ("john" vs "john-the-famous-builder" in a category with thousands of
+    * "john-*" slugs) are unreachable — run this alongside dedupCandidates
+    * and log/alert on nonzero rows rather than discovering the recall gap
+    * in production.
+    */
+  def droppedTokenBlocks(entities: DataFrame, maxTokenBlock: Int = 50): DataFrame = {
+    val blocked = entities.select(col("category"), col("slug")).distinct()
+    slugTokens(blocked).groupBy(col("category"), col("tk"))
+      .agg(countDistinct(col("slug")).as("block_size"))
+      .filter(col("block_size") > maxTokenBlock)
   }
 
   /** Merge: every slug resolves to the canonical (lexicographically smallest)

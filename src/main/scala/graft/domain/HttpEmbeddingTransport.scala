@@ -22,6 +22,16 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * [[BatchedEmbeddingProvider]] above this seam applies the 2^attempt
   * backoff), other non-2xx statuses and malformed/`error` payloads fail
   * fast. Executor-safe: the client is transient and rebuilt per JVM.
+  *
+  * INTENTIONAL DIVERGENCE from the reference's Ollama client: the
+  * reference POSTs one text at a time to the legacy `/api/embeddings`
+  * route (`automem/embedding/ollama.py:51`, payload `{"model", "prompt"}`,
+  * response `{"embedding": [...]}`); this transport prefers the modern
+  * batch `/api/embed` route (one round trip per batch instead of per
+  * text). Older Ollama servers without the batch route return 404 —
+  * when `legacyEndpoint` is set, a 404 switches this transport (sticky,
+  * per JVM) to the reference's per-text legacy protocol instead of
+  * failing hard.
   */
 class HttpEmbeddingTransport(
     endpoint: String,
@@ -30,7 +40,12 @@ class HttpEmbeddingTransport(
     dimension: Int,
     inputType: Option[String] = None,
     sendOutputDimension: Boolean = true,
-    timeoutMs: Long = 30000) extends EmbeddingTransport {
+    timeoutMs: Long = 30000,
+    legacyEndpoint: Option[String] = None) extends EmbeddingTransport {
+
+  // set once a 404 proves the batch route absent; @transient so a
+  // deserialized executor copy re-probes (worst case: one extra 404)
+  @transient @volatile private var useLegacy = false
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
@@ -38,6 +53,7 @@ class HttpEmbeddingTransport(
   @transient private lazy val mapper = new ObjectMapper()
 
   override def request(texts: Seq[String]): Seq[Array[Float]] = {
+    if (useLegacy && legacyEndpoint.isDefined) return legacyRequest(texts)
     val root = mapper.createObjectNode()
     val input = root.putArray("input")
     texts.foreach(input.add)
@@ -48,22 +64,54 @@ class HttpEmbeddingTransport(
     if (sendOutputDimension) root.put("output_dimension", dimension)
     inputType.foreach(root.put("input_type", _))
 
-    val builder = HttpRequest.newBuilder(URI.create(endpoint))
+    val resp = post(endpoint, mapper.writeValueAsString(root))
+    if (resp.statusCode() == 404 && legacyEndpoint.isDefined) {
+      // the batch route does not exist on this server — fall back to the
+      // reference's per-text protocol for this and every later call
+      useLegacy = true
+      return legacyRequest(texts)
+    }
+    checkStatus(resp)
+    parse(resp.body(), texts.length)
+  }
+
+  /** The reference's per-text Ollama protocol (`ollama.py:51`):
+    * `{"model", "prompt"}` per text against `/api/embeddings`, response
+    * root `{"embedding": [...]}`. Same retry split as the batch path.
+    */
+  private def legacyRequest(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { text =>
+      val root = mapper.createObjectNode()
+      root.put("model", model)
+      root.put("prompt", text)
+      val resp = post(legacyEndpoint.get, mapper.writeValueAsString(root))
+      checkStatus(resp)
+      val data = parseRoot(resp.body())
+      if (!data.has("embedding") || !data.get("embedding").isArray)
+        throw EmbeddingTransportException(
+          "legacy embedding response missing 'embedding' array",
+          retryable = false)
+      readVector(data.get("embedding"), 0)
+    }
+
+  private def post(url: String, payload: String): HttpResponse[String] = {
+    val builder = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
     apiKey.foreach(k => builder.header("Authorization", s"Bearer $k"))
     val req = builder
-      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
+      .POST(HttpRequest.BodyPublishers.ofString(payload))
       .build()
+    try client.send(req, HttpResponse.BodyHandlers.ofString())
+    catch {
+      case e: java.io.IOException =>
+        // connection-level failures are transient by nature
+        throw EmbeddingTransportException(
+          s"embedding request failed: ${e.getMessage}", retryable = true)
+    }
+  }
 
-    val resp =
-      try client.send(req, HttpResponse.BodyHandlers.ofString())
-      catch {
-        case e: java.io.IOException =>
-          // connection-level failures are transient by nature
-          throw EmbeddingTransportException(
-            s"embedding request failed: ${e.getMessage}", retryable = true)
-      }
+  private def checkStatus(resp: HttpResponse[String]): Unit = {
     val status = resp.statusCode()
     if (status == 429 || status >= 500)
       throw EmbeddingTransportException(
@@ -72,7 +120,6 @@ class HttpEmbeddingTransport(
       throw EmbeddingTransportException(
         s"embedding endpoint returned $status: ${resp.body().take(200)}",
         retryable = false)
-    parse(resp.body(), texts.length)
   }
 
   /** Validate and extract embeddings, mirroring `voyage.py:115-166`:
@@ -80,7 +127,8 @@ class HttpEmbeddingTransport(
     * dimension checked here (fail fast — a wrong-shape response is not
     * retryable).
     */
-  private def parse(body: String, expected: Int): Seq[Array[Float]] = {
+  /** Parse the response root with the shared malformed/`error` gate. */
+  private def parseRoot(body: String): JsonNode = {
     val data =
       try mapper.readTree(body)
       catch {
@@ -94,6 +142,11 @@ class HttpEmbeddingTransport(
       throw EmbeddingTransportException(
         s"embedding endpoint returned error payload: ${data.get("error")}",
         retryable = false)
+    data
+  }
+
+  private def parse(body: String, expected: Int): Seq[Array[Float]] = {
+    val data = parseRoot(body)
     val vectors: Seq[JsonNode] =
       if (data.has("data") && data.get("data").isArray) {
         // OpenAI/Voyage shape: data[i].embedding
@@ -117,23 +170,26 @@ class HttpEmbeddingTransport(
       throw EmbeddingTransportException(
         s"embedding endpoint returned ${vectors.length} vectors for " +
           s"$expected texts", retryable = false)
-    vectors.zipWithIndex.map { case (v, i) =>
-      val out = new Array[Float](v.size())
-      var j = 0
-      while (j < v.size()) {
-        val n = v.get(j)
-        if (!n.isNumber)
-          throw EmbeddingTransportException(
-            s"embedding $i contains non-numeric values", retryable = false)
-        out(j) = n.floatValue()
-        j += 1
-      }
-      if (out.length != dimension)
+    vectors.zipWithIndex.map { case (v, i) => readVector(v, i) }
+  }
+
+  /** Validate one embedding array node: numeric values, exact dimension. */
+  private def readVector(v: JsonNode, i: Int): Array[Float] = {
+    val out = new Array[Float](v.size())
+    var j = 0
+    while (j < v.size()) {
+      val n = v.get(j)
+      if (!n.isNumber)
         throw EmbeddingTransportException(
-          s"embedding length ${out.length} != configured dimension " +
-            s"$dimension at index $i", retryable = false)
-      out
+          s"embedding $i contains non-numeric values", retryable = false)
+      out(j) = n.floatValue()
+      j += 1
     }
+    if (out.length != dimension)
+      throw EmbeddingTransportException(
+        s"embedding length ${out.length} != configured dimension " +
+          s"$dimension at index $i", retryable = false)
+    out
   }
 }
 
@@ -175,12 +231,18 @@ class HttpTransportFactory(env: Map[String, String], dimension: Int,
       }
       case "ollama" =>
         // OLLAMA_BASE_URL is the env the selection chain gates on and the
-        // reference reads (`provider_init.py:142`)
+        // reference reads (`provider_init.py:142`). Batch `/api/embed` is
+        // preferred (divergence from the reference's per-text client,
+        // documented on HttpEmbeddingTransport); the reference's
+        // `/api/embeddings` is wired as the 404 fallback for old servers
         val host = env.getOrElse("OLLAMA_BASE_URL", "http://localhost:11434")
+          .stripSuffix("/")
         Some(new HttpEmbeddingTransport(
-          endpoint("ollama", s"${host.stripSuffix("/")}/api/embed"),
+          endpoint("ollama", s"$host/api/embed"),
           None, env.getOrElse("OLLAMA_MODEL", "nomic-embed-text"),
-          dimension, sendOutputDimension = false))
+          dimension, sendOutputDimension = false,
+          legacyEndpoint =
+            Some(endpoint("ollama_legacy", s"$host/api/embeddings"))))
       case _ => None
     }
 }

@@ -784,10 +784,13 @@ object Recall {
     agg = agg.orderBy(prioRank.asc +: sortKey(req): _*).limit(req.limit)
     // the bounded (<= limit rows) result set is re-consumed by driver-side
     // actions — the entity collect, the scope-fallback count, and the
-    // adaptive-floor score collect — cache so the channel-union DAG
-    // executes once, not once per downstream action
+    // adaptive-floor score collect. localCheckpoint (NOT cache) materializes
+    // the channel-union DAG exactly once without registering a CacheManager
+    // entry: `agg` is reassigned below, so a plain cache() could never be
+    // unpersisted and a long-lived session would accumulate one cached plan
+    // per recall call (same leak class fixed in Supersession.resolveHeads)
     if (req.scopeFallback || req.expandEntities || req.adaptiveFloor)
-      agg = agg.cache()
+      agg = agg.localCheckpoint()
     if (req.expandRelations) {
       val expanded = expand(agg, memories, edges, req)
       agg = agg.unionByName(expanded, allowMissingColumns = true)

@@ -398,6 +398,20 @@ class DomainSpec extends AnyFunSuite {
     assert(cut.count() == 0)
   }
 
+  test("recall leaves no CacheManager entry behind (ADVICE r5 #5)") {
+    // recall's bounded result frame is re-consumed by driver-side actions;
+    // it must materialize via localCheckpoint, NOT a cache() that the
+    // reassignment of `agg` makes impossible to unpersist — a long-lived
+    // session would accumulate one cached plan per call
+    spark.sharedState.cacheManager.clearCache()
+    Recall.recall(memories, edgesDf,
+      RecallRequest(query = Some("postgres database"), tags = Seq("preferences"),
+        limit = 4, scopeFallback = true, adaptiveFloor = true,
+        expandEntities = true, now = now)).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "recall must not leak cached plans into the session CacheManager")
+  }
+
   test("recall: scope fallback tops up and flags out-of-scope rows") {
     val res = Recall.recall(memories, edgesDf,
       RecallRequest(query = Some("postgres database"), tags = Seq("preferences"),
@@ -713,7 +727,7 @@ class DomainSpec extends AnyFunSuite {
         val single = Recall.recall(memsMd, edgesDf,
           RecallRequest(query = Some(q), limit = 5, now = now))
           .select("id", "final_score").collect()
-        val got = byQid(qid).sortBy(_.getAs[Int]("rank"))
+        val got = byQid(qid).sortBy(_.getAs[Long]("rank"))
           .map(r => (r.getAs[String]("id"), r.getAs[Double]("final_score")))
         val want = single.map(r => (r.getString(0), r.getDouble(1)))
         assert(got.map(_._1).toSeq == want.map(_._1).toSeq,

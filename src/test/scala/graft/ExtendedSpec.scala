@@ -93,6 +93,45 @@ class ExtendedSpec extends AnyFunSuite {
       "token-aligned containment must merge across a >7-char length gap")
   }
 
+  test("frequent-token blocks are capped to O(k) candidates, not C(k,2)") {
+    import spark.implicits._
+    // 60 slugs sharing the token "john" with strictly increasing lengths:
+    // the token channel would emit C(60,2)=1770 pairs from this one block;
+    // with the default maxTokenBlock=50 the token is dropped and only the
+    // ±1 length-bucket channel pairs neighbours — candidates stay O(k)
+    val slugs = (1 to 60).map(i => ("people", "john-" + "x" * i))
+    val cands = graft.domain.EntityOps.dedupCandidates(slugs.toDF("category", "slug"))
+    val n = cands.count()
+    assert(n < 600, s"expected O(k) candidates from a capped block, got $n")
+    // a genuine near-dup pair sharing ONLY the capped token must still
+    // surface via the length-bucket channel when length-eligible
+    val withPair = (slugs ++ Seq(("people", "john-smith"), ("people", "john-smyth")))
+      .toDF("category", "slug")
+    val pair = graft.domain.EntityOps.dedupCandidates(withPair)
+      .filter(col("a_slug") === "john-smith" && col("b_slug") === "john-smyth")
+      .collect()
+    assert(pair.length == 1 && pair.head.getAs[Double]("sim") >= 0.5,
+      "capped-token near-dups must still pair through the length channel")
+    // no-silent-caps signal: the dropped block is queryable with its size
+    val dropped = graft.domain.EntityOps.droppedTokenBlocks(withPair)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(dropped.toSeq == Seq(("people", "john", 62L)))
+  }
+
+  test("token block size counts distinct slugs, not token occurrences") {
+    import spark.implicits._
+    // "bob-bob-bob-bob-bob" repeats its token 5 times; occurrence counting
+    // would see block size 6 and drop "bob" at maxTokenBlock=2, losing the
+    // containment pair (length buckets 4 vs 0 can never pair). Distinct-slug
+    // counting sees 2 and keeps it.
+    val ents = Seq(("people", "bob-bob-bob-bob-bob"), ("people", "bob"))
+      .toDF("category", "slug")
+    val cands = graft.domain.EntityOps.dedupCandidates(ents, maxTokenBlock = 2)
+      .collect()
+    assert(cands.length == 1 && cands.head.getAs[String]("a_slug") == "bob",
+      "a repeated-token slug must not inflate its block past the cap")
+  }
+
   test("multimodal decode stage is deterministic, schema-stable, null-safe") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val decoded = Multimodal.decodeStage(assets)

@@ -115,6 +115,54 @@ class HttpTransportSpec extends AnyFunSuite {
     assert(!caught.retryable)
   }
 
+  test("404 on the batch route falls back to per-text legacy /api/embeddings") {
+    // an old Ollama server: no /api/embed, only the reference's per-text
+    // route (`ollama.py:51`). The transport must switch protocols on the
+    // first 404 and stay switched (no re-probe per call).
+    val batchCalls = new AtomicInteger(0)
+    val legacyBodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/embed", (ex: HttpExchange) => {
+      batchCalls.incrementAndGet()
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.createContext("/api/embeddings", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      legacyBodies += body
+      val prompt = mapper.readTree(body).get("prompt").asText()
+      val resp = s"""{"embedding": [${prompt.length}.0, ${prompt.length + 1}.0]}"""
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new HttpTransportFactory(
+        Map("OLLAMA_BASE_URL" -> base), 2, embeddingModel = "m")
+      val t = f.forProvider("ollama").get
+      val out = t.request(Seq("ab", "wxyz"))
+      assert(out.map(_.toSeq) == Seq(Seq(2f, 3f), Seq(4f, 5f)))
+      assert(legacyBodies.forall(b => mapper.readTree(b).has("prompt")))
+      // second batch goes straight to the legacy route — fallback is sticky
+      val again = t.request(Seq("q"))
+      assert(again.head.toSeq == Seq(1f, 2f))
+      assert(batchCalls.get() == 1, "only the first call probes /api/embed")
+      assert(legacyBodies.length == 3, "one legacy POST per text")
+    } finally server.stop(0)
+  }
+
+  test("404 without a legacy endpoint stays a fail-fast error") {
+    withServer((_, _) => (404, "no such route")) { url =>
+      val t = new HttpEmbeddingTransport(url, None, "m", 2)
+      val e = intercept[EmbeddingTransportException](t.request(Seq("x")))
+      assert(!e.retryable)
+    }
+  }
+
   test("provider chain retries a 429 with backoff then succeeds (selection -> HTTP)") {
     val calls = new AtomicInteger(0)
     withServer { (body, _) =>

@@ -37,6 +37,13 @@ class NerLiteSpec extends AnyFunSuite {
   test("location prepositions map to concepts (the spaCy GPE/LOC mapping)") {
     assert(cats("The team met in Lisbon for the offsite")
       .contains(("concepts", "Lisbon")))
+    // the 2-token case the r5 rule reorder exists for: the location
+    // preposition check must run BEFORE the Firstname-Lastname shape, or
+    // "New York" labels as a person (NerLite.scala location rule precedes
+    // the 2-3-token people rule)
+    val ny = cats("We met in New York last week")
+    assert(ny.contains(("concepts", "New York")))
+    assert(!ny.exists { case (cat, name) => cat == "people" && name == "New York" })
   }
 
   test("noise is dropped: sentence-start singles, months, bare capitals") {

@@ -24,7 +24,7 @@ class QualityScaleSpec extends AnyFunSuite {
       .select("qid", "rank", "id").collect()
     memories.unpersist()
     ranked.groupBy(_.getInt(0)).view.mapValues(
-      _.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+      _.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
   }
 
   private def bandMean(band: Int, f: (Seq[String], Seq[String]) => Double): Double = {

@@ -53,7 +53,7 @@ class TextPolicySpec extends AnyFunSuite {
     val (topBg, topCnt) = bigrams.groupBy(identity).view.mapValues(_.size)
       .toSeq.sortBy { case (bg, c) => (-c, bg) }.head
     val row = rows(0L)
-    assert(row.getAs[Int]("n_words") == ws.size)
+    assert(row.getAs[Long]("n_words") == ws.size.toLong)
     assert(math.abs(row.getAs[Double]("dup_word_frac") - dupFrac) < 1e-3)
     assert(row.getAs[String]("top_bigram") == topBg)
     val expectFrac = math.min(1.0, topCnt.toDouble * topBg.length / text.length)

@@ -5,14 +5,17 @@ same test tables, and compares rows/schema/values exactly (columns sorted by
 name, rows sorted, exact equality).
 
 Type parity (the r4 q_mix_sample lesson): the driver materializes the oracle
-through Arrow, where DuckDB's HUGEINT (e.g. `sum(CASE...)`) becomes float64
-while Spark emits int64 — its value hash then sees `8.0` vs `8` and fails even
-though the values are identical. This comparator therefore (a) materializes
-the oracle via .arrow() exactly like the driver, and (b) asserts column dtypes
-match the Spark parquet frame EXACTLY before comparing values. A local PASS
-now requires int64 to stay int64 — no HUGEINT/DECIMAL leakage into final
-oracle projections (wrap integer sums in CAST(... AS BIGINT), decimal
-arithmetic in ::DOUBLE).
+through Arrow, where DuckDB's HUGEINT/DECIMAL (e.g. `sum(CASE...)`) surface
+as a NON-int64 dtype — float64 or object depending on the duckdb/pyarrow
+version — while Spark emits int64; the driver's value hash then sees `8.0`
+(or `'8'`) vs `8` and fails even though the values are identical. This
+comparator therefore (a) materializes the oracle via .arrow() like the
+driver, and (b) asserts column dtypes match the Spark parquet frame EXACTLY
+— on the PRE-normalization frames, so two columns that both land on object
+dtype for different reasons (HUGEINT vs string) still compare as their real
+types before values are stringified for sorting. A local PASS requires int64
+to stay int64 — no HUGEINT/DECIMAL leakage into final oracle projections
+(wrap integer sums in CAST(... AS BIGINT), decimal arithmetic in ::DOUBLE).
 
 Usage: python tools/verify_local.py <sfDir> <verifyOutDir>
        python tools/verify_local.py --selftest   # proves the dtype gate trips
@@ -36,15 +39,33 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_of(col: pd.Series) -> str:
+    """Pre-normalization type label: the pandas dtype, refined for object
+    columns by the Python type of the first non-null value so that e.g. a
+    HUGEINT that surfaced as object[int] never string-compares equal to a
+    genuine object[str] column."""
+    if col.dtype != object:
+        return str(col.dtype)
+    for v in col:
+        if v is not None and not (isinstance(v, float) and pd.isna(v)):
+            return f"object[{type(v).__name__}]"
+    return "object[empty]"
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     """One query's comparison; returns True on pass, prints the verdict."""
-    g, w = norm(got), norm(want)
+    g = got.reindex(sorted(got.columns), axis=1)
+    w = want.reindex(sorted(want.columns), axis=1)
     if list(g.columns) != list(w.columns):
         print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
         return False
     # Exact dtype parity — this is what predicts the driver's value hash.
-    bad = [(c, str(g[c].dtype), str(w[c].dtype))
-           for c in g.columns if g[c].dtype != w[c].dtype]
+    # Checked on the PRE-normalization frames: norm() stringifies object
+    # columns, which would otherwise let two object columns with different
+    # payload types compare as equal strings.
+    bad = [(c, dtype_of(g[c]), dtype_of(w[c]))
+           for c in g.columns if dtype_of(g[c]) != dtype_of(w[c])]
+    g, w = norm(g), norm(w)
     if bad:
         detail = ", ".join(f"{c}: spark={sd} oracle={od}" for c, sd, od in bad)
         print(f"FAIL {name}: dtype mismatch ({detail}) — "
@@ -67,7 +88,9 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
 
 
 def oracle_df(con, sql: str) -> pd.DataFrame:
-    # Through Arrow, like the driver — HUGEINT/DECIMAL surface as float64 here.
+    # Through Arrow, like the driver — HUGEINT/DECIMAL surface as a
+    # non-int64 dtype (float64 or object[int] depending on the
+    # duckdb/pyarrow version); either way the parity gate trips.
     return con.execute(sql).arrow().to_pandas()
 
 
