@@ -111,7 +111,10 @@ object LocomoMini {
       t(5, 5, "Elena", "The baking course teaches us lamination next"),
       t(5, 6, "Marcus", "I can finally order coffee in Portuguese without pausing"),
       t(5, 7, "Elena", "Kiwi tried to steal a piece of my practice loaf"),
-      t(5, 8, "Marcus", "Your parrot has excellent taste"))
+      t(5, 8, "Marcus", "Your parrot has excellent taste"),
+      // appended in round 6 (higher idx keeps earlier dialog ids stable):
+      // knowledge-update new-fact turn — supersedes D1:1:8
+      t(5, 9, "Marcus", "The quartet moved rehearsals to Monday nights for the summer"))
   }
 
   // Conversation 2: Priya & Tomas. Planted facts: ceramics studio (S1),
@@ -163,7 +166,11 @@ object LocomoMini {
       t(5, 5, "Priya", "Ingrid visited the studio and approved of the vases", Seq("ingrid")),
       t(5, 6, "Tomas", "High praise from the master"),
       t(5, 7, "Priya", "She rarely approves of anything on the first look"),
-      t(5, 8, "Tomas", "Then the vases must truly shine"))
+      t(5, 8, "Tomas", "Then the vases must truly shine"),
+      // appended in round 6: knowledge-update new-fact turns —
+      // supersede D2:1:8 and D2:4:1 respectively
+      t(5, 9, "Tomas", "My new training plan is sixty kilometers a week for the trail race"),
+      t(5, 10, "Priya", "The evening classes now run three times a week after demand grew"))
   }
 
   // Conversation 3: Aiko & Ben. Planted facts: 1890 telescope restoration
@@ -214,21 +221,30 @@ object LocomoMini {
       t(5, 5, "Aiko", "Mirela's bakery started weekend baking classes", Seq("mirela")),
       t(5, 6, "Ben", "Maybe I will learn to bake at last"),
       t(5, 7, "Aiko", "Bring honey to class and you will be popular"),
-      t(5, 8, "Ben", "Strategy accepted"))
+      t(5, 8, "Ben", "Strategy accepted"),
+      // appended in round 6: knowledge-update new-fact turns —
+      // supersede D3:1:2 and D3:2:3 respectively
+      t(5, 9, "Ben", "With the new builds done I now keep five hives on the rooftop"),
+      t(5, 10, "Aiko", "Mirela moved the bakery to the old mill for more oven space", Seq("mirela")))
   }
 
   def turns: Seq[Turn] = conv1 ++ conv2 ++ conv3
 
-  /** The 18 questions across three conversations: 5 each for the LoCoMo
-    * single/temporal/multihop categories and 3 knowledge-update questions
-    * (LongMemEval shape). Question wording is part of
+  /** The 61 questions across three conversations — single 25 / temporal 14
+    * / multihop 12 / update 10 (every category >= 10; the single-heavy skew
+    * mirrors the reference mini tier's 114:63:43
+    * single:temporal:multihop category counts,
+    * `benchmarks/EXPERIMENT_LOG.md:172`). Question wording is part of
     * the fixture: temporal questions carry a reference-grade temporal-intent keyword
     * (`recently` — `automem/utils/time.py:10-17`; bare `last` is intent
     * only in the harness's own keyword list, not the engine's) so `recencyBias = "auto"` fires for them and ONLY
-    * them; multi-hop questions name the speaker possessively so both query
-    * entity extraction and the speaker-tag secondary search engage.
+    * them — which also means non-temporal questions must avoid every
+    * harness keyword ("last", "when", "after", ...); multi-hop questions
+    * name the speaker possessively so both query entity extraction and the
+    * speaker-tag secondary search engage.
     */
   def questions: Seq[Question] = Seq(
+    // ---- single-hop (25): one evidence dialog, direct fact retrieval
     Question("single", 1, "What instrument does Marcus play in the quartet?",
       Seq("D1:1:3")),
     Question("single", 1, "What is the name of Elena's parrot?", Seq("D1:1:1")),
@@ -236,12 +252,74 @@ object LocomoMini {
       Seq("D2:1:2")),
     Question("single", 2, "What did Priya open near the old market?",
       Seq("D2:1:1")),
+    Question("single", 3, "What was Aiko restoring that was built in 1890?",
+      Seq("D3:3:1")),
+    Question("single", 1, "What does Elena's neighbor practice at odd hours?",
+      Seq("D1:1:4")),
+    Question("single", 1, "What did Marcus buy for weekend rides?",
+      Seq("D1:3:1")),
+    Question("single", 1, "Which language is Marcus learning with a tutor?",
+      Seq("D1:2:3")),
+    Question("single", 1, "Which composer is the quartet preparing a program of?",
+      Seq("D1:3:4")),
+    Question("single", 1, "What course did Elena start at the mill bakery?",
+      Seq("D1:5:1")),
+    Question("single", 1, "What tune did Kiwi learn to whistle?",
+      Seq("D1:3:2")),
+    Question("single", 1, "What did Elena hike at the Vatnajokull glacier?",
+      Seq("D1:2:1")),
+    Question("single", 2, "Who taught Priya everything about glazing?",
+      Seq("D2:1:3")),
+    Question("single", 2, "How many students attended Priya's glazing workshop?",
+      Seq("D2:2:2")),
+    Question("single", 2, "What finishing result did Tomas achieve at the Valencia marathon?",
+      Seq("D2:3:1")),
+    Question("single", 2, "Where did Tomas run a half marathon as practice?",
+      Seq("D2:2:1")),
+    Question("single", 2, "What did Priya glaze in the new kiln?",
+      Seq("D2:3:8")),
+    Question("single", 2, "What came out of the kiln with a perfect crackle?",
+      Seq("D2:5:3")),
+    Question("single", 2, "What does Priya say is kinder to the knees?",
+      Seq("D2:4:7")),
+    Question("single", 3, "What did Ben promise to bring once the hives produce?",
+      Seq("D3:1:8")),
+    Question("single", 3, "What sold out on the bakery's opening day?",
+      Seq("D3:2:5")),
+    Question("single", 3, "What needs a new belt in Aiko's workshop?",
+      Seq("D3:2:7")),
+    Question("single", 3, "What did the 1890 refractor need?",
+      Seq("D3:3:3")),
+    Question("single", 3, "Which telescope is in the workshop window display?",
+      Seq("D3:5:3")),
+    Question("single", 3, "What project from the thirties is Aiko planning?",
+      Seq("D3:3:7")),
+    // ---- temporal (14): repeated-topic facts where the LATEST event is
+    // the answer; "recently" carries engine-grade temporal intent
     Question("temporal", 1, "When did Elena most recently visit the glacier?",
       Seq("D1:4:1")),
     Question("temporal", 1, "What did the quartet do recently?", Seq("D1:4:2")),
     Question("temporal", 2, "When did Tomas most recently run a race?", Seq("D2:3:1")),
     Question("temporal", 2, "What did Priya fire in the kiln recently?",
       Seq("D2:5:1")),
+    Question("temporal", 3, "When did Ben most recently harvest honey?", Seq("D3:4:1")),
+    Question("temporal", 1, "What did Kiwi do recently?", Seq("D1:5:7")),
+    Question("temporal", 1, "What did Marcus say about Portuguese recently?",
+      Seq("D1:5:6")),
+    Question("temporal", 1, "What did the quartet crowd ask for recently?",
+      Seq("D1:4:4")),
+    Question("temporal", 2, "What did Ingrid do recently?", Seq("D2:5:5")),
+    Question("temporal", 2, "What race did Tomas plan recently?", Seq("D2:5:2")),
+    Question("temporal", 2, "What did Priya install at the studio recently?",
+      Seq("D2:3:2")),
+    Question("temporal", 3, "What did Mirela's bakery add recently?",
+      Seq("D3:3:5")),
+    Question("temporal", 3, "What did Aiko finish restoring recently?",
+      Seq("D3:5:1")),
+    Question("temporal", 3, "What did Ben build recently for spring?",
+      Seq("D3:5:2")),
+    // ---- multi-hop (12): 2+ evidence dialogs bridged by a named third
+    // party; possessive speaker wording engages the secondary tag search
     Question("multihop", 1, "What job does Elena's brother have?",
       Seq("D1:1:5", "D1:2:4")),
     Question("multihop", 1, "Where does Elena's brother work?",
@@ -250,7 +328,23 @@ object LocomoMini {
       Seq("D2:1:3", "D2:4:2")),
     Question("multihop", 2, "Where did Priya's mentor exhibit her porcelain?",
       Seq("D2:1:3", "D2:2:3")),
-    // knowledge-update questions (the LongMemEval category the reference's
+    Question("multihop", 3, "What did Aiko's cousin open?",
+      Seq("D3:1:3", "D3:2:3")),
+    Question("multihop", 1, "Where does Elena's brother keep talking about moving to?",
+      Seq("D1:1:5", "D1:4:7")),
+    Question("multihop", 1, "What did Elena's brother send photos from?",
+      Seq("D1:1:5", "D1:3:5")),
+    Question("multihop", 1, "Where did Marcus run into Elena's brother?",
+      Seq("D1:1:5", "D1:2:4")),
+    Question("multihop", 2, "What did Priya's mentor approve of on her visit?",
+      Seq("D2:1:3", "D2:5:5")),
+    Question("multihop", 3, "What did Aiko's cousin add to the bakery?",
+      Seq("D3:1:3", "D3:3:5")),
+    Question("multihop", 3, "What does Aiko's cousin want honey for?",
+      Seq("D3:1:3", "D3:4:6")),
+    Question("multihop", 3, "What classes did Aiko's cousin start at the bakery?",
+      Seq("D3:1:3", "D3:5:5")),
+    // ---- knowledge-update (10; the LongMemEval category the reference's
     // second conversational benchmark adds, `tests/benchmarks/longmemeval/
     // test_longmemeval.py`): a later session supersedes an earlier fact;
     // the harness answers them with stateMode="current", so the J4
@@ -258,21 +352,39 @@ object LocomoMini {
     Question("update", 1, "What job does Elena do for a living?",
       Seq("D1:4:9")),
     Question("update", 2, "Which city does Tomas live in?", Seq("D2:4:9")),
-    Question("single", 3, "What was Aiko restoring that was built in 1890?",
-      Seq("D3:3:1")),
-    Question("temporal", 3, "When did Ben most recently harvest honey?", Seq("D3:4:1")),
-    Question("multihop", 3, "What did Aiko's cousin open?",
-      Seq("D3:1:3", "D3:2:3")),
     Question("update", 3, "Which street is Aiko's workshop on?",
-      Seq("D3:4:9")))
+      Seq("D3:4:9")),
+    Question("update", 1, "Which night does the quartet rehearse?",
+      Seq("D1:5:9")),
+    Question("update", 1, "Where does Dario work these days?",
+      Seq("D1:5:3")),
+    Question("update", 2, "How many kilometers a week does Tomas train?",
+      Seq("D2:5:9")),
+    Question("update", 2, "How often do the studio evening classes run?",
+      Seq("D2:5:10")),
+    Question("update", 2, "What kiln does Priya's studio use?",
+      Seq("D2:3:2")),
+    Question("update", 3, "How many beehives does Ben keep?",
+      Seq("D3:5:9")),
+    Question("update", 3, "Where is Mirela's bakery located?",
+      Seq("D3:5:10")))
 
   /** Superseded facts, old dialog -> new dialog (`EVOLVED_INTO` is the
     * supersession relation the current-state walk follows, Schema
     * .SupersessionRelations). In the reference these edges come from the
     * enrichment/consolidation pass; the fixture declares them directly.
     */
-  val Supersessions: Seq[(String, String)] =
-    Seq("D1:1:9" -> "D1:4:9", "D2:1:9" -> "D2:4:9", "D3:1:9" -> "D3:4:9")
+  val Supersessions: Seq[(String, String)] = Seq(
+    "D1:1:9" -> "D1:4:9", // Elena: map bureau -> mountain-trail guide
+    "D2:1:9" -> "D2:4:9", // Tomas: Porto flat -> Valencia flat
+    "D3:1:9" -> "D3:4:9", // Aiko: Castle Lane workshop -> Mill Street
+    "D1:1:8" -> "D1:5:9", // quartet: Thursday rehearsals -> Monday nights
+    "D1:2:4" -> "D1:5:3", // Dario: aquarium lab -> Skagen research station
+    "D2:1:8" -> "D2:5:9", // Tomas: 40 km/week plan -> 60 km/week
+    "D2:4:1" -> "D2:5:10", // classes: twice a week -> three times a week
+    "D2:1:5" -> "D2:3:2", // studio kiln: slow old kiln -> new gas kiln
+    "D3:1:2" -> "D3:5:9", // Ben: three hives -> five hives
+    "D3:2:3" -> "D3:5:10") // Mirela's bakery: Harbor Street -> old mill
 
   def edges(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -364,7 +476,9 @@ object LocomoMini {
     * queries trigger it), plus the multi-hop speaker-tag secondary search
     * union. Returns the ranked dialog ids.
     */
-  def answer(memories: DataFrame, edges: DataFrame, q: Question): Seq[String] = {
+  def answer(memories: DataFrame, edges: DataFrame, q: Question,
+      weights: graft.domain.Scoring.Weights = graft.domain.Scoring.Weights())
+      : Seq[String] = {
     val temporal = isTemporalQuestion(q.question)
     val multiHop = q.evidence.size > 1
     val query = (q.question +: (if (temporal) temporalHints(q.question) else Nil))
@@ -375,6 +489,7 @@ object LocomoMini {
       autoDecompose = multiHop, expandEntities = multiHop,
       recencyBias = "auto",
       stateMode = if (q.category == "update") "current" else "all",
+      weights = weights,
       now = Now)
     var ids = Recall.recall(memories, edges, req)
       .select("id").collect().map(_.getString(0)).toSeq

@@ -10,6 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * `Recall.recall` path — auto-decompose (Q6), recency bias in auto mode
   * (R3), and entity expansion (J3) engage together for the first time —
   * and pins per-category recall@5 / MRR goldens like QualityScaleSpec.
+  * 61 questions (single 25 / temporal 14 / multihop 12 / update 10,
+  * mirroring the reference mini tier's single-heavy category skew); use
+  * `runMain graft.tools.LocomoReport` to recompute goldens after an
+  * intentional fixture or ranking change.
   */
 class LocomoMiniSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -63,20 +67,22 @@ class LocomoMiniSpec extends AnyFunSuite {
 
   test("single-hop: direct fact retrieval") {
     assertPinned("single recall@5",
-      catMean("single", RetrievalMetrics.recallAtK(_, _, 5)), 0.8)
+      catMean("single", RetrievalMetrics.recallAtK(_, _, 5)), 0.88)
     assertPinned("single recall@10",
       catMean("single", RetrievalMetrics.recallAtK(_, _, 10)), 1.0)
     assertPinned("single mrr", catMean("single", RetrievalMetrics.mrr),
-      0.5733333333333334)
+      0.6763809523809523)
   }
 
   test("temporal: recency bias ranks the latest matching event first") {
     assertPinned("temporal recall@5",
-      catMean("temporal", RetrievalMetrics.recallAtK(_, _, 5)), 0.6)
+      catMean("temporal", RetrievalMetrics.recallAtK(_, _, 5)),
+      0.7142857142857143)
     assertPinned("temporal recall@10",
-      catMean("temporal", RetrievalMetrics.recallAtK(_, _, 10)), 0.8)
+      catMean("temporal", RetrievalMetrics.recallAtK(_, _, 10)),
+      0.8571428571428571)
     assertPinned("temporal mrr", catMean("temporal", RetrievalMetrics.mrr),
-      0.4111111111111111)
+      0.453517316017316)
   }
 
   test("multi-hop: entity expansion bridges seed to answer") {
@@ -84,11 +90,12 @@ class LocomoMiniSpec extends AnyFunSuite {
     // and the expanded answers follow — recall@10 and MRR are the
     // two-direction-sensitive goldens here; @5 documents the hard floor
     assertPinned("multihop recall@5",
-      catMean("multihop", RetrievalMetrics.recallAtK(_, _, 5)), 0.0)
+      catMean("multihop", RetrievalMetrics.recallAtK(_, _, 5)),
+      0.041666666666666664)
     assertPinned("multihop recall@10",
-      catMean("multihop", RetrievalMetrics.recallAtK(_, _, 10)), 0.2)
+      catMean("multihop", RetrievalMetrics.recallAtK(_, _, 10)), 0.25)
     assertPinned("multihop mrr", catMean("multihop", RetrievalMetrics.mrr),
-      0.1060064935064935)
+      0.10255434244404832)
   }
 
   test("knowledge update: current-state surfaces the new fact, never the old") {
@@ -105,10 +112,41 @@ class LocomoMiniSpec extends AnyFunSuite {
           s"'${q.question}': superseded $oldId leaked into current-state results")
       }
     assertPinned("update recall@5",
-      catMean("update", RetrievalMetrics.recallAtK(_, _, 5)),
-      0.6666666666666666)
+      catMean("update", RetrievalMetrics.recallAtK(_, _, 5)), 0.7)
+    assertPinned("update recall@10",
+      catMean("update", RetrievalMetrics.recallAtK(_, _, 10)), 0.9)
     assertPinned("update mrr", catMean("update", RetrievalMetrics.mrr),
-      0.46405228758169936)
+      0.4106746031746032)
+  }
+
+  test("goldens are sensitive: a broken scoring weight flips every category") {
+    import spark.implicits._
+    // the pinned metrics must actually gate scoring quality — breaking the
+    // weight of the channel each category leans on has to change at least
+    // one question's MRR in that category, or the goldens would sit in a
+    // dead zone where scoring regressions cannot move them. single /
+    // temporal / update rank on the keyword channel; multi-hop evidence is
+    // bridged by entity expansion over the vector channel, so its break is
+    // the vector weight.
+    val mem = LocomoMini.memories(spark).cache()
+    mem.count()
+    val es = LocomoMini.edges(spark)
+    val breaks = Map(
+      "single" -> graft.domain.Scoring.Weights(keyword = 0.0),
+      "temporal" -> graft.domain.Scoring.Weights(keyword = 0.0),
+      "update" -> graft.domain.Scoring.Weights(keyword = 0.0),
+      "multihop" -> graft.domain.Scoring.Weights(vector = 0.0))
+    breaks.foreach { case (cat, broken) =>
+      val flipped = LocomoMini.questions.zipWithIndex
+        .filter(_._1.category == cat).exists { case (q, i) =>
+          RetrievalMetrics.mrr(LocomoMini.answer(mem, es, q, broken), q.evidence) !=
+            RetrievalMetrics.mrr(ranked(i), q.evidence)
+        }
+      assert(flipped,
+        s"$cat goldens did not move under a broken scoring weight — " +
+          "the category metric is insensitive to scoring changes")
+    }
+    mem.unpersist()
   }
 
   test("time-bounded recall answers as-of the question date (LongMemEval bounds)") {
@@ -175,8 +213,8 @@ class LocomoMiniSpec extends AnyFunSuite {
     // margin would need real embeddings, which this container cannot run)
     assert(unanswerable.max < answerable.min,
       s"gate failed to separate: answerable=$answerable unanswerable=$unanswerable")
-    assertPinned("abstention ceiling", unanswerable.max, 0.22185658255958903)
-    assertPinned("answerable floor", answerable.min, 0.24031417624521075)
+    assertPinned("abstention ceiling", unanswerable.max, 0.22185679132160235)
+    assertPinned("answerable floor", answerable.min, 0.22832186991382766)
     mem.unpersist()
   }
 
