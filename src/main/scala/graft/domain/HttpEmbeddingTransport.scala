@@ -193,12 +193,16 @@ class HttpEmbeddingTransport(
   }
 }
 
-/** [[ProviderInit.TransportFactory]] building real HTTP transports from the
+/** [[ProviderInit.TransportFactory]] building real transports from the
   * same environment the selection chain reads
   * (`provider_init.py:59-230`): voyage -> api.voyageai.com, openai ->
   * `OPENAI_BASE_URL` or api.openai.com (output-dimension field only when
   * native, `openai.py:25-29`), ollama -> `OLLAMA_HOST`'s native embed
-  * endpoint. Endpoint overrides make every branch loopback-testable.
+  * endpoint, fastembed -> the cached local model (keyless;
+  * [[FastEmbedTransport]]) when one is present in the cache dir — absent
+  * model = init failure = `auto` falls through to placeholder, exactly
+  * the reference's import-failure path. Endpoint overrides make every
+  * HTTP branch loopback-testable.
   */
 class HttpTransportFactory(env: Map[String, String], dimension: Int,
     embeddingModel: String = "text-embedding-3-small",
@@ -243,6 +247,13 @@ class HttpTransportFactory(env: Map[String, String], dimension: Int,
           dimension, sendOutputDimension = false,
           legacyEndpoint =
             Some(endpoint("ollama_legacy", s"$host/api/embeddings"))))
+      case "fastembed" =>
+        // local model, no key: available iff the model for this dimension
+        // is cached (`fastembed.py:49,66-69` auto-select + cache check)
+        val model = ProviderInit.FastEmbedModels
+          .getOrElse(dimension, "BAAI/bge-base-en-v1.5")
+        FastEmbedTransport.findModelDir(env, model)
+          .map(dir => new FastEmbedTransport(dir.toString, dimension))
       case _ => None
     }
 }

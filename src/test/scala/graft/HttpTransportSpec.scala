@@ -198,7 +198,9 @@ class HttpTransportSpec extends AnyFunSuite {
     assert(f.forProvider("voyage").isDefined)
     assert(f.forProvider("openai").isDefined)
     assert(f.forProvider("ollama").isDefined) // host has a default
-    assert(f.forProvider("fastembed").isEmpty) // local model, not HTTP
+    // fastembed is the local-model branch: no cached model in this env ->
+    // init failure -> None (ProviderInitSpec covers the cached-model case)
+    assert(f.forProvider("fastembed").isEmpty)
     assert(f.forProvider("voyage-x").isEmpty)
     val none = new HttpTransportFactory(Map.empty, dim)
     assert(none.forProvider("voyage").isEmpty, "no key -> init failure")

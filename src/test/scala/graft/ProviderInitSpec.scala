@@ -208,5 +208,44 @@ class ProviderInitSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.forall(_.getSeq[Float](2).length == 8))
   }
+
+  test("keyless auto with a cached local model selects fastembed and embeds " +
+    "real (non-placeholder) vectors through the Spark stage") {
+    import spark.implicits._
+    // write a tiny model in the cache-dir convention the reference checks
+    // (fastembed.py:58-69): AUTOMEM_MODELS_DIR/<model with / -> -->/
+    val cache = java.nio.file.Files.createTempDirectory("fe-models")
+    val dim = 4
+    val modelDir = cache.resolve(
+      FastEmbedTransport.modelDirName("BAAI/bge-base-en-v1.5"))
+    FastEmbedTransport.writeModel(modelDir,
+      vocab = Seq("hello", "world", "kiln"),
+      matrix = Seq(
+        Array(1f, 0f, 0f, 0f),
+        Array(0f, 1f, 0f, 0f),
+        Array(0f, 0f, 2f, 0f)))
+    val env = Map("AUTOMEM_MODELS_DIR" -> cache.toString, "VECTOR_SIZE" -> "4")
+    // the REAL factory (not a fake): keyless env, no ollama env -> the
+    // auto chain's fastembed branch must find the cached model
+    val sel = ProviderInit.select(env, new HttpTransportFactory(env, dim))
+    assert(sel.kind == "fastembed" && sel.autoSelected)
+    assert(sel.provider.name == "fastembed:BAAI/bge-base-en-v1.5")
+    val df = Seq(("a", "Hello WORLD"), ("b", "kiln"), ("c", "zzz unknown"))
+      .toDF("id", "content")
+    val out = EmbeddingStage.embed(df, sel.provider).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](2)).toMap
+    // mean-pooled + L2-normalized lookup: ("hello"+"world")/2 normalized
+    val s = (1.0 / math.sqrt(0.5)).toFloat / 2
+    assert(out("a") == Seq(s, s, 0f, 0f))
+    assert(out("b") == Seq(0f, 0f, 1f, 0f), "single-token rows normalize to unit")
+    assert(out("c") == Seq(0f, 0f, 0f, 0f), "OOV-only text embeds to zero")
+    // and they are NOT the placeholder hash vectors
+    val placeholder = new PlaceholderProvider(dim)
+    assert(out("a") != placeholder.embedBatch(Seq("Hello WORLD")).head.toSeq)
+    // without the model cached, the same keyless env degrades to placeholder
+    val bare = Map("VECTOR_SIZE" -> "4")
+    val none = ProviderInit.select(bare, new HttpTransportFactory(bare, dim))
+    assert(none.kind == "placeholder")
+  }
   lazy val spark = SparkTestSession.spark
 }
