@@ -98,6 +98,49 @@ object Bench {
       memories.unpersist()
       best
     }
+    // Partitioned-layout pruning: the SAME time-windowed recall against
+    // the 10k corpus stored flat vs date-partitioned (Layout.writeMemories).
+    // `layout_days_scanned/total` is the I/O metric that scales — the
+    // window reads ~31 of ~181 day-partitions (5/6 of the corpus never
+    // touched). NOTE the wall-clock numbers INVERT at this toy scale: 181
+    // day-partitions of a 10k-row corpus are tiny files whose per-file
+    // open/footer cost exceeds what pruning saves, so flat wins locally;
+    // at real partition sizes (GBs/day) the pruned bytes dominate. That is
+    // a statement about 10k rows not belonging in a day-partitioned
+    // layout, not about the pruning mechanism — LayoutSpec proves the
+    // PartitionFilters reach the scan.
+    val (windowFlatMs, windowLayoutMs, daysScanned, daysTotal) = {
+      val mem = tools.LabCorpus.corpus(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("bench-layout")
+      mem.write.mode("overwrite").parquet(s"$tmp/flat")
+      domain.Layout.writeMemories(mem, s"$tmp/part")
+      val flat = spark.read.parquet(s"$tmp/flat")
+      val part = domain.Layout.readMemories(spark, s"$tmp/part")
+      val req = domain.RecallRequest(
+        query = Some(tools.LabCorpus.questions.head.query), limit = 10,
+        start = Some(new java.sql.Timestamp(
+          tools.LabCorpus.Now.getTime - 30L * 86400000L)),
+        end = Some(tools.LabCorpus.Now), now = tools.LabCorpus.Now)
+      def once(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        domain.Recall.recall(df, spark.emptyDataFrame, req).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(flat); once(part)
+      val dayDirs = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/part"))
+        try s.toArray.toSeq.map(_.toString)
+          .filter(_.contains("day=")).map(_.split("day=").last)
+        finally s.close()
+      }
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      val lo = fmt.format(req.start.get)
+      val hi = fmt.format(req.end.get)
+      val inWindow = dayDirs.count(d => d >= lo && d <= hi)
+      ((1 to 3).map(_ => once(flat)).min * 1000.0,
+        (1 to 3).map(_ => once(part)).min * 1000.0,
+        inWindow, dayDirs.size)
+    }
 
     def jsonMap(m: Iterable[(String, Double)]): String =
       // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
@@ -110,7 +153,7 @@ object Bench {
     val coldQs = jsonMap(timed.toMap.map { case (k, (c, _)) => k -> c })
     val totalWarm = timed.map(_._2._2).sum
     val totalCold = timed.map(_._2._1).sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_days_scanned":$daysScanned,"layout_days_total":$daysTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,12 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Layout {
 
+  /** The date partition column [[writeMemories]] derives; Recall.baseFilter
+    * restates time windows as bounds on this column so partition pruning
+    * engages (a plain `timestamp` filter cannot prune).
+    */
+  val DayColumn = "day"
+
   /** Write memories date-partitioned by event day. */
   def writeMemories(memories: DataFrame, path: String): Unit =
     memories
-      .withColumn("day", date_format(col("timestamp"), "yyyy-MM-dd"))
+      .withColumn(DayColumn, date_format(col("timestamp"), "yyyy-MM-dd"))
       .write.mode("overwrite")
-      .partitionBy("day")
+      .partitionBy(DayColumn)
       .parquet(path)
 
   /** Read back; time filters on `timestamp`/`day` prune partitions. */

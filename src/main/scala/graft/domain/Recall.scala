@@ -123,6 +123,21 @@ object Recall {
     // half-open [start, end): TimeExpressions constructs exclusive end bounds
     // ('yesterday'/'today' must not overlap at midnight)
     req.end.foreach(e => out = out.filter(col("timestamp") < lit(e)))
+    // derived partition predicate: a Layout-written corpus
+    // (Layout.writeMemories) is date-partitioned on `day` =
+    // date_format(timestamp). A row filter on `timestamp` alone cannot
+    // prune those partitions (Spark prunes on partition COLUMNS), so the
+    // time window is restated as day bounds — at 100 TB this is the
+    // difference between scanning the window's days and scanning the
+    // whole corpus. Redundant (never wrong) on non-layout frames that
+    // happen to carry a day column derived the same way.
+    if (df.columns.contains(Layout.DayColumn)) {
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      req.start.foreach(s =>
+        out = out.filter(col(Layout.DayColumn) >= lit(fmt.format(s))))
+      req.end.foreach(e =>
+        out = out.filter(col(Layout.DayColumn) <= lit(fmt.format(e))))
+    }
     out
   }
 
