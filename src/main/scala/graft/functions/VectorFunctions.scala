@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.{CosineSimilarity, GraftShim}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, GraftShim, Int8CosineSimilarity}
 import org.apache.spark.sql.types.DoubleType
 
 /** Column-level vector helpers over `ARRAY<FLOAT>` embedding columns. The hot
@@ -69,4 +69,14 @@ object VectorFunctions {
     transform(qv.getField("q"), b =>
       ((b.cast("double") + 127.0) * qv.getField("scale") + qv.getField("offset"))
         .cast("float"))
+
+  /** Cosine similarity between a PACKED int8 vector (binary bytes +
+    * per-vector scale/offset, the [[quantizeInt8]] struct flattened for
+    * storage) and a float query — codegen'd, dequantizes inside the loop.
+    */
+  def int8CosineSim(bytes: Column, scale: Column, offset: Column,
+      query: Column): Column =
+    GraftShim.column(Int8CosineSimilarity(
+      GraftShim.expression(bytes), GraftShim.expression(scale),
+      GraftShim.expression(offset), GraftShim.expression(query)))
 }

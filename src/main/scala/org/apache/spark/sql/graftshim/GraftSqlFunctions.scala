@@ -16,6 +16,13 @@ object GraftSqlFunctions {
         throw new IllegalArgumentException(
           s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
       CosineSimilarity(exprs(0), exprs(1))
+    }),
+    "int8_cosine_similarity" -> (exprs => {
+      if (exprs.length != 4)
+        throw new IllegalArgumentException(
+          s"int8_cosine_similarity requires exactly 4 arguments " +
+            s"(bytes, scale, offset, query), got ${exprs.length}")
+      Int8CosineSimilarity(exprs(0), exprs(1), exprs(2), exprs(3))
     }))
 
   def register(spark: SparkSession): Unit =

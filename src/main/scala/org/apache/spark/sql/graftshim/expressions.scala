@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
   * Catalyst expression with codegen — the hot loop of vector KNN, semantic
@@ -65,6 +65,65 @@ object CosineSimilarity {
     while (j < xs.length) { val x = xs(j).toDouble; nx += x * x; j += 1 }
     var k = n
     while (k < ys.length) { val y = ys(k).toDouble; ny += y * y; k += 1 }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
+/** Cosine similarity between an int8-QUANTIZED stored vector (raw bytes +
+  * per-vector affine scale/offset, see `VectorFunctions.quantizeInt8`) and
+  * a float query vector, as one codegen'd expression — the hot loop of the
+  * quantized IVF scan (`IvfIndex.buildQuantized`). Dequantization happens
+  * inside the loop (`x_i = (b_i + 127) * scale + offset`), so the scan
+  * never materializes a float array per row; the zero-pad norm semantics
+  * match [[CosineSimilarity]] exactly.
+  */
+case class Int8CosineSimilarity(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_cosine_similarity"
+
+  override def nullSafeEval(b: Any, s: Any, o: Any, q: Any): Any =
+    Int8CosineSimilarity.compute(b.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Double], o.asInstanceOf[Double],
+      q.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, o, q) =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.Int8CosineSimilarity" +
+        s".compute($b, $s, $o, $q.toFloatArray());")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, fo: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = fo)
+}
+
+object Int8CosineSimilarity {
+  /** Same contract as [[CosineSimilarity.compute]] (zero-pad the shorter
+    * side in the norms), with the stored side dequantized element-wise.
+    */
+  def compute(bs: Array[Byte], scale: Double, offset: Double,
+      q: Array[Float]): Double = {
+    val n = math.min(bs.length, q.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = (bs(i).toDouble + 127.0) * scale + offset
+      val y = q(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    var j = n
+    while (j < bs.length) {
+      val x = (bs(j).toDouble + 127.0) * scale + offset
+      nx += x * x; j += 1
+    }
+    var k = n
+    while (k < q.length) { val y = q(k).toDouble; ny += y * y; k += 1 }
     if (nx == 0.0 || ny == 0.0) 0.0
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }

@@ -141,6 +141,74 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.centroidDrift(spark, tmp) < 1e-6)
   }
 
+  test("quantized index: recall@10 >= 0.95 vs exact at nprobe=all, ~4x smaller") {
+    import spark.implicits._
+    // big enough that parquet footers don't dominate the size comparison,
+    // few cells so per-partition files have real weight
+    val big = (0 until 20000).map { i =>
+      (i.toLong, s"label${i % 4}", PlaceholderEmbedding.embed(s"doc $i").toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val tmpF = java.nio.file.Files.createTempDirectory("graft-ivf-f32").toString
+    val tmpQ = java.nio.file.Files.createTempDirectory("graft-ivf-q8").toString
+    IvfIndex.build(big, tmpF, cellBits = 2)
+    IvfIndex.buildQuantized(big, tmpQ, cellBits = 2)
+    // recall@10 across 10 queries, probing ALL cells so the only loss
+    // source is quantization error
+    val recalls = (0 until 10).map { qi =>
+      val qvec = PlaceholderEmbedding.embed(s"doc ${qi * 37}")
+      val exact = IvfIndex.topK(spark, tmpF, qvec, k = 10, nprobe = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = IvfIndex.topKQuantized(spark, tmpQ, big, qvec,
+        k = 10, nprobe = 4).select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, s"mean recall@10 $mean < 0.95 (per-query: $recalls)")
+    // ~4x smaller: int8 bytes vs float32 arrays of hash embeddings
+    // (incompressible either way); allow parquet overhead down to 3x
+    def assignBytes(path: String): Long = {
+      val root = java.nio.file.Paths.get(path, "assignments")
+      val s = java.nio.file.Files.walk(root)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+    val ratio = assignBytes(tmpF).toDouble / assignBytes(tmpQ)
+    assert(ratio >= 3.0, s"quantized index only ${ratio}x smaller")
+    // the refine step really re-scores: every returned sim must equal the
+    // full-precision cosine, not the int8 approximation
+    val qvec = PlaceholderEmbedding.embed("doc 7")
+    val out = IvfIndex.topKQuantized(spark, tmpQ, big, qvec, k = 5, nprobe = 4)
+      .select("vec_id", "sim").collect()
+    val exactTop = IvfIndex.topK(spark, tmpF, qvec, k = 5, nprobe = 4)
+      .select("vec_id", "sim").collect()
+    assert(out.map(_.getDouble(1)).toSeq == exactTop.map(_.getDouble(1)).toSeq,
+      "refined scores must be full-precision")
+  }
+
+  test("int8 cosine expression matches dequantize + builtin cosine") {
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i, PlaceholderEmbedding.embed(s"v $i").toSeq))
+      .toDF("i", "embedding")
+      .withColumn("_q", quantizeInt8(col("embedding")))
+    val qvec = PlaceholderEmbedding.embed("query")
+    val pack = org.apache.spark.sql.functions.udf(
+      (a: scala.collection.Seq[Byte]) => a.toArray)
+    val both = df
+      .withColumn("viaExpr", int8CosineSim(pack(col("_q").getField("q")),
+        col("_q").getField("scale"), col("_q").getField("offset"),
+        typedlit(qvec)))
+      .withColumn("viaBuiltin",
+        cosineSimBuiltin(dequantizeInt8(col("_q")), typedlit(qvec)))
+      .select("viaExpr", "viaBuiltin").collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+        s"expr ${r.getDouble(0)} != builtin ${r.getDouble(1)}")
+    }
+  }
+
   test("appendWithMaintenance triggers compaction only past the file bound") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
