@@ -3,6 +3,8 @@ package graft.domain
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -124,6 +126,42 @@ object Backup {
 
   case class Restored(memories: DataFrame, edges: DataFrame, patterns: DataFrame)
 
+  case class CorruptBackup(message: String) extends IllegalStateException(message)
+
+  /** Parse a snapshot's manifest stats for one service. */
+  private def manifestStats(dir: String, service: String,
+      ts: String): Map[String, Long] = {
+    val p = Paths.get(dir, service, ts, "manifest.json")
+    if (!Files.isRegularFile(p))
+      throw CorruptBackup(s"snapshot $service/$ts has no manifest.json")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val svc = root.path("artifacts").path(service)
+    if (!svc.isObject)
+      throw CorruptBackup(s"manifest for $service/$ts lacks artifact stats")
+    svc.properties().iterator().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** Read one snapshot relation; an unreadable dir (all part-files lost,
+    * schema gone) is the same refusal as a count mismatch.
+    */
+  private def readRelation(spark: SparkSession, path: String,
+      ts: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw CorruptBackup(
+          s"snapshot $ts is truncated or corrupt: cannot read $path " +
+            s"(${e.getMessage.linesIterator.next()})")
+    }
+
+  private def requireCount(what: String, got: Long, want: Long, ts: String): Unit =
+    if (got != want) throw CorruptBackup(
+      s"snapshot $ts is truncated or corrupt: $what has $got rows but the " +
+        s"manifest recorded $want — refusing to restore partial data " +
+        "(re-run backup or restore an older snapshot)")
+
   /** Restore the graph service from a snapshot (latest by default).
     *
     * Reference semantics ported from `restore_from_backup.py:223-281`:
@@ -140,14 +178,26 @@ object Backup {
     val ts = timestamp.orElse(latestTimestamp(dir, "graph")).getOrElse(
       throw new IllegalStateException(s"no graph backup under $dir"))
     val base = s"$dir/graph/$ts"
+    // validate against the manifest BEFORE handing frames to the caller —
+    // a truncated snapshot dir (lost part-files, interrupted copy) must be
+    // a clean refusal, not a silently smaller corpus (the reference's
+    // restore verifies restored counts the same way,
+    // `restore_from_backup.py:541-552,795-797`)
+    val want = manifestStats(dir, "graph", ts)
+    val memRaw = readRelation(spark, s"$base/memories", ts)
+    val patRaw = readRelation(spark, s"$base/patterns", ts)
+    requireCount("memories+patterns", memRaw.count() + patRaw.count(),
+      want("node_count"), ts)
+    requireCount("edges", readRelation(spark, s"$base/edges", ts).count(),
+      want("relationship_count"), ts)
     val restoreTs = new java.sql.Timestamp(restoreTimeMillis)
-    val mem = spark.read.parquet(s"$base/memories")
+    val mem = memRaw
       .withColumn("last_accessed", lit(restoreTs))
       .withColumn("relevance_score",
         coalesce(col("relevance_score"),
           greatest(lit(0.3), coalesce(col("importance"), lit(0.5)))))
     val edg = spark.read.parquet(s"$base/edges")
-    val pat = spark.read.parquet(s"$base/patterns")
+    val pat = patRaw
     existing match {
       case Some(ex) if merge =>
         // anti-join on id: existing rows win, backup fills the gaps — the
@@ -169,7 +219,10 @@ object Backup {
       timestamp: Option[String] = None): DataFrame = {
     val ts = timestamp.orElse(latestTimestamp(dir, "vectors")).getOrElse(
       throw new IllegalStateException(s"no vectors backup under $dir"))
-    spark.read.parquet(s"$dir/vectors/$ts/points")
+    val pts = readRelation(spark, s"$dir/vectors/$ts/points", ts)
+    requireCount("points", pts.count(),
+      manifestStats(dir, "vectors", ts)("points_count"), ts)
+    pts
   }
 
   /** `backup.py:331-343` cleanup_old_backup_files: keep the newest `keep`

@@ -111,6 +111,52 @@ class BackupSpec extends AnyFunSuite {
     assert(r.edges.count() == 3)
   }
 
+  test("restore refuses a truncated snapshot with a clean error") {
+    val (mem, edges, patterns) = mkCorpus()
+    val dir = java.nio.file.Files.createTempDirectory("graft-backup-trunc").toString
+    val ts = Backup.backupTimestamp(1700000000000L)
+    // multi-file snapshot so one lost part-file is a COUNT mismatch (a
+    // single-file dir would fail at read time instead - also covered below)
+    Backup.backup(mem.repartition(4), edges, patterns, dir, ts)
+    // simulate a lost part-file / interrupted copy: delete one memories
+    // parquet data file (keep _SUCCESS so the dir still LOOKS complete)
+    val memDir = java.nio.file.Paths.get(dir, "graph", ts, "memories")
+    val victim = {
+      val s = java.nio.file.Files.list(memDir)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    java.nio.file.Files.delete(victim)
+    val e = intercept[Backup.CorruptBackup] {
+      Backup.restore(spark, dir, 1700000100000L)
+    }
+    assert(e.message.contains("truncated") && e.message.contains(ts),
+      s"unexpected message: ${e.message}")
+    // vectors service validates the same way
+    val ptsDir = java.nio.file.Paths.get(dir, "vectors", ts, "points")
+    val pvictim = {
+      val s = java.nio.file.Files.list(ptsDir)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    java.nio.file.Files.delete(pvictim)
+    intercept[Backup.CorruptBackup] { Backup.restoreVectors(spark, dir) }
+    // a missing manifest is also a refusal, not a silent unchecked restore
+    val (m2, e2, p2) = mkCorpus()
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-backup-noman").toString
+    Backup.backup(m2, e2, p2, dir2, ts)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir2, "graph", ts, "manifest.json"))
+    // without a manifest the snapshot is not even discoverable as latest
+    assert(Backup.latestTimestamp(dir2, "graph").isEmpty)
+    val e3 = intercept[Backup.CorruptBackup] {
+      Backup.restore(spark, dir2, 1700000100000L, timestamp = Some(ts))
+    }
+    assert(e3.message.contains("manifest"))
+  }
+
   test("latestTimestamp + cleanupOldBackups retention (backup.py:331-343)") {
     val (mem, edges, patterns) = mkCorpus()
     val dir = java.nio.file.Files.createTempDirectory("graft-backup").toString
