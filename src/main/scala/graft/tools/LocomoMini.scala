@@ -504,15 +504,31 @@ object LocomoMini {
     ids
   }
 
-  /** Ranked ids per question index — the spec's golden input. */
+  /** Ranked ids per question index — the spec's golden input. Questions run
+    * SEQUENTIALLY: a concurrent variant was measured barely faster (the
+    * per-question cost is driver planning, which serializes on analyzer
+    * locks) and produced one unreproduced golden flake — determinism of
+    * the pinned goldens outranks the wall-clock. Instead the session is
+    * tuned for the 129-row corpus while the questions run: AQE off (its
+    * per-stage re-planning only pays off on real shuffles) and few shuffle
+    * partitions — ~2x per question (tools.RecallProfile measurement).
+    */
   def rankings(spark: SparkSession): Map[Int, Seq[String]] = {
     val mem = memories(spark).cache()
     mem.count()
     val es = edges(spark)
-    val out = questions.zipWithIndex.map { case (q, i) =>
-      i -> answer(mem, es, q)
-    }.toMap
-    mem.unpersist()
-    out
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      questions.zipWithIndex.map { case (q, i) =>
+        i -> answer(mem, es, q)
+      }.toMap
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      mem.unpersist()
+    }
   }
 }
