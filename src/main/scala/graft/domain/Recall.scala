@@ -132,11 +132,18 @@ object Recall {
     // whole corpus. Redundant (never wrong) on non-layout frames that
     // happen to carry a day column derived the same way.
     if (df.columns.contains(Layout.DayColumn)) {
-      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      // The bounds MUST be rendered in the Spark session timezone: Layout
+      // derives `day` with date_format (session TZ). Formatting with the JVM
+      // default TZ instead shifts a bound by one day whenever the two zones
+      // differ, silently pruning partitions that hold in-window rows.
+      val zone = java.time.ZoneId.of(
+        df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd").withZone(zone)
       req.start.foreach(s =>
-        out = out.filter(col(Layout.DayColumn) >= lit(fmt.format(s))))
+        out = out.filter(col(Layout.DayColumn) >= lit(fmt.format(s.toInstant))))
       req.end.foreach(e =>
-        out = out.filter(col(Layout.DayColumn) <= lit(fmt.format(e))))
+        out = out.filter(col(Layout.DayColumn) <= lit(fmt.format(e.toInstant))))
     }
     out
   }

@@ -92,6 +92,59 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.nonEmpty, "window must retrieve the March dialog rows")
   }
 
+  test("layout recall is exact when session timezone differs from JVM " +
+    "default (day-bound pruning must not drop edge-hour rows)") {
+    import spark.implicits._
+    // VERDICT r6 item 1: baseFilter used to render the day bounds with
+    // SimpleDateFormat (JVM default TZ) while Layout partitions with
+    // date_format (session TZ). With session TZ ahead of the JVM zone, an
+    // in-window row written in the NEXT session-local day partition was
+    // silently pruned by the upper bound. This pins the fix: session TZ
+    // Asia/Tokyo (+9), JVM default (UTC in CI), a row at 16:00Z inside the
+    // window whose Tokyo day is one past the window end's UTC day.
+    assume(java.util.TimeZone.getDefault.getID != "Asia/Tokyo",
+      "test premise needs JVM default TZ != session TZ")
+    def inst(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    def mk(id: String, at: String) = {
+      val t = inst(at)
+      Memory(id, s"glacier ice caves expedition $id", t, t, None, t, t,
+        0.8, 0.7, "Context", Seq("trip"), Seq("trip"), "{}", None,
+        enriched = false, processed = false, 1.0, archived = false,
+        protected_flag = false,
+        PlaceholderEmbedding.embed("glacier ice caves expedition"))
+    }
+    val corpus = Seq(
+      mk("early_out", "2026-02-28T12:00:00Z"),   // before window
+      mk("mid", "2026-03-01T10:00:00Z"),         // in window, Tokyo day 03-01
+      mk("edge_hour", "2026-03-01T16:00:00Z"),   // in window, Tokyo day 03-02
+      mk("late_out", "2026-03-02T12:00:00Z"))    // past window end
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-tz")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val mem = corpus.toDF()
+      Layout.writeMemories(mem, s"$tmp/memories")
+      val layout = Layout.readMemories(spark, s"$tmp/memories")
+      val edges = Seq.empty[Edge].toDF()
+      val req = RecallRequest(query = Some("glacier ice caves"), limit = 10,
+        start = Some(inst("2026-03-01T00:00:00Z")),
+        end = Some(inst("2026-03-01T20:00:00Z")),
+        now = inst("2026-03-03T00:00:00Z"))
+      val got = Recall.recall(layout, edges, req).select("id").collect()
+        .map(_.getString(0)).toSet
+      val want = Recall.recall(mem, edges, req).select("id").collect()
+        .map(_.getString(0)).toSet
+      assert(want == Set("mid", "edge_hour"),
+        s"flat recall must see both in-window rows, got $want")
+      assert(got == want,
+        s"layout-backed recall diverged under non-UTC session TZ: " +
+          s"$got vs $want (edge_hour pruned => day bounds rendered in " +
+          "the wrong timezone)")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
+  }
+
   test("keyword normalization plans contain no single-partition window") {
     // regression guard for the round-1 scale-killer: a global
     // Window.partitionBy() moves every candidate to ONE partition; the
