@@ -88,12 +88,21 @@ object Bench {
     // throughput story is BatchRecall: the same 10k corpus serves 100
     // questions in ONE plan at ~36 ms/question amortized
     // (q_batch_recall_100q / 100).
-    val singleRecall10kMs = {
-      val memories = tools.LabCorpus.corpus(spark)
-        .repartition(spark.sparkContext.defaultParallelism).cache()
+    // `single_recall_10k_adhoc_ms` keeps the one-off figure (fresh plan per
+    // request — what a user gets calling Recall.recall directly), and
+    // `single_recall_10k_warm_ms` measures the SERVING shape: a
+    // PreparedRecall handle (one-time analyzed-template + cached keyword
+    // index, cost reported as single_recall_10k_prepare_ms) answering a
+    // DIFFERENT question per timed call, so nothing is served from a
+    // result cache — each call re-plants the request relation, re-runs
+    // the optimizer and executes afresh.
+    val (singleRecall10kAdhocMs, singleRecall10kPrepareMs, singleRecall10kMs) = {
+      // a 10k-row corpus does not want 32 cache partitions: every scan
+      // stage would pay 32 task launches for ~300 rows each
+      val memories = tools.LabCorpus.corpus(spark).repartition(4).cache()
       memories.count()
-      val q = tools.LabCorpus.questions.head.query
-      def once(): Double = {
+      val qs = tools.LabCorpus.questions.map(_.query)
+      def adhocOnce(q: String): Double = {
         val t0 = System.nanoTime()
         domain.Recall.recall(memories, spark.emptyDataFrame,
           domain.RecallRequest(query = Some(q), limit = 10,
@@ -103,8 +112,22 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        once()
-        (1 to 3).map(_ => once()).min * 1000.0
+        adhocOnce(qs.head)
+        val adhoc = (1 to 3).map(_ => adhocOnce(qs.head)).min * 1000.0
+        val tPrep = System.nanoTime()
+        val prepared = new domain.PreparedRecall(memories, spark.emptyDataFrame,
+          limit = 10, now = tools.LabCorpus.Now, vocabParallelism = 4)
+        val prepMs = (System.nanoTime() - tPrep) / 1e6
+        def servedOnce(q: String): Double = {
+          val t0 = System.nanoTime()
+          prepared.recall(q).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        servedOnce(qs.head) // warm codegen for the template shape
+        servedOnce(qs(1))
+        val served = (2 to 4).map(i => servedOnce(qs(i))).min * 1000.0
+        prepared.close()
+        (adhoc, prepMs, served)
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
@@ -172,7 +195,7 @@ object Bench {
     val coldQs = jsonMap(timed.toMap.map { case (k, (c, _)) => k -> c })
     val totalWarm = timed.map(_._2._2).sum
     val totalCold = timed.map(_._2._1).sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_days_scanned":$daysScanned,"layout_days_total":$daysTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_days_scanned":$daysScanned,"layout_days_total":$daysTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

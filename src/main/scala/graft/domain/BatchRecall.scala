@@ -42,28 +42,53 @@ object BatchRecall {
     * engine (the DuckDB oracle) reproduces exactly, with the asc-id
     * tie-break absorbing any sub-1e-4 float divergence.
     */
-  def batchRecall(memories: DataFrame, edges: DataFrame, queries: DataFrame,
-      limit: Int = 10, weights: Scoring.Weights = Scoring.Weights(),
-      now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"),
-      roundScores: Boolean = false): DataFrame = {
+  /** Names of the derived request-relation columns ([[requestRelation]]);
+    * [[PreparedRecall]] uses them to locate the relation inside the
+    * analyzed template plan when swapping in a new request.
+    */
+  val RequestCols: Seq[String] =
+    Seq("qid", "query", "qvec", "qtrim", "phrase", "qtokens", "kw_max", "is_trend")
+
+  /** Driver-side request preprocessing: collect the (qid, query[, qvec])
+    * relation and re-plant it as a LocalRelation carrying every per-query
+    * derived value the plan needs (tokens, phrase, theoretical keyword max,
+    * trending flag). Factored out so [[PreparedRecall]] can rebuild ONLY
+    * this relation per request and splice it into a cached template plan.
+    */
+  def requestRelation(queries: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
-    val spark = memories.sparkSession
+    val spark = queries.sparkSession
     val hasQvec = queries.columns.contains("qvec")
     val qCols = if (hasQvec) Seq(col("qid"), col("query"), col("qvec"))
       else Seq(col("qid"), col("query"))
-    val qLocal = queries.select(qCols: _*).collect().map { r =>
-      val query = r.get(1).asInstanceOf[String]
+    val reqs = queries.select(qCols: _*).collect().toSeq.map { r =>
+      (r.get(0), r.get(1).asInstanceOf[String],
+        if (hasQvec) Some(r.getSeq[Float](2)) else None)
+    }
+    requestRelationFromSeq(spark, queries.schema("qid").dataType, reqs)
+  }
+
+  /** [[requestRelation]] without the DataFrame round-trip: derive the
+    * request rows in plain Scala and plant them directly — the serving
+    * path calls this once per request, where two extra Dataset
+    * constructions + collects would cost ~40 ms.
+    */
+  def requestRelationFromSeq(spark: org.apache.spark.sql.SparkSession,
+      qidType: org.apache.spark.sql.types.DataType,
+      reqs: Seq[(Any, String, Option[Seq[Float]])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qLocal = reqs.map { case (qid, query, qvecOpt) =>
       val qlower = query.toLowerCase
       // the SAME keyword extractor as the single path (`Recall.keywords`:
       // [a-z0-9]+ runs, >= 3 chars, stopword-filtered, order-preserving
       // dedup — `automem/utils/text.py:81-101`); a whitespace split would
       // tokenize "dark-mode" as one token and diverge from single recall
       val toks = Recall.keywords(query)
-      val qvec = if (hasQvec) r.getSeq[Float](2)
-        else PlaceholderEmbedding.embed(query).toSeq
+      val qvec = qvecOpt.getOrElse(PlaceholderEmbedding.embed(query).toSeq)
       // theoretical keyword maximum (`runtime_recall_helpers.py:655-660`):
       // 3 per keyword (+2 content, +1 tag) plus 3 for the phrase when the
       // normalized query is >= 3 chars; stopword-only queries take the
@@ -80,10 +105,10 @@ object BatchRecall {
       // channel instead of keyword search, matching the single-query path
       // (`runtime_recall_helpers.py:618-629` via Recall.keywordChannel)
       val isTrend = toks.isEmpty && phrase.isEmpty
-      Row(r.get(0), query, qvec, qtrim, phrase, toks, kwMax, isTrend)
+      Row(qid, query, qvec, qtrim, phrase, toks, kwMax, isTrend)
     }
     val qSchema = StructType(Seq(
-      queries.schema("qid"),
+      StructField("qid", qidType),
       StructField("query", StringType),
       StructField("qvec", ArrayType(FloatType, containsNull = false)),
       StructField("qtrim", StringType),
@@ -91,8 +116,107 @@ object BatchRecall {
       StructField("qtokens", ArrayType(StringType, containsNull = true)),
       StructField("kw_max", DoubleType),
       StructField("is_trend", BooleanType)))
-    val q = spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
-    val base = Recall.baseFilter(memories, RecallRequest(now = now))
+    spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
+  }
+
+  /** Column names of the two planted token relations (see
+    * [[requestTokenRelations]]); [[PreparedRecall]] locates them by these
+    * schemas when swapping requests into the template.
+    */
+  val QtokCols: Seq[String] = Seq("qid", "tok")
+  val QtokDistinctCols: Seq[String] = Seq("tok")
+
+  /** The exploded (qid, tok) relation and its distinct-token projection,
+    * computed DRIVER-SIDE from the request relation and planted as
+    * LocalRelations. Deriving them in-plan (`explode` / `distinct` over the
+    * request) would be equivalent, but those operators do not fold to a
+    * LocalRelation, so every broadcast that consumes them pays a one-task
+    * Spark job; a planted LocalRelation broadcasts straight from the driver
+    * with no job — worth ~100 ms per served request.
+    */
+  def requestTokenRelations(q: DataFrame): (DataFrame, DataFrame) =
+    requestTokenRelationsFromSeq(q.sparkSession, q.schema("qid").dataType,
+      q.select(col("qid"), col("qtokens")).collect().toSeq.map(r =>
+        (r.get(0), r.getSeq[String](1))))
+
+  /** [[requestTokenRelations]] from already-collected (qid, tokens) pairs —
+    * no Spark round-trip.
+    */
+  def requestTokenRelationsFromSeq(spark: org.apache.spark.sql.SparkSession,
+      qidType: org.apache.spark.sql.types.DataType,
+      toks: Seq[(Any, Seq[String])]): (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qtokRows = toks.flatMap { case (qid, ts) => ts.map(t => Row(qid, t)) }
+    val distinctRows = qtokRows.map(_.getString(1)).distinct.map(Row(_))
+    val qtok = spark.createDataFrame(qtokRows.asJava,
+      StructType(Seq(StructField("qid", qidType), StructField("tok", StringType))))
+    val qtokDistinct = spark.createDataFrame(distinctRows.asJava,
+      StructType(Seq(StructField("tok", StringType))))
+    (qtok, qtokDistinct)
+  }
+
+  /** Query-independent corpus relations the keyword channel probes: the
+    * filtered corpus, the exploded (doc, token) / (doc, tag) postings, and
+    * their distinct vocabularies. A serving deployment ([[PreparedRecall]])
+    * builds this once and caches it — the reference's analog is the
+    * persistent keyword index its vector store maintains — so each request
+    * pays only the vocabulary x query-token probe, not the index build.
+    */
+  final case class RecallIndex(base: DataFrame, postings: DataFrame,
+      vocab: DataFrame, baseKw: DataFrame, baseHydrate: DataFrame) {
+    private def all = Seq(base, postings, vocab, baseKw, baseHydrate)
+    def cache(): this.type = { all.foreach(_.cache()); this }
+    /** Force materialization (so serving calls never pay the build). */
+    def materialize(): this.type = { all.foreach(_.count()); this }
+    def unpersist(): Unit = all.foreach(_.unpersist())
+  }
+
+  /** Build the corpus-side index relations. `vocabParallelism` pins the
+    * partition count of the vocabulary relations — they feed the
+    * substring nested-loop probe, whose parallelism would otherwise be
+    * whatever AQE coalesces the distinct to (one task).
+    */
+  def buildIndex(memories: DataFrame,
+      vocabParallelism: Int = 0): RecallIndex = {
+    val spark = memories.sparkSession
+    val par = if (vocabParallelism > 0) vocabParallelism
+      else spark.sparkContext.defaultParallelism
+    val base = Recall.baseFilter(memories, RecallRequest())
+    val lc = lower(col("content"))
+    // ONE postings relation for both hit kinds, weight on the row
+    // (+2 content token, +1 tag): the per-request probe then runs a single
+    // vocabulary NLJ and a single postings join instead of one per kind
+    val contentPostings = base.select(col("id"),
+      explode(array_distinct(TextFunctions.tokens(lc))).as("ptok"),
+      lit(2).as("w"))
+    val tagPostings = base.select(col("id"), explode(col("tags")).as("ptok"),
+      lit(1).as("w"))
+    val postings = contentPostings.unionByName(tagPostings)
+    val vocab = postings.select(col("ptok")).distinct().repartition(par)
+    // narrow projections the per-request joins stream against: computing
+    // lower(content) / the NUL-joined tag string once at index time keeps
+    // them off the per-request critical path
+    val baseKw = base.select(col("id"), lower(col("content")).as("_lc"),
+      concat_ws("\u0000", col("tags")).as("_tags_str"),
+      col("importance"), col("timestamp"))
+    val baseHydrate = base.select(col("id"), col("content"), col("timestamp"),
+      col("importance"), col("confidence"), col("tags"), col("metadata"),
+      col("relevance_score"))
+    RecallIndex(base, postings, vocab, baseKw, baseHydrate)
+  }
+
+  def batchRecall(memories: DataFrame, edges: DataFrame, queries: DataFrame,
+      limit: Int = 10, weights: Scoring.Weights = Scoring.Weights(),
+      now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"),
+      roundScores: Boolean = false,
+      index: Option[RecallIndex] = None): DataFrame = {
+    val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
+    val spark = memories.sparkSession
+    val q = requestRelation(queries)
+    val idx = index.getOrElse(buildIndex(memories))
+    val base = idx.base
 
     // ---- vector channel: one corpus x queries similarity pass. Project to
     // (qid, id, score) BEFORE the per-qid window: the shuffle then moves
@@ -120,36 +244,27 @@ object BatchRecall {
     // semantics are preserved exactly: a whitespace-free token is contained
     // in the content iff it is contained in some whitespace token of the
     // content. Total work is linear in postings — no corpus x queries stage.
-    // Tag membership uses a NUL-separated concat (tokens never contain NUL).
+    // Tag membership uses a NUL-separated concat (tokens never contain
+    // NUL; the concat lives in idx.baseKw).
     val lc = lower(col("content"))
-    val tagsStr = concat_ws("\u0000", col("tags"))
-    val qtok = q.select(col("qid"), explode(col("qtokens")).as("tok"))
-    val qtokDistinct = qtok.select(col("tok")).distinct()
-    val contentPostings = base.select(col("id"),
-      explode(array_distinct(TextFunctions.tokens(lc))).as("ctok"))
+    val (qtok, qtokDistinct) = requestTokenRelations(q)
     // vocabulary-first: the substring NLJ runs over distinct tokens (vocab),
     // not raw postings; the small (ctok, tok) match table then broadcasts
-    // back onto the postings — postings are never shuffled.
-    // explicit repartition: the distinct's output is small enough that AQE
-    // coalesces it to ONE partition, which would serialize the vocabulary x
-    // query-token contains-NLJ (the chain's heaviest compute) onto a single
-    // task — pin the parallelism instead
-    val nlpPar = spark.sparkContext.defaultParallelism
-    val ctokMatches = contentPostings.select(col("ctok")).distinct()
-      .repartition(nlpPar)
-      .join(broadcast(qtokDistinct), col("ctok").contains(col("tok")))
-    val contentHits = contentPostings.join(broadcast(ctokMatches), Seq("ctok"))
-      .select(col("id"), col("tok"), lit(2).as("w"))
-    val tagPostings = base.select(col("id"), explode(col("tags")).as("tag"))
-    val tagMatches = tagPostings.select(col("tag")).distinct()
-      .repartition(nlpPar)
-      .join(broadcast(qtokDistinct), col("tag").contains(col("tok")))
-    val tagHits = tagPostings.join(broadcast(tagMatches), Seq("tag"))
-      .select(col("id"), col("tok"), lit(1).as("w"))
-    // a query token counts once per doc per channel, however many corpus
-    // tokens contain it — distinct before weighting, then one sum per
-    // (qid, id); both hash aggregates stay in whole-stage codegen
-    val tokHits = contentHits.unionByName(tagHits)
+    // back onto the postings — postings are never shuffled. The vocab
+    // relations carry an explicit repartition (buildIndex): AQE would
+    // otherwise coalesce the distinct to ONE partition and serialize the
+    // vocabulary x query-token contains-NLJ (the chain's heaviest compute)
+    // onto a single task.
+    val tokMatches = idx.vocab
+      .join(broadcast(qtokDistinct), col("ptok").contains(col("tok")))
+    val hits = idx.postings.join(broadcast(tokMatches), Seq("ptok"))
+      .select(col("id"), col("tok"), col("w"))
+    // a query token counts once per doc per KIND (content/tag), however
+    // many corpus tokens contain it — the weight is part of the distinct
+    // key, so a content hit (w=2) and a tag hit (w=1) both survive and sum
+    // to 3; duplicates within a kind collapse. Both hash aggregates stay
+    // in whole-stage codegen.
+    val tokHits = hits
       .distinct()
       .join(broadcast(qtok), Seq("tok"))
       .groupBy(col("qid"), col("id"))
@@ -168,9 +283,12 @@ object BatchRecall {
     // normalization is by the per-query THEORETICAL max (broadcast as a
     // column on the request relation), clamped — no per-qid max window, one
     // less shuffle than the observed-max variant and reference-faithful
+    // the candidate side is bounded (queries x matched docs) while the
+    // corpus side is not — broadcast the SMALL side so the join streams
+    // the (cached) corpus projection instead of collecting it
     val kwAll = tokHits.unionByName(emptyTokPairs)
-      .join(base.select(col("id"), lc.as("_lc"), tagsStr.as("_tags_str"),
-        col("importance"), col("timestamp")), Seq("id"))
+      .hint("broadcast")
+      .join(idx.baseKw, Seq("id"))
       .join(broadcast(q.select(col("qid"), col("phrase"), col("kw_max"))), Seq("qid"))
       .withColumn("pb",
         when(length(col("phrase")) >= 3,
@@ -224,9 +342,8 @@ object BatchRecall {
     // ---- hydrate + component scoring (same formulas as Recall.scoreCandidates).
     // Hydration joins only the columns scoring needs — no embedding arrays.
     val hydrated = perId
-      .join(base.select(col("id"), col("content"), col("timestamp"),
-        col("importance"), col("confidence"), col("tags"), col("metadata"),
-        col("relevance_score")), Seq("id"))
+      .hint("broadcast")
+      .join(idx.baseHydrate, Seq("id"))
       .join(broadcast(q), Seq("qid"))
     val ageDays = (unix_timestamp(lit(now)) - unix_timestamp(col("timestamp"))) / 86400.0
     val kwFallback = when(size(col("qtokens")) === 0, 0.0).otherwise(

@@ -62,7 +62,10 @@ object RecallProfile {
         graft.domain.RecallRequest(query = Some(q), limit = 10,
           now = LabCorpus.Now))
       df.queryExecution.executedPlan // force analysis->physical planning
-      println(f"[plan-only $i] ${(System.nanoTime() - t0) / 1e6}%7.1f ms")
+      println(f"[plan-only $i] ${(System.nanoTime() - t0) / 1e6}%7.1f ms " +
+        df.queryExecution.tracker.phases.map { case (k, v) =>
+          s"$k=${v.durationMs}ms"
+        }.mkString(" "))
     }
     spark.stop()
   }

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.domain._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prepared (plan-reuse) recall serving: the cached analyzed template +
+  * per-request LocalRelation swap must return exactly what the ad-hoc
+  * single-query path returns, for every request class (keyword, trending),
+  * across successive different requests, and must release its cached index
+  * on close().
+  */
+class PreparedRecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  val now: Timestamp = ts("2026-01-10 00:00:00")
+
+  def mem(id: String, content: String, t: String, tags: Seq[String] = Nil,
+      typ: String = "Context", importance: Double = 0.5,
+      metadata: String = "{}"): Memory = {
+    val tstamp = ts(t)
+    Memory(id, content, tstamp, tstamp, None, tstamp, tstamp, importance, 0.7,
+      typ, tags.map(_.toLowerCase), Nil, metadata, None, enriched = false,
+      processed = false, 1.0, archived = false, protected_flag = false,
+      PlaceholderEmbedding.embed(content))
+  }
+
+  lazy val memories = {
+    import spark.implicits._
+    Seq(
+      mem("m1", "We decided to use postgres for the main database",
+        "2026-01-01 10:00:00", Seq("database"), "Decision", 0.9,
+        metadata = """{"project": "alpha"}"""),
+      mem("m2", "postgres connection pooling pattern with pgbouncer",
+        "2026-01-02 10:00:00", Seq("database"), "Pattern", 0.6),
+      mem("m3", "I prefer dark mode editors", "2026-01-03 10:00:00",
+        Seq("preferences"), "Preference", 0.4),
+      mem("m4", "Sprint planning notes for project alpha",
+        "2026-01-07 10:00:00", Seq("project:alpha"), "Context", 0.5),
+      mem("m5", "Old decision: use mysql for storage", "2025-12-01 10:00:00",
+        Seq("database"), "Decision", 0.7)).toDF()
+  }
+
+  def single(q: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    Recall.recall(memories, Seq.empty[Edge].toDF(),
+      RecallRequest(query = Some(q), limit = 5, now = now))
+      .select("id", "final_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
+  test("prepared recall matches the single-query path across successive " +
+    "different requests, including the trending class") {
+    import spark.implicits._
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    try {
+      // different request per call — each must re-plant the swapped
+      // relation, not serve the previous request's plan data
+      for (q <- Seq("postgres database", "dark mode editors", "project",
+          "*", "postgres database")) {
+        val got = prepared.recall(q)
+          .orderBy(asc("rank")).select("id", "final_score").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        val want = single(q)
+        assert(got.map(_._1) == want.map(_._1),
+          s"query '$q': ids ${got.map(_._1)} vs ${want.map(_._1)}")
+        got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+          assert(math.abs(gs - ws) < 1e-9, s"query '$q': score $gs vs $ws")
+        }
+      }
+    } finally prepared.close()
+  }
+
+  test("prepared recall accepts a caller-supplied query vector") {
+    import spark.implicits._
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    try {
+      val q = "postgres database"
+      val got = prepared.recall(q,
+        qvec = Some(PlaceholderEmbedding.embed(q)))
+        .orderBy(asc("rank")).select("id").collect().map(_.getString(0)).toSeq
+      assert(got == single(q).map(_._1))
+    } finally prepared.close()
+  }
+
+  test("close() releases the cached index relations") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    prepared.recall("postgres database").collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the prepared index must be cached while serving")
+    prepared.close()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "close() must unpersist every index relation")
+  }
+}
