@@ -123,9 +123,11 @@ object Bench {
           prepared.recall(q).count()
           (System.nanoTime() - t0) / 1e9
         }
-        servedOnce(qs.head) // warm codegen for the template shape
-        servedOnce(qs(1))
-        val served = (2 to 4).map(i => servedOnce(qs(i))).min * 1000.0
+        // steady-state warmup: the first few served calls pay codegen
+        // compilation and JIT profiling of the template shape (~700 ms ->
+        // ~450 ms over ~6 calls measured); a serving deployment runs warm
+        (0 to 5).foreach(i => servedOnce(qs(i)))
+        val served = (6 to 8).map(i => servedOnce(qs(i))).min * 1000.0
         prepared.close()
         (adhoc, prepMs, served)
       } finally {

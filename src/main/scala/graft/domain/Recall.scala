@@ -44,6 +44,13 @@ case class RecallRequest(
     recencyBias: String = "off",
     scopeFallback: Boolean = false,
     autoDecompose: Boolean = false,
+    // engine extension (not in the reference): second-hop re-rank for
+    // multi-hop questions — rows already retrieved that are entity-linked
+    // to the top seeds get the entity-expansion boost. The reference's
+    // expansion only INJECTS unseen rows (`recall.py:1606-1608` seen_ids),
+    // so two-hop evidence that is already inside the tag-scoped seed pool
+    // keeps whatever rank the direct query signals give it — usually deep.
+    entityBridge: Boolean = false,
     weights: Scoring.Weights = Scoring.Weights(),
     relevanceGate: Option[Double] = None,
     priorityTags: Seq[String] = Nil,
@@ -531,6 +538,46 @@ object Recall {
       .limit(req.expansionLimit)
   }
 
+  /** Second-hop entity-bridge re-rank (engine extension; see
+    * [[RecallRequest.entityBridge]]). Bridge entities are collected from the
+    * TOP seeds in rank order (first-seen wins, like the reference's
+    * expansion iterates ranked seeds — `recall.py:1404-1430` — not
+    * alphabetically), then every retrieved row that MENTIONS one
+    * (`entity:people:<slug>` tag or metadata entity) or is SPOKEN by one
+    * (`speaker:<slug>` tag) gets the flat entity boost the injected
+    * expansion rows already get. This is what ranks the second hop of
+    * "What job does Elena's brother have?": the seeds name the brother, the
+    * brother's own utterances carry the answer, and those rows are already
+    * inside the tag-scoped pool where the reference's seen-ids expansion
+    * can never lift them.
+    */
+  def entityBridgeBoost(df: DataFrame, req: RecallRequest, topN: Int = 10,
+      maxEntities: Int = 5, boost: Double = 0.15): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val metaNames = Seq("people", "places", "organizations").map(c =>
+      coalesce(from_json(get_json_object(col("metadata"), s"$$.entities.$c"),
+        ArrayType(StringType)), array()))
+    val tagNames = transform(
+      filter(col("tags"), t => t.startsWith("entity:people:")),
+      t => regexp_replace(element_at(split(t, ":"), -1), "-", " "))
+    val ranked = df.orderBy(sortKey(req.copy(sort = "score")): _*).limit(topN)
+      .select(concat(metaNames :+ tagNames: _*).as("names")).collect()
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    ranked.foreach(_.getSeq[String](0).foreach { n =>
+      val slug = n.toLowerCase.trim.replaceAll("\\s+", "-")
+      if (slug.length > 1) seen += slug
+    })
+    val slugs = seen.take(maxEntities).toSeq
+    if (slugs.isEmpty) df
+    else {
+      val hit = slugs.map(s => exists(col("tags"),
+        t => t.startsWith(s"entity:people:$s") || t === s"speaker:$s"))
+        .reduce(_ || _)
+      df.withColumn("final_score",
+        when(hit, col("final_score") + lit(boost)).otherwise(col("final_score")))
+    }
+  }
+
   /** Entity identity injection (`recall.py:2454-2491`): gather entity slugs
     * from the query's capitalized entities and the `entity:` tags of the
     * top-10 results (<= 10 slugs, sorted for determinism), then one filter
@@ -822,6 +869,7 @@ object Recall {
       val expandedE = expandEntities(agg, memories, req)
       agg = agg.unionByName(expandedE, allowMissingColumns = true)
     }
+    if (req.entityBridge) agg = entityBridgeBoost(agg, req)
     if (req.stateMode == "current") {
       agg = Supersession.applyCurrentState(agg, memories, edges, req.now)
       // replacement rows re-check the REQUEST filters

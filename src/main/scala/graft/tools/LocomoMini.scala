@@ -487,6 +487,7 @@ object LocomoMini {
     val req = RecallRequest(query = Some(query), limit = limit,
       tags = Seq(s"conversation:conv-${q.conv}"), tagMatch = "exact",
       autoDecompose = multiHop, expandEntities = multiHop,
+      entityBridge = multiHop,
       recencyBias = "auto",
       stateMode = if (q.category == "update") "current" else "all",
       weights = weights,

@@ -738,6 +738,37 @@ class DomainSpec extends AnyFunSuite {
     }
   }
 
+  test("entity bridge boosts rows spoken-by or mentioning a top-seed " +
+    "entity, opt-in only") {
+    import spark.implicits._
+    val corpus = Seq(
+      mem("s1", "Elena said her brother Tomas visited", "2026-01-01 10:00:00",
+        Seq("entity:people:tomas"), "Context", importance = 0.9),
+      mem("s2", "Tomas: my new job at the arboretum is great",
+        "2026-01-02 10:00:00", Seq("speaker:tomas"), "Context",
+        importance = 0.3),
+      mem("s3", "unrelated note about gardening tools", "2026-01-03 10:00:00",
+        Seq("speaker:ingrid"), "Context", importance = 0.3)).toDF()
+    val req = RecallRequest(query = Some("Elena brother"), limit = 10,
+      entityBridge = true, now = now)
+    val boosted = Recall.recall(corpus, edgesDf.limit(0), req)
+      .select("id", "final_score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = Recall.recall(corpus, edgesDf.limit(0),
+      req.copy(entityBridge = false))
+      .select("id", "final_score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // s1 is the top seed and names tomas -> s1 (mentions) and s2 (spoken by)
+    // get +0.15; s3 is untouched; the flag off leaves everything untouched
+    assert(math.abs(boosted("s2") - (plain("s2") + 0.15)) < 1e-9,
+      s"spoken-by row not boosted: ${boosted("s2")} vs ${plain("s2")}")
+    assert(math.abs(boosted("s1") - (plain("s1") + 0.15)) < 1e-9,
+      s"mentioning row not boosted: ${boosted("s1")} vs ${plain("s1")}")
+    if (boosted.contains("s3"))
+      assert(math.abs(boosted("s3") - plain("s3")) < 1e-9,
+        "unrelated row must not move")
+  }
+
   test("EXEMPLIFIES edges link confident memories to their type pattern") {
     val pats = Enrichment.detectPatterns(memories)
     val edges = Enrichment.exemplifiesEdges(memories, pats).collect()
