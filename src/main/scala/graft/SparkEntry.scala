@@ -65,6 +65,7 @@ object SparkEntry {
     "q_recall_pipeline" -> (RecallPipeline.recallDocuments _),
     "q_sim_ivf_centroid" -> (Similarity.labelCentroidSim _),
     "q_sim_ivf_topk" -> ((s, d) => Similarity.ivfTopKAll(s, d)),
+    "q_sim_ivf_quantized" -> ((s, d) => Similarity.ivfQuantizedTopKAll(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashGroups(s, d)),
     "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -290,6 +291,20 @@ object SparkEntry {
              ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
          FROM s ORDER BY vec_id""",
     "q_sim_ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         px AS (SELECT e.vec_id, e.label,
+             unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+           FROM embeddings e, q),
+         s AS (SELECT vec_id, label, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+           FROM px GROUP BY 1, 2)
+         SELECT vec_id, label,
+           round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+         FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    // the quantized IVF path refines with exact fp32 cosine, so the oracle
+    // is the SAME brute-force top-k as q_sim_ivf_topk — a hash match proves
+    // quantize-then-refine loses nothing at full nprobe
+    "q_sim_ivf_quantized" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          px AS (SELECT e.vec_id, e.label,
              unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y

@@ -206,29 +206,14 @@ object Similarity {
     */
   def ivfTopKAll(spark: SparkSession, dir: String, queryId: Long = 0,
       k: Int = 10): DataFrame = {
-    // the cache key fingerprints the SOURCE FILES (path + length + mtime of
-    // every parquet part), not just the dir name: regenerated testdata at
-    // the same path gets a fresh index instead of silently serving top-k
-    // over deleted vectors — the same freshness contract a table format's
-    // snapshot id would provide
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    // listFiles() returns null on I/O or permission errors — treat that as
-    // "no stable fingerprint" (empty part list) rather than NPE; the key
-    // then degrades to the dir name alone and the build-if-absent check
-    // still runs. mtime alone has 1-second granularity on some filesystems,
-    // so the crc of each part's parquet footer tail (last 64 bytes: metadata
-    // length + magic + the end of the serialized footer) joins the key —
-    // same-size same-second regeneration still flips it.
-    val listed = if (src.isDirectory) Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
-                 else Seq(src)
-    val parts = listed
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${footerCrc(f)}")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + "|" + parts.mkString("|")).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val indexPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-ivf-index", key).toString
+    // the cache key fingerprints the SOURCE FILES (path + length + mtime +
+    // footer crc of every parquet part), not just the dir name: regenerated
+    // testdata at the same path gets a fresh index instead of silently
+    // serving top-k over deleted vectors — the same freshness contract a
+    // table format's snapshot id would provide. mtime alone has 1-second
+    // granularity on some filesystems, so the footer-tail crc joins the
+    // key — same-size same-second regeneration still flips it.
+    val indexPath = indexCachePath(dir, variant = "fp32")
     // index semantics: built once, reused by every query job against the
     // same (unchanged) source files
     if (!IvfIndex.exists(indexPath))
@@ -237,6 +222,44 @@ object Similarity {
     IvfIndex.topK(spark, indexPath, queryVector(spark, dir, queryId), k,
       nprobe = 64)
       .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Oracle-gated QUANTIZED IVF query (VERDICT r6 item 4): the int8 index
+    * ([[IvfIndex.buildQuantized]]) probed at full nprobe ranks candidates
+    * with the dequantizing codegen cosine, then the exact fp32 refine
+    * re-ranks the top `k * refine` — output must hash-match the same
+    * brute-force top-k oracle as [[ivfTopKAll]], proving the
+    * quantize-then-refine path loses nothing. The recall-at-reduced-nprobe
+    * curve stays spec-gated (IvfIndexSpec recall@10 >= 0.95).
+    */
+  def ivfQuantizedTopKAll(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10): DataFrame = {
+    val indexPath = indexCachePath(dir, variant = "int8")
+    val vectors = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    if (!IvfIndex.exists(indexPath)) IvfIndex.buildQuantized(vectors, indexPath)
+    IvfIndex.topKQuantized(spark, indexPath, vectors,
+      queryVector(spark, dir, queryId), k, nprobe = 64)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Content-fingerprinted index cache path shared by the IVF query jobs:
+    * keyed on the source parquet parts (name, length, mtime, footer crc) so
+    * regenerated testdata gets a fresh index, plus a `variant` tag so the
+    * fp32 and int8 layouts never collide.
+    */
+  private def indexCachePath(dir: String, variant: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val listed = if (src.isDirectory) Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+                 else Seq(src)
+    val parts = listed
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${footerCrc(f)}")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + variant + "|" + parts.mkString("|")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-ivf-index", key).toString
   }
 
   /** CRC32 of a file's trailing 64 bytes (covers the parquet footer-length
