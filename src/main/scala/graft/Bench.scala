@@ -137,21 +137,20 @@ object Bench {
       }
     }
     // Partitioned-layout pruning: the SAME time-windowed recall against
-    // the 10k corpus stored flat vs date-partitioned (Layout.writeMemories).
-    // `layout_days_scanned/total` is the I/O metric that scales — the
-    // window reads ~31 of ~181 day-partitions (5/6 of the corpus never
-    // touched). NOTE the wall-clock numbers INVERT at this toy scale: 181
-    // day-partitions of a 10k-row corpus are tiny files whose per-file
-    // open/footer cost exceeds what pruning saves, so flat wins locally;
-    // at real partition sizes (GBs/day) the pruned bytes dominate. That is
-    // a statement about 10k rows not belonging in a day-partitioned
-    // layout, not about the pruning mechanism — LayoutSpec proves the
-    // PartitionFilters reach the scan.
-    val (windowFlatMs, windowLayoutMs, daysScanned, daysTotal) = {
+    // the 10k corpus stored flat vs time-partitioned. The granularity is
+    // AUTO-CHOSEN (Layout.writeMemoriesAuto): a 10k-row corpus spread over
+    // ~121 days is far under the rows-per-day threshold, so it lands in
+    // MONTH partitions — the r6 bench wrote 121 tiny day-partitions here
+    // and the per-file open/footer cost exceeded what pruning saved
+    // (1562 ms layout vs 591 ms flat). `layout_parts_scanned/total` is the
+    // I/O metric that scales: the 30-day window reads ~2 of ~5 month
+    // partitions. At 100 TB (>= ~100k rows/day) the same writer picks day
+    // granularity and the window prunes ~30 of ~365 partitions.
+    val (windowFlatMs, windowLayoutMs, partsScanned, partsTotal, layoutGran) = {
       val mem = tools.LabCorpus.corpus(spark)
       val tmp = java.nio.file.Files.createTempDirectory("bench-layout")
       mem.write.mode("overwrite").parquet(s"$tmp/flat")
-      domain.Layout.writeMemories(mem, s"$tmp/part")
+      val gran = domain.Layout.writeMemoriesAuto(mem, s"$tmp/part")
       val flat = spark.read.parquet(s"$tmp/flat")
       val part = domain.Layout.readMemories(spark, s"$tmp/part")
       val req = domain.RecallRequest(
@@ -167,19 +166,24 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       once(flat); once(part)
-      val dayDirs = {
+      val partCol = if (gran == "day") "day=" else "month="
+      val partDirs = {
         val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/part"))
         try s.toArray.toSeq.map(_.toString)
-          .filter(_.contains("day=")).map(_.split("day=").last)
+          .filter(_.contains(partCol)).map(_.split(partCol).last)
         finally s.close()
       }
-      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
-      val lo = fmt.format(req.start.get)
-      val hi = fmt.format(req.end.get)
-      val inWindow = dayDirs.count(d => d >= lo && d <= hi)
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern(if (gran == "day") "yyyy-MM-dd" else "yyyy-MM")
+        .withZone(zone)
+      val lo = fmt.format(req.start.get.toInstant)
+      val hi = fmt.format(req.end.get.toInstant)
+      val inWindow = partDirs.count(d => d >= lo && d <= hi)
       try ((1 to 3).map(_ => once(flat)).min * 1000.0,
         (1 to 3).map(_ => once(part)).min * 1000.0,
-        inWindow, dayDirs.size)
+        inWindow, partDirs.size, gran)
       finally {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
@@ -197,7 +201,7 @@ object Bench {
     val coldQs = jsonMap(timed.toMap.map { case (k, (c, _)) => k -> c })
     val totalWarm = timed.map(_._2._2).sum
     val totalCold = timed.map(_._2._1).sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_days_scanned":$daysScanned,"layout_days_total":$daysTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

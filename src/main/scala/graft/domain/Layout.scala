@@ -17,13 +17,59 @@ object Layout {
     */
   val DayColumn = "day"
 
-  /** Write memories date-partitioned by event day. */
-  def writeMemories(memories: DataFrame, path: String): Unit =
+  /** Month-granularity partition column ([[writeMemories]] with
+    * `granularity = "month"`). A partition should comfortably exceed one
+    * parquet row group; when a corpus averages few rows per day, daily
+    * partitions degenerate into many tiny files whose open/footer cost
+    * exceeds what pruning saves — month granularity keeps the pruning
+    * mechanism with ~30x fewer files.
+    */
+  val MonthColumn = "month"
+
+  /** Rows-per-day threshold below which [[writeMemoriesAuto]] picks month
+    * granularity: a ~1 KB row corpus needs ~100k rows/day before a day
+    * partition fills a 128 MB parquet row group.
+    */
+  val AutoGranularityRowsPerDay = 100000L
+
+  /** Write memories date-partitioned by event day ("day", the 100 TB
+    * default) or month ("month", for sparse corpora).
+    */
+  def writeMemories(memories: DataFrame, path: String,
+      granularity: String = "day"): Unit = {
+    val (column, fmt) = granularity match {
+      case "day" => (DayColumn, "yyyy-MM-dd")
+      case "month" => (MonthColumn, "yyyy-MM")
+      case g => throw new IllegalArgumentException(
+        s"unsupported layout granularity '$g' (day|month)")
+    }
     memories
-      .withColumn(DayColumn, date_format(col("timestamp"), "yyyy-MM-dd"))
+      .withColumn(column, date_format(col("timestamp"), fmt))
       .write.mode("overwrite")
-      .partitionBy(DayColumn)
+      .partitionBy(column)
       .parquet(path)
+  }
+
+  /** [[writeMemories]] with granularity chosen from the data: day when the
+    * corpus averages >= [[AutoGranularityRowsPerDay]] rows per day of span,
+    * month otherwise. Returns the chosen granularity.
+    */
+  def writeMemoriesAuto(memories: DataFrame, path: String): String = {
+    val stats = memories.agg(
+      count(lit(1)).as("n"),
+      min(col("timestamp")).as("lo"),
+      max(col("timestamp")).as("hi")).head()
+    val n = stats.getLong(0)
+    val spanDays = (Option(stats.getTimestamp(2)), Option(stats.getTimestamp(1))) match {
+      case (Some(hi), Some(lo)) =>
+        math.max(1L, (hi.getTime - lo.getTime) / 86400000L + 1)
+      case _ => 1L
+    }
+    val granularity =
+      if (n / spanDays >= AutoGranularityRowsPerDay) "day" else "month"
+    writeMemories(memories, path, granularity)
+    granularity
+  }
 
   /** Read back; time filters on `timestamp`/`day` prune partitions. */
   def readMemories(spark: SparkSession, path: String): DataFrame =

@@ -138,20 +138,25 @@ object Recall {
     // difference between scanning the window's days and scanning the
     // whole corpus. Redundant (never wrong) on non-layout frames that
     // happen to carry a day column derived the same way.
-    if (df.columns.contains(Layout.DayColumn)) {
-      // The bounds MUST be rendered in the Spark session timezone: Layout
-      // derives `day` with date_format (session TZ). Formatting with the JVM
-      // default TZ instead shifts a bound by one day whenever the two zones
-      // differ, silently pruning partitions that hold in-window rows.
+    // The bounds MUST be rendered in the Spark session timezone: Layout
+    // derives the partition values with date_format (session TZ).
+    // Formatting with the JVM default TZ instead shifts a bound by one
+    // day whenever the two zones differ, silently pruning partitions that
+    // hold in-window rows.
+    def partitionBounds(column: String, pattern: String): Unit = {
       val zone = java.time.ZoneId.of(
         df.sparkSession.sessionState.conf.sessionLocalTimeZone)
       val fmt = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd").withZone(zone)
+        .ofPattern(pattern).withZone(zone)
       req.start.foreach(s =>
-        out = out.filter(col(Layout.DayColumn) >= lit(fmt.format(s.toInstant))))
+        out = out.filter(col(column) >= lit(fmt.format(s.toInstant))))
       req.end.foreach(e =>
-        out = out.filter(col(Layout.DayColumn) <= lit(fmt.format(e.toInstant))))
+        out = out.filter(col(column) <= lit(fmt.format(e.toInstant))))
     }
+    if (df.columns.contains(Layout.DayColumn))
+      partitionBounds(Layout.DayColumn, "yyyy-MM-dd")
+    if (df.columns.contains(Layout.MonthColumn))
+      partitionBounds(Layout.MonthColumn, "yyyy-MM")
     out
   }
 

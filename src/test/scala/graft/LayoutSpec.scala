@@ -145,6 +145,48 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("month-granularity layout prunes on month bounds and matches flat " +
+    "recall; auto-granularity picks month for sparse corpora") {
+    import spark.implicits._
+    val mem = graft.tools.LocomoMini.memories(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-month")
+    // a 129-row corpus is far below the rows/day threshold -> month
+    val gran = Layout.writeMemoriesAuto(mem, s"$tmp/memories")
+    assert(gran == "month", s"sparse corpus must choose month, got $gran")
+    val layout = Layout.readMemories(spark, s"$tmp/memories")
+    val edges = Seq.empty[Edge].toDF()
+    val req = RecallRequest(query = Some("glacier ice caves"), limit = 10,
+      start = Some(java.sql.Timestamp.valueOf("2026-03-01 00:00:00")),
+      end = Some(java.sql.Timestamp.valueOf("2026-04-01 00:00:00")),
+      now = graft.tools.LocomoMini.Now)
+    val viaLayout = Recall.recall(layout, edges, req)
+    val plan = viaLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(month#") &&
+      plan.contains("2026-03"),
+      s"month window did not reach the scan as partition filters:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+    val got = viaLayout.select("id", "final_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = Recall.recall(mem, edges, req).select("id", "final_score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty,
+      s"month-layout recall diverged from flat: $got vs $want")
+    // a dense corpus (many rows in one day) keeps day granularity
+    val dense = (1 to 3).map(i =>
+      (s"d$i", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      .toDF("id", "timestamp")
+    val prev = Layout.AutoGranularityRowsPerDay
+    assert(prev > 3, "test premise: tiny frame is below the threshold")
+    val granDense = Layout.writeMemoriesAuto(
+      dense.union(dense).union(dense), s"$tmp/dense")
+    // 9 rows / 1 day < 100k threshold -> month even here; pin day via the
+    // explicit API instead (auto stays data-driven)
+    assert(granDense == "month")
+    Layout.writeMemories(dense, s"$tmp/denseday", granularity = "day")
+    assert(spark.read.parquet(s"$tmp/denseday").columns.contains("day"))
+  }
+
   test("keyword normalization plans contain no single-partition window") {
     // regression guard for the round-1 scale-killer: a global
     // Window.partitionBy() moves every candidate to ONE partition; the
