@@ -211,7 +211,8 @@ object BatchRecall {
       limit: Int = 10, weights: Scoring.Weights = Scoring.Weights(),
       now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"),
       roundScores: Boolean = false,
-      index: Option[RecallIndex] = None): DataFrame = {
+      index: Option[RecallIndex] = None,
+      singleRequest: Boolean = false): DataFrame = {
     val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
     val spark = memories.sparkSession
     val q = requestRelation(queries)
@@ -225,12 +226,25 @@ object BatchRecall {
     // cached relation + broadcast-nested-loop + window combination.
     def rounded(c: Column): Column =
       if (roundScores) graft.functions.round4(c) else c
-    val wq = Window.partitionBy(col("qid")).orderBy(desc("channel_score"), asc("id"))
-    val vec = base.crossJoin(broadcast(q))
-      .select(col("qid"), col("id"),
-        rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score"))
-      .withColumn("_rn", row_number().over(wq))
-      .filter(col("_rn") <= overfetch)
+    // `singleRequest` (the PreparedRecall serving shape): the request
+    // relation is ONE row, so every per-qid window cut is equivalent to a
+    // global orderBy + limit — which Spark plans as TakeOrderedAndProject
+    // (per-partition top-k, driver merge, NO exchange) instead of a
+    // shuffle + sort + row_number stage. Worth ~1 stage boundary per
+    // channel on the serving critical path; the windowed form stays the
+    // batch default because it is the only shape that scales to many qids.
+    def cutPerQid(df: DataFrame, keys: Seq[Column], n: Int): DataFrame =
+      if (singleRequest) df.orderBy(keys: _*).limit(n)
+      else {
+        val w = Window.partitionBy(col("qid")).orderBy(keys: _*)
+        df.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= n).drop("_rn")
+      }
+    val vec = cutPerQid(
+      base.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score")),
+      Seq(desc("channel_score"), asc("id")), overfetch)
       .select(col("qid"), col("id"), lit("vector").as("match_type"),
         col("channel_score"))
 
@@ -303,27 +317,22 @@ object BatchRecall {
     // (Recall.keywordChannel: score desc, importance desc, timestamp desc,
     // id asc) — `wq`'s (score, id) key diverges on score ties, which
     // roundScores quantization makes common
-    val wKw = Window.partitionBy(col("qid"))
-      .orderBy(desc("channel_score"), desc("importance"), desc("timestamp"),
-        asc("id"))
-    val kw = kwAll
-      .withColumn("channel_score",
-        rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max"))))
-      .withColumn("_rn", row_number().over(wKw))
-      .filter(col("_rn") <= overfetch)
+    val kw = cutPerQid(
+      kwAll.withColumn("channel_score",
+        rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max")))),
+      Seq(desc("channel_score"), desc("importance"), desc("timestamp"),
+        asc("id")), overfetch)
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
         col("channel_score"))
 
     // ---- trending channel for empty/stopword-only queries: importance-
     // ordered browse rows, score := importance — the batch twin of
     // Recall.trendingChannel, cut with the single path's exact sort key
-    val wTrend = Window.partitionBy(col("qid"))
-      .orderBy(desc("channel_score"), desc("timestamp"), asc("id"))
-    val trend = base.select(col("id"), col("importance"), col("timestamp"))
-      .crossJoin(broadcast(q.filter(col("is_trend")).select(col("qid"))))
-      .withColumn("channel_score", rounded(col("importance")))
-      .withColumn("_rn", row_number().over(wTrend))
-      .filter(col("_rn") <= overfetch)
+    val trend = cutPerQid(
+      base.select(col("id"), col("importance"), col("timestamp"))
+        .crossJoin(broadcast(q.filter(col("is_trend")).select(col("qid"))))
+        .withColumn("channel_score", rounded(col("importance"))),
+      Seq(desc("channel_score"), desc("timestamp"), asc("id")), overfetch)
       .select(col("qid"), col("id"), lit("trending").as("match_type"),
         col("channel_score"))
 
@@ -388,16 +397,28 @@ object BatchRecall {
     val fp = TextFunctions.fingerprint(col("content"), 320)
     val wDedup = Window.partitionBy(col("qid"), col("_fp"))
       .orderBy(desc("final_score"), desc("timestamp"), asc("id"))
-    val wRank = Window.partitionBy(col("qid")).orderBy(
+    val rankKeys = Seq(
       desc("final_score"),
       when(col("match_type") === "vector", 0).otherwise(1).asc,
       desc("importance"), desc("timestamp"), asc("id"))
-    scored
+    val deduped = scored
       .withColumn("_fp", when(length(fp) > 0, fp).otherwise(col("id")))
       .withColumn("_dd", row_number().over(wDedup))
       .filter(col("_dd") === 1)
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= limit)
+    // single-request: cut with TakeOrderedAndProject, then rank the <= limit
+    // survivors with a window over that tiny frame (one 10-row exchange
+    // instead of a full-candidate-set sort exchange)
+    val ranked =
+      if (singleRequest)
+        deduped.orderBy(rankKeys: _*).limit(limit)
+          .withColumn("rank",
+            row_number().over(Window.partitionBy(col("qid")).orderBy(rankKeys: _*)))
+      else
+        deduped
+          .withColumn("rank",
+            row_number().over(Window.partitionBy(col("qid")).orderBy(rankKeys: _*)))
+          .filter(col("rank") <= limit)
+    ranked
       .withColumn("rank", col("rank").cast("long"))
       .select(col("qid"), col("rank"), col("id"), col("final_score"),
         col("match_type"), col("s_vector"), col("s_keyword"), col("s_tag"))

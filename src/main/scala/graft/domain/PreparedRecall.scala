@@ -62,7 +62,7 @@ class PreparedRecall(
     val marker = Seq((0, "__template__")).toDF("qid", "query")
     val plan = GraftShim.analyzed(BatchRecall.batchRecall(
       memories, edges, marker, limit, weights, now, roundScores,
-      index = Some(index)))
+      index = Some(index), singleRequest = true))
     // each request-side relation appears once per join branch (analysis
     // deduplicates each occurrence with fresh expr ids); the swap below
     // rewrites every occurrence, so only existence is asserted here
