@@ -97,18 +97,51 @@ object EntityOps {
       .filter(col("block_size") > maxTokenBlock)
   }
 
+  /** The entity-dedup JOB result: the merge map plus the no-silent-caps
+    * accounting a production run must surface — [[droppedTokenBlocks]] rows
+    * are the tokens whose candidate blocks were frequency-capped, i.e. the
+    * exact places where a containment pair can be missed.
+    */
+  final case class MergeResult(mergeMap: DataFrame, droppedTokenBlocks: DataFrame)
+
+  /** Run the dedup-and-merge job WITH its cap accounting: the returned
+    * [[MergeResult.droppedTokenBlocks]] is what an operator alerts on
+    * (nonzero rows = the shared-token channel silently skipped blocks), and
+    * any dropped block is also logged at WARN here so the signal reaches
+    * the job log even when the caller ignores the frame — the same
+    * surface-the-numbers contract the C1/C4 jobs keep by returning their
+    * distribution columns on every row.
+    */
+  def mergeJob(entities: DataFrame, threshold: Double = 0.5,
+      maxTokenBlock: Int = 50): MergeResult = {
+    val dropped = droppedTokenBlocks(entities, maxTokenBlock)
+    val trips = dropped.limit(21).collect()
+    if (trips.nonEmpty) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val shown = trips.take(20).map(r =>
+        s"${r.getAs[String]("category")}/${r.getAs[String]("tk")}=" +
+          r.getAs[Long]("block_size")).mkString(", ")
+      log.warn(s"entity dedup: ${if (trips.length > 20) ">20" else trips.length.toString}" +
+        s" token block(s) exceeded maxTokenBlock=$maxTokenBlock and were " +
+        s"dropped from the shared-token channel: $shown — containment " +
+        "pairs across these tokens only surface via length buckets")
+    }
+    MergeResult(mergeMap(entities, threshold, maxTokenBlock), dropped)
+  }
+
   /** Merge: every slug resolves to the canonical (lexicographically smallest)
     * slug of its duplicate group via connected components over the candidate
     * pairs; entity-referencing edges rewrite src/dst accordingly
     * (`entity_dedup.py` merge-moves-edges semantics).
     */
-  def mergeMap(entities: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def mergeMap(entities: DataFrame, threshold: Double = 0.5,
+      maxTokenBlock: Int = 50): DataFrame = {
     // merges are CATEGORY-SCOPED (the reference merges Entity nodes within
     // a category) — key the CC by "category|slug" so a people merge can
     // never rewrite a same-slugged project, then split the key back out
     val keyed = (c: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =>
       concat(c, lit("|"), s)
-    val pairs = dedupCandidates(entities, threshold)
+    val pairs = dedupCandidates(entities, threshold, maxTokenBlock)
       .select(keyed(col("category"), col("a_slug")).as("src"),
         keyed(col("category"), col("b_slug")).as("dst"))
     val vertices = entities

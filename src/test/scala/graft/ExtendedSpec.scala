@@ -118,6 +118,32 @@ class ExtendedSpec extends AnyFunSuite {
     assert(dropped.toSeq == Seq(("people", "john", 62L)))
   }
 
+  test("the merge job surfaces dropped token blocks in its output " +
+    "(VERDICT r6 item 6)") {
+    import spark.implicits._
+    // the signal existed but nothing emitted it: mergeJob must return the
+    // dropped-block rows alongside the merge map whenever the cap trips
+    val slugs = (1 to 60).map(i => ("people", "john-" + "x" * i))
+    val tripped = graft.domain.EntityOps.mergeJob(slugs.toDF("category", "slug"))
+    val drops = tripped.droppedTokenBlocks.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(drops.toSeq == Seq(("people", "john", 60L)),
+      "mergeJob must carry the dropped-block accounting")
+    assert(tripped.mergeMap.count() == 60,
+      "every slug still resolves through the merge map")
+    // and a corpus under the cap reports a clean (empty) accounting
+    val clean = graft.domain.EntityOps.mergeJob(
+      Seq(("people", "ada"), ("people", "adah")).toDF("category", "slug"))
+    assert(clean.droppedTokenBlocks.isEmpty,
+      "no cap trip must mean zero dropped-block rows")
+    // the cap parameter reaches the candidate channel through the job
+    val tight = graft.domain.EntityOps.mergeJob(
+      Seq(("people", "bob-a"), ("people", "bob-b"), ("people", "bob-c"))
+        .toDF("category", "slug"), maxTokenBlock = 2)
+    assert(tight.droppedTokenBlocks.collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("bob", 3L)))
+  }
+
   test("token block size counts distinct slugs, not token occurrences") {
     import spark.implicits._
     // "bob-bob-bob-bob-bob" repeats its token 5 times; occurrence counting
