@@ -128,9 +128,13 @@ object Backup {
 
   case class CorruptBackup(message: String) extends IllegalStateException(message)
 
-  /** Parse a snapshot's manifest stats for one service. */
+  /** Parse a snapshot's manifest stats for one service. Returns a lookup
+    * that raises [[CorruptBackup]] for a missing stat key — a malformed
+    * manifest must surface through the same typed refusal as every other
+    * validation failure, not a bare NoSuchElementException.
+    */
   private def manifestStats(dir: String, service: String,
-      ts: String): Map[String, Long] = {
+      ts: String): String => Long = {
     val p = Paths.get(dir, service, ts, "manifest.json")
     if (!Files.isRegularFile(p))
       throw CorruptBackup(s"snapshot $service/$ts has no manifest.json")
@@ -139,8 +143,10 @@ object Backup {
     val svc = root.path("artifacts").path(service)
     if (!svc.isObject)
       throw CorruptBackup(s"manifest for $service/$ts lacks artifact stats")
-    svc.properties().iterator().asScala
+    val stats = svc.properties().iterator().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap
+    key => stats.getOrElse(key, throw CorruptBackup(
+      s"manifest for $service/$ts lacks required stat '$key'"))
   }
 
   /** Read one snapshot relation; an unreadable dir (all part-files lost,

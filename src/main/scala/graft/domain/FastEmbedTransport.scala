@@ -95,10 +95,15 @@ object FastEmbedTransport {
     val cache = cacheDir(env)
     if (!Files.isDirectory(cache)) return None
     val prefix = modelDirName(modelName)
-    Files.list(cache).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
-      .find(p => Files.isRegularFile(p.resolve("vocab.txt")) &&
-        Files.isRegularFile(p.resolve("embeddings.f32")))
+    // Files.list holds a directory handle until closed (same discipline as
+    // Backup.childNames / IvfIndex.childNames)
+    val listing = Files.list(cache)
+    try {
+      listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+        .find(p => Files.isRegularFile(p.resolve("vocab.txt")) &&
+          Files.isRegularFile(p.resolve("embeddings.f32")))
+    } finally listing.close()
   }
 
   /** Lowercase alphanumeric tokenization — the same normalization the

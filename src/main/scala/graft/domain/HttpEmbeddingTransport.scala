@@ -65,15 +65,27 @@ class HttpEmbeddingTransport(
     inputType.foreach(root.put("input_type", _))
 
     val resp = post(endpoint, mapper.writeValueAsString(root))
-    if (resp.statusCode() == 404 && legacyEndpoint.isDefined) {
+    if (resp.statusCode() == 404 && legacyEndpoint.isDefined &&
+        !modelNotFound(resp.body())) {
       // the batch route does not exist on this server — fall back to the
-      // reference's per-text protocol for this and every later call
+      // reference's per-text protocol for this and every later call.
+      // Ollama ALSO answers 404 for an unknown model (body names the
+      // model); switching to legacy there would retry the same bad model
+      // per text and discard the body that names the real cause, so a
+      // model-shaped 404 falls through to checkStatus instead.
       useLegacy = true
       return legacyRequest(texts)
     }
     checkStatus(resp)
     parse(resp.body(), texts.length)
   }
+
+  /** A 404 body that names a missing MODEL (Ollama:
+    * `{"error":"model 'x' not found"}`) — distinct from a missing-route
+    * 404, whose body is the Go mux's plain "404 page not found".
+    */
+  private def modelNotFound(body: String): Boolean =
+    body != null && body.toLowerCase.contains("model")
 
   /** The reference's per-text Ollama protocol (`ollama.py:51`):
     * `{"model", "prompt"}` per text against `/api/embeddings`, response

@@ -862,7 +862,13 @@ object Recall {
     // the channel-union DAG exactly once without registering a CacheManager
     // entry: `agg` is reassigned below, so a plain cache() could never be
     // unpersisted and a long-lived session would accumulate one cached plan
-    // per recall call (same leak class fixed in Supersession.resolveHeads)
+    // per recall call (same leak class fixed in Supersession.resolveHeads).
+    // TRADEOFF (ADVICE r6): localCheckpoint is eager and TRUNCATES lineage
+    // with unreplicated blocks — on a cluster, losing an executor mid-query
+    // fails the recall instead of recomputing. Acceptable for an
+    // interactive ≤limit-row result (the caller just retries); a
+    // long-running cluster job that cannot tolerate a retry should use
+    // reliable checkpointing (sc.setCheckpointDir + checkpoint()) here.
     if (req.scopeFallback || req.expandEntities || req.adaptiveFloor)
       agg = agg.localCheckpoint()
     if (req.expandRelations) {

@@ -155,6 +155,39 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("a model-not-found 404 does NOT switch to the legacy route " +
+    "(ADVICE r6)") {
+    // Ollama answers 404 for an unknown model too; treating that as
+    // 'batch route absent' would sticky-switch to per-text calls that
+    // retry the same bad model and discard the body naming the cause
+    val legacyCalls = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/embed", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val body = """{"error":"model 'nope' not found"}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(404, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/api/embeddings", (ex: HttpExchange) => {
+      legacyCalls.incrementAndGet()
+      ex.sendResponseHeaders(500, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new HttpTransportFactory(
+        Map("OLLAMA_BASE_URL" -> base), 2, embeddingModel = "nope")
+      val t = f.forProvider("ollama").get
+      val e = intercept[EmbeddingTransportException](t.request(Seq("x")))
+      assert(!e.retryable, "a bad model is not retryable")
+      assert(legacyCalls.get() == 0,
+        "model-shaped 404 must not probe the legacy route")
+    } finally server.stop(0)
+  }
+
   test("404 without a legacy endpoint stays a fail-fast error") {
     withServer((_, _) => (404, "no such route")) { url =>
       val t = new HttpEmbeddingTransport(url, None, "m", 2)
