@@ -548,8 +548,9 @@ object Recall {
     * TOP seeds in rank order (first-seen wins, like the reference's
     * expansion iterates ranked seeds — `recall.py:1404-1430` — not
     * alphabetically), then every retrieved row that MENTIONS one
-    * (`entity:people:<slug>` tag or metadata entity) or is SPOKEN by one
-    * (`speaker:<slug>` tag) gets the flat entity boost the injected
+    * (`entity:<category>:<slug>` tag — people, places, or organizations,
+    * the same categories the collect reads — or metadata entity) or is
+    * SPOKEN by one (`speaker:<slug>` tag) gets the flat entity boost the injected
     * expansion rows already get. This is what ranks the second hop of
     * "What job does Elena's brother have?": the seeds name the brother, the
     * brother's own utterances carry the answer, and those rows are already
@@ -559,24 +560,32 @@ object Recall {
   def entityBridgeBoost(df: DataFrame, req: RecallRequest, topN: Int = 10,
       maxEntities: Int = 5, boost: Double = 0.15): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val metaNames = Seq("people", "places", "organizations").map(c =>
+    val cats = Seq("people", "places", "organizations")
+    val metaNames = cats.map(c =>
       coalesce(from_json(get_json_object(col("metadata"), s"$$.entities.$c"),
         ArrayType(StringType)), array()))
-    val tagNames = transform(
-      filter(col("tags"), t => t.startsWith("entity:people:")),
-      t => regexp_replace(element_at(split(t, ":"), -1), "-", " "))
+    // coalesce: transform(filter(null, ...)) is null, and a null element in
+    // concat() nulls the whole array — a single null-tags seed row would
+    // otherwise NPE the driver-side getSeq below (ADVICE r7)
+    val tagNames = coalesce(transform(
+      filter(col("tags"), t => cats.map(c =>
+        t.startsWith(s"entity:$c:")).reduce(_ || _)),
+      t => regexp_replace(element_at(split(t, ":"), -1), "-", " ")), array())
     val ranked = df.orderBy(sortKey(req.copy(sort = "score")): _*).limit(topN)
       .select(concat(metaNames :+ tagNames: _*).as("names")).collect()
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    ranked.foreach(_.getSeq[String](0).foreach { n =>
+    ranked.foreach(r => Option(r.getSeq[String](0)).getOrElse(Nil).foreach { n =>
       val slug = n.toLowerCase.trim.replaceAll("\\s+", "-")
       if (slug.length > 1) seen += slug
     })
     val slugs = seen.take(maxEntities).toSeq
     if (slugs.isEmpty) df
     else {
-      val hit = slugs.map(s => exists(col("tags"),
-        t => t.startsWith(s"entity:people:$s") || t === s"speaker:$s"))
+      // exact tag equality, not startsWith: seed slug "tom" must not boost
+      // entity:people:tomas (ADVICE r7); every collected category is probed
+      val hit = slugs.map(s => exists(col("tags"), t =>
+        cats.map(c => t === s"entity:$c:$s").reduce(_ || _) ||
+          t === s"speaker:$s"))
         .reduce(_ || _)
       df.withColumn("final_score",
         when(hit, col("final_score") + lit(boost)).otherwise(col("final_score")))
@@ -869,7 +878,8 @@ object Recall {
     // interactive ≤limit-row result (the caller just retries); a
     // long-running cluster job that cannot tolerate a retry should use
     // reliable checkpointing (sc.setCheckpointDir + checkpoint()) here.
-    if (req.scopeFallback || req.expandEntities || req.adaptiveFloor)
+    if (req.scopeFallback || req.expandEntities || req.adaptiveFloor ||
+        req.entityBridge)
       agg = agg.localCheckpoint()
     if (req.expandRelations) {
       val expanded = expand(agg, memories, edges, req)

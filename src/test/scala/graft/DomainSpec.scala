@@ -769,6 +769,70 @@ class DomainSpec extends AnyFunSuite {
         "unrelated row must not move")
   }
 
+  test("entity bridge probes every collected category with exact slug " +
+    "match and survives null tags") {
+    import spark.implicits._
+    def row(id: String, score: Double, tags: Option[Seq[String]],
+        metadata: String) =
+      (id, score, "keyword", 0.5, ts("2026-01-01 00:00:00"), tags, metadata)
+    val df = Seq(
+      // top seed: null tags (collect-side null guard) + place/org metadata
+      row("seed", 1.0, None,
+        """{"entities":{"places":["Santa Cruz"],"organizations":["Acme"]}}"""),
+      row("place-hit", 0.5, Some(Seq("entity:places:santa-cruz")), "{}"),
+      row("place-ext", 0.5, Some(Seq("entity:places:santa-cruzara")), "{}"),
+      row("org-hit", 0.5, Some(Seq("entity:organizations:acme")), "{}"),
+      row("null-tags", 0.4, None, "{}"))
+      .toDF("id", "final_score", "match_type", "importance", "timestamp",
+        "tags", "metadata")
+      .withColumn("updated_at", col("timestamp"))
+      .withColumn("last_accessed", col("timestamp"))
+    val out = Recall.entityBridgeBoost(df, RecallRequest(now = now), topN = 1)
+      .select("id", "final_score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("place-hit") - 0.65) < 1e-9,
+      s"place bridge must boost: ${out("place-hit")}")
+    assert(math.abs(out("org-hit") - 0.65) < 1e-9,
+      s"organization bridge must boost: ${out("org-hit")}")
+    assert(math.abs(out("place-ext") - 0.5) < 1e-9,
+      "slug prefix-extension (santa-cruzara vs santa-cruz) must not boost")
+    assert(math.abs(out("null-tags") - 0.4) < 1e-9,
+      "null-tags row must pass through unboosted, not NPE")
+    assert(math.abs(out("seed") - 1.0) < 1e-9)
+  }
+
+  test("entity bridge checkpoint gate: the pre-bridge DAG executes once") {
+    import spark.implicits._
+    // Count per-row evaluations of the corpus with an accumulator-ticking
+    // UDF. Without req.entityBridge in the localCheckpoint gate, the bridge
+    // seed collect runs the channel-union DAG once and the returned frame
+    // re-runs it at the final collect (~2x). With the gate, the bridge-on
+    // count stays within noise of the bridge-off count.
+    def measure(bridge: Boolean): Long = {
+      val acc = spark.sparkContext.longAccumulator(s"bridge-ticks-$bridge")
+      val tick = udf { (s: String) => acc.add(1); s }.asNondeterministic()
+      val corpus = Seq(
+        mem("s1", "Elena said her brother Tomas visited",
+          "2026-01-01 10:00:00", Seq("entity:people:tomas"), "Context",
+          importance = 0.9),
+        mem("s2", "Tomas: my new job at the arboretum is great",
+          "2026-01-02 10:00:00", Seq("speaker:tomas"), "Context",
+          importance = 0.3),
+        mem("s3", "unrelated note about gardening tools",
+          "2026-01-03 10:00:00", Seq("speaker:ingrid"), "Context",
+          importance = 0.3)).toDF()
+        .withColumn("content", tick(col("content")))
+      Recall.recall(corpus, edgesDf.limit(0),
+        RecallRequest(query = Some("Elena brother"), limit = 10,
+          entityBridge = bridge, now = now)).collect()
+      acc.value
+    }
+    val off = measure(bridge = false)
+    val on = measure(bridge = true)
+    assert(on <= off * 3 / 2,
+      s"entityBridge re-executes the recall DAG: $on evals vs $off without")
+  }
+
   test("EXEMPLIFIES edges link confident memories to their type pattern") {
     val pats = Enrichment.detectPatterns(memories)
     val edges = Enrichment.exemplifiesEdges(memories, pats).collect()
