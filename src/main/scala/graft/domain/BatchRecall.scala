@@ -297,11 +297,16 @@ object BatchRecall {
     // normalization is by the per-query THEORETICAL max (broadcast as a
     // column on the request relation), clamped — no per-qid max window, one
     // less shuffle than the observed-max variant and reference-faithful
-    // the candidate side is bounded (queries x matched docs) while the
-    // corpus side is not — broadcast the SMALL side so the join streams
-    // the (cached) corpus projection instead of collecting it
-    val kwAll = tokHits.unionByName(emptyTokPairs)
-      .hint("broadcast")
+    // In the PreparedRecall serving shape (singleRequest) the candidate
+    // side is provably tiny (one query x its matched docs) — broadcast it
+    // so the join streams the (cached) corpus projection. In BATCH mode
+    // the same hint is unsafe at scale: tokHits is O(docs matching any
+    // query token) and emptyTokPairs is the FULL corpus x every token-less
+    // query, so forcing a broadcast would bypass Spark's size threshold
+    // and OOM the driver at the 100 TB design point (ADVICE r7). Let the
+    // optimizer (+AQE) pick the strategy there.
+    val kwCand = tokHits.unionByName(emptyTokPairs)
+    val kwAll = (if (singleRequest) kwCand.hint("broadcast") else kwCand)
       .join(idx.baseKw, Seq("id"))
       .join(broadcast(q.select(col("qid"), col("phrase"), col("kw_max"))), Seq("qid"))
       .withColumn("pb",

@@ -82,10 +82,24 @@ class HttpEmbeddingTransport(
 
   /** A 404 body that names a missing MODEL (Ollama:
     * `{"error":"model 'x' not found"}`) — distinct from a missing-route
-    * 404, whose body is the Go mux's plain "404 page not found".
+    * 404, whose body is the Go mux's plain "404 page not found". Matches
+    * Ollama's actual shape — a JSON object with a textual `error` field
+    * saying both "model" and "not found" — rather than any body that
+    * merely mentions "model": a custom gateway's HTML 404 page that
+    * happens to contain the word must still be treated as a missing
+    * route and fall back to the legacy endpoint (ADVICE r7).
     */
-  private def modelNotFound(body: String): Boolean =
-    body != null && body.toLowerCase.contains("model")
+  private def modelNotFound(body: String): Boolean = {
+    if (body == null) return false
+    try {
+      val root = mapper.readTree(body)
+      root != null && root.isObject && root.has("error") &&
+        root.get("error").isTextual && {
+          val msg = root.get("error").asText().toLowerCase
+          msg.contains("model") && msg.contains("not found")
+        }
+    } catch { case _: Exception => false }
+  }
 
   /** The reference's per-text Ollama protocol (`ollama.py:51`):
     * `{"model", "prompt"}` per text against `/api/embeddings`, response

@@ -188,6 +188,40 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("a route-404 whose HTML body mentions 'model' still falls back " +
+    "to the legacy route (ADVICE r7)") {
+    // a custom gateway's 404 page is not Ollama's {"error":"model 'x' not
+    // found"} JSON — the substring "model" alone must not be mistaken for
+    // a missing-model error, or the transport fails fast instead of
+    // switching to the per-text protocol the server actually speaks
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/embed", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val body = "<html><body>404: no handler for /api/embed on this model gateway</body></html>"
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(404, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/api/embeddings", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val resp = """{"embedding": [7.0, 8.0]}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new HttpTransportFactory(
+        Map("OLLAMA_BASE_URL" -> base), 2, embeddingModel = "m")
+      val t = f.forProvider("ollama").get
+      val out = t.request(Seq("x"))
+      assert(out.head.toSeq == Seq(7f, 8f),
+        "HTML route-404 must fall back to the per-text legacy protocol")
+    } finally server.stop(0)
+  }
+
   test("404 without a legacy endpoint stays a fail-fast error") {
     withServer((_, _) => (404, "no such route")) { url =>
       val t = new HttpEmbeddingTransport(url, None, "m", 2)
