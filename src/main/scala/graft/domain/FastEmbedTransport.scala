@@ -33,6 +33,20 @@ import scala.jdk.CollectionConverters._
   * conventions, batch shape, dimension validation — is the ported
   * surface. Swapping in an ONNX session behind [[EmbeddingTransport]]
   * touches nothing above this file.
+  *
+  * FEASIBILITY NOTE (round 8, re: closing the quality divergence with a
+  * pure-JVM BGE forward pass): executing the real bge-base transformer
+  * requires its weights (~430 MB of fp32 tensors) and its WordPiece
+  * tokenizer table. This container has neither — a filesystem sweep finds
+  * no `*.onnx` / `*.safetensors` / `tokenizer.json` anywhere, and the
+  * environment has zero network egress (an HTTPS fetch of the public
+  * model returns no route), so the weights cannot be obtained. A forward
+  * pass without the trained weights cannot agree with reference vectors
+  * at any cosine threshold; randomly-initialized layers would be quality
+  * theater. The honest boundary therefore stays where it is: this
+  * transport IS the local-model branch, the divergence is documented
+  * here and in README, and a deployment with the model files on disk
+  * plugs an ONNX-backed [[EmbeddingTransport]] into the same chain slot.
   */
 class FastEmbedTransport(modelDir: String, dimension: Int)
     extends EmbeddingTransport {

@@ -59,7 +59,17 @@ object LocomoMini {
     (3, 2) -> Timestamp.valueOf("2026-02-14 15:00:00"),
     (3, 3) -> Timestamp.valueOf("2026-03-10 11:30:00"),
     (3, 4) -> Timestamp.valueOf("2026-04-05 17:30:00"),
-    (3, 5) -> Timestamp.valueOf("2026-05-20 08:30:00"))
+    (3, 5) -> Timestamp.valueOf("2026-05-20 08:30:00"),
+    (4, 1) -> Timestamp.valueOf("2026-01-12 10:00:00"),
+    (4, 2) -> Timestamp.valueOf("2026-02-06 18:00:00"),
+    (4, 3) -> Timestamp.valueOf("2026-03-03 09:00:00"),
+    (4, 4) -> Timestamp.valueOf("2026-04-12 15:30:00"),
+    (4, 5) -> Timestamp.valueOf("2026-05-18 11:00:00"),
+    (5, 1) -> Timestamp.valueOf("2026-01-25 14:00:00"),
+    (5, 2) -> Timestamp.valueOf("2026-02-20 09:30:00"),
+    (5, 3) -> Timestamp.valueOf("2026-03-18 16:00:00"),
+    (5, 4) -> Timestamp.valueOf("2026-04-22 10:30:00"),
+    (5, 5) -> Timestamp.valueOf("2026-05-25 13:00:00"))
 
   // Conversation 1: Elena & Marcus. Planted facts: parrot Kiwi (S1),
   // cello/quartet (S1), brother Dario (S1) -> marine biologist (S2) ->
@@ -114,7 +124,17 @@ object LocomoMini {
       t(5, 8, "Marcus", "Your parrot has excellent taste"),
       // appended in round 6 (higher idx keeps earlier dialog ids stable):
       // knowledge-update new-fact turn — supersedes D1:1:8
-      t(5, 9, "Marcus", "The quartet moved rehearsals to Monday nights for the summer"))
+      t(5, 9, "Marcus", "The quartet moved rehearsals to Monday nights for the summer"),
+      // appended in round 8 (same idx-stability convention): three more
+      // update pairs (old facts planted at high idx in early sessions, new
+      // facts in session 5) + one more tagged Dario fact for the bridge
+      t(1, 10, "Elena", "My commute to the bureau is on tram line five"),
+      t(2, 9, "Marcus", "My Portuguese lessons are on Tuesday mornings"),
+      t(3, 9, "Elena", "Kiwi's cage sits by the kitchen window"),
+      t(3, 10, "Elena", "Dario named his research boat the Petrel", Seq("dario")),
+      t(5, 10, "Elena", "My commute is now the early bus to the trailheads"),
+      t(5, 11, "Marcus", "My Portuguese lessons moved to Saturday mornings"),
+      t(5, 12, "Elena", "I moved Kiwi's cage to the sunroom"))
   }
 
   // Conversation 2: Priya & Tomas. Planted facts: ceramics studio (S1),
@@ -170,7 +190,14 @@ object LocomoMini {
       // appended in round 6: knowledge-update new-fact turns —
       // supersede D2:1:8 and D2:4:1 respectively
       t(5, 9, "Tomas", "My new training plan is sixty kilometers a week for the trail race"),
-      t(5, 10, "Priya", "The evening classes now run three times a week after demand grew"))
+      t(5, 10, "Priya", "The evening classes now run three times a week after demand grew"),
+      // appended in round 8: three more update pairs
+      t(1, 10, "Priya", "The studio opens at nine each morning"),
+      t(2, 9, "Tomas", "I run in an old pair of blue road shoes"),
+      t(3, 9, "Priya", "I mix my glazes in the cramped back room"),
+      t(5, 11, "Priya", "The studio now opens at eight to fit the extra classes"),
+      t(5, 12, "Tomas", "I bought white trail shoes for the autumn hills"),
+      t(5, 13, "Priya", "I now mix glazes in the airy new annex"))
   }
 
   // Conversation 3: Aiko & Ben. Planted facts: 1890 telescope restoration
@@ -225,14 +252,149 @@ object LocomoMini {
       // appended in round 6: knowledge-update new-fact turns —
       // supersede D3:1:2 and D3:2:3 respectively
       t(5, 9, "Ben", "With the new builds done I now keep five hives on the rooftop"),
-      t(5, 10, "Aiko", "Mirela moved the bakery to the old mill for more oven space", Seq("mirela")))
+      t(5, 10, "Aiko", "Mirela moved the bakery to the old mill for more oven space", Seq("mirela")),
+      // appended in round 8: three more update pairs
+      t(1, 10, "Ben", "I sell my honey at the Saturday market stall"),
+      t(2, 9, "Aiko", "I buy brass fittings from the dockside foundry"),
+      t(3, 9, "Ben", "The hives winter under a plain canvas cover"),
+      t(5, 11, "Ben", "My honey now sells at Mirela's bakery counter"),
+      t(5, 12, "Aiko", "I now buy brass fittings from the upriver foundry"),
+      t(5, 13, "Ben", "The hives now winter under an insulated cedar shelter"))
   }
 
-  def turns: Seq[Turn] = conv1 ++ conv2 ++ conv3
+  // Conversation 4 (round 8): Noor & Felix. Planted facts: weaving studio
+  // with cedar loom (S1, superseded by jacquard S5), indigo dye garden
+  // (planted S2 -> harvested S4), salt flats photography (S2 dawn, S4
+  // storm — the recent one), opera-house tapestry (asked S2 -> signed S3
+  // -> delivered S5), chess club (entered S2 -> won cup S4), calligraphy
+  // (course S2 -> exhibition S5), kayak (bay S1 -> gorge S3 -> sea
+  // expedition planning S5). Third parties: Noor's sister Leila (violins
+  // S2 -> concert S3 -> apprentices S4 -> atelier S5) and Felix's uncle
+  // Omar (tours S2 -> beacon S3 -> sailboat S4 -> festival S5). Exactly
+  // 50 turns so the single-hop limit-50 recall always covers the pool.
+  private def conv4: Seq[Turn] = {
+    def t(s: Int, i: Int, sp: String, tx: String, e: Seq[String] = Nil) =
+      Turn(4, s, i, sp, tx, e)
+    Seq(
+      t(1, 1, "Noor", "I run a weaving studio with a big cedar loom"),
+      t(1, 2, "Felix", "I paddle a red kayak on the bay every weekend"),
+      t(1, 3, "Noor", "My sister Leila moved to the city for her music work", Seq("leila")),
+      t(1, 4, "Felix", "I am the captain of the chess club at the community hall"),
+      t(1, 5, "Noor", "The studio buys wool from a highland sheep farm"),
+      t(1, 6, "Felix", "My uncle Omar retired from the ferry service this year", Seq("omar")),
+      t(1, 7, "Noor", "I dye some of my own yarn in small batches"),
+      t(1, 8, "Felix", "I live in a small flat in Oslo near the park"),
+      t(1, 9, "Felix", "The chess club meets on Wednesday evenings"),
+      t(1, 10, "Noor", "My studio is on Birch Avenue by the old theatre"),
+      t(2, 1, "Noor", "I planted an indigo dye garden in cedar boxes this week"),
+      t(2, 2, "Felix", "I started a calligraphy course with master Hosokawa"),
+      t(2, 3, "Noor", "Leila repairs violins at the music school workshop", Seq("leila")),
+      t(2, 4, "Felix", "Omar runs lighthouse tours from the north pier", Seq("omar")),
+      t(2, 5, "Noor", "I photographed the salt flats at dawn on a road trip"),
+      t(2, 6, "Felix", "The chess club entered the regional tournament"),
+      t(2, 7, "Noor", "The dye garden needs careful watering in the cold months"),
+      t(2, 8, "Felix", "Calligraphy strokes demand the same patience as chess"),
+      t(2, 9, "Noor", "The opera house asked me about a large tapestry commission"),
+      t(2, 10, "Felix", "My kayak training is two mornings a week"),
+      t(3, 1, "Noor", "I signed the opera house tapestry commission today"),
+      t(3, 2, "Felix", "I paddled a river expedition through the granite gorge"),
+      t(3, 3, "Noor", "Leila performed at the winter chamber concert", Seq("leila")),
+      t(3, 4, "Felix", "Omar repaired the old harbor beacon himself", Seq("omar")),
+      t(3, 5, "Noor", "The tapestry will show the city skyline in wool and silk"),
+      t(3, 6, "Noor", "My indigo seedlings survived the late frost"),
+      t(3, 7, "Noor", "The studio hosted a weaving night for beginners"),
+      t(4, 1, "Noor", "I harvested the indigo leaves and set up the first dye vat"),
+      t(4, 2, "Felix", "The chess club won the regional cup at the spring finals"),
+      t(4, 3, "Noor", "I returned to the salt flats and photographed them under storm light"),
+      t(4, 4, "Felix", "Omar bought a vintage gaff-rigged sailboat", Seq("omar")),
+      t(4, 5, "Noor", "The dye vat turned my first yarn a deep ocean blue"),
+      t(4, 6, "Felix", "The cup final came down to a queen sacrifice"),
+      t(4, 7, "Noor", "Leila is taking on two apprentice bow makers", Seq("leila")),
+      t(4, 8, "Felix", "Storm light over salt flats sounds like a painting"),
+      t(4, 9, "Noor", "The city gallery wants prints of the storm series"),
+      t(4, 10, "Felix", "I moved to a hillside flat in Bergen for the sea air"),
+      t(4, 11, "Noor", "I moved the studio to Garden Square for bigger windows"),
+      t(5, 1, "Noor", "I delivered the finished tapestry to the opera house"),
+      t(5, 2, "Felix", "I am planning a sea kayak expedition along the coast"),
+      t(5, 3, "Noor", "Leila opened her own bow-making atelier by the river", Seq("leila")),
+      t(5, 4, "Felix", "My calligraphy scrolls hang in the course exhibition this month"),
+      t(5, 5, "Noor", "The storm series prints sold out at the city gallery"),
+      t(5, 6, "Felix", "Omar is hosting a midsummer bonfire festival on the pier", Seq("omar")),
+      t(5, 7, "Noor", "The atelier smells of maple shavings and varnish"),
+      t(5, 8, "Felix", "I bought a yellow sea kayak for the coast expedition"),
+      t(5, 9, "Felix", "The chess club moved its meetings to Friday evenings"),
+      t(5, 10, "Noor", "I replaced the cedar loom with a jacquard loom"),
+      t(5, 11, "Felix", "I now train four mornings a week for the sea expedition"))
+  }
 
-  /** The 61 questions across three conversations — single 25 / temporal 14
-    * / multihop 12 / update 10 (every category >= 10; the single-heavy skew
-    * mirrors the reference mini tier's 114:63:43
+  // Conversation 5 (round 8): Sana & Oliver. Planted facts: 1962 roadster
+  // restoration (project S1 -> engine done S3 -> rally S5), night-sky
+  // photography (quarry ridge S2 -> aurora S4), mystery novel (chapters S2
+  // -> draft S3 -> fair meeting S4 -> signed S5), lake crossing (daily
+  // training S3 -> completed S4). Third parties: Sana's uncle Rashid
+  // (spice shop S2 -> cardamom S3 -> tea room S4 -> award + bazaar move
+  // S5) and Oliver's coach Vera (relay team S2 -> route S3 -> manual S4
+  // -> academy S5). 49 turns, under the limit-50 single-hop pool bound.
+  private def conv5: Seq[Turn] = {
+    def t(s: Int, i: Int, sp: String, tx: String, e: Seq[String] = Nil) =
+      Turn(5, s, i, sp, tx, e)
+    Seq(
+      t(1, 1, "Sana", "I restore vintage motorcycles in my garage workshop"),
+      t(1, 2, "Oliver", "I am writing a mystery novel about a clockmaker"),
+      t(1, 3, "Sana", "My uncle Rashid knows every merchant in the old quarter", Seq("rashid")),
+      t(1, 4, "Oliver", "My swim coach Vera trains me at the municipal pool", Seq("vera")),
+      t(1, 5, "Sana", "My current project is a 1962 roadster with a cracked frame"),
+      t(1, 6, "Oliver", "I train twice a week between writing sessions"),
+      t(1, 7, "Sana", "I keep two cats that nap on the workbench"),
+      t(1, 8, "Oliver", "My orchids grow on the kitchen windowsill"),
+      t(1, 9, "Sana", "I work as a radiology technician at the clinic"),
+      t(1, 10, "Oliver", "The novel's detective is a retired harbor pilot"),
+      t(2, 1, "Oliver", "Vera once swam for the national relay team", Seq("vera")),
+      t(2, 2, "Sana", "Rashid runs a spice shop on Saffron Alley", Seq("rashid")),
+      t(2, 3, "Sana", "I photographed the night sky from the quarry ridge"),
+      t(2, 4, "Oliver", "I wrote three chapters in a seaside cabin this month"),
+      t(2, 5, "Sana", "The roadster needs a replacement fuel tank from a collector"),
+      t(2, 6, "Oliver", "Vera says my turn technique needs work", Seq("vera")),
+      t(2, 7, "Sana", "Rashid sells saffron, sumac, and dried limes", Seq("rashid")),
+      t(2, 8, "Oliver", "The clockmaker plot hinges on a pendulum that vanished from the tower workshop"),
+      t(2, 9, "Sana", "Night photography needs patience and warm gloves"),
+      t(2, 10, "Oliver", "My swim sessions leave me too tired to write"),
+      t(3, 1, "Oliver", "I finished the full draft of the mystery novel"),
+      t(3, 2, "Sana", "I finished restoring the 1962 roadster engine"),
+      t(3, 3, "Oliver", "I now train daily for the lake crossing attempt"),
+      t(3, 4, "Sana", "Rashid imports cardamom from the mountain terraces", Seq("rashid")),
+      t(3, 5, "Oliver", "I built a small greenhouse for the orchids on the balcony"),
+      t(3, 6, "Sana", "The roadster's chrome finally shines like new"),
+      t(3, 7, "Oliver", "Vera mapped the route for the lake crossing", Seq("vera")),
+      t(3, 8, "Sana", "The quarry ridge gets too windy for a tripod in spring"),
+      t(3, 9, "Oliver", "The draft runs four hundred pages double spaced"),
+      t(4, 1, "Oliver", "I completed the lake crossing in open water"),
+      t(4, 2, "Sana", "I photographed the aurora over the fjord on a field trip"),
+      t(4, 3, "Oliver", "Vera published a training manual for open water swimmers", Seq("vera")),
+      t(4, 4, "Sana", "Rashid added a tea room behind the spice shop", Seq("rashid")),
+      t(4, 5, "Oliver", "I train at the cold lake now instead of the pool"),
+      t(4, 6, "Sana", "I switched careers and now teach imaging at the institute"),
+      t(4, 7, "Oliver", "The longest chapter of the manual covers breathing in cold open water"),
+      t(4, 8, "Sana", "The aurora photographs from the fjord glow green and violet"),
+      t(4, 9, "Oliver", "My publisher meeting is set for the spring book fair"),
+      t(4, 10, "Sana", "The tea room serves mountain cardamom tea"),
+      t(5, 1, "Sana", "I rode the restored roadster in the hill rally"),
+      t(5, 2, "Oliver", "I signed the novel with a publisher at the book fair"),
+      t(5, 3, "Sana", "Rashid won the old quarter merchant award", Seq("rashid")),
+      t(5, 4, "Oliver", "Vera opened a swim academy at the lake shore", Seq("vera")),
+      t(5, 5, "Sana", "I adopted a third cat who sleeps in a helmet"),
+      t(5, 6, "Oliver", "The academy's first class filled with twenty swimmers"),
+      t(5, 7, "Sana", "Rashid moved the spice shop into the grand bazaar hall", Seq("rashid")),
+      t(5, 8, "Oliver", "The sequel will follow the clockmaker's apprentice"),
+      t(5, 9, "Sana", "The rally trophy sits next to the third cat's helmet"),
+      t(5, 10, "Oliver", "Open water taught me more than any pool lane"))
+  }
+
+  def turns: Seq[Turn] = conv1 ++ conv2 ++ conv3 ++ conv4 ++ conv5
+
+  /** The 150 questions across five conversations — single 54 / temporal 32
+    * / multihop 32 / update 32 (every category >= 30, VERDICT r7 item 3;
+    * the single-heavy skew mirrors the reference mini tier's 114:63:43
     * single:temporal:multihop category counts,
     * `benchmarks/EXPERIMENT_LOG.md:172`). Question wording is part of
     * the fixture: temporal questions carry a reference-grade temporal-intent keyword
@@ -294,7 +456,51 @@ object LocomoMini {
       Seq("D3:5:3")),
     Question("single", 3, "What project from the thirties is Aiko planning?",
       Seq("D3:3:7")),
-    // ---- temporal (14): repeated-topic facts where the LATEST event is
+    // round-8 singles over conversations 4 and 5
+    Question("single", 4, "Which sheep farm does the studio buy wool from?",
+      Seq("D4:1:5")),
+    Question("single", 4, "What club is Felix the captain of?", Seq("D4:1:4")),
+    Question("single", 4, "What did Felix's uncle retire from?", Seq("D4:1:6")),
+    Question("single", 4, "Who teaches Felix's calligraphy course?", Seq("D4:2:2")),
+    Question("single", 4, "What did Noor plant in cedar boxes?", Seq("D4:2:1")),
+    Question("single", 4, "Which pier do Omar's lighthouse tours run from?",
+      Seq("D4:2:4")),
+    Question("single", 4, "What did Felix paddle through on the river expedition?",
+      Seq("D4:3:2")),
+    Question("single", 4, "What will Noor's tapestry show?", Seq("D4:3:5")),
+    Question("single", 4, "What did Noor's studio host for beginners?", Seq("D4:3:7")),
+    Question("single", 4, "What colour did the dye vat turn the first yarn?",
+      Seq("D4:4:5")),
+    Question("single", 4, "What sacrifice did the cup final come down to?",
+      Seq("D4:4:6")),
+    Question("single", 4, "Who wants prints of the storm series?", Seq("D4:4:9")),
+    Question("single", 4, "Which venue asked Noor about a tapestry commission?",
+      Seq("D4:2:9")),
+    Question("single", 4, "What does Noor dye in small batches?", Seq("D4:1:7")),
+    Question("single", 4, "What did Noor photograph at dawn on her road trip?",
+      Seq("D4:2:5")),
+    Question("single", 5, "Who is the detective in Oliver's novel?", Seq("D5:1:10")),
+    Question("single", 5, "What vanished from the tower workshop in the clockmaker plot?",
+      Seq("D5:2:8")),
+    Question("single", 5, "What spices does Sana's uncle sell?", Seq("D5:2:7")),
+    Question("single", 5, "Where did Sana photograph the night sky from?",
+      Seq("D5:2:3")),
+    Question("single", 5, "What replacement part does the roadster need from a collector?",
+      Seq("D5:2:5")),
+    Question("single", 5, "How many pages does Oliver's draft run?", Seq("D5:3:9")),
+    Question("single", 5, "Where did Oliver write three chapters?", Seq("D5:2:4")),
+    Question("single", 5, "What do the aurora photographs from the fjord glow?",
+      Seq("D5:4:8")),
+    Question("single", 5, "Which mountain tea does the tea room serve?",
+      Seq("D5:4:10")),
+    Question("single", 5, "Where is Oliver's publisher meeting set?", Seq("D5:4:9")),
+    Question("single", 5, "How many swimmers filled the academy's first class?",
+      Seq("D5:5:6")),
+    Question("single", 5, "Who will Oliver's sequel follow?", Seq("D5:5:8")),
+    Question("single", 5, "Where does Sana's third cat sleep?", Seq("D5:5:5")),
+    Question("single", 5, "What does the longest chapter of the manual cover?",
+      Seq("D5:4:7")),
+    // ---- temporal (32): repeated-topic facts where the LATEST event is
     // the answer; "recently" carries engine-grade temporal intent
     Question("temporal", 1, "When did Elena most recently visit the glacier?",
       Seq("D1:4:1")),
@@ -318,7 +524,29 @@ object LocomoMini {
       Seq("D3:5:1")),
     Question("temporal", 3, "What did Ben build recently for spring?",
       Seq("D3:5:2")),
-    // ---- multi-hop (12): 2+ evidence dialogs bridged by a named third
+    // round-8 temporal questions (same "recently"-carries-intent contract)
+    Question("temporal", 4, "What did Noor harvest recently?", Seq("D4:4:1")),
+    Question("temporal", 4, "What did Noor photograph recently?", Seq("D4:4:3")),
+    Question("temporal", 4, "What did the chess club win recently?", Seq("D4:4:2")),
+    Question("temporal", 4, "What did Noor deliver recently?", Seq("D4:5:1")),
+    Question("temporal", 4, "What did Felix start planning recently?", Seq("D4:5:2")),
+    Question("temporal", 4, "What did Felix exhibit recently?", Seq("D4:5:4")),
+    Question("temporal", 4, "What happened to the storm prints recently?",
+      Seq("D4:5:5")),
+    Question("temporal", 5, "What did Sana photograph recently?", Seq("D5:4:2")),
+    Question("temporal", 5, "What did Oliver complete recently?", Seq("D5:4:1")),
+    Question("temporal", 5, "What did Oliver sign recently?", Seq("D5:5:2")),
+    Question("temporal", 5, "Which rally did Sana ride recently?", Seq("D5:5:1")),
+    Question("temporal", 5, "What did Oliver finish recently?", Seq("D5:3:1")),
+    Question("temporal", 5, "What did Sana finish restoring recently?",
+      Seq("D5:3:2")),
+    Question("temporal", 5, "What did Rashid win recently?", Seq("D5:5:3")),
+    Question("temporal", 1, "Where did Dario move recently?", Seq("D1:5:3")),
+    Question("temporal", 2, "What did Priya preorder recently?", Seq("D2:4:3")),
+    Question("temporal", 3, "What did Aiko move recently?", Seq("D3:4:9")),
+    Question("temporal", 1, "What did Elena learn at the baking course recently?",
+      Seq("D1:5:5")),
+    // ---- multi-hop (32): 2+ evidence dialogs bridged by a named third
     // party; possessive speaker wording engages the secondary tag search
     Question("multihop", 1, "What job does Elena's brother have?",
       Seq("D1:1:5", "D1:2:4")),
@@ -344,7 +572,50 @@ object LocomoMini {
       Seq("D3:1:3", "D3:4:6")),
     Question("multihop", 3, "What classes did Aiko's cousin start at the bakery?",
       Seq("D3:1:3", "D3:5:5")),
-    // ---- knowledge-update (10; the LongMemEval category the reference's
+    // round-8 multi-hop: Leila (Noor's sister), Omar (Felix's uncle),
+    // Rashid (Sana's uncle), Vera (Oliver's coach) + two more bridges on
+    // the original third parties
+    Question("multihop", 4, "What does Noor's sister repair?",
+      Seq("D4:1:3", "D4:2:3")),
+    Question("multihop", 4, "Where did Noor's sister perform?",
+      Seq("D4:1:3", "D4:3:3")),
+    Question("multihop", 4, "What did Noor's sister open?",
+      Seq("D4:1:3", "D4:5:3")),
+    Question("multihop", 4, "How many apprentices is Noor's sister taking on?",
+      Seq("D4:1:3", "D4:4:7")),
+    Question("multihop", 4, "What tours does Felix's uncle run?",
+      Seq("D4:1:6", "D4:2:4")),
+    Question("multihop", 4, "What did Felix's uncle repair?",
+      Seq("D4:1:6", "D4:3:4")),
+    Question("multihop", 4, "What did Felix's uncle buy?",
+      Seq("D4:1:6", "D4:4:4")),
+    Question("multihop", 4, "What festival is Felix's uncle hosting?",
+      Seq("D4:1:6", "D4:5:6")),
+    Question("multihop", 5, "What shop does Sana's uncle run?",
+      Seq("D5:1:3", "D5:2:2")),
+    Question("multihop", 5, "What does Sana's uncle import?",
+      Seq("D5:1:3", "D5:3:4")),
+    Question("multihop", 5, "What did Sana's uncle add to the shop?",
+      Seq("D5:1:3", "D5:4:4")),
+    Question("multihop", 5, "What award did Sana's uncle win?",
+      Seq("D5:1:3", "D5:5:3")),
+    Question("multihop", 5, "Which team did Oliver's coach once swim for?",
+      Seq("D5:1:4", "D5:2:1")),
+    Question("multihop", 5, "What did Oliver's coach map?",
+      Seq("D5:1:4", "D5:3:7")),
+    Question("multihop", 5, "What did Oliver's coach publish?",
+      Seq("D5:1:4", "D5:4:3")),
+    Question("multihop", 5, "What did Oliver's coach open?",
+      Seq("D5:1:4", "D5:5:4")),
+    Question("multihop", 5, "What technique does Oliver's coach say needs work?",
+      Seq("D5:1:4", "D5:2:6")),
+    Question("multihop", 1, "What has Elena's brother always loved?",
+      Seq("D1:1:5", "D1:2:5")),
+    Question("multihop", 1, "What did Elena's brother name his boat?",
+      Seq("D1:1:5", "D1:3:10")),
+    Question("multihop", 3, "Where did Aiko's cousin move the bakery?",
+      Seq("D3:1:3", "D3:5:10")),
+    // ---- knowledge-update (32; the LongMemEval category the reference's
     // second conversational benchmark adds, `tests/benchmarks/longmemeval/
     // test_longmemeval.py`): a later session supersedes an earlier fact;
     // the harness answers them with stateMode="current", so the J4
@@ -367,7 +638,34 @@ object LocomoMini {
     Question("update", 3, "How many beehives does Ben keep?",
       Seq("D3:5:9")),
     Question("update", 3, "Where is Mirela's bakery located?",
-      Seq("D3:5:10")))
+      Seq("D3:5:10")),
+    // round-8 update questions (one per new supersession pair)
+    Question("update", 4, "Which city does Felix live in?", Seq("D4:4:10")),
+    Question("update", 4, "Which evening does the chess club meet?",
+      Seq("D4:5:9")),
+    Question("update", 4, "Where is Noor's weaving studio located?",
+      Seq("D4:4:11")),
+    Question("update", 4, "Where does Leila work these days?", Seq("D4:5:3")),
+    Question("update", 4, "What loom does Noor's studio use?", Seq("D4:5:10")),
+    Question("update", 4, "Which kayak did Felix buy?", Seq("D4:5:8")),
+    Question("update", 4, "How many mornings a week does Felix train?",
+      Seq("D4:5:11")),
+    Question("update", 5, "How often does Oliver train?", Seq("D5:3:3")),
+    Question("update", 5, "How many cats does Sana keep?", Seq("D5:5:5")),
+    Question("update", 5, "Where do Oliver's orchids grow?", Seq("D5:3:5")),
+    Question("update", 5, "What job does Sana do for a living?", Seq("D5:4:6")),
+    Question("update", 5, "Where does Oliver swim for training?", Seq("D5:4:5")),
+    Question("update", 5, "Where is Rashid's spice shop located?", Seq("D5:5:7")),
+    Question("update", 1, "How does Elena commute?", Seq("D1:5:10")),
+    Question("update", 1, "Which morning are Marcus's Portuguese lessons?",
+      Seq("D1:5:11")),
+    Question("update", 1, "Where does Kiwi's cage sit?", Seq("D1:5:12")),
+    Question("update", 2, "Which hour does the studio open?", Seq("D2:5:11")),
+    Question("update", 2, "What shoes does Tomas run in?", Seq("D2:5:12")),
+    Question("update", 2, "Where does Priya mix her glazes?", Seq("D2:5:13")),
+    Question("update", 3, "Where does Ben sell his honey?", Seq("D3:5:11")),
+    Question("update", 3, "Where does Aiko buy brass fittings?", Seq("D3:5:12")),
+    Question("update", 3, "What do the hives winter under?", Seq("D3:5:13")))
 
   /** Superseded facts, old dialog -> new dialog (`EVOLVED_INTO` is the
     * supersession relation the current-state walk follows, Schema
@@ -384,7 +682,30 @@ object LocomoMini {
     "D2:4:1" -> "D2:5:10", // classes: twice a week -> three times a week
     "D2:1:5" -> "D2:3:2", // studio kiln: slow old kiln -> new gas kiln
     "D3:1:2" -> "D3:5:9", // Ben: three hives -> five hives
-    "D3:2:3" -> "D3:5:10") // Mirela's bakery: Harbor Street -> old mill
+    "D3:2:3" -> "D3:5:10", // Mirela's bakery: Harbor Street -> old mill
+    // round-8 pairs
+    "D4:1:8" -> "D4:4:10", // Felix: Oslo flat -> Bergen hillside flat
+    "D4:1:9" -> "D4:5:9", // chess club: Wednesday -> Friday evenings
+    "D4:1:10" -> "D4:4:11", // Noor's studio: Birch Avenue -> Garden Square
+    "D4:2:3" -> "D4:5:3", // Leila: music school workshop -> own atelier
+    "D4:1:1" -> "D4:5:10", // loom: cedar -> jacquard
+    "D4:1:2" -> "D4:5:8", // kayak: red bay kayak -> yellow sea kayak
+    "D4:2:10" -> "D4:5:11", // training: two mornings -> four mornings
+    "D5:1:6" -> "D5:3:3", // Oliver: twice a week -> daily training
+    "D5:1:7" -> "D5:5:5", // Sana: two cats -> third cat adopted
+    "D5:1:8" -> "D5:3:5", // orchids: windowsill -> balcony greenhouse
+    "D5:1:9" -> "D5:4:6", // Sana: radiology clinic -> teaching institute
+    "D5:1:4" -> "D5:4:5", // swim venue: municipal pool -> cold lake
+    "D5:2:2" -> "D5:5:7", // spice shop: Saffron Alley -> grand bazaar hall
+    "D1:1:10" -> "D1:5:10", // Elena commute: tram line five -> early bus
+    "D1:2:9" -> "D1:5:11", // Portuguese lessons: Tuesday -> Saturday
+    "D1:3:9" -> "D1:5:12", // Kiwi's cage: kitchen window -> sunroom
+    "D2:1:10" -> "D2:5:11", // studio hours: opens at nine -> opens at eight
+    "D2:2:9" -> "D2:5:12", // Tomas's shoes: blue road -> white trail
+    "D2:3:9" -> "D2:5:13", // glaze mixing: back room -> new annex
+    "D3:1:10" -> "D3:5:11", // honey sales: market stall -> bakery counter
+    "D3:2:9" -> "D3:5:12", // brass fittings: dockside -> upriver foundry
+    "D3:3:9" -> "D3:5:13") // hive cover: canvas -> insulated cedar shelter
 
   def edges(spark: SparkSession): DataFrame = {
     import spark.implicits._

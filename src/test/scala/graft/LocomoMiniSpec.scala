@@ -10,8 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * `Recall.recall` path — auto-decompose (Q6), recency bias in auto mode
   * (R3), and entity expansion (J3) engage together for the first time —
   * and pins per-category recall@5 / MRR goldens like QualityScaleSpec.
-  * 61 questions (single 25 / temporal 14 / multihop 12 / update 10,
-  * mirroring the reference mini tier's single-heavy category skew); use
+  * 150 questions (single 54 / temporal 32 / multihop 32 / update 32,
+  * mirroring the reference mini tier's single-heavy category skew at half
+  * its 304-question size, with every category >= 30); use
   * `runMain graft.tools.LocomoReport` to recompute goldens after an
   * intentional fixture or ranking change.
   */

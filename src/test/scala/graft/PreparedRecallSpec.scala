@@ -88,6 +88,46 @@ class PreparedRecallSpec extends AnyFunSuite {
     } finally prepared.close()
   }
 
+  test("one handle serves 8 concurrent threads with per-thread parity " +
+    "(VERDICT r7 item 5)") {
+    import spark.implicits._
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    try {
+      // distinct query per thread, covering keyword, multi-token, and the
+      // trending class; expectations computed on the single path up front
+      val queries = Seq("postgres database", "dark mode editors",
+        "project alpha", "connection pooling", "mysql storage",
+        "sprint planning notes", "postgres pooling pattern", "*")
+      val want = queries.map(q => q -> single(q)).toMap
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      try {
+        val tasks = for (q <- queries; round <- 1 to 3) yield {
+          pool.submit(new Runnable {
+            override def run(): Unit = try {
+              val got = prepared.recall(q)
+                .orderBy(asc("rank")).select("id", "final_score").collect()
+                .map(r => (r.getString(0), r.getDouble(1))).toSeq
+              if (got.map(_._1) != want(q).map(_._1))
+                failures.add(s"'$q' round $round: ids ${got.map(_._1)} " +
+                  s"vs ${want(q).map(_._1)}")
+              else got.zip(want(q)).foreach { case ((_, gs), (_, ws)) =>
+                if (math.abs(gs - ws) >= 1e-9)
+                  failures.add(s"'$q' round $round: score $gs vs $ws")
+              }
+            } catch {
+              case e: Throwable => failures.add(s"'$q' round $round threw: $e")
+            }
+          })
+        }
+        tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      assert(failures.isEmpty,
+        s"concurrent serving diverged:\n${failures.toArray.mkString("\n")}")
+    } finally prepared.close()
+  }
+
   test("close() releases the cached index relations") {
     import spark.implicits._
     spark.sharedState.cacheManager.clearCache()
