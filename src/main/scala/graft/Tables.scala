@@ -17,16 +17,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microseconds — the same
-    * conversion DuckDB applies (its TIMESTAMP is µs), so oracle comparisons
-    * stay exact.
+  /** events.parquet has shipped with two layouts across testdata
+    * regenerations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a raw long via `nanosAsLong`) and plain timestamp[us]
+    * (read as TIMESTAMP_NTZ or TIMESTAMP depending on writer metadata).
+    * Adapt to whatever the file actually contains so `ts` always comes out
+    * as a session-zone TimestampType truncated to microseconds — the same
+    * resolution DuckDB uses, so oracle comparisons stay exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as long nanos
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (timestamp[us] with no zone metadata)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
