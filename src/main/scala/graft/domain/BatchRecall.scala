@@ -47,7 +47,8 @@ object BatchRecall {
     * analyzed template plan when swapping in a new request.
     */
   val RequestCols: Seq[String] =
-    Seq("qid", "query", "qvec", "qtrim", "phrase", "qtokens", "kw_max", "is_trend")
+    Seq("qid", "query", "qvec", "qtrim", "phrase", "qtokens", "kw_max",
+      "is_trend", "md_terms")
 
   /** Driver-side request preprocessing: collect the (qid, query[, qvec])
     * relation and re-plant it as a LocalRelation carrying every per-query
@@ -105,7 +106,11 @@ object BatchRecall {
       // channel instead of keyword search, matching the single-query path
       // (`runtime_recall_helpers.py:618-629` via Recall.keywordChannel)
       val isTrend = toks.isEmpty && phrase.isEmpty
-      Row(qid, query, qvec, qtrim, phrase, toks, kwMax, isTrend)
+      // Q5 prefilter terms (`runtime_recall_helpers.py:192-199` via
+      // MetadataScoring.prefilterTerms) — empty means the metadata channel
+      // is skipped for this query, matching Recall.metadataChannel
+      val mdTerms = MetadataScoring.prefilterTerms(query)
+      Row(qid, query, qvec, qtrim, phrase, toks, kwMax, isTrend, mdTerms)
     }
     val qSchema = StructType(Seq(
       StructField("qid", qidType),
@@ -115,7 +120,8 @@ object BatchRecall {
       StructField("phrase", StringType),
       StructField("qtokens", ArrayType(StringType, containsNull = true)),
       StructField("kw_max", DoubleType),
-      StructField("is_trend", BooleanType)))
+      StructField("is_trend", BooleanType),
+      StructField("md_terms", ArrayType(StringType, containsNull = false))))
     spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
   }
 
@@ -330,6 +336,32 @@ object BatchRecall {
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
         col("channel_score"))
 
+    // ---- Q5 metadata channel: batch twin of Recall.metadataChannel
+    // (`runtime_recall_helpers.py:727-868`). Cheap contains-prefilter on the
+    // raw JSON against the per-query VALUE terms (a broadcast nested loop —
+    // same corpus x requests shape as the vector channel, streaming the
+    // cached narrow (id, metadata) projection), deterministic per-qid scan
+    // cap by asc id, then the full strong-evidence re-score UDF on the
+    // capped survivors ONLY (<= scanCap x |queries| rows — the right
+    // UDF-vs-expression boundary).
+    val scanCap = math.max(200, math.min(limit * 25, 1000))
+    val qMd = q.filter(size(col("md_terms")) > 0)
+      .select(col("qid"), col("query").as("_mq"), col("md_terms"))
+    val mdScoreUdf = udf((qq: String, json: String) =>
+      MetadataScoring.matchScore(qq, json))
+    val mdScanned = cutPerQid(
+      idx.baseHydrate.select(col("id"), col("metadata"))
+        .join(broadcast(qMd),
+          exists(col("md_terms"), t => lower(col("metadata")).contains(t))),
+      Seq(asc("id")), scanCap)
+    val md = cutPerQid(
+      mdScanned
+        .withColumn("channel_score", rounded(mdScoreUdf(col("_mq"), col("metadata"))))
+        .filter(col("channel_score") > 0.0),
+      Seq(desc("channel_score"), asc("id")), overfetch)
+      .select(col("qid"), col("id"), lit("metadata").as("match_type"),
+        col("channel_score"))
+
     // ---- trending channel for empty/stopword-only queries: importance-
     // ordered browse rows, score := importance — the batch twin of
     // Recall.trendingChannel, cut with the single path's exact sort key
@@ -341,16 +373,20 @@ object BatchRecall {
       .select(col("qid"), col("id"), lit("trending").as("match_type"),
         col("channel_score"))
 
-    // ---- union, best score per channel per (qid, id)
-    val perId = vec.unionByName(kw).unionByName(trend)
+    // ---- union, best score per channel per (qid, id); match_type
+    // precedence mirrors the single path (Recall.runSingleQuery):
+    // vector > keyword > metadata > trending
+    val perId = vec.unionByName(kw).unionByName(md).unionByName(trend)
       .groupBy(col("qid"), col("id"))
       .agg(
         max(when(col("match_type") === "vector", col("channel_score"))).as("vector_score"),
         max(when(col("match_type") === "keyword", col("channel_score"))).as("keyword_score"),
+        max(when(col("match_type") === "metadata", col("channel_score"))).as("metadata_score"),
         max(when(col("match_type") === "trending", col("channel_score"))).as("trending_score"))
       .withColumn("match_type",
         when(col("vector_score").isNotNull, "vector")
           .when(col("keyword_score").isNotNull, "keyword")
+          .when(col("metadata_score").isNotNull, "metadata")
           .otherwise("trending"))
 
     // ---- hydrate + component scoring (same formulas as Recall.scoreCandidates).
@@ -380,7 +416,7 @@ object BatchRecall {
     val comps = Scoring.ComponentColumns(
       vector = coalesce(col("vector_score"), lit(0.0)),
       keyword = coalesce(col("keyword_score"), trendingComp, kwFallback),
-      metadata = lit(0.0),
+      metadata = coalesce(col("metadata_score"), lit(0.0)),
       relation = lit(0.0),
       tag = tagScore,
       importance = coalesce(col("importance"), lit(0.0)),

@@ -89,7 +89,14 @@ object RecallPipeline {
         lit(0.7).as("confidence"),
         lit("Context").as("type"),
         array(col("lang"), col("source")).as("tags"),
-        lit("{}").as("metadata"),
+        // Q5 sidecar: each doc's SECOND token as a {"project": ...} value —
+        // single-token values make MetadataScoring.matchScore reduce to a
+        // closed form the DuckDB oracle states exactly (see batchRecall100Sql)
+        when(length(coalesce(get(TextFunctions.tokens(col("text")), lit(1)),
+            lit(""))) > 0,
+          concat(lit("{\"project\": \""),
+            get(TextFunctions.tokens(col("text")), lit(1)), lit("\"}")))
+          .otherwise(lit("{}")).as("metadata"),
         lit(1.0).as("relevance_score"),
         lit(false).as("archived"),
         col("embedding"))
@@ -114,14 +121,17 @@ object RecallPipeline {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB mirror of [[batchRecall100]]: the full two-channel batch —
+  /** DuckDB mirror of [[batchRecall100]]: the full three-channel batch —
     * vector cosine top-20 per qid + inverted-keyword scoring (+2 content
-    * token, +1 tag token, phrase bonus, per-qid max-normalize), channel
-    * merge, 9-component scoring (metadata/relation/context zero on this
-    * corpus mapping), fingerprint dedup per (qid, fp), and per-qid rank —
-    * term-for-term against `graft.domain.BatchRecall.batchRecall` with
-    * `roundScores=true` (all compared scores quantized via round(x+1e-9,4)
-    * before ranking, asc-id tie-breaks everywhere).
+    * token, +1 tag token, phrase bonus, per-qid max-normalize) + the Q5
+    * metadata channel (prefilter -> asc-id scan cap -> strong-evidence
+    * score, stated in closed form because every sidecar value is a single
+    * token — see the mdscore CTE), channel merge, 9-component scoring
+    * (relation/context zero on this corpus mapping; metadata, tag-term-set
+    * and exact all live), fingerprint dedup per (qid, fp), and per-qid
+    * rank — term-for-term against `graft.domain.BatchRecall.batchRecall`
+    * with `roundScores=true` (all compared scores quantized via
+    * round(x+1e-9,4) before ranking, asc-id tie-breaks everywhere).
     */
   val batchRecall100Sql: String =
     raw"""WITH mems AS (
@@ -130,6 +140,13 @@ object RecallPipeline {
            least(1.0, d.n_chars / 500.0) AS importance, 0.7 AS confidence,
            [d.lang, d.source] AS tags, e.embedding AS emb
          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       mems_md AS (
+         -- the Q5 sidecar: second text token as {"project": ...}; single-
+         -- token values reduce matchScore to the closed form in mdscore
+         SELECT id, val, CASE WHEN val IS NOT NULL AND length(val) > 0
+             THEN '{"project": "' || val || '"}' ELSE '{}' END AS md
+         FROM (SELECT id, regexp_split_to_array(trim(lc), '\s+')[2] AS val
+               FROM mems)),
        q0 AS (
          SELECT d.doc_id AS qid,
            array_to_string(regexp_split_to_array(trim(lower(d.text)), '\s+')[1:3], ' ') AS query,
@@ -151,6 +168,71 @@ object RecallPipeline {
              ELSE 3.0 END AS kw_max
          FROM q0 LEFT JOIN
            (SELECT qid, list(tok) AS toks FROM qtok GROUP BY qid) l ON l.qid = q0.qid),
+       qmeta AS (
+         -- metadata-channel query terms (runtime_recall_helpers.py:123-199):
+         -- qvt = value tokens (>= 3 chars, field tokens + metadata stopwords
+         -- removed); pterms = prefilter terms (>= 2 chars, same removals,
+         -- cap 12 -- never binding on 3-token queries, so the unordered
+         -- list_distinct is safe); qall = every normalized token
+         SELECT qid, query,
+           list_distinct(list_filter(regexp_extract_all(query, '[a-z0-9]+'),
+             t -> length(t) >= 3
+               AND t NOT IN ('source','agent','agents','repo','repository',
+                 'project','tool','surface','applies','apply','trigger',
+                 'provider','model','entity','entities','metadata')
+               AND t NOT IN ('all','any','about','by','find','for','from','in',
+                 'me','memory','memories','of','on','please','show','that',
+                 'the','to','with'))) AS qvt,
+           list_filter(list_distinct(regexp_extract_all(query, '[a-z0-9]+')),
+             t -> length(t) >= 2
+               AND t NOT IN ('source','agent','agents','repo','repository',
+                 'project','tool','surface','applies','apply','trigger',
+                 'provider','model','entity','entities','metadata')
+               AND t NOT IN ('all','any','about','by','find','for','from','in',
+                 'me','memory','memories','of','on','please','show','that',
+                 'the','to','with')) AS pterms,
+           regexp_extract_all(query, '[a-z0-9]+') AS qall
+         FROM q0),
+       qreq AS (
+         -- requestedFields (runtime_recall_helpers.py:202-231): req_project
+         -- is the only field present in this corpus mapping; req_any covers
+         -- every single-word alias plus the multi-word phrase aliases
+         SELECT qid, qvt, pterms,
+           list_contains(qall, 'project') AS req_project,
+           (list_contains(qall, 'project')
+             OR list_has_any(qall, ['source','repo','repository','tool',
+               'surface','trigger','provider','model','entity','entities'])
+             OR contains(' ' || query || ' ', ' source agent ')
+             OR contains(' ' || query || ' ', ' source agents ')
+             OR contains(' ' || query || ' ', ' applies to ')
+             OR contains(' ' || query || ' ', ' apply to ')) AS req_any
+         FROM qmeta),
+       mdsurv AS (
+         -- contains-prefilter on the raw JSON + deterministic asc-id scan cap
+         -- (batch twin of Recall.metadataChannel's scanCap=200 at limit=5)
+         SELECT qid, id, val, qvt, req_any, req_project,
+           row_number() OVER (PARTITION BY qid ORDER BY id ASC) AS scan_rn
+         FROM mems_md m JOIN qreq q
+           ON len(q.pterms) > 0
+             AND len(list_filter(q.pterms, t -> contains(m.md, t))) > 0),
+       mdscore AS (
+         -- matchScore closed form for single-token values: valueHits = {val}
+         -- iff val in qvt (so exactHit always holds); strongEvidence reduces
+         -- to (requested & project named & len>=3) OR (no fields named &
+         -- len>=5 & |qvt|<=3); weak off-field hits (req_any & !req_project)
+         -- are excluded; score = min(1, .15 + .45 + .20/|qvt| + .15 exact
+         -- + .20 requested-field bonus)
+         SELECT qid, id,
+           round((least(1.0, 0.75 + 0.20 / len(qvt) +
+             CASE WHEN req_any AND req_project THEN 0.20 ELSE 0.0 END)) + 1e-9, 4) AS ms
+         FROM mdsurv
+         WHERE scan_rn <= 200 AND len(qvt) > 0 AND list_contains(qvt, val)
+           AND ((req_any AND req_project)
+             OR ((NOT req_any) AND length(val) >= 5 AND len(qvt) <= 3))),
+       mtop AS (SELECT qid, id, ms FROM (
+           SELECT qid, id, ms,
+             row_number() OVER (PARTITION BY qid ORDER BY ms DESC, id ASC) AS rn
+           FROM mdscore WHERE ms > 0) WHERE rn <= 20),
        vpx AS (SELECT q.qid, m.id, unnest(m.emb)::DOUBLE AS x, unnest(q.qvec)::DOUBLE AS y
          FROM mems m CROSS JOIN q0 q),
        vs AS (SELECT qid, id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
@@ -195,15 +277,21 @@ object RecallPipeline {
            FROM kwn k JOIN mems m ON m.id = k.id) WHERE rn <= 20),
        merged AS (SELECT qid, id,
            max(CASE WHEN ch = 'v' THEN s END) AS vector_score,
-           max(CASE WHEN ch = 'k' THEN s END) AS keyword_score
+           max(CASE WHEN ch = 'k' THEN s END) AS keyword_score,
+           max(CASE WHEN ch = 'm' THEN s END) AS metadata_score
          FROM (SELECT qid, id, 'v' AS ch, cs AS s FROM vtop
-               UNION ALL SELECT qid, id, 'k' AS ch, ks AS s FROM ktop)
+               UNION ALL SELECT qid, id, 'k' AS ch, ks AS s FROM ktop
+               UNION ALL SELECT qid, id, 'm' AS ch, ms AS s FROM mtop)
          GROUP BY 1, 2),
        hyd AS (SELECT g.qid, g.id, g.vector_score, g.keyword_score,
-           CASE WHEN g.vector_score IS NOT NULL THEN 'vector' ELSE 'keyword' END AS match_type,
+           g.metadata_score,
+           CASE WHEN g.vector_score IS NOT NULL THEN 'vector'
+                WHEN g.keyword_score IS NOT NULL THEN 'keyword'
+                ELSE 'metadata' END AS match_type,
            m.lc, m.text, m.ts, m.importance, m.confidence, m.tags,
-           q.query, t.toks
+           d.val, q.query, t.toks
          FROM merged g JOIN mems m ON m.id = g.id
+           JOIN mems_md d ON d.id = g.id
            JOIN q0 q ON q.qid = g.qid JOIN qtl t ON t.qid = g.qid),
        comps AS (SELECT *,
            coalesce(vector_score, 0.0) AS c_vector,
@@ -211,17 +299,25 @@ object RecallPipeline {
              CASE WHEN len(toks) = 0 THEN 0.0
                ELSE CAST(len(list_filter(toks, tk -> contains(lc, tk))) AS DOUBLE)
                  / len(toks) END) AS c_keyword,
+           coalesce(metadata_score, 0.0) AS c_metadata,
+           -- tag component counts query tokens in tags OR metadata TERMS
+           -- (scoring.py:150-153); collectTerms({"project": val}) = {val}
            CASE WHEN len(toks) = 0 THEN 0.0
-             ELSE CAST(len(list_intersect(toks, tags)) AS DOUBLE) / len(toks) END AS c_tag,
+             ELSE CAST(len(list_intersect(toks,
+               CASE WHEN val IS NOT NULL AND length(val) > 0
+                 THEN list_distinct(tags || [val]) ELSE tags END)) AS DOUBLE)
+               / len(toks) END AS c_tag,
            greatest(0.0, 1.0 - greatest(0.0, (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
              / 86400.0) / 180.0) AS c_recency,
-           0.0 AS c_exact -- whole-query term-set membership; '{}' has no terms
+           -- exact = whole trimmed query in the metadata term set = {val}
+           CASE WHEN length(trim(query)) > 0 AND trim(query) = val
+             THEN 1.0 ELSE 0.0 END AS c_exact
          FROM hyd),
        scored AS (SELECT qid, id, match_type, importance, ts, text,
            round((coalesce(vector_score, 0.0)) + 1e-9, 4) AS s_vector,
            round((c_keyword) + 1e-9, 4) AS s_keyword,
            round((c_tag) + 1e-9, 4) AS s_tag,
-           round((c_vector * 0.35 + c_keyword * 0.35 + 0.0 * 0.35 + 0.0 * 0.25 +
+           round((c_vector * 0.35 + c_keyword * 0.35 + c_metadata * 0.35 + 0.0 * 0.25 +
              (c_tag * 0.2 + importance * 0.1 + confidence * 0.05 +
               c_recency * 0.1 + 1.0 * 0.0) * 1.0 + c_exact * 0.2 + 0.0) + 1e-9, 4)
              AS final_score

@@ -715,14 +715,18 @@ class DomainSpec extends AnyFunSuite {
     val memsMd = memories.withColumn("metadata",
       when(col("id") === "m1", lit("""{"project": "alpha"}"""))
         .otherwise(col("metadata")))
+    // query 5 ("project alpha") HITS m1's metadata value through the Q5
+    // channel (strong-evidence score 1.0, weight 0.35): it pins the batch
+    // metadata channel against the single path — omitted, it flips m1's
+    // rank (VERDICT r8 item 2)
     val queries = Seq((1, "postgres database"), (2, "dark mode editors"),
-      (3, "project"), (4, "*"))
+      (3, "project"), (4, "*"), (5, "project alpha"))
       .toDF("qid", "query")
     val batch = BatchRecall.batchRecall(memsMd, edgesDf, queries, limit = 5,
       now = now).collect()
     val byQid = batch.groupBy(_.getAs[Int]("qid"))
     Seq(1 -> "postgres database", 2 -> "dark mode editors",
-      3 -> "project", 4 -> "*").foreach {
+      3 -> "project", 4 -> "*", 5 -> "project alpha").foreach {
       case (qid, q) =>
         val single = Recall.recall(memsMd, edgesDf,
           RecallRequest(query = Some(q), limit = 5, now = now))

@@ -60,8 +60,11 @@ class PreparedRecallSpec extends AnyFunSuite {
     try {
       // different request per call — each must re-plant the swapped
       // relation, not serve the previous request's plan data
+      // "project alpha" hits m1's metadata sidecar (Q5, strong-evidence
+      // score 1.0): the SERIAL parity case for the batch metadata channel
+      // (VERDICT r8 item 2)
       for (q <- Seq("postgres database", "dark mode editors", "project",
-          "*", "postgres database")) {
+          "project alpha", "*", "postgres database")) {
         val got = prepared.recall(q)
           .orderBy(asc("rank")).select("id", "final_score").collect()
           .map(r => (r.getString(0), r.getDouble(1))).toSeq
