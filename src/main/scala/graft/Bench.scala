@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * changed) — and `queries_cold` keeps the cold numbers so one-time costs
   * stay visible rather than hidden.
   *
+  * A query that throws is reported under `errors` (name -> message) and
+  * excluded from the maps and totals — a bench that records time-to-failure
+  * as a fast time is a correctness hazard (VERDICT r8 item 5).
+  *
   * `load_phase_secs` records the one-time IVF index build separately (it
   * used to vanish into an untimed load phase, making q_sim_ivf_topk
   * incomparable across rounds), and `single_recall_warm_ms` is the
@@ -47,11 +51,26 @@ object Bench {
     catch { case _: Throwable => () }
     val loadSecs = (System.nanoTime() - loadT0) / 1e9
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Failure-honest timing (VERDICT r8 item 5): a query that THROWS is
+    // reported as an error entry, never as its (fast) time-to-failure —
+    // r8 published 12 analysis failures as benchmark "improvements".
+    // Right(seconds) on success, Left(error) on any Throwable.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')
+          Left(s"${e.getClass.getSimpleName}: ${msg.take(200)}")
+      }
     }
+    // The latency probes below (single-recall, layout) want a plain Double;
+    // a failure there surfaces as -1 rather than silently fast
+    def timeOnceOr(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = timeOnce(fn).getOrElse(-1.0)
 
     // Queries run in NAME order (a Map would iterate in hash order — the
     // interference pattern between adjacent queries would then change
@@ -70,7 +89,7 @@ object Bench {
     }
     // Warm single-recall latency: best of 3 further runs, in milliseconds.
     val singleRecallMs = SparkEntry.queries.get("q_recall_pipeline")
-      .map(fn => (1 to 3).map(_ => timeOnce(fn)).min * 1000.0)
+      .map(fn => (1 to 3).map(_ => timeOnceOr(fn)).min * 1000.0)
       .getOrElse(-1.0)
     // Same measurement AT THE ANCHOR'S OWN CORPUS SIZE: the reference's
     // only latency anchor is 189-204 ms per recall on a 10k-memory corpus
@@ -197,11 +216,25 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
       }.mkString("{", ",", "}")
-    val warmQs = jsonMap(timed.toMap.map { case (k, (_, w)) => k -> w })
-    val coldQs = jsonMap(timed.toMap.map { case (k, (c, _)) => k -> c })
-    val totalWarm = timed.map(_._2._2).sum
-    val totalCold = timed.map(_._2._1).sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    // Failed queries are EXCLUDED from the per-query maps and the totals
+    // and enumerated under "errors" — cross-round total comparisons must
+    // never count a time-to-failure as a win.
+    val warmQs = jsonMap(timed.collect { case (k, (_, Right(w))) => k -> w })
+    val coldQs = jsonMap(timed.collect { case (k, (Right(c), _)) => k -> c })
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errors = timed.collect {
+      case (k, (Left(e), _)) => k -> e
+      case (k, (Right(_), Left(e))) => k -> e
+    }.map { case (k, e) => jsonStr(k) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
+    val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
