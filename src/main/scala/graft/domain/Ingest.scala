@@ -150,7 +150,8 @@ object Ingest {
     * (array<string>), `type`, `importance`, `timestamp`, `metadata`.
     * Produces the memories schema of [[Schema]].
     */
-  def prepare(df: DataFrame, dim: Int = PlaceholderEmbedding.DefaultDim): DataFrame = {
+  def prepare(df: DataFrame, dim: Int = PlaceholderEmbedding.DefaultDim,
+      embed: Option[Column => Column] = None): DataFrame = {
     val withDefaults = Seq(
       ("tags", lit(Array.empty[String]).cast("array<string>")),
       ("type", lit(null).cast("string")),
@@ -187,7 +188,8 @@ object Ingest {
       .withColumn("summary",
         when(length(col("content")) > SoftLimit, extractiveSummary(col("content")))
           .otherwise(lit(null).cast("string")))
-      .withColumn("embedding", PlaceholderEmbedding.embedColumn(dim)(col("content")))
+      .withColumn("embedding",
+        embed.getOrElse(PlaceholderEmbedding.embedColumn(dim))(col("content")))
       .withColumn("t_valid", col("timestamp"))
       .withColumn("t_invalid", lit(null).cast("timestamp"))
       .withColumn("updated_at", col("timestamp"))

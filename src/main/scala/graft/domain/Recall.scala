@@ -57,6 +57,13 @@ case class RecallRequest(
     priorityTypes: Seq[String] = Nil,
     priorityIds: Seq[String] = Nil,
     contextKeywords: Seq[String] = Nil,
+    // query-text embedder for the vector channel when no explicit
+    // `embedding` is supplied; None = the placeholder hash provider. In
+    // multi-query / auto-decompose mode each sub-query embeds its own text
+    // through this, whereas `embedding` (a single vector) only makes sense
+    // for single-query requests. The quality harnesses pass
+    // LexicalEmbedding.embed so the vector channel carries real signal.
+    queryEmbedder: Option[String => Array[Float]] = None,
     now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"))
 
 /** The flagship read path (SURVEY.md §3.1): channel union -> 9-component
@@ -272,7 +279,8 @@ object Recall {
     val scoped = if (req.tags.nonEmpty)
       base.filter(tagPredicate(req.tags, req.tagMode, req.tagMatch)) else base
     val qvecOpt = req.embedding.orElse(
-      queryOpt.map(q => PlaceholderEmbedding.embed(q)))
+      queryOpt.map(q =>
+        req.queryEmbedder.getOrElse(PlaceholderEmbedding.embed(_: String))(q)))
     val chans = Seq(
       qvecOpt.map(v => vectorChannel(scoped, v, req.limit,
         Some(vectorFetchLimit(req, hasQuery = true)))),

@@ -741,8 +741,14 @@ object LocomoMini {
           .stripMargin.replaceAll("\n", "")
       (u.dialogId, s"${u.speaker}: ${u.text}", tags, metadata, ts, 0.5, "Context")
     }
+    // the quality benchmark embeds with the LEXICAL provider (subword bag,
+    // [[graft.domain.LexicalEmbedding]]) — the reference runs ITS LoCoMo
+    // benchmark on real embeddings, and the content-hash placeholder's pure
+    // vector noise decided rankings inside equal-keyword pools (r8: the 50-
+    // turn conv4/conv5 metrics were noise-bound, abstention inseparable)
     Ingest.prepare(rows.toDF(
-      "id", "content", "tags", "metadata", "timestamp", "importance", "type"))
+      "id", "content", "tags", "metadata", "timestamp", "importance", "type"),
+      embed = Some(graft.domain.LexicalEmbedding.embedColumn()))
   }
 
   /** Temporal-question detection, ported from `test_locomo.py:618-638`. */
@@ -812,6 +818,7 @@ object LocomoMini {
       recencyBias = "auto",
       stateMode = if (q.category == "update") "current" else "all",
       weights = weights,
+      queryEmbedder = Some(graft.domain.LexicalEmbedding.embed(_)),
       now = Now)
     var ids = Recall.recall(memories, edges, req)
       .select("id").collect().map(_.getString(0)).toSeq

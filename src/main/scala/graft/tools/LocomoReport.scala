@@ -54,7 +54,9 @@ object LocomoReport {
       graft.domain.Recall.recall(mem, edges, graft.domain.RecallRequest(
         query = Some(question), limit = 5,
         tags = Seq(s"conversation:conv-$conv"),
-        relevanceGate = Some(0.6), now = LocomoMini.Now))
+        relevanceGate = Some(0.6),
+        queryEmbedder = Some(graft.domain.LexicalEmbedding.embed(_)),
+        now = LocomoMini.Now))
         .select("final_score").collect().headOption
         .map(_.getDouble(0)).getOrElse(0.0)
     val unanswerable = Seq(
