@@ -51,6 +51,34 @@ object Bench {
     catch { case _: Throwable => () }
     val loadSecs = (System.nanoTime() - loadT0) / 1e9
 
+    // Reduced-nprobe IVF rows (VERDICT r7 item 7): fp32 vs int8, probing 8
+    // of 64 cells — the operating point where an IVF index pays (the scan
+    // shrinks ~8x) and where int8's ~4x-smaller assignments could beat
+    // fp32. Each row is warm best-of-3 latency plus recall@10 against the
+    // full-probe result (which is hash-identical to brute force). Honest
+    // caveat carried in README: the driver's embeddings are isotropic
+    // noise, so recall@10 here is structurally ~nprobe/cells; the
+    // clustered-corpus recall >= 0.95 gate lives in IvfIndexSpec.
+    val ivfReduced: Map[String, Double] = try {
+      val exact = operators.Similarity.ivfTopKAll(spark, sfDir)
+        .collect().map(_.getLong(0)).toSet
+      def row(df: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+        df.count() // builds the index variant if absent + warms codegen
+        val ms = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e6
+        }.min
+        val ids = df.collect().map(_.getLong(0)).toSet
+        (ms, ids.intersect(exact).size.toDouble / exact.size)
+      }
+      val (fp32Ms, fp32Rec) = row(operators.Similarity.ivfTopKReduced(spark, sfDir))
+      val (int8Ms, int8Rec) = row(operators.Similarity.ivfQuantizedTopKReduced(spark, sfDir))
+      Map("fp32_nprobe8_ms" -> fp32Ms, "fp32_nprobe8_recall10" -> fp32Rec,
+        "int8_nprobe8_ms" -> int8Ms, "int8_nprobe8_recall10" -> int8Rec)
+    } catch { case _: Throwable =>
+      Map("fp32_nprobe8_ms" -> -1.0, "fp32_nprobe8_recall10" -> -1.0,
+        "int8_nprobe8_ms" -> -1.0, "int8_nprobe8_recall10" -> -1.0)
+    }
+
     // Failure-honest timing (VERDICT r8 item 5): a query that THROWS is
     // reported as an error entry, never as its (fast) time-to-failure —
     // r8 published 12 analysis failures as benchmark "improvements".
@@ -234,7 +262,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"load_phase_secs":$loadSecs,"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,13 +125,6 @@ object BatchRecall {
     spark.createDataFrame(qLocal.toSeq.asJava, qSchema)
   }
 
-  /** Column names of the two planted token relations (see
-    * [[requestTokenRelations]]); [[PreparedRecall]] locates them by these
-    * schemas when swapping requests into the template.
-    */
-  val QtokCols: Seq[String] = Seq("qid", "tok")
-  val QtokDistinctCols: Seq[String] = Seq("tok")
-
   /** The exploded (qid, tok) relation and its distinct-token projection,
     * computed DRIVER-SIDE from the request relation and planted as
     * LocalRelations. Deriving them in-plan (`explode` / `distinct` over the
@@ -268,6 +261,42 @@ object BatchRecall {
     // NUL; the concat lives in idx.baseKw).
     val lc = lower(col("content"))
     val (qtok, qtokDistinct) = requestTokenRelations(q)
+    // SINGLE-REQUEST keyword shape: the inverted-index probe below costs
+    // ~6 sequential Spark jobs per call (vocab NLJ -> postings join ->
+    // distinct -> token join -> aggregate -> candidate broadcast) — the
+    // right trade when N queries amortize one index pass, but pure
+    // scheduling overhead when N = 1 (measured: ~60% of a served call's
+    // wall clock is job round-trips). A single request instead scans the
+    // cached narrow (id, _lc, _tags_str) projection ONCE with the SAME
+    // per-token arithmetic as the single path (Recall.keywordChannel:
+    // +2 per token in content, +1 per token in any tag, additive phrase
+    // bonus, theoretical-max normalization): one LocalRelation broadcast,
+    // zero extra jobs. Alnum query tokens cannot span the NUL tag
+    // separator or non-alnum content chars, so contains() on the joined
+    // projections is exactly the per-token/per-tag membership the index
+    // computes. Token-less phrase-only queries fold in naturally (the
+    // aggregate over an empty token array is 0; the phrase bonus still
+    // fires), absorbing the emptyTokPairs fallback branch.
+    val kwSingleRaw =
+      aggregate(col("qtokens"), lit(0), (acc, t) => acc +
+        when(col("_lc").contains(t), 2).otherwise(0) +
+        when(col("_tags_str").contains(t), 1).otherwise(0)) +
+      when(length(col("phrase")) >= 3,
+        when(col("_lc").contains(col("phrase")), 2).otherwise(0) +
+          when(col("_tags_str").contains(col("phrase")), 1).otherwise(0))
+        .otherwise(0)
+    val kwSingle = cutPerQid(
+      idx.baseKw
+        .crossJoin(broadcast(q.filter(!col("is_trend"))
+          .select(col("qid"), col("qtokens"), col("phrase"), col("kw_max"))))
+        .withColumn("raw", kwSingleRaw)
+        .filter(col("raw") > 0)
+        .withColumn("channel_score",
+          rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max")))),
+      Seq(desc("channel_score"), desc("importance"), desc("timestamp"),
+        asc("id")), overfetch)
+      .select(col("qid"), col("id"), lit("keyword").as("match_type"),
+        col("channel_score"))
     // vocabulary-first: the substring NLJ runs over distinct tokens (vocab),
     // not raw postings; the small (ctok, tok) match table then broadcasts
     // back onto the postings — postings are never shuffled. The vocab
@@ -328,13 +357,16 @@ object BatchRecall {
     // (Recall.keywordChannel: score desc, importance desc, timestamp desc,
     // id asc) — `wq`'s (score, id) key diverges on score ties, which
     // roundScores quantization makes common
-    val kw = cutPerQid(
+    lazy val kwIndexed = cutPerQid(
       kwAll.withColumn("channel_score",
         rounded(least(lit(1.0), col("raw").cast("double") / col("kw_max")))),
       Seq(desc("channel_score"), desc("importance"), desc("timestamp"),
         asc("id")), overfetch)
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
         col("channel_score"))
+    // mode split (see kwSingle's comment): the index amortizes over many
+    // queries; a single request takes the one-scan expression form
+    val kw = if (singleRequest) kwSingle else kwIndexed
 
     // ---- Q5 metadata channel: batch twin of Recall.metadataChannel
     // (`runtime_recall_helpers.py:727-868`). Cheap contains-prefilter on the

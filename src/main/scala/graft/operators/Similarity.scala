@@ -243,6 +243,41 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("sim"))
   }
 
+  /** Reduced-nprobe IVF query over the persisted fp32 index (VERDICT r7
+    * item 7): probe `nprobe` of the 64 cells instead of all of them — the
+    * operating point where an IVF index actually pays (the scan shrinks by
+    * nprobe/cells). Same plan tail as [[ivfTopKAll]]; recall@10 against the
+    * full-probe result is the quality price, reported alongside the latency
+    * in the bench row. Builds the index if absent (normally the load phase
+    * already has).
+    */
+  def ivfTopKReduced(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10, nprobe: Int = 8): DataFrame = {
+    val indexPath = indexCachePath(dir, variant = "fp32")
+    if (!IvfIndex.exists(indexPath))
+      IvfIndex.build(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding")), indexPath)
+    IvfIndex.topK(spark, indexPath, queryVector(spark, dir, queryId), k, nprobe)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Reduced-nprobe twin of [[ivfQuantizedTopKAll]]: the int8 index probed
+    * at `nprobe` cells with the dequantizing cosine + exact fp32 refine.
+    * The int8 assignments are ~4x smaller than fp32, so this is the shape
+    * where quantization's smaller scan can beat fp32 — the bench row pins
+    * whether it does at the current scale.
+    */
+  def ivfQuantizedTopKReduced(spark: SparkSession, dir: String,
+      queryId: Long = 0, k: Int = 10, nprobe: Int = 8): DataFrame = {
+    val indexPath = indexCachePath(dir, variant = "int8")
+    val vectors = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    if (!IvfIndex.exists(indexPath)) IvfIndex.buildQuantized(vectors, indexPath)
+    IvfIndex.topKQuantized(spark, indexPath, vectors,
+      queryVector(spark, dir, queryId), k, nprobe)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
   /** Content-fingerprinted index cache path shared by the IVF query jobs:
     * keyed on the source parquet parts (name, length, mtime, footer crc) so
     * regenerated testdata gets a fresh index, plus a `variant` tag so the

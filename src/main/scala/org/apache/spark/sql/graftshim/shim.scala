@@ -24,18 +24,4 @@ object GraftShim {
 
   /** The analyzed logical plan of a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
-
-  /** The fully-prepared physical plan of a DataFrame (post
-    * EnsureRequirements / CollapseCodegenStages). Used by the
-    * prepared-recall serving fast path to cache an executable template.
-    */
-  def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
-    df.queryExecution.executedPlan
-
-  /** Collect a physical plan's rows as external [[org.apache.spark.sql.Row]]s
-    * (`SparkPlan.executeCollectPublic`).
-    */
-  def collectPublic(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Array[org.apache.spark.sql.Row] =
-    plan.executeCollectPublic()
 }
