@@ -309,15 +309,19 @@ object BatchRecall {
     val hits = idx.postings.join(broadcast(tokMatches), Seq("ptok"))
       .select(col("id"), col("tok"), col("w"))
     // a query token counts once per doc per KIND (content/tag), however
-    // many corpus tokens contain it — the weight is part of the distinct
-    // key, so a content hit (w=2) and a tag hit (w=1) both survive and sum
-    // to 3; duplicates within a kind collapse. Both hash aggregates stay
-    // in whole-stage codegen.
+    // many corpus tokens contain it — a content hit (w=2) and a tag hit
+    // (w=1) both survive and sum to 3; duplicates within a kind collapse.
+    // The dedup and the sum fuse into ONE aggregation (collect_set of the
+    // (tok, w) pairs, summed by a higher-order fold): collect_set
+    // partial-aggregates map-side and the set is bounded by
+    // 2 x |query tokens| per (qid, id), so this is one shuffle of
+    // pre-deduped small sets where distinct() + groupBy was two full
+    // shuffles of the raw hits relation (measured ~15% of batch-100q).
     val tokHits = hits
-      .distinct()
       .join(broadcast(qtok), Seq("tok"))
       .groupBy(col("qid"), col("id"))
-      .agg(sum(col("w")).cast("long").as("tok_raw"))
+      .agg(aggregate(collect_set(struct(col("tok"), col("w"))), lit(0L),
+        (acc, x) => acc + x.getField("w")).as("tok_raw"))
     // Phrase-bonus candidates: a phrase hit implies every remaining query
     // token hits (each is a substring of the phrase), so any (qid, id) with
     // raw > 0 already appears in tokHits — except queries whose tokens were
