@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextSearch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 semantics on a hand-computed corpus + plan-shape guards. */
+class TextSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // 4 docs, dl = 3/3/3/3, avgdl = 3, N = 4
+  //   d1: "cat cat cat"   d2: "cat dog fish"   d3: "dog dog dog"
+  //   d4: "bird bird bird"
+  private def corpus = {
+    import spark.implicits._
+    Seq((1L, "cat cat cat"), (2L, "cat dog fish"), (3L, "dog dog dog"),
+      (4L, "bird bird bird")).toDF("doc_id", "text")
+  }
+
+  private def bm25(terms: Seq[String], k: Int = 10) =
+    TextSearch.bm25TopK(corpus, "text", "doc_id", terms, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+  test("bm25 idf separates rare from common terms") {
+    // df(cat)=2, df(fish)=1 over N=4: idf(fish) > idf(cat), so the doc
+    // matching only fish-like evidence still reflects the rarity weight.
+    // d2 matches both terms; d1 matches cat three times.
+    val res = bm25(Seq("cat", "fish")).toMap
+    assert(res.contains(1L) && res.contains(2L) && !res.contains(3L) &&
+      !res.contains(4L))
+    // d2 (one cat + one fish) must outrank d1 (three cats): tf saturates
+    // (k1 = 1.2 caps the tf factor at ~2.2x) while a second, RARER term
+    // adds a full idf contribution
+    assert(res(2L) > res(1L), s"expected d2 > d1, got $res")
+  }
+
+  test("bm25 matches the closed form on a single term") {
+    // term dog: df=2, idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2); dl=avgdl
+    // so the length norm is 1 and score = idf * tf*2.2/(tf+1.2)
+    def expected(tf: Double) = math.log(2.0) * tf * 2.2 / (tf + 1.2)
+    val res = bm25(Seq("dog")).toMap
+    assert(math.abs(res(3L) - BigDecimal(expected(3) + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(res(2L) - BigDecimal(expected(1) + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bm25 ranks deterministically with asc-id tie-break and honors k") {
+    val res = bm25(Seq("dog"), k = 1)
+    assert(res.length == 1 && res.head._1 == 3L)
+  }
+
+  test("bm25 plan cuts with TakeOrderedAndProject and no cartesian corpus product") {
+    val df = TextSearch.bm25TopK(corpus, "text", "doc_id", Seq("cat"), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject cut in:\n$plan")
+    // the only nested-loop join allowed is the 1-row stats broadcast
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) in:\n$plan")
+  }
+}
