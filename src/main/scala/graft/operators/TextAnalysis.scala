@@ -338,4 +338,49 @@ object TextAnalysis {
          array_to_string(list_sort(tags), ',') AS tags,
          array_to_string(list_sort(list_distinct(prefixes0)), ',') AS tag_prefixes
        FROM pref ORDER BY doc_id"""
+
+  /** Token-budget shard packing (sequence packing): assign each document to
+    * a training shard by RUNNING token count within its source, so shards
+    * land near a fixed token budget (500 here) without a global sort. A
+    * global running sum would be a single-partition window — a driver-shaped
+    * bottleneck at 100 TB; partitioning the cumsum by source keeps every
+    * window group parallel and is what packing wants anyway (shards stay
+    * source-homogeneous for mixture accounting). At real scale the window
+    * key salts further — (source, ingest-date) — bounding any one
+    * sequential scan. A doc is assigned to the shard its CUMULATIVE-BEFORE
+    * count falls in (floor((cum - n_tok) / budget)): no shard splits a
+    * document, and a shard closes only once the running total crosses its
+    * cumulative boundary (an individual shard can undershoot the budget
+    * when a large straddling doc was counted against the previous one).
+    * Output is the per-shard summary (doc/token counts, id range).
+    */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 500.0
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tok"))
+      .withColumn("shard",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
+  val shardPackSql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tok
+       FROM documents),
+       c AS (SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t),
+       s AS (SELECT source,
+         CAST(FLOOR((cum - n_tok) / 500.0) AS BIGINT) AS shard, doc_id, n_tok
+         FROM c)
+       SELECT source, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 }

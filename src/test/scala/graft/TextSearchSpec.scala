@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextSearch
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** BM25 semantics on a hand-computed corpus + plan-shape guards. */
@@ -47,6 +48,42 @@ class TextSearchSpec extends AnyFunSuite {
   test("bm25 ranks deterministically with asc-id tie-break and honors k") {
     val res = bm25(Seq("dog"), k = 1)
     assert(res.length == 1 && res.head._1 == 3L)
+  }
+
+  test("shard packing: every non-final shard meets the budget, shards are " +
+    "contiguous, and totals conserve") {
+    val sf = "/root/testdata/sf0.001"
+    val shards = graft.operators.TextAnalysis.shardPack(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    val totalTok = docs
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    // conservation: every doc lands in exactly one shard
+    assert(shards.map(_.getLong(2)).sum == totalDocs)
+    assert(shards.map(_.getLong(3)).sum == totalTok)
+    shards.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // shard ids are 0..n-1 contiguous per source
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq,
+        s"non-contiguous shards for $src")
+      // a shard closes only after its cumulative boundary is crossed: the
+      // running total through shard k is >= (k+1) x 500 for every
+      // non-final k. (A single shard's own total CAN undershoot the
+      // budget when a large doc straddles the previous boundary and
+      // "steals" tokens — the boundary guarantee is cumulative.)
+      sorted.dropRight(1).zipWithIndex.foldLeft(0L) { case (cum, (r, k)) =>
+        val through = cum + r.getLong(3)
+        assert(through >= (k + 1) * 500L,
+          s"shard $k of $src closed before its boundary: $through")
+        through
+      }
+      // id ranges do not overlap across consecutive shards
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _ => ()
+      }
+    }
   }
 
   test("bm25 plan cuts with TakeOrderedAndProject and no cartesian corpus product") {
