@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions.tokens
+import graft.functions.round4
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -199,4 +200,80 @@ object TextPolicy {
            AS top_bigram_char_frac
        FROM top WHERE rn = 1 ORDER BY doc_id"""
   }
+
+  /** Corpus-level boilerplate n-gram filtering (the C4/RefinedWeb cleanup
+    * step): the most document-frequent 3-gram shingles ACROSS the corpus
+    * form the boilerplate list; a document is flagged when the fraction of
+    * its distinct shingles on that list exceeds `maxCoverage`. This is the
+    * cross-document complement of the WITHIN-doc Gopher signals
+    * ([[repetitionSignals]]) — nav bars, license headers, and signup
+    * prompts repeat across documents and are invisible per-doc.
+    *
+    * Scale shape: shingle explode is O(tokens); document frequency is one
+    * combiner-friendly groupBy on the shingle key; the top-K cut is a
+    * TakeOrderedAndProject (tie-break on the shingle text so engines pick
+    * the same list); the tiny list broadcasts back onto the per-doc
+    * shingles for the coverage aggregate. The corpus is never shuffled on
+    * anything wider than the shingle key, and never joined to itself.
+    * `flagged` compares the ROUNDED coverage in both engines so the
+    * threshold can never flip on sub-1e-4 float noise.
+    */
+  def boilerplateFlags(spark: SparkSession, dir: String, n: Int = 3,
+      topK: Int = 15, maxCoverage: Double = 0.5): DataFrame =
+    boilerplateFlags(Tables.documents(spark, dir), n, topK, maxCoverage)
+
+  /** DataFrame-parametric form — the library API; needs (doc_id, text). */
+  def boilerplateFlags(documents: DataFrame, n: Int,
+      topK: Int, maxCoverage: Double): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val shingleCols = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    val sh = toks
+      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", shingleCols: _*).as("sh"))
+      .distinct()
+    val top = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("sh")).limit(topK)
+    val perDoc = sh
+      .join(broadcast(top.select(col("sh"), lit(1).as("_b"))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_b").isNotNull, 1).otherwise(0)).cast("long").as("n_boiler"))
+    // sub-n-token docs have no shingles at all: join them back with zeros
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("coverage", round4(when(col("n_shingles") === 0, 0.0)
+        .otherwise(col("n_boiler").cast("double") / col("n_shingles"))))
+      .withColumn("flagged", col("coverage") > maxCoverage)
+      .orderBy("doc_id")
+  }
+
+  val boilerplateFlagsSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+       FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         FROM t WHERE len(tk) >= 3),
+       sh AS (SELECT DISTINCT doc_id,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos),
+       top AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh
+         GROUP BY 1 ORDER BY df DESC, sh ASC LIMIT 15),
+       pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN tp.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler
+         FROM sh s LEFT JOIN top tp ON tp.sh = s.sh GROUP BY 1),
+       cov AS (SELECT d.doc_id,
+           coalesce(pd.n_shingles, 0) AS n_shingles,
+           coalesce(pd.n_boiler, 0) AS n_boiler,
+           round(CASE WHEN coalesce(pd.n_shingles, 0) = 0 THEN 0.0
+             ELSE pd.n_boiler * 1.0 / pd.n_shingles END + 1e-9, 4) AS coverage
+         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+       SELECT doc_id, n_shingles, n_boiler, coverage, coverage > 0.5 AS flagged
+       FROM cov ORDER BY doc_id"""
 }

@@ -83,6 +83,29 @@ class TextPolicySpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("boilerplate flags documents dominated by cross-corpus frequent shingles") {
+    import spark.implicits._
+    // 6 docs share the 4-token header ("subscribe to our newsletter" -> two
+    // frequent 3-grams); d10 is ONLY the header (coverage 1.0), the others
+    // carry enough unique tail that coverage stays under the 0.5 threshold.
+    // d20 has no shingles at all (2 tokens).
+    val docs = ((1 to 5).map(i =>
+      (i.toLong, s"subscribe to our newsletter item$i alpha$i beta$i gamma$i delta$i")) :+
+      (10L, "subscribe to our newsletter") :+
+      (20L, "short doc")).toDF("doc_id", "text")
+    val res = TextPolicy.boilerplateFlags(docs, 3, 2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // top-2 by doc frequency (6 docs each): the two header 3-grams
+    assert(res(10L) == ((2L, 2L, 1.0, true)), s"got ${res(10L)}")
+    // tail docs: 9 tokens -> 7 shingles, 2 boiler -> 0.2857, unflagged
+    (1 to 5).foreach { i =>
+      val (n, b, cov, fl) = res(i.toLong)
+      assert(n == 7L && b == 2L && cov == 0.2857 && !fl, s"doc $i: ${res(i.toLong)}")
+    }
+    assert(res(20L) == ((0L, 0L, 0.0, false)))
+  }
+
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
     val rows = graft.operators.Dedup
       .semanticDedup(spark, "/root/testdata/sf0.001", threshold = 0.35)
