@@ -40,5 +40,22 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** embeddings.parquet: pin the vector element type to FLOAT on load. A
+    * regenerated file that writes list&lt;double&gt; (the pyarrow default when a
+    * generator stops down-casting) would otherwise ClassCastException every
+    * `getSeq[Float]` consumer — query-vector lookup, IVF build/append —
+    * and silently change cosine hashes. Same drift class as the events
+    * timestamp layout (r8): adapt at the loader, not at every call site.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = table(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _: ArrayType => raw.withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 }

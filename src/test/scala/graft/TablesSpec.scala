@@ -42,6 +42,26 @@ class TablesSpec extends AnyFunSuite {
     assert(epochMicros(writeAndLoad(timestamp_micros(lit(micros)))) == micros)
   }
 
+  test("embeddings pins the vector element type to float across layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for (cast <- Seq("array<float>", "array<double>")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-emb").toString
+      Seq((1L, Seq(0.25, -0.5, 1.0), 0))
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast(cast))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val loaded = Tables.embeddings(spark, tmp)
+      assert(loaded.schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = true) ||
+        loaded.schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = false),
+        s"layout $cast loaded as ${loaded.schema("embedding").dataType}")
+      // the getSeq[Float] consumer path (query-vector lookup, IVF build)
+      assert(loaded.head().getSeq[Float](1) == Seq(0.25f, -0.5f, 1.0f))
+    }
+  }
+
   test("events casts an NTZ ts column (timestamp[us] without zone metadata)") {
     // the timestamp[us] layout the r8 regeneration shipped reads back as
     // TIMESTAMP_NTZ; the session zone is UTC, so the wall-clock
