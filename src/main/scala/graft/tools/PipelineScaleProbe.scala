@@ -76,6 +76,14 @@ object PipelineScaleProbe {
       time(s"semanticdup n=$n") {
         graft.operators.Dedup.semanticDedup(vecs, threshold = 0.9).count()
       }
+      time(s"bm25        n=$n") {
+        graft.operators.TextSearch
+          .bm25TopK(docs, "text", "doc_id", Seq("catalyst", "shuffle", "codegen"), 10)
+          .count()
+      }
+      time(s"boilerplate n=$n") {
+        graft.operators.TextPolicy.boilerplateFlags(docs, 3, 15, 0.5).count()
+      }
       docs.unpersist(); vecs.unpersist()
     }
     spark.stop()
