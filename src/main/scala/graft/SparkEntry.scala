@@ -98,6 +98,9 @@ object SparkEntry {
     "q_quality_repetition" -> (TextPolicy.repetitionSignals _),
     "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d, threshold = 0.35)),
     "q_mix_sample" -> (TextAnalysis.mixtureSample _),
+    "q_dsir_weight" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "q_len_quantile" -> (TextAnalysis.lengthQuantiles _),
+    "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
   )
 
   private val centsSum: String => String = e =>
@@ -283,6 +286,9 @@ object SparkEntry {
     "q_quality_repetition" -> TextPolicy.repetitionSignalsSql,
     "q_dedup_semantic" -> Dedup.semanticDedupSql(threshold = 0.35),
     "q_mix_sample" -> TextAnalysis.mixtureSampleSql,
+    "q_dsir_weight" -> TextAnalysis.dsirWeightsSql,
+    "q_len_quantile" -> TextAnalysis.lengthQuantilesSql,
+    "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -383,4 +383,142 @@ object TextAnalysis {
          CAST(sum(n_tok) AS BIGINT) AS n_tok,
          min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score every
+    * raw-pool document by the log-likelihood ratio of its hashed n-gram
+    * features under a TARGET distribution vs the RAW distribution, so a
+    * pretraining pipeline can resample the web crawl toward a trusted
+    * domain. Features are unigrams + word bigrams hashed into `buckets`
+    * buckets (the paper uses 10^4; production would use 2^20 — the plan is
+    * identical); the target here is the corpus slice with `lang =
+    * targetLang`, add-1 smoothing on both distributions.
+    *
+    * Scale shape: ONE explode pass builds (doc, bucket) pairs, immediately
+    * reduced to per-(doc, bucket) counts — <= `buckets` rows per document
+    * regardless of length. BOTH downstream consumers (the global bucket
+    * distributions and the per-doc score) read that same aggregate, so the
+    * expensive explode+shuffle subplan is planned once and Catalyst's
+    * ReusedExchange serves the second consumer from the first's shuffle
+    * files (plan-verified in DataSelectionSpec). The raw-vs-target split is
+    * a conditional sum in the same aggregate, not a second scan; totals
+    * ride a window over the <= `buckets`-row count table (bounded, never
+    * corpus-sized); the log-ratio table broadcasts. No stage is more than
+    * linear in the corpus. `keep` compares the ROUNDED average so the sign
+    * can't flip on float noise.
+    */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 64,
+      targetLang: String = "en"): DataFrame =
+    dsirWeights(Tables.documents(spark, dir), buckets, targetLang)
+
+  /** DataFrame-parametric form — needs (doc_id, lang, text). */
+  def dsirWeights(documents: DataFrame, buckets: Int,
+      targetLang: String): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
+    val bigrams = when(size(col("ws")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+    val perDocBucket = base
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("ws"), bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+          lit(buckets)).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = perDocBucket.groupBy(col("b")).agg(
+      sum(col("cnt")).as("r_cnt"),
+      sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
+        .as("t_cnt"))
+    val all = Window.partitionBy()
+    val lam = counts
+      .withColumn("rt", sum(col("r_cnt")).over(all))
+      .withColumn("tt", sum(col("t_cnt")).over(all))
+      .select(col("b"),
+        (log((col("t_cnt") + 1.0) / (col("tt") + buckets)) -
+          log((col("r_cnt") + 1.0) / (col("rt") + buckets))).as("lam"))
+    // LEFT join, not inner: lam covers every observed bucket by
+    // construction, and an inner join would infer an isnotnull(b) filter
+    // on the probe side — which un-canonicalizes the shared feature
+    // aggregate and defeats ReusedExchange
+    perDocBucket.join(broadcast(lam), Seq("b"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        round4(sum(col("cnt") * col("lam")) / sum(col("cnt"))).as("avg_llr"))
+      .withColumn("keep", col("avg_llr") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    raw"""WITH t AS (SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+       uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM t),
+       bi AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS f
+         FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+               FROM t WHERE len(ws) >= 2) p),
+       f AS (SELECT doc_id, lang,
+           ('0x' || substr(md5(f), 1, 15))::BIGINT % 64 AS b
+         FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
+       cnt AS (SELECT b, count(*) AS r_cnt,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+         FROM f GROUP BY 1),
+       tot AS (SELECT sum(r_cnt) AS rt, sum(t_cnt) AS tt FROM cnt),
+       lam AS (SELECT b,
+           ln((t_cnt + 1.0) / (tt + 64)) - ln((r_cnt + 1.0) / (rt + 64)) AS lam
+         FROM cnt, tot)
+       SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
+         round(avg(l.lam) + 1e-9, 4) AS avg_llr,
+         round(avg(l.lam) + 1e-9, 4) > 0.0 AS keep
+       FROM f JOIN lam l ON l.b = f.b
+       GROUP BY f.doc_id, f.lang ORDER BY f.doc_id"""
+
+  /** Per-source length-quantile filtering: exact p10/p50/p90 of `n_chars`
+    * within each source, and the count of documents inside the [p10, p90]
+    * band — the standard outlier-length cut of a pretraining pipeline,
+    * computed PER SOURCE because length distributions differ wildly across
+    * domains (code vs chat vs web). Bounds compare against the ROUNDED
+    * quantiles so the band membership can't flip on float noise.
+    *
+    * Scale shape: the quantile aggregate groups by source (combiner-
+    * friendly for the count/avg parts; the exact percentile is a per-group
+    * sort). At 100 TB swap `percentile` for `percentile_approx(...,
+    * accuracy)` — a true streaming sketch aggregate with bounded state —
+    * and the rest of the plan (tiny per-source bounds broadcast back onto
+    * the corpus scan) is unchanged; the spec pins the approx variant's
+    * error against this exact one.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    lengthQuantiles(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — needs (doc_id, source, n_chars). */
+  def lengthQuantiles(documents: DataFrame): DataFrame = {
+    val q = documents.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, array(0.1D, 0.5D, 0.9D))").as("qs"))
+      .select(col("source"),
+        round4(element_at(col("qs"), 1)).as("p10"),
+        round4(element_at(col("qs"), 2)).as("p50"),
+        round4(element_at(col("qs"), 3)).as("p90"))
+    documents.join(broadcast(q), Seq("source"))
+      .groupBy(col("source"), col("p10"), col("p50"), col("p90"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("n_chars") >= col("p10") &&
+          col("n_chars") <= col("p90"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("p10"), col("p50"), col("p90"),
+        col("n_total"), col("n_kept"))
+      .orderBy("source")
+  }
+
+  val lengthQuantilesSql: String =
+    """WITH q AS (SELECT source,
+         round(quantile_cont(n_chars, 0.1) + 1e-9, 4) AS p10,
+         round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
+         round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90
+       FROM documents GROUP BY 1)
+       SELECT d.source, q.p10, q.p50, q.p90, count(*) AS n_total,
+         CAST(sum(CASE WHEN d.n_chars >= q.p10 AND d.n_chars <= q.p90
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents d JOIN q ON q.source = d.source
+       GROUP BY 1, 2, 3, 4 ORDER BY 1"""
 }

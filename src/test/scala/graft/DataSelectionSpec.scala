@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{GraphAnalytics, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the r9 data-selection/graph operators on hand-computed
+  * fixtures: DSIR importance weights, per-source length quantiles, and
+  * fixed-iteration PageRank.
+  */
+class DataSelectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("dsir: target-like docs score above off-target docs") {
+    import spark.implicits._
+    // target = lang 'en'. Docs 1-3 share the en vocabulary; doc 4 is
+    // disjoint: every one of its features appears only in raw, so its
+    // average log-ratio must be lower than every en doc's.
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "en", "a cat and a dog"),
+      (4L, "zh", "zhe ge mao zuo zai dian")).toDF("doc_id", "lang", "text")
+    val res = TextAnalysis.dsirWeights(docs, buckets = 64, targetLang = "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(res.size == 4)
+    val minEn = Seq(1L, 2L, 3L).map(res).min
+    assert(res(4L) < minEn, s"off-target doc must rank last: $res")
+    // en-only features are majority-target: positive average evidence
+    assert(minEn > res(4L) && res(4L) < 0.0, s"expected negative llr: $res")
+  }
+
+  test("dsir: n_feats counts unigrams plus bigrams") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b c"), (2L, "en", "solo"))
+      .toDF("doc_id", "lang", "text")
+    val res = TextAnalysis.dsirWeights(docs, buckets = 16, targetLang = "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(res(1L) == 5, s"3 unigrams + 2 bigrams: $res") // a b c, a b, b c
+    assert(res(2L) == 1, s"single token has no bigram: $res")
+  }
+
+  test("dsir: the feature aggregate is planned once and reused") {
+    // both distribution passes must consume the same per-(doc,bucket)
+    // shuffle — a plan with two exploded corpus scans would pay the
+    // dominant cost twice at 100 TB
+    val df = TextAnalysis.dsirWeights(spark, "/root/testdata/sf0.001")
+    df.collect() // execute THIS plan so AQE finalizes it (count() would
+                 // build and finalize a different QueryExecution)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || "Generate ".r.findAllIn(plan).size <= 1,
+      s"expected the explode subplan shared via exchange reuse:\n$plan")
+  }
+
+  test("length quantiles: exact percentile bounds and band membership") {
+    import spark.implicits._
+    // n_chars 10,20,30,40,50: p10 = 14, p50 = 30, p90 = 46 under linear
+    // interpolation (R-7): p = (n-1)*q, floor+frac interpolation.
+    val docs = (1 to 5).map(i => (i.toLong, "s0", i * 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = TextAnalysis.lengthQuantiles(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getDouble(1) == 14.0 && row.getDouble(2) == 30.0 &&
+      row.getDouble(3) == 46.0, s"unexpected quantiles: $row")
+    // band [14, 46] keeps 20, 30, 40
+    assert(row.getLong(4) == 5 && row.getLong(5) == 3, s"band count: $row")
+  }
+
+  test("pagerank: hand-computed chain a->b->c over 2 iterations") {
+    import spark.implicits._
+    // r0 = 1 everywhere. Iter1: a=0.15, b=0.15+0.85*1=1.0, c=1.0.
+    // Iter2: a=0.15, b=0.15+0.85*0.15=0.2775, c=0.15+0.85*1.0=1.0.
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val res = GraphAnalytics.pageRank(edges, iters = 2, damping = 0.85,
+      topK = 10).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(res("a") == 0.15 && res("b") == 0.2775 && res("c") == 1.0,
+      s"unexpected ranks: $res")
+  }
+
+  test("pagerank: out-degree splits mass and multi-edges collapse") {
+    import spark.implicits._
+    // a fans out to b and c (deg 2) with a duplicate a->b edge that must
+    // not double b's inflow. Iter1: b = c = 0.15 + 0.85 * (1/2) = 0.575.
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("src", "dst")
+    val res = GraphAnalytics.pageRank(edges, iters = 1, damping = 0.85,
+      topK = 10).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(res("b") == 0.575 && res("c") == 0.575 && res("a") == 0.15,
+      s"unexpected ranks: $res")
+  }
+
+  test("length quantiles: approx_percentile swap stays within 5% at sf0.001") {
+    // the 100 TB path uses the sketch aggregate; pin its drift against the
+    // exact per-source p50 on real data so the swap documented in the
+    // scaladoc is evidence, not hope.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5D)").as("p50"))
+    val approx = docs.groupBy("source")
+      .agg(expr("approx_percentile(n_chars, 0.5D, 1000)").as("ap50"))
+    val joined = exact.join(approx, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getDouble(1)
+      val a = r.getLong(2).toDouble
+      assert(math.abs(a - e) / math.max(e, 1.0) <= 0.05,
+        s"approx p50 drifted >5% for ${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+}
