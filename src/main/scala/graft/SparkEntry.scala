@@ -101,6 +101,8 @@ object SparkEntry {
     "q_dsir_weight" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_len_quantile" -> (TextAnalysis.lengthQuantiles _),
     "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
+    "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
+    "q_url_canonical" -> (TextPolicy.urlCanonical _),
   )
 
   private val centsSum: String => String = e =>
@@ -289,6 +291,8 @@ object SparkEntry {
     "q_dsir_weight" -> TextAnalysis.dsirWeightsSql,
     "q_len_quantile" -> TextAnalysis.lengthQuantilesSql,
     "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
+    "q_perplexity" -> TextPolicy.perplexityScoresSql,
+    "q_url_canonical" -> TextPolicy.urlCanonicalSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

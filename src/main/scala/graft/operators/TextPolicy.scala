@@ -254,6 +254,144 @@ object TextPolicy {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020): score each
+    * document by its average negative log-likelihood under a unigram
+    * language model estimated from the corpus itself, the classic
+    * "perplexity gate" of the CCNet/LLaMA data pipeline (there the LM is
+    * KenLM over Wikipedia; here the same decision shape with a
+    * corpus-unigram model — the target-corpus LM plugs in by swapping the
+    * vocab frame). Add-one smoothing over a top-`vocab` vocabulary;
+    * out-of-vocabulary tokens take the unseen-mass probability
+    * 1/(total + vocab + 1). Low avg-NLL = fluent/common text; high = junk
+    * or rare-language — the gate keeps the middle band in production.
+    *
+    * Scale shape: one combiner-friendly groupBy(token) builds the LM; the
+    * top-`vocab` cut is a TakeOrderedAndProject (ties break on the token
+    * text); the tiny vocab broadcasts back onto the token stream; one
+    * groupBy(doc) averages. The corpus never joins itself and never
+    * shuffles anything wider than (doc_id, token).
+    */
+  def perplexityScores(spark: SparkSession, dir: String,
+      vocab: Int = 20): DataFrame =
+    perplexityScores(Tables.documents(spark, dir), vocab)
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def perplexityScores(documents: DataFrame, vocab: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(desc("cnt"), asc("tok")).limit(vocab)
+    val lm = top.crossJoin(totals)
+      .select(col("tok"),
+        (-log((col("cnt") + 1.0) / (col("total") + vocab + 1.0))).as("nll"))
+    toks.join(broadcast(lm), Seq("tok"), "left")
+      .crossJoin(broadcast(totals.select(col("total").as("t2"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round4(avg(coalesce(col("nll"),
+          -log(lit(1.0) / (col("t2") + vocab + 1.0))))).as("avg_nll"),
+        sum(when(col("nll").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  val perplexityScoresSql: String =
+    raw"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(
+           lower(trim(text)), '\s+')) AS tok FROM documents),
+       cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+       tot AS (SELECT sum(cnt) AS total FROM cnt),
+       top AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT 20),
+       lm AS (SELECT tok, -ln((cnt + 1.0) / (total + 21.0)) AS nll
+         FROM top, tot)
+       SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         round(avg(coalesce(lm.nll, -ln(1.0 / (tot.total + 21.0)))) + 1e-9, 4)
+           AS avg_nll,
+         CAST(sum(CASE WHEN lm.nll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+       FROM tk LEFT JOIN lm ON lm.tok = tk.tok, tot
+       GROUP BY tk.doc_id ORDER BY tk.doc_id"""
+
+  /** Domains dropped by the URL policy gate (stand-in for the production
+    * blocklists — spam/adult/SEO-farm lists in C4/RefinedWeb).
+    */
+  val BlockedDomains: Seq[String] = Seq("site0.com", "site3.com")
+
+  /** URL canonicalization: lowercase scheme+host, strip the fragment and
+    * tracking parameters (utm_*, gclid, fbclid), normalize leftover
+    * separator debris. The standard pre-dedup URL cleanup of a web-scale
+    * pipeline — without it the same page survives dedup under thousands of
+    * tracking-tagged aliases. Pure chained regexp arithmetic in the
+    * Java/RE2-common dialect (no lookaround), whole-stage codegen.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(.*)", 1)
+    val stripped =
+      regexp_replace(rest, "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    val cleaned =
+      regexp_replace(regexp_replace(stripped, "\\?&", "?"), "[?&]$", "")
+    concat(scheme, lit("://"), host, cleaned)
+  }
+
+  /** Registrable domain of a canonicalized URL (www. stripped). */
+  def urlDomain(canonical: Column): Column =
+    regexp_replace(regexp_extract(canonical, "^[a-z]+://([^/?#]+)", 1),
+      "^www\\.", "")
+
+  /** Oracle query: deterministic URLs are injected per doc (mixed-case
+    * scheme/host, tracking params, fragments — identically in the SQL
+    * mirror), then canonicalized and policy-checked. `ref=kept` proves
+    * non-tracking params survive the strip.
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val raw = concat(
+      when(d % 4 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(d % 5 === 0, "WWW.").otherwise("www."),
+      lit("Site"), (d % 7).cast("string"), lit(".COM/page/"),
+      (d % 50).cast("string"),
+      when(d % 2 === 0, "?utm_source=feed&utm_campaign=x&ref=kept")
+        .otherwise(""),
+      when(d % 3 === 0, "#frag").otherwise(""))
+    Tables.documents(spark, dir)
+      .select(d, raw.as("url"))
+      .select(d, canonicalizeUrl(col("url")).as("canonical"),
+        col("url").rlike("utm_|gclid|fbclid").as("had_tracking"))
+      .withColumn("domain", urlDomain(col("canonical")))
+      .withColumn("blocked", col("domain").isin(BlockedDomains: _*))
+      .select(d, col("canonical"), col("domain"), col("had_tracking"),
+        col("blocked"))
+      .orderBy("doc_id")
+  }
+
+  val urlCanonicalSql: String = {
+    val inject = "(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END) " +
+      "|| '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE 'www.' END) " +
+      "|| 'Site' || (doc_id % 7) || '.COM/page/' || (doc_id % 50) " +
+      "|| (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x&ref=kept' ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)"
+    s"""WITH u AS (SELECT doc_id, $inject AS url FROM documents),
+       p AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
+       c AS (SELECT doc_id, url,
+           lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://' ||
+           lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)) ||
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_extract(nf, '^[A-Za-z]+://[^/?#]+(.*)', 1),
+             '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+             '\\?&', '?'), '[?&]$$', '') AS canonical
+         FROM p),
+       d AS (SELECT doc_id, canonical,
+           regexp_replace(regexp_extract(canonical, '^[a-z]+://([^/?#]+)', 1),
+             '^www\\.', '') AS domain,
+           regexp_matches(url, 'utm_|gclid|fbclid') AS had_tracking
+         FROM c)
+       SELECT doc_id, canonical, domain, had_tracking,
+         domain IN ('site0.com', 'site3.com') AS blocked
+       FROM d ORDER BY doc_id"""
+  }
+
   val boilerplateFlagsSql: String =
     raw"""WITH t AS (SELECT doc_id,
          regexp_split_to_array(lower(trim(text)), '\s+') AS tk

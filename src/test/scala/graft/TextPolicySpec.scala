@@ -106,6 +106,52 @@ class TextPolicySpec extends AnyFunSuite {
     assert(res(20L) == ((0L, 0L, 0.0, false)))
   }
 
+  test("perplexity: common text scores lower NLL than rare text, OOV counted") {
+    import spark.implicits._
+    // vocab=2 keeps {the, cat}; "zq" and "xv" are OOV. Corpus: 4x the,
+    // 2x cat, 1x zq, 1x xv -> total 8, smoothing denom 8 + 2 + 1 = 11.
+    val docs = Seq(
+      (1L, "the cat the cat"), // all in-vocab
+      (2L, "the zq xv the")    // half OOV
+    ).toDF("doc_id", "text")
+    val res = TextPolicy.perplexityScores(docs, vocab = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    val nllThe = -math.log(5.0 / 11.0) // cnt 4 + 1
+    val nllCat = -math.log(3.0 / 11.0)
+    val nllOov = -math.log(1.0 / 11.0)
+    def r4(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res(1L) == ((4L, r4((2 * nllThe + 2 * nllCat) / 4), 0L)),
+      s"got ${res(1L)}")
+    assert(res(2L) == ((4L, r4((2 * nllThe + 2 * nllOov) / 4), 2L)),
+      s"got ${res(2L)}")
+    assert(res(2L)._2 > res(1L)._2, "OOV-heavy doc must score higher NLL")
+  }
+
+  test("url canonicalization: case, fragments, and tracking params") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM/A?utm_source=x&ref=1#frag",
+        "https://www.ex.com/A?ref=1", "ex.com"),
+      ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p", "ex.com"),
+      ("http://sub.ex.com/p?ref=1&gclid=zz", "http://sub.ex.com/p?ref=1",
+        "sub.ex.com"),
+      ("https://ex.com/plain", "https://ex.com/plain", "ex.com"))
+    // NOTE: path case is preserved — only scheme+host lowercase
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val res = df.select(col("id"),
+        TextPolicy.canonicalizeUrl(col("url")).as("c"))
+      .withColumn("d", TextPolicy.urlDomain(col("c")))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    cases.zipWithIndex.foreach { case ((raw, canon, dom), i) =>
+      assert(res(i.toLong) == ((canon, dom)),
+        s"$raw -> ${res(i.toLong)}, expected ($canon, $dom)")
+    }
+  }
+
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
     val rows = graft.operators.Dedup
       .semanticDedup(spark, "/root/testdata/sf0.001", threshold = 0.35)
