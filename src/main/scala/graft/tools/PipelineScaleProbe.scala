@@ -84,6 +84,23 @@ object PipelineScaleProbe {
       time(s"boilerplate n=$n") {
         graft.operators.TextPolicy.boilerplateFlags(docs, 3, 15, 0.5).count()
       }
+      time(s"perplexity  n=$n") {
+        graft.operators.TextPolicy.perplexityScores(docs, vocab = 12).count()
+      }
+      val langDocs = docs.withColumn("lang",
+        when(col("doc_id") % 3 === 0, "zh").otherwise("en"))
+      time(s"dsir        n=$n") {
+        graft.operators.TextAnalysis
+          .dsirWeights(langDocs, buckets = 64, targetLang = "en").count()
+      }
+      // random multigraph: n edges over n/10 nodes, avg degree ~10
+      val edges = spark.range(n).select(
+        concat(lit("n"), (mix(col("id") * 13) % (n / 10)).cast("string")).as("src"),
+        concat(lit("n"), (mix(col("id") * 29 + 7) % (n / 10)).cast("string")).as("dst"))
+      time(s"pagerank3   n=$n") {
+        graft.operators.GraphAnalytics
+          .pageRank(edges, iters = 3, damping = 0.85, topK = 30).count()
+      }
       docs.unpersist(); vecs.unpersist()
     }
     spark.stop()
