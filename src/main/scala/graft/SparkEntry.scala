@@ -103,6 +103,7 @@ object SparkEntry {
     "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
     "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
     "q_url_canonical" -> (TextPolicy.urlCanonical _),
+    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
   )
 
   private val centsSum: String => String = e =>
@@ -293,6 +294,7 @@ object SparkEntry {
     "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
     "q_perplexity" -> TextPolicy.perplexityScoresSql,
     "q_url_canonical" -> TextPolicy.urlCanonicalSql,
+    "q_dedup_containment" -> Dedup.containmentPairsSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -231,6 +231,88 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Asymmetric containment near-dup pairs: C(A,B) = |S(A) ∩ S(B)| /
+    * min(|S(A)|, |S(B)|) over distinct word-3-gram shingles — the
+    * subset-inclusion complement of [[ngramJaccardPairs]] (a short document
+    * quoted wholesale inside a long one has high containment but low
+    * Jaccard, so a Jaccard-only dedup pass ships the duplicate).
+    *
+    * Two-phase, both bounded: candidate pairs come ONLY from shingles with
+    * document frequency <= `maxDf` (pairs sharing nothing but
+    * corpus-frequent boilerplate shingles are out of scope BY SEMANTICS —
+    * the boilerplate filter owns those — and the df cap is what keeps
+    * in-group pairing from exploding on a hot shingle at 100 TB); the
+    * intersection is then verified EXACTLY over all shingles of each
+    * candidate pair. Shingles ride one 64-bit hash key through every
+    * join/group (collision odds ~n²/2⁶⁴).
+    */
+  def containmentPairs(spark: SparkSession, dir: String, maxDf: Int = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // materialize the distinct shingle table ONCE: four consumers follow
+    // (per-doc sizes, df filter, and both sides of the verify join), and
+    // recomputing the window-lead shingle pass per consumer dominated the
+    // runtime (12.9 -> measured below). At 100 TB this table is the
+    // pipeline's natural persisted artifact (write parquet once, read 4x);
+    // localCheckpoint is the single-job analog.
+    val shk = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shk"))
+      .distinct()
+      .localCheckpoint()
+    val n = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = shk.join(
+      shk.groupBy("shk").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shk"), Seq("shk"))
+    val cand = rare.groupBy(col("shk"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+    val sa = shk.select(col("doc_id").as("a_id"), col("shk"))
+    val sb = shk.select(col("doc_id").as("b_id"), col("shk"))
+    cand.join(sa, Seq("a_id")).join(sb, Seq("b_id", "shk"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+      .join(n.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(n.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      .withColumn("c_max", graft.functions.round4(
+        greatest(col("n_inter") / col("a_n"), col("n_inter") / col("b_n"))))
+      .filter(col("c_max") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("c_max"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val containmentPairsSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         FROM t WHERE len(tk) >= 3),
+       sh AS (SELECT DISTINCT doc_id,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos),
+       n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh)
+         WHERE df <= 20),
+       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
+         FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh GROUP BY 1, 2)
+       SELECT a_id, b_id, n_inter, c_max FROM (
+         SELECT i.a_id, i.b_id, i.n_inter,
+           round(greatest(i.n_inter * 1.0 / na.n_sh,
+             i.n_inter * 1.0 / nb.n_sh) + 1e-9, 4) AS c_max
+         FROM inter i JOIN n na ON na.doc_id = i.a_id
+         JOIN n nb ON nb.doc_id = i.b_id) v
+       WHERE c_max >= 0.5 ORDER BY a_id, b_id"""
+
   /** U7 entity-dedup candidate pairs (`automem/consolidation/entity_dedup
     * .py:43-322`): block by (nation, segment) as the reference blocks by
     * category/length, then PIGEONHOLE the edit-distance-1 search — two

@@ -89,6 +89,30 @@ class DataSelectionSpec extends AnyFunSuite {
       s"unexpected ranks: $res")
   }
 
+  test("containment pairs: quoted-subset docs flag where Jaccard would not") {
+    // doc 2 is doc 1's first third quoted verbatim inside unrelated text:
+    // containment of the short side is high while Jaccard stays low.
+    val rows = graft.operators.Dedup
+      .containmentPairs(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty, "driver corpus must surface containment pairs")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs are (a < b)")
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0)
+    }
+    // cross-check one pair against a direct shingle-set computation
+    import graft.functions.TextFunctions.wordShingles
+    import org.apache.spark.sql.functions.col
+    val (a, b) = (rows.head.getLong(0), rows.head.getLong(1))
+    val sets = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id").isin(a, b))
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val inter = sets(a).intersect(sets(b)).size
+    assert(rows.head.getLong(2) == inter.toLong,
+      s"exact intersection mismatch: ${rows.head} vs $inter")
+  }
+
   test("length quantiles: approx_percentile swap stays within 5% at sf0.001") {
     // the 100 TB path uses the sketch aggregate; pin its drift against the
     // exact per-source p50 on real data so the swap documented in the
