@@ -510,6 +510,30 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** One-pass sketch-based corpus profile: per source, doc/token totals,
+    * HyperLogLog++ distinct-text estimate (the dedup-rate gauge), and
+    * KLL-sketch length quantiles. This is THE profiling shape at 100 TB:
+    * every aggregate here is a mergeable bounded-memory sketch computed in
+    * a single combiner-friendly pass — no sort, no second scan, no exact
+    * distinct's full shuffle. NOT DuckDB-oracle-gated (sketch internals are
+    * not engine-portable); the gate is DataSelectionSpec, which pins the
+    * sketch error against exact answers (<=5%) on real data.
+    */
+  def corpusProfile(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("n_chars"), md5(col("text")).as("h"),
+        tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("h"), 0.01).as("approx_distinct_texts"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        expr("approx_percentile(n_chars, array(0.5D, 0.9D), 5000)").as("q"))
+      .select(col("source"), col("n_docs"), col("approx_distinct_texts"),
+        col("n_tokens"),
+        element_at(col("q"), 1).as("p50_chars"),
+        element_at(col("q"), 2).as("p90_chars"))
+      .orderBy("source")
+
   val lengthQuantilesSql: String =
     """WITH q AS (SELECT source,
          round(quantile_cont(n_chars, 0.1) + 1e-9, 4) AS p10,

@@ -151,12 +151,24 @@ object StreamingIngest {
   def hygieneStream(docs: DataFrame, keepRate: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
     val coin = TextFunctions.md5Bucket("mix#", col("doc_id"), 1000)
-    docs
+    val base = docs
       .withColumn("redacted", graft.operators.TextPolicy.redactPii(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("keep", coin < keepRate * 1000)
+    // URL policy joins the hygiene pass when the stream carries a url
+    // column — same stateless expressions as the batch oracle
+    // (q_url_canonical), so the flags can never drift between modes
+    if (docs.schema.fieldNames.contains("url"))
+      base
+        .withColumn("canonical_url",
+          graft.operators.TextPolicy.canonicalizeUrl(col("url")))
+        .withColumn("domain",
+          graft.operators.TextPolicy.urlDomain(col("canonical_url")))
+        .withColumn("url_blocked",
+          col("domain").isin(graft.operators.TextPolicy.BlockedDomains: _*))
+    else base
   }
 
   /** Micro-batch ingest into the memories table: the streaming counterpart

@@ -113,6 +113,27 @@ class DataSelectionSpec extends AnyFunSuite {
       s"exact intersection mismatch: ${rows.head} vs $inter")
   }
 
+  test("corpus profile: sketch aggregates stay within 5% of exact answers") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val prof = TextAnalysis.corpusProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = docs
+      .groupBy("source")
+      .agg(countDistinct(md5(col("text"))).as("d"),
+        expr("percentile(n_chars, 0.5D)").as("p50"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(prof.keySet == exact.keySet)
+    exact.foreach { case (src, (d, p50)) =>
+      val row = prof(src)
+      assert(math.abs(row.getLong(2) - d).toDouble / d <= 0.05,
+        s"$src distinct: sketch ${row.getLong(2)} vs exact $d")
+      assert(math.abs(row.getLong(4) - p50) / math.max(p50, 1.0) <= 0.05,
+        s"$src p50: sketch ${row.getLong(4)} vs exact $p50")
+    }
+  }
+
   test("length quantiles: approx_percentile swap stays within 5% at sf0.001") {
     // the 100 TB path uses the sketch aggregate; pin its drift against the
     // exact per-source p50 on real data so the swap documented in the

@@ -337,13 +337,16 @@ class ExtendedSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-hyg").toString
     Seq(
-      (100L, "reach me at jo.doe@example.com about the spark rollout plan"),
-      (101L, "el informe de la semana pasada sobre los datos y las tablas"),
-      (102L, "plain unremarkable note with no sensitive content at all"))
-      .toDF("doc_id", "text")
+      (100L, "reach me at jo.doe@example.com about the spark rollout plan",
+        "HTTPS://WWW.Site0.COM/a?utm_source=x&ref=1#f"),
+      (101L, "el informe de la semana pasada sobre los datos y las tablas",
+        "https://ok.com/b?gclid=9"),
+      (102L, "plain unremarkable note with no sensitive content at all",
+        "https://ok.com/c"))
+      .toDF("doc_id", "text", "url")
       .write.mode("overwrite").parquet(s"$tmp/in")
     val stream = spark.readStream
-      .schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+      .schema("doc_id LONG, text STRING, url STRING").parquet(s"$tmp/in")
     val q = StreamingIngest.hygieneStream(stream)
       .writeStream.format("memory").queryName("stream_hygiene")
       .outputMode("append")
@@ -356,6 +359,13 @@ class ExtendedSpec extends AnyFunSuite {
     assert(!rows(100L).getAs[String]("redacted").contains("example.com"))
     assert(rows(101L).getAs[String]("lang_pred") == "es")
     assert(rows.values.forall(_.getAs[Int]("n_tokens") > 0))
+    // URL policy on the stream: canonicalized + blocklist, same
+    // expressions as the q_url_canonical batch oracle
+    assert(rows(100L).getAs[String]("canonical_url") ==
+      "https://www.site0.com/a?ref=1")
+    assert(rows(100L).getAs[Boolean]("url_blocked"))
+    assert(rows(101L).getAs[String]("canonical_url") == "https://ok.com/b")
+    assert(!rows(101L).getAs[Boolean]("url_blocked"))
     // the streaming coin is the same md5 coin the batch oracle gates —
     // flags must agree with the batch expression bit-for-bit
     val batchKeep = StreamingIngest.hygieneStream(
