@@ -311,6 +311,81 @@ object TextPolicy {
        FROM tk LEFT JOIN lm ON lm.tok = tk.tok, tot
        GROUP BY tk.doc_id ORDER BY tk.doc_id"""
 
+  /** Composed hygiene funnel with per-stage drop accounting: every document
+    * is attributed to the FIRST stage that drops it (language gate →
+    * quality floor → repetition cut → fingerprint dedup keep-first) or to
+    * 'kept'. The funnel is how a production pipeline audits itself — per-
+    * stage counts are the number a data engineer checks before and after
+    * every recipe change, and attribution-to-first-failure makes the stage
+    * counts sum exactly to the corpus (no double counting).
+    *
+    * Scale shape: all quality signals are stateless column expressions on
+    * ONE scan; the only shuffle is the fingerprint window — the dedup
+    * shuffle the pipeline pays anyway — plus the tiny stage aggregate. The
+    * thresholds compare ROUNDED signals (round4 both engines) so stage
+    * attribution can't flip on float noise.
+    */
+  def hygieneFunnel(spark: SparkSession, dir: String): DataFrame =
+    hygieneFunnel(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def hygieneFunnel(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, langId, qualityScore}
+    val ws = tokens(col("text"))
+    val dupfrac = when(size(ws) >= 2,
+      round4((size(ws) - size(array_distinct(ws))).cast("double") / size(ws)))
+      .otherwise(lit(0.0))
+    documents
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .withColumn("stage",
+        when(langId(col("text")) =!= "en", "a_lang")
+          .when(qualityScore(col("text")) < 0.5, "b_quality")
+          .when(dupfrac > 0.65, "c_repetition")
+          .when(col("rn") > 1, "d_fingerprint_dup")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("stage")
+  }
+
+  val hygieneFunnelSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    s"""WITH h AS (SELECT doc_id, text,
+         CAST(len(list_intersect(list_distinct($toks), ['the','and','of','is'])) AS INT) AS h_en,
+         CAST(len(list_intersect(list_distinct($toks), ['el','la','de','que'])) AS INT) AS h_es,
+         CAST(len(list_intersect(list_distinct($toks), ['der','die','und','das'])) AS INT) AS h_de,
+         CAST(len(list_intersect(list_distinct($toks), ['le','les','et','une'])) AS INT) AS h_fr
+       FROM documents),
+       lang AS (SELECT doc_id,
+         CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
+              WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+              WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+              ELSE 'fr' END AS lp FROM h),
+       qual AS (SELECT doc_id,
+         round(least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END) / 200.0) * 0.4
+         + least(1.0, (CASE WHEN len($toks) = 0 THEN 0.0 ELSE len(list_filter($toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len($toks) END) * 5.0) * 0.3
+         + (1.0 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) END) * 10.0)) * 0.3 + 1e-9, 4) AS quality
+       FROM documents),
+       rep AS (SELECT doc_id,
+         round((len($toks) - len(list_distinct($toks))) * 1.0 / len($toks) + 1e-9, 4) AS dupfrac
+         FROM documents WHERE len($toks) >= 2),
+       fpk AS (SELECT doc_id, row_number() OVER (PARTITION BY
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 320)
+           ORDER BY doc_id) AS rn FROM documents),
+       staged AS (SELECT d.doc_id,
+         CASE WHEN lang.lp <> 'en' THEN 'a_lang'
+              WHEN qual.quality < 0.5 THEN 'b_quality'
+              WHEN coalesce(rep.dupfrac, 0) > 0.65 THEN 'c_repetition'
+              WHEN fpk.rn > 1 THEN 'd_fingerprint_dup'
+              ELSE 'kept' END AS stage
+         FROM documents d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+         LEFT JOIN rep USING (doc_id) JOIN fpk USING (doc_id))
+       SELECT stage, count(*) AS n, min(doc_id) AS first_doc
+       FROM staged GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Domains dropped by the URL policy gate (stand-in for the production
     * blocklists — spam/adult/SEO-farm lists in C4/RefinedWeb).
     */

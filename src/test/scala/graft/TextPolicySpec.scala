@@ -152,6 +152,29 @@ class TextPolicySpec extends AnyFunSuite {
     }
   }
 
+  test("hygiene funnel: stages conserve the corpus and attribute first failure") {
+    import spark.implicits._
+    val docs = Seq(
+      // el/la/de markers dominate -> dropped at a_lang even though the
+      // quality floor would ALSO fail it: first failing stage owns the doc
+      (1L, "el la de que el la de que"),
+      // english markers, quality >= 0.5 (long enough, stopwords, no punct
+      // flood), distinct words -> kept
+      (2L, "the cat and dog of the house is happy with all the good things around here today"),
+      // english but degenerate repetition -> c_repetition
+      (3L, "the the the the the the the the the the the the the the the the"),
+      // exact duplicate of doc 2 (same fingerprint) -> d_fingerprint_dup
+      (4L, "the cat and dog of the house is happy with all the good things around here today"))
+      .toDF("doc_id", "text")
+    val res = TextPolicy.hygieneFunnel(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res.values.map(_._1).sum == 4, s"funnel must conserve: $res")
+    assert(res("a_lang") == ((1L, 1L)), s"got $res")
+    assert(res("c_repetition") == ((1L, 3L)), s"got $res")
+    assert(res("d_fingerprint_dup") == ((1L, 4L)), s"got $res")
+    assert(res("kept") == ((1L, 2L)), s"got $res")
+  }
+
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
     val rows = graft.operators.Dedup
       .semanticDedup(spark, "/root/testdata/sf0.001", threshold = 0.35)
