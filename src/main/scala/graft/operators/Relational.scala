@@ -173,6 +173,49 @@ object Relational {
          max(n_events) AS max_session_events
        FROM per_session GROUP BY 1 ORDER BY 1"""
 
+  /** As-of join (trades/quotes shape): each purchase event picks up the
+    * user's most recent STRICTLY-PRIOR click (order (ts, event_id), so
+    * same-timestamp ties resolve deterministically). Implemented as the
+    * scalable union-window as-of: both event kinds ride ONE stream
+    * partitioned by user, and `last(click_field, ignoreNulls)` over
+    * rows-unbounded-preceding..-1 carries the latest click forward — no
+    * range join, no per-row probe, one shuffle on the join key, O(1) window
+    * state per row. The naive alternative (theta-join click.ts <= purchase
+    * .ts + per-pair max) explodes quadratically per hot user at 100 TB;
+    * this plan is linear and is also the shape that ports to a watermarked
+    * stream.
+    */
+  def asofClickForPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_val",
+        when(col("event_type") === "click", col("value")))
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last(col("click_val"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("asof_click_id"),
+        col("asof_click_value"))
+      .orderBy("event_id")
+  }
+
+  val asofClickForPurchaseSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, ts, value
+         FROM events WHERE event_type IN ('purchase', 'click')),
+       t AS (SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             OVER w AS asof_click_id,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER w AS asof_click_value
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       SELECT event_id, user_id, asof_click_id, asof_click_value
+       FROM t WHERE event_type = 'purchase' ORDER BY event_id"""
+
   /** Set ops: customers with 'O' orders EXCEPT customers with 'F' orders
     * (sync-diff shape, `automem/sync/accounting.py:44-111`).
     */

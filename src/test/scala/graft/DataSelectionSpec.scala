@@ -113,6 +113,33 @@ class DataSelectionSpec extends AnyFunSuite {
       s"exact intersection mismatch: ${rows.head} vs $inter")
   }
 
+  test("as-of join: strictly-prior click, per user, null when none") {
+    import org.apache.spark.sql.functions._
+    // verify against a per-row recomputation on real data: for each
+    // purchase, the latest click with (ts, event_id) strictly before it
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    val expected = ev.filter(_._3 == "purchase").map { case (id, u, _, ts) =>
+      val prior = ev.filter(e => e._2 == u && e._3 == "click" &&
+        (e._4 < ts || (e._4 == ts && e._1 < id)))
+      id -> (if (prior.isEmpty) None
+             else Some(prior.maxBy(e => (e._4, e._1))._1))
+    }.toMap
+    val got = graft.operators.Relational
+      .asofClickForPurchase(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got == expected)
+    assert(got.values.exists(_.isEmpty),
+      "fixture should include a purchase with no prior click")
+  }
+
   test("corpus profile: sketch aggregates stay within 5% of exact answers") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
