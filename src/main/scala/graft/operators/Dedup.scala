@@ -266,20 +266,32 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     val n = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = shk.join(
-      shk.groupBy("shk").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("shk"), Seq("shk"))
-    val cand = rare.groupBy(col("shk"))
+    val byDf = shk.groupBy("shk").agg(count(lit(1)).as("df"))
+    // the intersection splits by shingle frequency: rare-shared counts fall
+    // out of candidate pairing itself (each shared rare shingle emits
+    // exactly one pair row), and only the TINY frequent-shingle set (df >
+    // maxDf — boilerplate, a few dozen keys at any corpus size worth having)
+    // is joined per candidate pair to complete the exact count. Joining
+    // candidates against EVERY shingle of both docs instead was the
+    // dominant cost (~|cand| x avg-shingles rows, measured 9.3 s warm at
+    // sf0.1 vs 3.9 s for this split).
+    val rare = shk.join(byDf.filter(col("df") <= maxDf).select("shk"), Seq("shk"))
+    val rarePairs = rare.groupBy(col("shk"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(col("ds")).as("a_id"), col("ds"))
       .select(col("a_id"), explode(col("ds")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .distinct()
-    val sa = shk.select(col("doc_id").as("a_id"), col("shk"))
-    val sb = shk.select(col("doc_id").as("b_id"), col("shk"))
-    cand.join(sa, Seq("a_id")).join(sb, Seq("b_id", "shk"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("rare_inter"))
+    val freqSh = shk.join(byDf.filter(col("df") > maxDf).select("shk"), Seq("shk"))
+    val freqInter = rarePairs.select(col("a_id"), col("b_id"))
+      .join(freqSh.select(col("doc_id").as("a_id"), col("shk")), Seq("a_id"))
+      .join(freqSh.select(col("doc_id").as("b_id"), col("shk")), Seq("b_id", "shk"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("freq_inter"))
+    rarePairs
+      .join(freqInter, Seq("a_id", "b_id"), "left")
+      .withColumn("n_inter",
+        col("rare_inter") + coalesce(col("freq_inter"), lit(0L)))
       .join(n.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
       .join(n.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .withColumn("c_max", graft.functions.round4(
