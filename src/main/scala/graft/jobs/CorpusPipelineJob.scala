@@ -1,0 +1,85 @@
+package graft.jobs
+
+import graft.operators.{TextAnalysis, TextPolicy}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end training-corpus preparation as ONE spark-submit job: the
+  * runnable composition of the hygiene operator family — per-document stage
+  * attribution (language gate → quality floor → repetition cut →
+  * fingerprint dedup), PII redaction of the survivors, optional URL
+  * canonicalization + domain blocklist when a `url` column is present, and
+  * token-budget shard packing when a `source` column is present. Writes
+  * four relations under the output root:
+  *
+  *   kept/     survivors with redacted text (+ canonical_url/url_blocked)
+  *   funnel/   per-stage drop accounting (counts sum to the input corpus)
+  *   profile/  one-pass sketch corpus profile of the INPUT (per source)
+  *   shards/   token-budget shard summary of the survivors
+  *
+  * Every stage is the same oracle-gated/spec-gated operator the library
+  * exposes individually — the job adds only composition and I/O, so the
+  * correctness gates carry over. Scale shape: one corpus scan feeds the
+  * stage expressions, the fingerprint window is the single wide shuffle,
+  * and the shard window parallelizes per source (see the operator docs).
+  *
+  * Usage: CorpusPipelineJob <documentsPath> <outRoot> [tokenBudget]
+  */
+object CorpusPipelineJob {
+
+  /** Run the pipeline; returns (kept, funnel, profile, shards) — shards is
+    * empty when the input has no `source` column.
+    */
+  def run(documents: DataFrame, tokenBudget: Double = 500.0)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    val staged = TextPolicy.hygieneStaged(documents)
+    val funnel = staged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("stage")
+    val keptBase = staged.filter(col("stage") === "kept").drop("stage")
+      .withColumn("text", TextPolicy.redactPii(col("text")))
+    val kept =
+      if (documents.schema.fieldNames.contains("url"))
+        keptBase
+          .withColumn("canonical_url",
+            TextPolicy.canonicalizeUrl(col("url")))
+          .withColumn("url_blocked", TextPolicy
+            .urlDomain(col("canonical_url"))
+            .isin(TextPolicy.BlockedDomains: _*))
+      else keptBase
+    val hasSource = documents.schema.fieldNames.contains("source")
+    val profile =
+      if (hasSource) TextAnalysis.corpusProfile(documents)
+      else spark.emptyDataFrame
+    val shards =
+      if (hasSource) TextAnalysis.shardPack(kept, tokenBudget)
+      else spark.emptyDataFrame
+    (kept, funnel, profile, shards)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CorpusPipelineJob <documentsPath> <outRoot> [tokenBudget]")
+    val Array(docsPath, outRoot) = args.take(2)
+    val budget = args.lift(2).map(_.toDouble).getOrElse(500.0)
+    // only stop the session on exit if this main created it — under a test
+    // or notebook harness getOrCreate returns the caller's shared session
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val docs = spark.read.parquet(docsPath)
+      val (kept, funnel, profile, shards) = run(docs, budget)
+      kept.write.mode("overwrite").parquet(s"$outRoot/kept")
+      funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
+      if (profile.schema.nonEmpty)
+        profile.write.mode("overwrite").parquet(s"$outRoot/profile")
+      if (shards.schema.nonEmpty)
+        shards.write.mode("overwrite").parquet(s"$outRoot/shards")
+    } finally if (!preExisting) spark.stop()
+  }
+}

@@ -354,10 +354,13 @@ object TextAnalysis {
     * when a large straddling doc was counted against the previous one).
     * Output is the per-shard summary (doc/token counts, id range).
     */
-  def shardPack(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 500.0
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPack(Tables.documents(spark, dir), budget = 500.0)
+
+  /** DataFrame-parametric form — needs (doc_id, source, text). */
+  def shardPack(documents: DataFrame, budget: Double): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tok"))
       .withColumn("shard",

@@ -328,8 +328,11 @@ object TextPolicy {
   def hygieneFunnel(spark: SparkSession, dir: String): DataFrame =
     hygieneFunnel(Tables.documents(spark, dir))
 
-  /** DataFrame-parametric form — needs (doc_id, text). */
-  def hygieneFunnel(documents: DataFrame): DataFrame = {
+  /** Per-document stage attribution (the funnel's row form): adds `stage`
+    * = first failing hygiene stage or 'kept'. Needs (doc_id, text); extra
+    * columns pass through (the pipeline job keeps them on survivors).
+    */
+  def hygieneStaged(documents: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{fingerprint, langId, qualityScore}
     val ws = tokens(col("text"))
     val dupfrac = when(size(ws) >= 2,
@@ -344,10 +347,15 @@ object TextPolicy {
           .when(dupfrac > 0.65, "c_repetition")
           .when(col("rn") > 1, "d_fingerprint_dup")
           .otherwise("kept"))
+      .drop("rn")
+  }
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def hygieneFunnel(documents: DataFrame): DataFrame =
+    hygieneStaged(documents)
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy("stage")
-  }
 
   val hygieneFunnelSql: String = {
     val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
