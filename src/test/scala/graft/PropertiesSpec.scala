@@ -188,4 +188,79 @@ class PropertiesSpec extends AnyFunSuite {
     val got = ccOnSpark(n, chain)
     assert(got.values.toSet == Set(0L), s"all nodes must collapse to 0: $got")
   }
+
+  /** Driver-side PageRank, the independent reference for the iterative
+    * DataFrame loop (same simplified formula: no dangling redistribution).
+    */
+  private def brutePageRank(edges: Seq[(String, String)], iters: Int,
+      damping: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outDeg = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outDeg(s) }.sum).toMap
+      r = nodes.map(v => v -> (1 - damping + damping * inflow.getOrElse(v, 0.0))).toMap
+    }
+    r.map { case (k, v) => k -> BigDecimal(v + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("pagerank matches a driver-side reference on random multigraphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(3, 12)
+      m <- Gen.choose(1, 25)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield es.filter(e => e._1 != e._2).map(e => (s"n${e._1}", s"n${e._2}"))
+    forSamples(graphGen, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val got = operators.GraphAnalytics
+          .pageRank(edges.toDF("src", "dst"), iters = 3, damping = 0.85,
+            topK = 1000)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got == brutePageRank(edges, 3, 0.85),
+          s"mismatch on edges $edges")
+      }
+    }
+  }
+
+  test("containment pairs match a driver-side reference on random corpora") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docGen = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val corpusGen = Gen.choose(4, 8).flatMap(k => Gen.listOfN(k, docGen))
+    def shingles(text: String): Set[String] =
+      text.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    forSamples(corpusGen, n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val df = sets.values.flatten.toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val rare = df.filter(_._2 <= 3).keySet
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        if sa.intersect(sb).exists(rare)
+        inter = sa.intersect(sb).size
+        cMax = BigDecimal(inter.toDouble / math.min(sa.size, sb.size) + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cMax >= 0.5
+      } yield (a, b, inter.toLong, cMax)).toSet
+      // route the random corpus through the library operator via a temp view
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cont").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val got = operators.Dedup.containmentPairs(spark, tmp, maxDf = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expected, s"corpus $texts: got $got expected $expected")
+    }
+  }
 }
