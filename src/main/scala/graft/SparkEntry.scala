@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_hygiene_funnel" -> (TextPolicy.hygieneFunnel _),
     "q_asof_join" -> (Relational.asofClickForPurchase _),
+    "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
   )
 
   private val centsSum: String => String = e =>
@@ -299,6 +300,7 @@ object SparkEntry {
     "q_dedup_containment" -> Dedup.containmentPairsSql,
     "q_hygiene_funnel" -> TextPolicy.hygieneFunnelSql,
     "q_asof_join" -> Relational.asofClickForPurchaseSql,
+    "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -325,6 +325,76 @@ object Dedup {
          JOIN n nb ON nb.doc_id = i.b_id) v
        WHERE c_max >= 0.5 ORDER BY a_id, b_id"""
 
+  /** Winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): per document, hash every word-3-gram, slide a window of
+    * `w` consecutive hashes, and select each window's MINIMUM as a
+    * fingerprint; documents sharing >= `minShared` selected fingerprints
+    * pair up. Winnowing's guarantee — any verbatim run of at least
+    * w + n - 1 tokens shares a fingerprint (spec-pinned) — is what MinHash
+    * (whole-doc similarity) and containment (whole-set ratio) don't give:
+    * LOCAL overlap detection with O(len/w) fingerprints per doc instead of
+    * every shingle.
+    *
+    * Scale shape: gram hashing + window-min are per-doc windows (codegen,
+    * one shuffle on doc_id); fingerprints are distinct-compacted; pairing
+    * uses the same df-capped in-group explode as the rest of the dedup
+    * family. Trailing partial windows are dropped (`lead(h, w-1)` gate) —
+    * fingerprints only from complete windows, mirrored in the oracle.
+    */
+  def winnowingPairs(spark: SparkSession, dir: String, w: Int = 4,
+      maxDf: Int = 20, minShared: Int = 2): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("t1", lead(col("tok"), 1).over(wd))
+      .withColumn("t2", lead(col("tok"), 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))),
+          1, 15), 16, 10).cast("long").as("h"))
+    val fp = grams
+      .withColumn("wmin", min(col("h")).over(wd.rowsBetween(0, w - 1)))
+      .withColumn("h_end", lead(col("h"), w - 1).over(wd))
+      .filter(col("h_end").isNotNull)
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+    val rare = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"), Seq("fp"))
+    rare.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("a_id", "b_id")
+  }
+
+  val winnowingPairsSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         FROM t WHERE len(tk) >= 3),
+       g AS (SELECT doc_id, i,
+           ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT AS h
+         FROM pos),
+       wm AS (SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           lead(h, 3) OVER (PARTITION BY doc_id ORDER BY i) AS h_end
+         FROM g),
+       fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE h_end IS NOT NULL),
+       dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+       rare AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfq USING (fp)
+         WHERE df <= 20)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+       FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id"""
+
   /** U7 entity-dedup candidate pairs (`automem/consolidation/entity_dedup
     * .py:43-322`): block by (nation, segment) as the reference blocks by
     * category/length, then PIGEONHOLE the edit-distance-1 search — two

@@ -113,6 +113,30 @@ class DataSelectionSpec extends AnyFunSuite {
       s"exact intersection mismatch: ${rows.head} vs $inter")
   }
 
+  test("winnowing guarantee: a shared run of >= w+n-1 tokens always pairs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // w=4, n=3: any verbatim run of >= 6 tokens must share a fingerprint.
+    // Docs 1/2 share exactly a 6-token run embedded in unrelated text;
+    // docs 3/4 share nothing.
+    val shared = "orange mango papaya guava lychee durian"
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ee ff gg hh"),
+      (2L, s"pp qq $shared rr ss tt uu vv ww xx"),
+      (3L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).map { case (i, t) => (i, t) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-win").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pairs = graft.operators.Dedup
+      .winnowingPairs(spark, tmp, w = 4, maxDf = 20, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      s"the winnowing theorem demands (1,2) pairs: $pairs")
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"disjoint docs must not pair: $pairs")
+  }
+
   test("as-of join: strictly-prior click, per user, null when none") {
     import org.apache.spark.sql.functions._
     // verify against a per-row recomputation on real data: for each
