@@ -256,17 +256,9 @@ object Consolidation {
     result
   }
 
-  /** Unpersist the block-manager storage behind a `localCheckpoint`ed frame.
-    * `Dataset.unpersist` only consults the cache manager, which does not
-    * track checkpoint RDDs — the blocks live on the `LogicalRDD` leaf's RDD,
-    * so walk the plan and unpersist that directly.
-    */
+  /** See `graft.functions.releaseCheckpoint` (shared with PageRank). */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.functions.releaseCheckpoint(df)
 
   /** C3 clustering (`consolidation.py:457-617`): similarity graph at 0.75 ->
     * connected components -> clusters of >= minSize; clusters >= metaSize

@@ -15,4 +15,17 @@ package object functions {
 
   /** DuckDB mirror of [[round4]]. */
   def sqlRound4(e: String): String = s"round(($e) + 1e-9, 4)"
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only consults the cache manager, which does not
+    * track checkpoint RDDs — the blocks live on the `LogicalRDD` leaf's
+    * RDD, so walk the plan and unpersist that directly. Shared by every
+    * iterative job (connected components, PageRank).
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

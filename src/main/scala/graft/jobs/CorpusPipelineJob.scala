@@ -33,10 +33,12 @@ object CorpusPipelineJob {
   def run(documents: DataFrame, tokenBudget: Double = 500.0)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = documents.sparkSession
-    val staged = TextPolicy.hygieneStaged(documents)
-    val funnel = staged.groupBy(col("stage"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
-      .orderBy("stage")
+    // the staged frame feeds THREE outputs (kept, funnel, shards-of-kept):
+    // checkpoint it once so the corpus scan + fingerprint window don't
+    // re-execute per write action (on a cluster, write staged to parquet
+    // and read it back — same trade, fault-tolerant)
+    val staged = TextPolicy.hygieneStaged(documents).localCheckpoint()
+    val funnel = TextPolicy.funnelOf(staged)
     val keptBase = staged.filter(col("stage") === "kept").drop("stage")
       .withColumn("text", TextPolicy.redactPii(col("text")))
     val kept =

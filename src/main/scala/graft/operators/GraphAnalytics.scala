@@ -56,29 +56,18 @@ object GraphAnalytics {
         .select(col("node"), (lit(1 - damping) +
           lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
         .localCheckpoint()
-      prev.foreach(releaseCheckpoint)
+      prev.foreach(graft.functions.releaseCheckpoint)
       prev = Some(ranks)
     }
     val result = ranks
       .select(col("node"), round4(col("rank")).as("rank"))
       .orderBy(desc("rank"), asc("node")).limit(topK)
       .localCheckpoint()
-    prev.foreach(releaseCheckpoint)
+    prev.foreach(graft.functions.releaseCheckpoint)
     nodes.unpersist()
     withDeg.unpersist()
     result
   }
-
-  /** Release the block-manager storage behind a localCheckpoint'ed frame
-    * (Dataset.unpersist does not track checkpoint RDDs — same helper as
-    * `Consolidation.releaseCheckpoint`).
-    */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** Oracle query: PageRank over the supplier->part bipartite graph derived
     * from lineitem (distinct (s<suppkey>, p<partkey>) edges), 3 iterations,

@@ -189,17 +189,20 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the id and value ride ONE struct through a single last(): two
+    // independent ignoreNulls windows would pair the latest click's id
+    // with an OLDER click's value whenever the latest click has a null
+    // value — a silent mismatched-pair bug
     Tables.events(spark, dir)
       .filter(col("event_type").isin("purchase", "click"))
-      .withColumn("click_id",
-        when(col("event_type") === "click", col("event_id")))
-      .withColumn("click_val",
-        when(col("event_type") === "click", col("value")))
-      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
-      .withColumn("asof_click_value", last(col("click_val"), ignoreNulls = true).over(w))
+      .withColumn("click",
+        when(col("event_type") === "click",
+          struct(col("event_id").as("id"), col("value").as("v"))))
+      .withColumn("asof", last(col("click"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("asof_click_id"),
-        col("asof_click_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.id").as("asof_click_id"),
+        col("asof.v").as("asof_click_value"))
       .orderBy("event_id")
   }
 
@@ -207,13 +210,13 @@ object Relational {
     """WITH ev AS (SELECT event_id, user_id, event_type, ts, value
          FROM events WHERE event_type IN ('purchase', 'click')),
        t AS (SELECT event_id, user_id, event_type,
-           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-             OVER w AS asof_click_id,
-           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
-             OVER w AS asof_click_value
+           last_value(CASE WHEN event_type = 'click'
+               THEN struct_pack(id := event_id, v := value) END IGNORE NULLS)
+             OVER w AS pc
          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-       SELECT event_id, user_id, asof_click_id, asof_click_value
+       SELECT event_id, user_id, pc.id AS asof_click_id,
+         pc.v AS asof_click_value
        FROM t WHERE event_type = 'purchase' ORDER BY event_id"""
 
   /** Set ops: customers with 'O' orders EXCEPT customers with 'F' orders

@@ -338,24 +338,36 @@ object TextPolicy {
     val dupfrac = when(size(ws) >= 2,
       round4((size(ws) - size(array_distinct(ws))).cast("double") / size(ws)))
       .otherwise(lit(0.0))
+    // the dedup rank counts only SURVIVORS of the earlier stages: ranking
+    // the whole corpus would let a dropped twin (same 320-char fingerprint,
+    // junk tail) claim keep-first and eliminate BOTH copies of the content
     documents
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
-      .withColumn("stage",
+      .withColumn("_pre",
         when(langId(col("text")) =!= "en", "a_lang")
           .when(qualityScore(col("text")) < 0.5, "b_quality")
-          .when(dupfrac > 0.65, "c_repetition")
-          .when(col("rn") > 1, "d_fingerprint_dup")
-          .otherwise("kept"))
-      .drop("rn")
+          .when(dupfrac > 0.65, "c_repetition"))
+      .withColumn("_surv_rank",
+        sum(when(col("_pre").isNull, 1).otherwise(0)).over(
+          Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("stage", coalesce(col("_pre"),
+        when(col("_surv_rank") > 1, "d_fingerprint_dup").otherwise("kept")))
+      .drop("_pre", "_surv_rank")
   }
 
-  /** DataFrame-parametric form — needs (doc_id, text). */
-  def hygieneFunnel(documents: DataFrame): DataFrame =
-    hygieneStaged(documents)
+  /** Funnel aggregation over a [[hygieneStaged]] frame — shared by the
+    * oracle query and `jobs.CorpusPipelineJob` so their shapes cannot
+    * drift.
+    */
+  def funnelOf(staged: DataFrame): DataFrame =
+    staged
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy("stage")
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def hygieneFunnel(documents: DataFrame): DataFrame =
+    funnelOf(hygieneStaged(documents))
 
   val hygieneFunnelSql: String = {
     val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -379,17 +391,24 @@ object TextPolicy {
        rep AS (SELECT doc_id,
          round((len($toks) - len(list_distinct($toks))) * 1.0 / len($toks) + 1e-9, 4) AS dupfrac
          FROM documents WHERE len($toks) >= 2),
-       fpk AS (SELECT doc_id, row_number() OVER (PARTITION BY
-           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 320)
-           ORDER BY doc_id) AS rn FROM documents),
-       staged AS (SELECT d.doc_id,
-         CASE WHEN lang.lp <> 'en' THEN 'a_lang'
-              WHEN qual.quality < 0.5 THEN 'b_quality'
-              WHEN coalesce(rep.dupfrac, 0) > 0.65 THEN 'c_repetition'
-              WHEN fpk.rn > 1 THEN 'd_fingerprint_dup'
-              ELSE 'kept' END AS stage
+       pre AS (SELECT d.doc_id,
+           CASE WHEN lang.lp <> 'en' THEN 'a_lang'
+                WHEN qual.quality < 0.5 THEN 'b_quality'
+                WHEN coalesce(rep.dupfrac, 0) > 0.65 THEN 'c_repetition'
+                END AS p,
+           substr(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'), 1, 320)
+             AS f
          FROM documents d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
-         LEFT JOIN rep USING (doc_id) JOIN fpk USING (doc_id))
+         LEFT JOIN rep USING (doc_id)),
+       rk AS (SELECT doc_id, p,
+           sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY f ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS surv_rank
+         FROM pre),
+       staged AS (SELECT doc_id,
+         coalesce(p, CASE WHEN surv_rank > 1 THEN 'd_fingerprint_dup'
+                          ELSE 'kept' END) AS stage
+         FROM rk)
        SELECT stage, count(*) AS n, min(doc_id) AS first_doc
        FROM staged GROUP BY 1 ORDER BY 1"""
   }
@@ -411,10 +430,14 @@ object TextPolicy {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
     val host = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
     val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(.*)", 1)
-    val stripped =
-      regexp_replace(rest, "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
-    val cleaned =
-      regexp_replace(regexp_replace(stripped, "\\?&", "?"), "[?&]$", "")
+    // the tracking name is anchored to a ?/& param boundary (an unanchored
+    // pattern matches INSIDE longer names: '?easygclid=keep' would lose
+    // 'gclid=keep' and fabricate '?easy'); the separator is kept via $1 and
+    // the debris pass collapses the leftover runs (&&, ?&, trailing ?/&)
+    val stripped = regexp_replace(rest,
+      "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", "$1")
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(stripped,
+      "&&+", "&"), "\\?&", "?"), "[?&]$", "")
     concat(scheme, lit("://"), host, cleaned)
   }
 
@@ -460,10 +483,10 @@ object TextPolicy {
        c AS (SELECT doc_id, url,
            lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://' ||
            lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)) ||
-           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              regexp_extract(nf, '^[A-Za-z]+://[^/?#]+(.*)', 1),
-             '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
-             '\\?&', '?'), '[?&]$$', '') AS canonical
+             '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
+             '&&+', '&', 'g'), '\\?&', '?'), '[?&]$$', '') AS canonical
          FROM p),
        d AS (SELECT doc_id, canonical,
            regexp_replace(regexp_extract(canonical, '^[a-z]+://([^/?#]+)', 1),

@@ -137,7 +137,14 @@ class TextPolicySpec extends AnyFunSuite {
       ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p", "ex.com"),
       ("http://sub.ex.com/p?ref=1&gclid=zz", "http://sub.ex.com/p?ref=1",
         "sub.ex.com"),
-      ("https://ex.com/plain", "https://ex.com/plain", "ex.com"))
+      ("https://ex.com/plain", "https://ex.com/plain", "ex.com"),
+      // boundary anchoring: a param whose name merely CONTAINS a tracking
+      // name must survive intact (unanchored regex fabricated '?easy')
+      ("https://ex.com/p?easygclid=keepme&x=1",
+        "https://ex.com/p?easygclid=keepme&x=1", "ex.com"),
+      // consecutive tracking params: both strip, debris collapses
+      ("https://ex.com/p?utm_a=1&utm_b=2&ref=3&gclid=4",
+        "https://ex.com/p?ref=3", "ex.com"))
     // NOTE: path case is preserved — only scheme+host lowercase
     val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("id", "url")
@@ -173,6 +180,28 @@ class TextPolicySpec extends AnyFunSuite {
     assert(res("c_repetition") == ((1L, 3L)), s"got $res")
     assert(res("d_fingerprint_dup") == ((1L, 4L)), s"got $res")
     assert(res("kept") == ((1L, 2L)), s"got $res")
+  }
+
+  test("hygiene funnel: a dropped twin cannot eliminate the surviving copy") {
+    import spark.implicits._
+    // doc 0 and doc 2 share a fingerprint (normalization strips the
+    // punctuation flood) but doc 0 fails the quality floor. The dedup rank
+    // must count only survivors of the earlier stages: ranking the whole
+    // corpus would hand keep-first to the dropped doc 0 and drop doc 2 as
+    // its dup — leaving NO copy of the content in the kept set.
+    val base = "the cat and dog of the house is happy with all the good " +
+      "things around here today"
+    val docs = Seq(
+      (0L, base.split(" ").mkString("!!! ", "!!! ", "!!!")), // punct flood
+      (2L, base)).toDF("doc_id", "text")
+    val staged = TextPolicy.hygieneStaged(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    // the flood drops doc 0 at a PRE-dedup stage (a_lang here: '!'-glued
+    // tokens stop matching the language markers) — which stage doesn't
+    // matter, only that it is before the dedup rank
+    assert(Set("a_lang", "b_quality")(staged(0L)), s"got $staged")
+    assert(staged(2L) == "kept",
+      s"survivor must keep despite the dropped lower-id twin: $staged")
   }
 
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
