@@ -107,6 +107,7 @@ object SparkEntry {
     "q_hygiene_funnel" -> (TextPolicy.hygieneFunnel _),
     "q_asof_join" -> (Relational.asofClickForPurchase _),
     "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
+    "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
   )
 
   private val centsSum: String => String = e =>
@@ -301,6 +302,7 @@ object SparkEntry {
     "q_hygiene_funnel" -> TextPolicy.hygieneFunnelSql,
     "q_asof_join" -> Relational.asofClickForPurchaseSql,
     "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
+    "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -113,6 +113,18 @@ class DataSelectionSpec extends AnyFunSuite {
       s"exact intersection mismatch: ${rows.head} vs $inter")
   }
 
+  test("triangle counts: hand graph with one triangle plus a dangling wedge") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus edge 3-4: nodes 1,2,3 each sit in 1 triangle,
+    // node 4 in none; the 2-4 wedge through 3 must NOT close. Duplicate
+    // edge rows must not double-count.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("u", "v")
+    val res = graft.operators.GraphAnalytics.triangleCounts(edges, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $res")
+  }
+
   test("winnowing guarantee: a shared run of >= w+n-1 tokens always pairs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
