@@ -51,8 +51,12 @@ object CorpusPipelineJob {
             .isin(TextPolicy.BlockedDomains: _*))
       else keptBase
     val hasSource = documents.schema.fieldNames.contains("source")
+    // the profile wants an n_chars column; derive it when the input
+    // doesn't carry one (e.g. the streaming twin's bare JSON schema)
     val profile =
-      if (hasSource) TextAnalysis.corpusProfile(documents)
+      if (hasSource) TextAnalysis.corpusProfile(
+        if (documents.schema.fieldNames.contains("n_chars")) documents
+        else documents.withColumn("n_chars", length(col("text"))))
       else spark.emptyDataFrame
     val shards =
       if (hasSource) TextAnalysis.shardPack(kept, tokenBudget)

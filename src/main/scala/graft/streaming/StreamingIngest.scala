@@ -171,6 +171,37 @@ object StreamingIngest {
     else base
   }
 
+  /** Streaming twin of `graft.jobs.CorpusPipelineJob`: each micro-batch
+    * runs the SAME composed pipeline (staged hygiene -> redact -> URL
+    * policy -> shard pack) via foreachBatch, appending survivors to
+    * `kept/` and the per-batch funnel rows (tagged with the batch id) to
+    * `funnel/` — the per-batch audit record RUNBOOK.md describes. Honest
+    * scope note: the fingerprint-dedup stage is BATCH-LOCAL here (a twin
+    * arriving in a later micro-batch is not deduped against earlier
+    * output); cross-batch exact dedup at ingest is
+    * `dropDuplicatesWithinWatermark` upstream, and the corpus-wide stages
+    * (boilerplate, DSIR, perplexity) stay batch jobs by nature.
+    */
+  def pipelineStream(spark: SparkSession, sourceDir: String, outRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("source", StringType))))
+      .json(sourceDir)
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (kept, funnel, _, _) = graft.jobs.CorpusPipelineJob.run(batch)
+        kept.write.mode("append").parquet(s"$outRoot/kept")
+        funnel.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outRoot/funnel")
+      }
+      .start()
+  }
+
   /** Micro-batch ingest into the memories table: the streaming counterpart
     * of `graft.domain.Ingest.prepare`, applied per micro-batch via
     * foreachBatch (each batch is a plain DataFrame -> full batch enrichment

@@ -39,6 +39,27 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
       docs.select("source").distinct().collect().map(_.getString(0)).toSet)
   }
 
+  test("streaming pipeline twin appends kept + batch-tagged funnel rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipes").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/in")
+    val q = graft.streaming.StreamingIngest.pipelineStream(
+      spark, s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+    val funnel = spark.read.parquet(s"$tmp/out/funnel")
+    val total = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(funnel.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      == total, "per-batch funnels must still conserve the corpus")
+    val keptN = funnel.filter($"stage" === "kept")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(kept.count() == keptN)
+    assert(funnel.columns.contains("batch_id"))
+  }
+
   test("pipeline job main writes all four relations") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
     Tables.documents(spark, "/root/testdata/sf0.001")
