@@ -95,12 +95,19 @@ object GraphAnalytics {
     * graph's arboricity (the classic skew fix for social-graph hubs).
     */
   def triangleCounts(edges: DataFrame, topK: Int): DataFrame = {
-    // the deduped edge list is referenced THREE times (both wedge sides +
-    // the closing probe): materialize it once — without this the whole
-    // upstream edge derivation re-executes per reference (measured 20 s ->
-    // 5.9 s warm on the sf0.1 co-purchase graph). On a cluster this is the
-    // natural persisted edge table.
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    // normalize to canonical u < v INSIDE the operator (one narrow
+    // projection): a caller passing undirected or reversed orientations
+    // would otherwise over-count (both orientations survive distinct() and
+    // re-close the same triangle) or miss triangles whose edge only
+    // appears reversed. The deduped edge list is then referenced three
+    // times (both wedge sides + the closing probe): materialize it once —
+    // without this the whole upstream edge derivation re-executes per
+    // reference. On a cluster this is the natural persisted edge table.
+    val e = edges
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
     // both joins broadcast the (small) edge list so the ~50M-row wedge
     // stream is never sorted or shuffled: the wedge join streams e against
     // a broadcast of itself, and the closing probe hashes into the same
@@ -114,11 +121,19 @@ object GraphAnalytics {
       .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
     val tris = wedges.join(broadcast(e),
       col("u") === col("b") && col("v") === col("c"))
-    tris.select(col("a").as("node"))
-      .unionAll(tris.select(col("b").as("node")))
-      .unionAll(tris.select(col("c").as("node")))
+    // one 3-element array explode per triangle — NOT a 3-way unionAll of
+    // tris, which would place the wedge+closing joins into three union
+    // branches and replay the streamed join work per branch (only the
+    // broadcast is reused across branches)
+    val result = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .orderBy(desc("n_tri"), asc("node")).limit(topK)
+      .localCheckpoint()
+    // the final top-K is materialized, so the edge-list blocks release now
+    // instead of lingering until the result frame is GC'd
+    graft.functions.releaseCheckpoint(e)
+    result
   }
 
   /** Oracle query: triangle participation in the part co-purchase graph

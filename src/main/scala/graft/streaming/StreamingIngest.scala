@@ -195,9 +195,19 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (kept, funnel, _, _) = graft.jobs.CorpusPipelineJob.run(batch)
-        kept.write.mode("append").parquet(s"$outRoot/kept")
+        // RETRY-IDEMPOTENT writes: both outputs partition by batch_id and
+        // dynamically overwrite ONLY their own partition — a batch replayed
+        // after a mid-write failure rewrites its partition instead of
+        // appending a second copy (which would silently break the funnel's
+        // conservation invariant)
+        kept.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$outRoot/kept")
         funnel.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$outRoot/funnel")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$outRoot/funnel")
       }
       .start()
   }

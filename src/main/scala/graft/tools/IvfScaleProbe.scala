@@ -53,15 +53,27 @@ object IvfScaleProbe {
           else f.length()
         walk(new java.io.File(p)) / 1e6
       }
+      // the refine side reads the corpus from PARQUET, not the probe's
+      // cached frame: timing the refine against an in-memory cache would
+      // charge int8 a full cached-corpus scan per query that neither the
+      // fp32 path nor a production deployment pays
+      vecs.write.mode("overwrite").parquet(s"$tmp/vectors")
+      val vecsOnDisk = spark.read.parquet(s"$tmp/vectors")
       val fp32Ms = bestOf3(
         IvfIndex.topK(spark, s"$tmp/fp32", qvec, 10, nprobe = 8).count())
-      val int8Ms = bestOf3(IvfIndex.topKQuantized(spark, s"$tmp/int8", vecs,
-        qvec, 10, nprobe = 8).count())
+      val int8Ms = bestOf3(IvfIndex.topKQuantized(spark, s"$tmp/int8",
+        vecsOnDisk, qvec, 10, nprobe = 8).count())
       println(f"[ivfscale] n=$n%7d fp32=${fp32Ms}%7.1f ms int8=${int8Ms}%7.1f ms " +
         f"assignMB fp32=${dirMb(s"$tmp/fp32/assignments")}%7.1f " +
         f"int8=${dirMb(s"$tmp/int8/assignments")}%7.1f " +
         f"build fp32=${buildFp32}%5.1f s int8=${buildInt8}%5.1f s")
       vecs.unpersist()
+      // indexes at n=1M run to hundreds of MB — clean up per size
+      def rmRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+        f.delete(); ()
+      }
+      rmRec(new java.io.File(tmp))
     }
     spark.stop()
   }

@@ -123,6 +123,13 @@ class DataSelectionSpec extends AnyFunSuite {
     val res = graft.operators.GraphAnalytics.triangleCounts(edges, topK = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(res == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $res")
+    // reversed orientations and self-loops normalize away: the same graph
+    // stored undirected (+ a self-loop) must count identically
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 3L), (2L, 2L)).toDF("u", "v")
+    val res2 = graft.operators.GraphAnalytics.triangleCounts(messy, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res2 == res, s"orientation must not matter: $res2")
   }
 
   test("winnowing guarantee: a shared run of >= w+n-1 tokens always pairs") {
