@@ -108,6 +108,8 @@ object SparkEntry {
     "q_asof_join" -> (Relational.asofClickForPurchase _),
     "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
+    "q_cube" -> (Analytics.shipmodeCube _),
+    "q_skew_salted" -> (Skew.saltedBrandRevenue _),
   )
 
   private val centsSum: String => String = e =>
@@ -303,6 +305,8 @@ object SparkEntry {
     "q_asof_join" -> Relational.asofClickForPurchaseSql,
     "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
+    "q_cube" -> Analytics.shipmodeCubeSql,
+    "q_skew_salted" -> Skew.saltedBrandRevenueSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

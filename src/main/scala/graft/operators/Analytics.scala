@@ -123,6 +123,31 @@ object Analytics {
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY 1, 2"""
 
+  /** CUBE over (orderstatus, orderpriority) — completes the grouping-sets
+    * family next to [[revenueRollup]] (SURVEY §2.6 notes these are Catalyst
+    * freebies the reference lacks): all four grouping combinations in one
+    * pass, one expanded shuffle.
+    */
+  def shipmodeCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total_cents"))
+      .orderBy("status", "priority")
+
+  val shipmodeCubeSql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY 1, 2"""
+
   /** Scalar date/time function family (SURVEY §2.9): trunc, day-of-week,
     * calendar parts, day difference to an anchor.
     */

@@ -29,6 +29,34 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Oracle query: salted brand revenue — the SAME aggregate as a plain
+    * lineitem x part join, executed through the salted join (salt 8 ways
+    * on the part key). The DuckDB oracle is the UNSALTED join: salting is
+    * a physical rewrite and must be result-invisible, so the oracle gate
+    * IS the invariance proof at corpus scale (the spec proves it on a
+    * planted-hot-key frame).
+    */
+  def saltedBrandRevenue(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val part = graft.Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    saltedJoin(li, part, "l_partkey", "p_partkey", k = 8)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  val saltedBrandRevenueSql: String =
+    """SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       GROUP BY 1 ORDER BY 1"""
+
   /** Two-phase skew-safe distinct-ish aggregation: count per (key, salt)
     * partials, then combine — bounds any single reducer's input to
     * n(key)/k rows.

@@ -226,6 +226,42 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing pairs match a driver-side reference on random corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hash15(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val wordGen = Gen.oneOf("ant", "bee", "cat", "doe", "elk", "fox")
+    val docGen = Gen.choose(3, 14).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.choose(3, 7).flatMap(k => Gen.listOfN(k, docGen))
+    val (w, maxDf, minShared) = (4, 20, 2)
+    forSamples(corpusGen, n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val fps = docs.map { case (id, t) =>
+        val hs = t.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(g => hash15(g.mkString(" "))).toIndexedSeq
+        id -> (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      }.toMap
+      val df = fps.values.flatten.toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val rare = df.filter(_._2 <= maxDf).keySet
+      val expected = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        shared = fa.intersect(fb).count(rare)
+        if shared >= minShared
+      } yield (a, b, shared.toLong)).toSet
+      val tmp = java.nio.file.Files.createTempDirectory("graft-winp").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val got = operators.Dedup
+        .winnowingPairs(spark, tmp, w = w, maxDf = maxDf, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"corpus $texts: got $got expected $expected")
+    }
+  }
+
   test("containment pairs match a driver-side reference on random corpora") {
     import spark.implicits._
     val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
