@@ -288,7 +288,7 @@ object Dedup {
       .join(freqSh.select(col("doc_id").as("a_id"), col("shk")), Seq("a_id"))
       .join(freqSh.select(col("doc_id").as("b_id"), col("shk")), Seq("b_id", "shk"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("freq_inter"))
-    rarePairs
+    val result = rarePairs
       .join(freqInter, Seq("a_id", "b_id"), "left")
       .withColumn("n_inter",
         col("rare_inter") + coalesce(col("freq_inter"), lit(0L)))
@@ -299,6 +299,11 @@ object Dedup {
       .filter(col("c_max") >= threshold)
       .select(col("a_id"), col("b_id"), col("n_inter"), col("c_max"))
       .orderBy("a_id", "b_id")
+      .localCheckpoint()
+    // result is materialized (bounded: flagged pairs only) — release the
+    // shingle-table blocks now instead of when the frame is GC'd
+    graft.functions.releaseCheckpoint(shk)
+    result
   }
 
   val containmentPairsSql: String =
