@@ -110,6 +110,7 @@ object SparkEntry {
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
     "q_cube" -> (Analytics.shipmodeCube _),
     "q_skew_salted" -> (Skew.saltedBrandRevenue _),
+    "q_conversion_funnel" -> (Relational.conversionFunnel _),
   )
 
   private val centsSum: String => String = e =>
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,
     "q_skew_salted" -> Skew.saltedBrandRevenueSql,
+    "q_conversion_funnel" -> Relational.conversionFunnelSql,
     "q_sim_ivf_centroid" ->
       """WITH px AS (SELECT label, i, embedding[i]::DOUBLE AS x
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -219,6 +219,48 @@ object Relational {
          pc.v AS asof_click_value
        FROM t WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Sequential conversion funnel over the event stream: users reaching
+    * signup -> a click AFTER their first signup -> a purchase AFTER that
+    * first qualifying click. The ORDER constraint is what distinguishes a
+    * funnel from three existence counts (a purchase before signup does not
+    * convert), and it composes as two chained per-user window minima —
+    * each stage's anchor timestamp is a window over the previous stage's
+    * column, no self-joins, one shuffle on user_id. At 100 TB this is the
+    * same single-pass shape; the windows stay narrow per user.
+    */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(byUser))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(byUser))
+      .agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id")))
+          .as("n_signup"),
+        countDistinct(when(col("t2").isNotNull, col("user_id")))
+          .as("n_click_after"),
+        countDistinct(when(col("t3").isNotNull, col("user_id")))
+          .as("n_purchase_after"))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1 FROM events),
+       s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+           THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+       s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+           THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2)
+       SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+           AS n_signup,
+         count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+           AS n_click_after,
+         count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+           AS n_purchase_after
+       FROM s3"""
+
   /** Set ops: customers with 'O' orders EXCEPT customers with 'F' orders
     * (sync-diff shape, `automem/sync/accounting.py:44-111`).
     */

@@ -183,6 +183,35 @@ class DataSelectionSpec extends AnyFunSuite {
       "fixture should include a purchase with no prior click")
   }
 
+  test("conversion funnel: order constraints gate each stage") {
+    import org.apache.spark.sql.functions.col
+    // cross-check against a driver recomputation on real data: a user
+    // converts stage 2 only with a click strictly after their first
+    // signup, stage 3 only with a purchase strictly after that first
+    // qualifying click
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(es: Array[(Long, String, Long)], t: String,
+        after: Option[Long]): Option[Long] =
+      after.flatMap(a => es.filter(e => e._2 == t && e._3 > a)
+        .map(_._3).sorted.headOption)
+    val stages = byUser.values.map { es =>
+      val t1 = es.filter(_._2 == "signup").map(_._3).sorted.headOption
+      val t2 = firstAfter(es, "click", t1)
+      val t3 = firstAfter(es, "purchase", t2)
+      (t1.isDefined, t2.isDefined, t3.isDefined)
+    }
+    val expected = (stages.count(_._1), stages.count(_._2), stages.count(_._3))
+    val row = graft.operators.Relational
+      .conversionFunnel(spark, "/root/testdata/sf0.001").head()
+    assert((row.getLong(0).toInt, row.getLong(1).toInt, row.getLong(2).toInt)
+      == expected, s"got $row expected $expected")
+    assert(row.getLong(0) >= row.getLong(1) &&
+      row.getLong(1) >= row.getLong(2), "funnel must be monotone")
+  }
+
   test("corpus profile: sketch aggregates stay within 5% of exact answers") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
