@@ -27,11 +27,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CorpusPipelineJob {
 
-  /** Run the pipeline; returns (kept, funnel, profile, shards) — shards is
-    * empty when the input has no `source` column.
+  /** The pipeline's four output frames plus the checkpoint-release hook:
+    * `kept`/`funnel`/`shards` all read the internally checkpointed staged
+    * frame, so callers MUST call [[release]] after their last action on
+    * them — otherwise every invocation (each micro-batch, in the streaming
+    * twin) strands checkpoint blocks in the block manager until JVM GC
+    * happens to collect the frame.
+    */
+  final case class PipelineOutputs(kept: DataFrame, funnel: DataFrame,
+      profile: DataFrame, shards: DataFrame, private val staged: DataFrame) {
+    def release(): Unit = graft.functions.releaseCheckpoint(staged)
+  }
+
+  /** Run the pipeline; `shards` is empty when the input has no `source`
+    * column. Call `.release()` on the result after the last action.
     */
   def run(documents: DataFrame, tokenBudget: Double = 500.0)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : PipelineOutputs = {
     val spark = documents.sparkSession
     // the staged frame feeds THREE outputs (kept, funnel, shards-of-kept):
     // checkpoint it once so the corpus scan + fingerprint window don't
@@ -61,7 +73,7 @@ object CorpusPipelineJob {
     val shards =
       if (hasSource) TextAnalysis.shardPack(kept, tokenBudget)
       else spark.emptyDataFrame
-    (kept, funnel, profile, shards)
+    PipelineOutputs(kept, funnel, profile, shards, staged)
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,13 +91,15 @@ object CorpusPipelineJob {
       .getOrCreate()
     try {
       val docs = spark.read.parquet(docsPath)
-      val (kept, funnel, profile, shards) = run(docs, budget)
-      kept.write.mode("overwrite").parquet(s"$outRoot/kept")
-      funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
-      if (profile.schema.nonEmpty)
-        profile.write.mode("overwrite").parquet(s"$outRoot/profile")
-      if (shards.schema.nonEmpty)
-        shards.write.mode("overwrite").parquet(s"$outRoot/shards")
+      val out = run(docs, budget)
+      try {
+        out.kept.write.mode("overwrite").parquet(s"$outRoot/kept")
+        out.funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
+        if (out.profile.schema.nonEmpty)
+          out.profile.write.mode("overwrite").parquet(s"$outRoot/profile")
+        if (out.shards.schema.nonEmpty)
+          out.shards.write.mode("overwrite").parquet(s"$outRoot/shards")
+      } finally out.release()
     } finally if (!preExisting) spark.stop()
   }
 }

@@ -436,12 +436,22 @@ object TextAnalysis {
       sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
         .as("t_cnt"))
     val all = Window.partitionBy()
+    // lam is quantized to integer MICRO-units (round(lam*1e6), stored as
+    // long) so the per-doc weighted sum below is EXACT integer arithmetic:
+    // sum-of-longs is associative/commutative regardless of partition-merge
+    // order, which kills the float-accumulation-order flake the r9 driver
+    // gate caught (avg within an ulp of a .00005 boundary flipped the 4th
+    // decimal on SOME runs). The only float ops left are one division and
+    // one round4 on exact integer inputs — deterministic. The +1e-3 nudge
+    // (1e-9 in lam units) mirrors round4's boundary-escape trick so the
+    // micro-quantization itself can't straddle a .5 tie across engines.
     val lam = counts
       .withColumn("rt", sum(col("r_cnt")).over(all))
       .withColumn("tt", sum(col("t_cnt")).over(all))
       .select(col("b"),
-        (log((col("t_cnt") + 1.0) / (col("tt") + buckets)) -
-          log((col("r_cnt") + 1.0) / (col("rt") + buckets))).as("lam"))
+        round((log((col("t_cnt") + 1.0) / (col("tt") + buckets)) -
+          log((col("r_cnt") + 1.0) / (col("rt") + buckets))) * 1e6 + 1e-3)
+          .cast("long").as("lam_u"))
     // LEFT join, not inner: lam covers every observed bucket by
     // construction, and an inner join would infer an isnotnull(b) filter
     // on the probe side — which un-canonicalizes the shared feature
@@ -449,7 +459,9 @@ object TextAnalysis {
     perDocBucket.join(broadcast(lam), Seq("b"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt")).as("n_feats"),
-        round4(sum(col("cnt") * col("lam")) / sum(col("cnt"))).as("avg_llr"))
+        sum(col("cnt") * col("lam_u")).as("llr_u"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        round4(col("llr_u") / 1e6 / col("n_feats")).as("avg_llr"))
       .withColumn("keep", col("avg_llr") > 0.0)
       .orderBy("doc_id")
   }
@@ -464,18 +476,22 @@ object TextAnalysis {
        f AS (SELECT doc_id, lang,
            ('0x' || substr(md5(f), 1, 15))::BIGINT % 64 AS b
          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
-       cnt AS (SELECT b, count(*) AS r_cnt,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
-         FROM f GROUP BY 1),
+       dbc AS (SELECT doc_id, lang, b, count(*) AS cnt FROM f GROUP BY 1, 2, 3),
+       cnt AS (SELECT b, sum(cnt) AS r_cnt,
+           sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_cnt
+         FROM dbc GROUP BY 1),
        tot AS (SELECT sum(r_cnt) AS rt, sum(t_cnt) AS tt FROM cnt),
-       lam AS (SELECT b,
-           ln((t_cnt + 1.0) / (tt + 64)) - ln((r_cnt + 1.0) / (rt + 64)) AS lam
+       lam AS (SELECT b, CAST(round(
+           (ln((t_cnt + 1.0) / (tt + 64)) - ln((r_cnt + 1.0) / (rt + 64)))
+           * 1e6 + 1e-3) AS BIGINT) AS lam_u
          FROM cnt, tot)
-       SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
-         round(avg(l.lam) + 1e-9, 4) AS avg_llr,
-         round(avg(l.lam) + 1e-9, 4) > 0.0 AS keep
-       FROM f JOIN lam l ON l.b = f.b
-       GROUP BY f.doc_id, f.lang ORDER BY f.doc_id"""
+       SELECT d.doc_id, d.lang, CAST(sum(d.cnt) AS BIGINT) AS n_feats,
+         round(CAST(sum(d.cnt * l.lam_u) AS DOUBLE) / 1e6 / sum(d.cnt)
+           + 1e-9, 4) AS avg_llr,
+         round(CAST(sum(d.cnt * l.lam_u) AS DOUBLE) / 1e6 / sum(d.cnt)
+           + 1e-9, 4) > 0.0 AS keep
+       FROM dbc d JOIN lam l ON l.b = d.b
+       GROUP BY d.doc_id, d.lang ORDER BY d.doc_id"""
 
   /** Per-source length-quantile filtering: exact p10/p50/p90 of `n_chars`
     * within each source, and the count of documents inside the [p10, p90]

@@ -346,9 +346,16 @@ object TextPolicy {
         when(langId(col("text")) =!= "en", "a_lang")
           .when(qualityScore(col("text")) < 0.5, "b_quality")
           .when(dupfrac > 0.65, "c_repetition"))
+      // an EMPTY fingerprint (whitespace/punct-only text) is not content
+      // identity: partitioning on it would mark all such docs mutual
+      // duplicates AND concentrate them on one hot key at scale — fall
+      // back to a per-doc key so they neither dedup nor skew
       .withColumn("_surv_rank",
         sum(when(col("_pre").isNull, 1).otherwise(0)).over(
-          Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+          Window.partitionBy(coalesce(
+              nullif(fingerprint(col("text")), lit("")),
+              concat(lit("doc#"), col("doc_id"))))
+            .orderBy(col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("stage", coalesce(col("_pre"),
         when(col("_surv_rank") > 1, "d_fingerprint_dup").otherwise("kept")))
@@ -396,8 +403,9 @@ object TextPolicy {
                 WHEN qual.quality < 0.5 THEN 'b_quality'
                 WHEN coalesce(rep.dupfrac, 0) > 0.65 THEN 'c_repetition'
                 END AS p,
-           substr(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'), 1, 320)
-             AS f
+           coalesce(nullif(
+             substr(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'),
+               1, 320), ''), 'doc#' || d.doc_id) AS f
          FROM documents d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
          LEFT JOIN rep USING (doc_id)),
        rk AS (SELECT doc_id, p,
@@ -432,13 +440,21 @@ object TextPolicy {
     val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(.*)", 1)
     // the tracking name is anchored to a ?/& param boundary (an unanchored
     // pattern matches INSIDE longer names: '?easygclid=keep' would lose
-    // 'gclid=keep' and fabricate '?easy'); the separator is kept via $1 and
-    // the debris pass collapses the leftover runs (&&, ?&, trailing ?/&)
+    // 'gclid=keep' and fabricate '?easy'); the match is case-insensitive
+    // with underscores allowed in the name (UTM_SOURCE and GA4-style
+    // utm_source_platform are real-web aliases that would otherwise defeat
+    // URL dedup); the separator is kept via $1 and the debris pass
+    // collapses the leftover runs (&&, ?&, trailing ?/&)
     val stripped = regexp_replace(rest,
-      "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", "$1")
+      "([?&])(?i:utm_[a-z_]+|gclid|fbclid)=[^&#]*", "$1")
     val cleaned = regexp_replace(regexp_replace(regexp_replace(stripped,
       "&&+", "&"), "\\?&", "?"), "[?&]$", "")
-    concat(scheme, lit("://"), host, cleaned)
+    // scheme-less/malformed input passes through UNCHANGED: all three
+    // extracts return '' on it, so the canonical would collapse to '://'
+    // and urlDomain to '' — silently whitelisting every blocklisted page
+    // whose url column is relative or junk
+    when(url.rlike("^[A-Za-z]+://"),
+      concat(scheme, lit("://"), host, cleaned)).otherwise(url)
   }
 
   /** Registrable domain of a canonicalized URL (www. stripped). */
@@ -481,12 +497,14 @@ object TextPolicy {
     s"""WITH u AS (SELECT doc_id, $inject AS url FROM documents),
        p AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
        c AS (SELECT doc_id, url,
+           CASE WHEN regexp_matches(url, '^[A-Za-z]+://') THEN
            lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://' ||
            lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)) ||
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              regexp_extract(nf, '^[A-Za-z]+://[^/?#]+(.*)', 1),
-             '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
-             '&&+', '&', 'g'), '\\?&', '?'), '[?&]$$', '') AS canonical
+             '([?&])(?i:utm_[a-z_]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
+             '&&+', '&', 'g'), '\\?&', '?'), '[?&]$$', '') ELSE url
+           END AS canonical
          FROM p),
        d AS (SELECT doc_id, canonical,
            regexp_replace(regexp_extract(canonical, '^[a-z]+://([^/?#]+)', 1),

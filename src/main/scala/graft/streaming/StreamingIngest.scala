@@ -194,20 +194,24 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (kept, funnel, _, _) = graft.jobs.CorpusPipelineJob.run(batch)
+        val out = graft.jobs.CorpusPipelineJob.run(batch)
         // RETRY-IDEMPOTENT writes: both outputs partition by batch_id and
         // dynamically overwrite ONLY their own partition — a batch replayed
         // after a mid-write failure rewrites its partition instead of
         // appending a second copy (which would silently break the funnel's
         // conservation invariant)
-        kept.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(s"$outRoot/kept")
-        funnel.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(s"$outRoot/funnel")
+        try {
+          out.kept.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$outRoot/kept")
+          out.funnel.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$outRoot/funnel")
+        // release per micro-batch: without this every batch strands its
+        // staged checkpoint blocks in the block manager until JVM GC
+        } finally out.release()
       }
       .start()
   }

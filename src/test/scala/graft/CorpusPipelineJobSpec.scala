@@ -17,7 +17,9 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("url", concat(lit("https://WWW.Site"),
         (col("doc_id") % 7).cast("string"), lit(".com/p?utm_source=x")))
-    val (kept, funnel, profile, shards) = CorpusPipelineJob.run(docs)
+    val out = CorpusPipelineJob.run(docs)
+    val (kept, funnel, profile, shards) =
+      (out.kept, out.funnel, out.profile, out.shards)
     val total = docs.count()
     val funnelRows = funnel.collect()
     assert(funnelRows.map(_.getLong(1)).sum == total,
@@ -37,6 +39,7 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     // profile covers every input source
     assert(profile.select("source").collect().map(_.getString(0)).toSet ==
       docs.select("source").distinct().collect().map(_.getString(0)).toSet)
+    out.release()
   }
 
   test("streaming pipeline twin appends kept + batch-tagged funnel rows") {

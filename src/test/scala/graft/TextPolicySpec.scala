@@ -144,7 +144,18 @@ class TextPolicySpec extends AnyFunSuite {
         "https://ex.com/p?easygclid=keepme&x=1", "ex.com"),
       // consecutive tracking params: both strip, debris collapses
       ("https://ex.com/p?utm_a=1&utm_b=2&ref=3&gclid=4",
-        "https://ex.com/p?ref=3", "ex.com"))
+        "https://ex.com/p?ref=3", "ex.com"),
+      // tracking aliases that defeated the old case-sensitive single-run
+      // match: uppercase UTM_SOURCE and GA4's multi-underscore name
+      ("https://ex.com/p?UTM_SOURCE=x&ref=1",
+        "https://ex.com/p?ref=1", "ex.com"),
+      ("https://ex.com/p?utm_source_platform=web&ref=1",
+        "https://ex.com/p?ref=1", "ex.com"),
+      // scheme-less / malformed input passes through UNCHANGED (the old
+      // behavior collapsed it to '://', whose '' domain never matched the
+      // blocklist)
+      ("/relative/path?utm_source=x", "/relative/path?utm_source=x", ""),
+      ("not a url", "not a url", ""))
     // NOTE: path case is preserved — only scheme+host lowercase
     val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("id", "url")
@@ -202,6 +213,25 @@ class TextPolicySpec extends AnyFunSuite {
     assert(Set("a_lang", "b_quality")(staged(0L)), s"got $staged")
     assert(staged(2L) == "kept",
       s"survivor must keep despite the dropped lower-id twin: $staged")
+  }
+
+  test("hygiene funnel: empty-fingerprint docs are not mutual duplicates") {
+    import spark.implicits._
+    // whitespace/punct-only texts all normalize to fingerprint '' — under
+    // a raw fingerprint partition they would be attributed mutual dups on
+    // ONE hot key; the per-doc fallback key must keep them independent
+    val docs = Seq(
+      (1L, "!!! ??? ..."),
+      (2L, "...   !!!"),
+      (3L, "the cat and dog of the house is happy with all the good things around here today"))
+      .toDF("doc_id", "text")
+    val staged = TextPolicy.hygieneStaged(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    // docs 1-2 fail pre-dedup gates (punct-only text has no language
+    // markers), but neither may ever be d_fingerprint_dup of the other
+    assert(!staged.values.exists(_ == "d_fingerprint_dup"),
+      s"empty fingerprints must not dedup against each other: $staged")
+    assert(staged(3L) == "kept", s"got $staged")
   }
 
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
