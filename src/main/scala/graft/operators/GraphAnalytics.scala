@@ -22,7 +22,9 @@ object GraphAnalytics {
   /** PageRank with damping 0.85 over a directed edge list, `iters` fixed
     * iterations from a uniform rank of 1.0. Nodes without in-edges settle at
     * `1 - damping`; dangling mass is NOT redistributed (sinks absorb it) —
-    * the common simplified form, deterministic and oracle-mirrorable.
+    * the common simplified form, deterministic and oracle-mirrorable. The
+    * full-option overload below adds textbook dangling-mass redistribution
+    * and an optional convergence-delta stop for production graphs.
     *
     * Scale shape: per iteration, one equi-join of the rank table onto the
     * edge list (both partitioned by src — at scale, bucket both tables on
@@ -37,7 +39,35 @@ object GraphAnalytics {
     * so every intermediate can be released before returning.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-      topK: Int, dedup: Boolean = true): DataFrame = {
+      topK: Int, dedup: Boolean = true): DataFrame =
+    pageRank(edges, iters, damping, topK, dedup,
+      redistributeDangling = false, tol = None)
+
+  /** Full-option PageRank. Two orthogonal extensions over the oracle mode
+    * (VERDICT r9 item 7), each with a clear "when to use":
+    *
+    *  - `redistributeDangling`: spread each round's dangling mass (rank
+    *    held by nodes with no out-edges) uniformly over all nodes — the
+    *    textbook formulation, under which total rank is CONSERVED at N.
+    *    Use it when ranks must be comparable across graphs or rounds (the
+    *    absolute values mean something); leave it off for the oracle mode,
+    *    where sinks absorbing mass keeps the computation a pure chained-CTE
+    *    plan an external SQL engine mirrors exactly.
+    *  - `tol`: stop when no node's rank moved more than `tol` since the
+    *    previous round (L-inf). Use it on real graphs where the iteration
+    *    count needed is unknown — typically converges long before a
+    *    conservative fixed bound; keep fixed-iteration for oracles and
+    *    cross-engine determinism (a convergence test is itself
+    *    float-order-sensitive near the threshold).
+    *
+    * Both extensions add only SCALAR per-round driver reads (the dangling
+    * mass sum and the max delta — one row each, never corpus-sized), so the
+    * scale shape is unchanged: one join + one combiner-friendly aggregate
+    * per round over bucketable node keys.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+      topK: Int, dedup: Boolean,
+      redistributeDangling: Boolean, tol: Option[Double]): DataFrame = {
     // callers that already deduplicated (ideally on narrower pre-formatted
     // keys — see supplierPartRank) skip the extra shuffle
     val e0 = edges.select(col("src"), col("dst"))
@@ -46,17 +76,40 @@ object GraphAnalytics {
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src").cache()
+    // dangling = nodes with no out-edge; their count and per-round mass are
+    // scalar aggregates (bounded driver reads, like the IVF centroid
+    // lookups). Only materialized when redistribution is on.
+    val dangling =
+      if (redistributeDangling)
+        Some(nodes.join(e.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").cache())
+      else None
+    val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
     var ranks = nodes.withColumn("rank", lit(1.0))
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val dangShare = dangling.map { d =>
+        val mass = Option(ranks.join(d, "node")
+          .agg(sum(col("rank"))).head.get(0))
+          .fold(0.0)(_.asInstanceOf[Double])
+        damping * mass / nNodes
+      }.getOrElse(0.0)
       val inflow = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"), (lit(1 - damping) +
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"), (lit(1 - damping) + lit(dangShare) +
           lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
         .localCheckpoint()
+      tol.foreach { t =>
+        val delta = next.select(col("node"), col("rank").as("r_new"))
+          .join(ranks.select(col("node"), col("rank").as("r_old")), "node")
+          .agg(max(abs(col("r_new") - col("r_old")))).head.getDouble(0)
+        if (delta <= t) converged = true
+      }
       prev.foreach(graft.functions.releaseCheckpoint)
+      ranks = next
       prev = Some(ranks)
     }
     val result = ranks
@@ -66,6 +119,7 @@ object GraphAnalytics {
     prev.foreach(graft.functions.releaseCheckpoint)
     nodes.unpersist()
     withDeg.unpersist()
+    dangling.foreach(_.unpersist())
     result
   }
 

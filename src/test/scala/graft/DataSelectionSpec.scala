@@ -89,6 +89,59 @@ class DataSelectionSpec extends AnyFunSuite {
       s"unexpected ranks: $res")
   }
 
+  test("pagerank: dangling-mass redistribution matches a driver-side reference") {
+    import spark.implicits._
+    // a->b, b->c, c dangles. Driver-side reference implements the textbook
+    // update new(v) = (1-d) + d*(inflow(v) + S/N) with S = dangling mass.
+    val edgeSeq = Seq(("a", "b"), ("b", "c"))
+    val nodesRef = Seq("a", "b", "c")
+    val d = 0.85
+    def reference(iters: Int): Map[String, Double] = {
+      val out = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var r = nodesRef.map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val dangMass = nodesRef.filterNot(out.contains).map(r).sum
+        val inflow = nodesRef.map { v =>
+          v -> edgeSeq.filter(_._2 == v)
+            .map { case (s, _) => r(s) / out(s).size }.sum
+        }.toMap
+        r = nodesRef.map(v =>
+          v -> ((1 - d) + d * (inflow(v) + dangMass / nodesRef.size))).toMap
+      }
+      r.view.mapValues(x => math.round((x + 1e-9) * 1e4) / 1e4).toMap
+    }
+    val edges = edgeSeq.toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      val res = GraphAnalytics.pageRank(edges, iters, damping = d, topK = 10,
+          dedup = true, redistributeDangling = true, tol = None)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(res == reference(iters), s"iters=$iters: $res vs ${reference(iters)}")
+    }
+    // mass conservation: redistributed total rank stays at N (un-rounded
+    // drift only; compare at the rounded precision)
+    val r5 = GraphAnalytics.pageRank(edges, 5, d, topK = 10,
+        dedup = true, redistributeDangling = true, tol = None)
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(r5 - 3.0) < 0.001, s"mass not conserved: $r5")
+  }
+
+  test("pagerank: convergence-delta stop reaches the fixed point early") {
+    import spark.implicits._
+    // star: a,b,c all point at hub h; generous iteration budget, tight tol.
+    // The converged result must match a long fixed-iteration run, proving
+    // the early stop does not change the answer.
+    val edges = Seq(("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
+    val converged = GraphAnalytics.pageRank(edges, iters = 50, damping = 0.85,
+        topK = 10, dedup = true, redistributeDangling = false,
+        tol = Some(1e-7))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val long = GraphAnalytics.pageRank(edges, iters = 50, damping = 0.85,
+        topK = 10).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(converged == long, s"$converged vs $long")
+    // sources settle at 0.15 immediately; the non-redistributed hub absorbs
+    assert(converged("a") == 0.15 && converged("h") > converged("a"))
+  }
+
   test("containment pairs: quoted-subset docs flag where Jaccard would not") {
     // doc 2 is doc 1's first third quoted verbatim inside unrelated text:
     // containment of the short side is high while Jaccard stays low.
