@@ -70,6 +70,13 @@ object LocomoReport {
       }
     println(s"abstention ceiling=${unanswerable.max} floor=${answerable.min}")
     mem.unpersist()
+    // A/B experiment discipline (VERDICT r9 item 6): recency weight 0.1
+    // (default) vs 0.0 over the 10k lab corpus, paired t-test + winner rule
+    val cmp = LabExperiment.compare(spark,
+      LabExperiment.Arm("recency-0.1", graft.domain.Scoring.Weights()),
+      LabExperiment.Arm("recency-0.0",
+        graft.domain.Scoring.Weights(recency = 0.0)))
+    println("\n" + LabExperiment.report(cmp))
     spark.stop()
   }
 }

@@ -74,6 +74,68 @@ class QualityScaleSpec extends AnyFunSuite {
     assertPinned("distractor-rate@10", dist, 0.0)
   }
 
+  test("A/B experiment: paired t-test + winner rule on recency 0.1 vs 0.0") {
+    import graft.tools.LabExperiment
+    val cmp = LabExperiment.compare(spark,
+      LabExperiment.Arm("recency-0.1", graft.domain.Scoring.Weights()),
+      LabExperiment.Arm("recency-0.0",
+        graft.domain.Scoring.Weights(recency = 0.0)))
+    info(LabExperiment.report(cmp))
+    // deterministic fixture -> the t statistic is exact arithmetic; pin it
+    assertPinned("ab t_stat", cmp.ttest.tStat, -0.8946)
+    assertPinned("ab cohens_d", cmp.ttest.cohensD, -0.0214)
+    assertPinned("ab mean_diff", cmp.ttest.meanDiff, -0.0059)
+    // dropping the recency weight nudges NDCG down (fresh evidence loses
+    // its freshness edge on a handful of questions) but NOT significantly —
+    // exactly the situation the t-test discipline exists for: without it,
+    // a -0.006 mean delta reads as "recency matters", and the honest answer
+    // is "within noise on this corpus". The winner rule then keeps the
+    // baseline (no candidate beat its NDCG@10 at all).
+    assert(!cmp.ttest.significant,
+      s"recency ablation is within noise on this corpus: ${cmp.ttest}")
+    assert(cmp.winner.name == "recency-0.1", s"winner: ${cmp.winner}")
+    assert(cmp.reason.contains("no candidate beat baseline"), cmp.reason)
+    // the simplicity tiebreaker is live: the zero-recency arm has one
+    // fewer active knob
+    assert(cmp.b.card.complexity == cmp.a.card.complexity - 1)
+  }
+
+  test("paired t-test matches reference arithmetic on a hand case") {
+    import RetrievalMetrics._
+    // hand-computed with lab_metrics.py semantics: a=(.5,.6,.7,.8),
+    // b=(.6,.8,.7,.9): diffs=(.1,.2,0,.1), mean=.1, sd=sqrt(.02/3),
+    // t = .1/(sd/2) = 2.4495
+    val t = pairedTTest(Seq(0.5, 0.6, 0.7, 0.8), Seq(0.6, 0.8, 0.7, 0.9))
+    assert(t.tStat == 2.4495, s"got $t")
+    assert(t.meanDiff == 0.1)
+    // the lab's normal approximation: p = 2*(1-Phi(2.4495)) ~ 0.0143 < .05
+    // (a true t-distribution at n=4 would NOT be significant — ported
+    // faithfully, approximation and all)
+    assert(t.significant && math.abs(t.pValue - 0.014306) < 1e-4, s"got $t")
+    // degenerate inputs return the null result, as the lab does
+    assert(pairedTTest(Seq(1.0), Seq(1.0)) ==
+      TTest(0.0, 1.0, 0.0, "negligible", significant = false, 0.0))
+    assert(pairedTTest(Seq(1.0, 2.0), Seq(1.0)).pValue == 1.0)
+  }
+
+  test("winner rule: precision guardrail, ndcg tolerance, simplicity tiebreak") {
+    import RetrievalMetrics._
+    val base = Scorecard("base", ndcg10 = 0.70, distractorRate10 = 0.02,
+      complexity = 9, latencyMs = 100)
+    // higher NDCG but regresses precision beyond tol -> ineligible
+    val leaky = Scorecard("leaky", 0.80, 0.05, 9, 100)
+    // within ndcg tol of the best eligible, fewer knobs -> wins
+    val simple = Scorecard("simple", 0.748, 0.02, 7, 120)
+    val best = Scorecard("best", 0.75, 0.025, 9, 90)
+    val (w, reason) = pickWinner(Seq(base, leaky, simple, best), "base")
+    assert(w.name == "simple", s"got $w")
+    assert(reason.contains("lowest complexity"), reason)
+    // with no eligible candidate above baseline, baseline wins with the
+    // reference's reason string
+    val (w2, r2) = pickWinner(Seq(base, leaky), "base")
+    assert(w2.name == "base" && r2.contains("no candidate beat baseline"))
+  }
+
   test("lab metric functions match the reference definitions on hand cases") {
     import RetrievalMetrics._
     // hand-checked against lab_metrics.py: recall 1/2; mrr 1/2; ndcg with
