@@ -151,7 +151,8 @@ object Ingest {
     * Produces the memories schema of [[Schema]].
     */
   def prepare(df: DataFrame, dim: Int = PlaceholderEmbedding.DefaultDim,
-      embed: Option[Column => Column] = None): DataFrame = {
+      embed: Option[Column => Column] = None,
+      summarize: Option[Column => Column] = None): DataFrame = {
     val withDefaults = Seq(
       ("tags", lit(Array.empty[String]).cast("array<string>")),
       ("type", lit(null).cast("string")),
@@ -185,8 +186,14 @@ object Ingest {
       .withColumn("type", coalesce(col("_type_norm"), typeCol))
       .drop("_type_norm")
       .withColumn("importance", least(greatest(col("importance"), lit(0.0)), lit(1.0)))
+      // the summary stage is pluggable like the embedder: the default is
+      // the extractive expression (U5); an [[LlmSummarizer.column]] swaps
+      // in the LLM path with extractive fallback (U4) — the gate (only
+      // oversized content is summarized) stays HERE either way
       .withColumn("summary",
-        when(length(col("content")) > SoftLimit, extractiveSummary(col("content")))
+        when(length(col("content")) > SoftLimit,
+          summarize.map(_(col("content")))
+            .getOrElse(extractiveSummary(col("content"))))
           .otherwise(lit(null).cast("string")))
       .withColumn("embedding",
         embed.getOrElse(PlaceholderEmbedding.embedColumn(dim))(col("content")))
