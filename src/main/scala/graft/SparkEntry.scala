@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dsir_weight" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_len_quantile" -> (TextAnalysis.lengthQuantiles _),
     "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
+    "q_kmeans" -> ((s, d) => KMeans.kmeansClusters(s, d)),
     "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
     "q_url_canonical" -> (TextPolicy.urlCanonical _),
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
@@ -299,6 +300,7 @@ object SparkEntry {
     "q_dsir_weight" -> TextAnalysis.dsirWeightsSql,
     "q_len_quantile" -> TextAnalysis.lengthQuantilesSql,
     "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
+    "q_kmeans" -> KMeans.kmeansClustersSql,
     "q_perplexity" -> TextPolicy.perplexityScoresSql,
     "q_url_canonical" -> TextPolicy.urlCanonicalSql,
     "q_dedup_containment" -> Dedup.containmentPairsSql,
