@@ -71,8 +71,11 @@ object Bench {
         .createTempDirectory("bench-ivf-f32").toString
       val tmpQ = java.nio.file.Files
         .createTempDirectory("bench-ivf-q8").toString
+      val tmpK = java.nio.file.Files
+        .createTempDirectory("bench-ivf-km").toString
       operators.IvfIndex.build(docVecs, tmpF)
       operators.IvfIndex.buildQuantized(docVecs, tmpQ)
+      operators.IvfIndex.buildKMeans(docVecs, tmpK)
       val qvecs = tools.ClusteredVectors.queryVectors(spark, sfDir)
       def fp32(q: Array[Float], np: Int) =
         operators.IvfIndex.topK(spark, tmpF, q, k = 10, nprobe = np)
@@ -94,11 +97,17 @@ object Bench {
         }
         (ms, rec.sum / rec.size)
       }
+      def km(q: Array[Float], np: Int) =
+        operators.IvfIndex.topK(spark, tmpK, q, k = 10, nprobe = np)
       val (fp32Ms, fp32Rec) = row(q => fp32(q, 8))
       val (int8Ms, int8Rec) = row(q => int8(q, 8))
+      // k-means coarse quantizer at the same nprobe: recall against the
+      // SAME brute-force reference (full probe is exact for any quantizer)
+      val (kmMs, kmRec) = row(q => km(q, 8))
       graft.functions.releaseCheckpoint(docVecs)
       Map("fp32_nprobe8_ms" -> fp32Ms, "fp32_nprobe8_recall10" -> fp32Rec,
-        "int8_nprobe8_ms" -> int8Ms, "int8_nprobe8_recall10" -> int8Rec)
+        "int8_nprobe8_ms" -> int8Ms, "int8_nprobe8_recall10" -> int8Rec,
+        "kmeans_nprobe8_ms" -> kmMs, "kmeans_nprobe8_recall10" -> kmRec)
     } catch { case _: Throwable =>
       Map("fp32_nprobe8_ms" -> -1.0, "fp32_nprobe8_recall10" -> -1.0,
         "int8_nprobe8_ms" -> -1.0, "int8_nprobe8_recall10" -> -1.0)

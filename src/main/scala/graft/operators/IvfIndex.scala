@@ -76,6 +76,62 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** K-means coarse-quantizer build — the textbook IVF (FAISS
+    * `IndexIVFFlat`'s shape): cells are the nearest of `k` Lloyd's
+    * centroids ([[KMeans.fitCentroids]]) instead of sign-bucket
+    * hyperplanes. On clustered data the centroids TRACK the clusters, so
+    * cell residency follows content and fewer probes recover the true
+    * neighbors; sign-buckets cut clusters with fixed axis-aligned planes
+    * and stay the right default only when nothing is known about the
+    * distribution (they need no training pass).
+    *
+    * The quantizer is FROZEN at build time: routing is BY centroid, so
+    * moving centroids would orphan existing assignments. [[append]]
+    * therefore routes new vectors through the stored centroids and leaves
+    * the centroid table untouched (FAISS likewise never retrains the
+    * coarse quantizer on add), and [[compact]] rewrites files without
+    * reassigning. A marker file records the quantizer kind so the
+    * maintenance entry points dispatch correctly.
+    */
+  def buildKMeans(vectors: DataFrame, path: String, k: Int = 64,
+      iters: Int = 5): Unit = {
+    val cents = KMeans.fitCentroids(vectors, k, iters)
+    val cells = KMeans.assign(vectors, cents)
+      .withColumn("cell", col("cluster").cast("long"))
+      .drop("cluster", "dist")
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+      .join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "QUANTIZER"), "kmeans")
+  }
+
+  /** The index's quantizer kind: "kmeans" when the marker exists, else
+    * "sign" (every pre-marker index is sign-bucket).
+    */
+  def quantizerOf(path: String): String = {
+    val p = java.nio.file.Paths.get(path, "QUANTIZER")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim
+    else "sign"
+  }
+
+  /** Stored centroids as the k×dim double set [[KMeans.assign]] takes. */
+  private def storedCentroids(spark: SparkSession, path: String)
+      : Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").select(col("centroid").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
   /** Quantized index build (the ~4x-smaller variant): assignments store
     * each vector as int8 — raw bytes plus the per-vector affine
     * (scale, offset) from `VectorFunctions.quantizeInt8` — instead of
@@ -156,6 +212,19 @@ object IvfIndex {
       cellBits: Int = DefaultCellBits): Unit = {
     require(exists(path), s"no completed index at $path — use build()")
     val spark = vectors.sparkSession
+    if (quantizerOf(path) == "kmeans") {
+      // frozen-quantizer append: route by the STORED centroids, touch only
+      // the landed cell partitions, leave the centroid table alone (it IS
+      // the quantizer — updating it would orphan existing assignments)
+      val cents = storedCentroids(spark, path)
+      KMeans.assign(vectors, cents)
+        .withColumn("cell", col("cluster").cast("long"))
+        .drop("cluster", "dist")
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$path/assignments")
+      return
+    }
     val cells = vectors.withColumn("cell", signBucket(col("embedding"), cellBits))
     val old = spark.read.parquet(s"$path/centroids")
     val oldSumsPlan =
@@ -245,6 +314,16 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, path: String,
       cellBits: Int = DefaultCellBits): Unit = {
+    if (quantizerOf(path) == "kmeans") {
+      // the quantizer is frozen: rewrite one-file-per-cell with the cells
+      // KEPT (no reassignment), centroid table untouched
+      val current = spark.read.parquet(s"$path/assignments")
+        .localCheckpoint()
+      current.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/assignments")
+      return
+    }
     val current = spark.read.parquet(s"$path/assignments")
       .drop("cell")
       .localCheckpoint() // materialize before overwriting the source files
@@ -267,8 +346,12 @@ object IvfIndex {
     // audit exists to catch hand-edited or partially written tables, and
     // those are still caught on the next pressured append or direct call.
     val fpc = filesPerCell(path)
+    // the drift audit compares stored centroids to member MEANS — only
+    // meaningful for the sign-bucket variant (k-means centroids are
+    // Lloyd's optima, intentionally not the running member mean)
     val needs = fpc > maxFilesPerCell ||
-      (fpc > maxFilesPerCell / 2 && centroidDrift(spark, path) > maxDrift)
+      (fpc > maxFilesPerCell / 2 && quantizerOf(path) != "kmeans" &&
+        centroidDrift(spark, path) > maxDrift)
     if (needs) compact(spark, path, cellBits)
     needs
   }
