@@ -102,6 +102,8 @@ object SparkEntry {
     "q_len_quantile" -> (TextAnalysis.lengthQuantiles _),
     "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
     "q_kmeans" -> ((s, d) => KMeans.kmeansClusters(s, d)),
+    "q_seq_chunks" -> (TextAnalysis.sequenceChunks _),
+    "q_pca_cov" -> (Pca.covarianceQuery _),
     "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
     "q_url_canonical" -> (TextPolicy.urlCanonical _),
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
@@ -301,6 +303,8 @@ object SparkEntry {
     "q_len_quantile" -> TextAnalysis.lengthQuantilesSql,
     "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
     "q_kmeans" -> KMeans.kmeansClustersSql,
+    "q_seq_chunks" -> TextAnalysis.sequenceChunksSql,
+    "q_pca_cov" -> Pca.covarianceSql,
     "q_perplexity" -> TextPolicy.perplexityScoresSql,
     "q_url_canonical" -> TextPolicy.urlCanonicalSql,
     "q_dedup_containment" -> Dedup.containmentPairsSql,

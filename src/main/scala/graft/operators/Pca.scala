@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.round4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Embedding covariance + PCA — the whitening/dimension-reduction stage in
+  * front of clustering and ANN (OPQ-style preprocessing; SemDeDup-family
+  * pipelines reduce before clustering). Split the way a 100 TB pipeline
+  * must: the DISTRIBUTED part is one linear pass producing the d×d
+  * covariance (a few-thousand-row aggregate for d = 64), the
+  * eigen-decomposition runs on the DRIVER over that tiny matrix (Jacobi
+  * rotations — deterministic, no LAPACK dependency), and the projection
+  * back over the corpus is a literal-matrix codegen projection with no
+  * join or shuffle (same shape as [[KMeans.assign]]).
+  *
+  * Scale notes: the moment aggregate emits the upper triangle only
+  * (d(d+1)/2 products per row) through a combiner-friendly groupBy — the
+  * shuffle moves ≤ d(d+1)/2 partial rows per partition, never corpus-sized
+  * data. At much larger d, switch the per-row explode for per-partition
+  * BLAS-style accumulation; the driver eigen step is d³ and fine through
+  * d ≈ few thousand.
+  */
+object Pca {
+
+  /** Upper-triangle covariance entries (i ≤ j) of the embedding column:
+    * cov(i,j) = E[x_i x_j] − E[x_i]E[x_j], population form (divide by N).
+    * Rounded (round4) so the oracle hash is engine-stable.
+    */
+  def covariance(vectors: DataFrame): DataFrame = {
+    val el = vectors
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i", "x")))
+    // pair the exploded row with the SAME row's suffix via a self-join on
+    // vec_id restricted to i <= j: one shuffle on vec_id (co-partitioned
+    // both sides, AQE-coalesced), products reduced by (i, j) immediately
+    val a = el.select(col("vec_id"), col("i"), col("x"))
+    val b = el.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
+    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(avg(col("x") * col("y")).as("exy"),
+        avg(col("x")).as("ex"), avg(col("y")).as("ey"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round4(col("exy") - col("ex") * col("ey")).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** Oracle query over the embeddings table. */
+  def covarianceQuery(spark: SparkSession, dir: String): DataFrame =
+    covariance(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  val covarianceSql: String =
+    raw"""WITH el AS (SELECT vec_id, unnest(range(len(embedding))) AS i,
+         unnest(embedding)::DOUBLE AS x
+       FROM embeddings)
+       SELECT a.i, b.i AS j,
+         round(avg(a.x * b.x) - avg(a.x) * avg(b.x) + 1e-9, 4) AS cov
+       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Driver-side eigen-decomposition of a symmetric matrix by cyclic
+    * Jacobi rotations; returns (eigenvalues desc, eigenvectors as rows),
+    * deterministic for a fixed sweep count.
+    */
+  def jacobiEigen(m: Array[Array[Double]], sweeps: Int = 30)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          // sign convention with sign(0) = +1: math.signum(0) = 0 would
+          // cancel the 45-degree rotation the equal-diagonal case needs
+          val t = (if (theta >= 0) 1.0 else -1.0) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val c = 1 / math.sqrt(t * t + 1)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until n).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** Fit PCA: collect the covariance (d(d+1)/2 rows — a bounded parameter
+    * read), eigen-decompose on the driver. Returns (eigenvalues desc,
+    * components as rows).
+    */
+  def fit(vectors: DataFrame): (Array[Double], Array[Array[Double]]) = {
+    val entries = covariance(vectors).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    val dim = entries.keys.map(_._2).max + 1
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      entries.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    jacobiEigen(m)
+  }
+
+  /** Project embeddings onto the top-k components: a literal-matrix
+    * projection (transform + aggregate over the embedding), whole-stage
+    * codegen, no join/shuffle — adds `projected` (array<double>, length k).
+    */
+  def project(vectors: DataFrame, components: Seq[Seq[Double]]): DataFrame = {
+    val comps = typedlit(components)
+    val emb = col("embedding").cast("array<double>")
+    vectors.withColumn("projected",
+      transform(comps, c =>
+        aggregate(zip_with(emb, c, (x, w) => x * w), lit(0.0),
+          (acc, v) => acc + v)))
+  }
+
+  /** Explained-variance ratios of the leading `k` components. */
+  def explainedVariance(eigenvalues: Array[Double], k: Int): Seq[Double] = {
+    val total = eigenvalues.map(math.max(_, 0.0)).sum
+    eigenvalues.take(k).map(e => math.max(e, 0.0) / total).toSeq
+  }
+}

@@ -387,6 +387,75 @@ object TextAnalysis {
          min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Context-window sequence packing accounting — the concat-then-chunk
+    * step of a pretraining pipeline (documents concatenated per source in
+    * id order, the token stream split into fixed `ctx`-token training
+    * sequences; GPT-style packing). Unlike [[shardPack]] (which assigns
+    * each WHOLE document to the shard where it starts), this accounts for
+    * documents SPLIT across sequence boundaries: per sequence it reports
+    * how many documents contribute tokens, how many carried over from the
+    * previous sequence (the split count a data engineer watches — high
+    * carry-over on short contexts means attention windows full of document
+    * fragments), and the fill (every sequence holds exactly `ctx` tokens
+    * except the final partial one per source).
+    *
+    * All arithmetic is INTEGER (token offsets, DIV) — no float rounding
+    * anywhere, so the oracle hash cannot drift by construction. Scale
+    * shape: one window cumsum per source (the same single shuffle
+    * shardPack pays), then a bounded explode — each document expands to
+    * ceil(len/ctx)+1 spanned-sequence rows at most, and the per-sequence
+    * aggregate is combiner-friendly. No global sort, no driver loop.
+    */
+  def sequenceChunks(spark: SparkSession, dir: String): DataFrame =
+    sequenceChunks(Tables.documents(spark, dir), ctx = 256L)
+
+  /** DataFrame-parametric form — needs (doc_id, source, text). */
+  def sequenceChunks(documents: DataFrame, ctx: Long): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val base = documents
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("tok_start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("tok_end", col("tok_start") + col("n_tok"))
+    base
+      .withColumn("seq", explode(sequence(
+        expr(s"tok_start DIV $ctx"), expr(s"(tok_end - 1) DIV $ctx"))))
+      .withColumn("tok_in",
+        least(col("tok_end"), (col("seq") + 1) * ctx) -
+          greatest(col("tok_start"), col("seq") * ctx))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in")).as("n_tok"),
+        sum(when(col("tok_start") < col("seq") * ctx, 1L).otherwise(0L))
+          .as("n_carried"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "seq")
+  }
+
+  val sequenceChunksSql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+           AS n_tok
+       FROM documents),
+       c AS (SELECT doc_id, source, n_tok,
+           CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+             AS BIGINT) AS tok_start
+         FROM t WHERE n_tok > 0),
+       sp AS (SELECT doc_id, source, n_tok, tok_start,
+           tok_start + n_tok AS tok_end,
+           unnest(range(tok_start // 256, (tok_start + n_tok - 1) // 256 + 1))
+             AS seq
+         FROM c)
+       SELECT source, seq, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(least(tok_end, (seq + 1) * 256) -
+           greatest(tok_start, seq * 256)) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN tok_start < seq * 256 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_carried,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** DSIR-style importance weighting (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score every
     * raw-pool document by the log-likelihood ratio of its hashed n-gram

@@ -142,6 +142,31 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(converged("a") == 0.15 && converged("h") > converged("a"))
   }
 
+  test("sequence chunks: boundary splits, carry-over, and exact fills") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // ctx=4. Source s: docs of 3, 3, 2 tokens -> stream of 8 tokens = 2
+    // exactly-full sequences. Doc 11 (tokens 3..5) SPANS the seq boundary:
+    // seq 0 holds docs 10+11 (no carry), seq 1 holds docs 11+12 with doc
+    // 11 carried over.
+    val docs = Seq(
+      (10L, "s", "a b c"), (11L, "s", "d e f"), (12L, "s", "g h"),
+      // second source: a single 5-token doc -> one full seq + a 1-token
+      // partial; the doc carries into its own second sequence
+      (20L, "t", "p q r s t"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.sequenceChunks(docs, ctx = 4L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(rows(("s", 0L)) == ((2L, 4L, 0L, 10L, 11L)), s"got $rows")
+    assert(rows(("s", 1L)) == ((2L, 4L, 1L, 11L, 12L)), s"got $rows")
+    assert(rows(("t", 0L)) == ((1L, 4L, 0L, 20L, 20L)), s"got $rows")
+    assert(rows(("t", 1L)) == ((1L, 1L, 1L, 20L, 20L)), s"got $rows")
+    // conservation: sequence token sums equal the corpus token count
+    assert(rows.values.map(_._2).sum == 13L)
+  }
+
   test("containment pairs: quoted-subset docs flag where Jaccard would not") {
     // doc 2 is doc 1's first third quoted verbatim inside unrelated text:
     // containment of the short side is high while Jaccard stays low.
