@@ -27,21 +27,28 @@ object Pca {
   /** Upper-triangle covariance entries (i ≤ j) of the embedding column:
     * cov(i,j) = E[x_i x_j] − E[x_i]E[x_j], population form (divide by N).
     * Rounded (round4) so the oracle hash is engine-stable.
+    *
+    * JOIN-FREE: the d(d+1)/2 pair products are built per ROW with a nested
+    * `transform` + `flatten` over the same embedding array, then reduced
+    * by a combiner-friendly (i, j) aggregate — one corpus scan, one tiny
+    * shuffle (≤ d(d+1)/2 partial rows per partition). A self-join on
+    * vec_id was the first draft and its plan broadcast an exploded corpus
+    * side — fine at bench scale, wrong at 100 TB.
     */
   def covariance(vectors: DataFrame): DataFrame = {
-    val el = vectors
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("i", "x")))
-    // pair the exploded row with the SAME row's suffix via a self-join on
-    // vec_id restricted to i <= j: one shuffle on vec_id (co-partitioned
-    // both sides, AQE-coalesced), products reduced by (i, j) immediately
-    val a = el.select(col("vec_id"), col("i"), col("x"))
-    val b = el.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
-    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(avg(col("x") * col("y")).as("exy"),
-        avg(col("x")).as("ex"), avg(col("y")).as("ey"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+    val emb = col("embedding").cast("array<double>")
+    val pairs = flatten(transform(sequence(lit(0), size(emb) - 1), i =>
+      transform(sequence(i, size(emb) - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(emb, i + 1) * element_at(emb, j + 1)).as("xy"),
+          element_at(emb, i + 1).as("x"),
+          element_at(emb, j + 1).as("y")))))
+    vectors.select(explode(pairs).as("p"))
+      .groupBy(col("p.i").cast("long").as("i"),
+        col("p.j").cast("long").as("j"))
+      .agg(avg(col("p.xy")).as("exy"),
+        avg(col("p.x")).as("ex"), avg(col("p.y")).as("ey"))
+      .select(col("i"), col("j"),
         round4(col("exy") - col("ex") * col("ey")).as("cov"))
       .orderBy("i", "j")
   }
