@@ -111,6 +111,7 @@ object SparkEntry {
     "q_asof_join" -> (Relational.asofClickForPurchase _),
     "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
+    "q_lpa_communities" -> (GraphAnalytics.coPurchaseCommunities _),
     "q_cube" -> (Analytics.shipmodeCube _),
     "q_skew_salted" -> (Skew.saltedBrandRevenue _),
     "q_conversion_funnel" -> (Relational.conversionFunnel _),
@@ -312,6 +313,7 @@ object SparkEntry {
     "q_asof_join" -> Relational.asofClickForPurchaseSql,
     "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
+    "q_lpa_communities" -> GraphAnalytics.coPurchaseCommunitiesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,
     "q_skew_salted" -> Skew.saltedBrandRevenueSql,
     "q_conversion_funnel" -> Relational.conversionFunnelSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.round4
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -226,6 +227,93 @@ object GraphAnalytics {
          SELECT b FROM tri UNION ALL SELECT c FROM tri)
        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
        FROM nodes GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 10"""
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), deterministic variant: each round every node adopts the MOST
+    * FREQUENT label among its neighbors, ties broken toward the smaller
+    * label; isolated nodes keep their own. A FIXED round count makes the
+    * whole computation one deterministic plan (the classic async/random
+    * LPA is irreproducible by design — wrong for an oracle-gated engine;
+    * fixed-round sync LPA is the standard determinization and what a
+    * curation pipeline wants for grouping near-dup graph neighborhoods
+    * into communities).
+    *
+    * Scale shape per round: one join of the label table onto the
+    * symmetrized edge list (bucketable on the node key), one
+    * combiner-friendly (node, label) count, one per-node top-1 window.
+    * Labels localCheckpoint per round so lineage never compounds (the
+    * PageRank loop's doctrine); edge+node invariants cache across rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("u"), col("v")).filter(col("u") =!= col("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    val nodes = sym.select(col("u").as("node")).distinct().cache()
+    var labels = nodes.withColumn("label", col("node"))
+    var prev: Option[DataFrame] = None
+    val byCount = Window.partitionBy(col("nu"))
+      .orderBy(desc("cnt"), asc("nlabel"))
+    for (_ <- 1 to iters) {
+      val best = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(col("u").as("nu"), col("label").as("nlabel"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(byCount))
+        .filter(col("_rn") === 1)
+        .select(col("nu"), col("nlabel"))
+      labels = labels.join(best, labels("node") === best("nu"), "left")
+        .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
+        .localCheckpoint()
+      prev.foreach(graft.functions.releaseCheckpoint)
+      prev = Some(labels)
+    }
+    val result = labels.orderBy("node").localCheckpoint()
+    prev.foreach(graft.functions.releaseCheckpoint)
+    sym.unpersist()
+    nodes.unpersist()
+    result
+  }
+
+  /** Oracle query: 2 sync LPA rounds over the sampled part co-purchase
+    * graph (same deterministic 1/3 node sample as [[coPurchaseTriangles]]),
+    * plus each node's final community size.
+    */
+  def coPurchaseCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 3 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    labelPropagation(edges, iters = 2)
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy("node")
+  }
+
+  val coPurchaseCommunitiesSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""${cur}_best AS (SELECT nu, nlabel FROM (
+           SELECT e.u AS nu, $prev.label AS nlabel, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.u
+               ORDER BY count(*) DESC, $prev.label) AS rn
+           FROM e JOIN $prev ON $prev.node = e.v
+           GROUP BY 1, 2) t WHERE rn = 1),
+         $cur AS (SELECT l.node, coalesce(b.nlabel, l.label) AS label
+           FROM $prev l LEFT JOIN ${cur}_best b ON b.nu = l.node)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         FROM lineitem WHERE l_partkey % 3 = 0),
+       e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       n AS (SELECT DISTINCT u AS node FROM e),
+       l0 AS (SELECT node, node AS label FROM n),
+       ${round("l0", "l1")},
+       ${round("l1", "l2")}
+       SELECT node, label,
+         CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+           AS community_size
+       FROM l2 ORDER BY node"""
+  }
 
   val supplierPartRankSql: String = {
     def iter(prev: String, cur: String): String =

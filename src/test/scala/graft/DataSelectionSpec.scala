@@ -210,6 +210,41 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(res2 == res, s"orientation must not matter: $res2")
   }
 
+  test("label propagation: hand-traced sync rounds on two bridged cliques") {
+    import spark.implicits._
+    // K3 on {1,2,3} and K3 on {10,11,12} joined by one bridge edge 3-10.
+    // Hand trace (sync, most-frequent neighbor label, ties to min):
+    //   round 1: 1->2, 2->1, 3->1 (min of all-singleton {1,2,10}),
+    //            10->3 (min of {11,12,3}), 11->10, 12->10
+    //   round 2: 1->1, 2->1, 3->1, 10->10 ({1,10,10}: 10 wins by count),
+    //            11->3 ({3,10} tie -> 3), 12->3 ({3,10} tie -> 3)
+    // The left clique converges to label 1; the bridge's round-1 pull
+    // leaves the right clique mid-oscillation — the documented behavior of
+    // SYNC LPA at a fixed round count (the determinism the oracle needs;
+    // more rounds settle it, and the spec's pinned map is the contract).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("u", "v")
+    val res = GraphAnalytics.labelPropagation(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L), s"got $res")
+    // determinism across parallelism
+    val res2 = GraphAnalytics.labelPropagation(edges.repartition(7), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res2 == res)
+    // lone edge = the textbook sync-LPA 2-cycle: the pair SWAPS labels
+    // each round (100->200, 200->100, then back), so even round counts
+    // return both to their own label — pinned as-is; an odd count agrees
+    // on the swapped pair instead
+    val pair = Seq((100L, 200L)).toDF("u", "v")
+    val even = GraphAnalytics.labelPropagation(pair, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(100L -> 100L, 200L -> 200L), s"got $even")
+    val odd = GraphAnalytics.labelPropagation(pair, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(100L -> 200L, 200L -> 100L), s"got $odd")
+  }
+
   test("winnowing guarantee: a shared run of >= w+n-1 tokens always pairs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
