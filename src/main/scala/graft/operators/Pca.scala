@@ -37,20 +37,88 @@ object Pca {
     */
   def covariance(vectors: DataFrame): DataFrame = {
     val emb = col("embedding").cast("array<double>")
+    // per-dimension means from a separate d-row aggregate (N·d rows in,
+    // d out) instead of widening every pair struct with redundant x/y —
+    // the pair stream is the expensive part, keep it to (i, j, product)
+    val means = vectors
+      .select(posexplode(emb).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("ex"))
     val pairs = flatten(transform(sequence(lit(0), size(emb) - 1), i =>
       transform(sequence(i, size(emb) - 1), j =>
         struct(i.as("i"), j.as("j"),
-          (element_at(emb, i + 1) * element_at(emb, j + 1)).as("xy"),
-          element_at(emb, i + 1).as("x"),
-          element_at(emb, j + 1).as("y")))))
+          (element_at(emb, i + 1) * element_at(emb, j + 1)).as("xy")))))
     vectors.select(explode(pairs).as("p"))
-      .groupBy(col("p.i").cast("long").as("i"),
-        col("p.j").cast("long").as("j"))
-      .agg(avg(col("p.xy")).as("exy"),
-        avg(col("p.x")).as("ex"), avg(col("p.y")).as("ey"))
-      .select(col("i"), col("j"),
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(avg(col("p.xy")).as("exy"))
+      .join(broadcast(means), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("ex").as("ey"))),
+        Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         round4(col("exy") - col("ex") * col("ey")).as("cov"))
       .orderBy("i", "j")
+  }
+
+  /** Per-partition accumulated covariance — the true 100 TB shape: each
+    * partition folds its rows into ONE (count, sum-vector, product-
+    * triangle) statistic in tight arrays (the BLAS-style accumulation the
+    * declarative variant's scaladoc promises), so the driver merges
+    * ≤ numPartitions bounded rows instead of an N·d(d+1)/2 pair stream
+    * shuffling. `mapPartitions` is justified here exactly as the guide
+    * allows: genuine per-partition imperative accumulation. Output is
+    * round4-identical to [[covariance]] (spec-pinned).
+    */
+  def covarianceFast(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val partials = vectors
+      .select(col("embedding").cast("array<double>").as("e"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var n = 0L
+        var sums: Array[Double] = null
+        var prods: Array[Double] = null
+        it.foreach { e =>
+          val d = e.size
+          if (sums == null) {
+            sums = new Array[Double](d)
+            prods = new Array[Double](d * (d + 1) / 2)
+          }
+          var i = 0; var k = 0
+          while (i < d) {
+            val xi = e(i)
+            sums(i) += xi
+            var j = i
+            while (j < d) { prods(k) += xi * e(j); k += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator((n, sums.toSeq, prods.toSeq))
+      }
+      .collect() // ≤ numPartitions rows of d(d+3)/2 doubles — bounded
+    val n = partials.map(_._1).sum.toDouble
+    val dim = partials.head._2.size
+    val sums = new Array[Double](dim)
+    val prods = new Array[Double](dim * (dim + 1) / 2)
+    partials.foreach { case (_, s, p) =>
+      var i = 0
+      while (i < dim) { sums(i) += s(i); i += 1 }
+      var k = 0
+      while (k < prods.length) { prods(k) += p(k); k += 1 }
+    }
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      val cov = prods(k) / n - (sums(i) / n) * (sums(j) / n)
+      // exact round4 mirror (BigDecimal HALF_UP = Spark SQL round)
+      (i.toLong, j.toLong, BigDecimal(cov + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("i", "j", "cov")
   }
 
   /** Oracle query over the embeddings table. */
@@ -119,7 +187,7 @@ object Pca {
     * components as rows).
     */
   def fit(vectors: DataFrame): (Array[Double], Array[Array[Double]]) = {
-    val entries = covariance(vectors).collect()
+    val entries = covarianceFast(vectors).collect()
       .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
       .toMap
     val dim = entries.keys.map(_._2).max + 1

@@ -101,6 +101,24 @@ object PipelineScaleProbe {
         graft.operators.GraphAnalytics
           .pageRank(edges, iters = 3, damping = 0.85, topK = 30).count()
       }
+      time(s"lpa2        n=$n") {
+        graft.operators.GraphAnalytics.labelPropagation(edges
+          .select(col("src").as("u"), col("dst").as("v")), iters = 2).count()
+      }
+      time(s"kmeans8x2   n=$n") {
+        graft.operators.KMeans.fit(vecs, k = 8, iters = 2).count()
+      }
+      time(s"pca_cov     n=$n") {
+        graft.operators.Pca.covariance(vecs).count()
+      }
+      time(s"pca_covfast n=$n") {
+        graft.operators.Pca.covarianceFast(vecs).count()
+      }
+      val srcDocs = docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 5).cast("string")))
+      time(s"seq_chunks  n=$n") {
+        graft.operators.TextAnalysis.sequenceChunks(srcDocs, ctx = 256L).count()
+      }
       docs.unpersist(); vecs.unpersist()
     }
     spark.stop()
