@@ -290,6 +290,85 @@ object Multimodal {
       .toDF()
   }
 
+  /** 64-bit average perceptual hash (aHash): downscale to an 8×8 luminance
+    * grid (area-averaged via bilinear draw), threshold each cell against
+    * the grid mean. Visually-identical images — recompressed, lightly
+    * noised, resized — land within a few Hamming bits of each other, which
+    * is what image-level near-dup detection needs (an md5 sees every
+    * re-encode as a brand-new file).
+    */
+  def aHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      System.setProperty("java.awt.headless", "true")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = small.createGraphics()
+      try {
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, 8, 8, null)
+      } finally gfx.dispose()
+      val lum = Array.tabulate(64) { k =>
+        val p = small.getRGB(k % 8, k / 8)
+        0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+      }
+      val mean = lum.sum / 64
+      var bits = 0L
+      var k = 0
+      while (k < 64) { if (lum(k) >= mean) bits |= (1L << k); k += 1 }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: aHash every image
+    * (mapPartitions), then find pairs within `maxHamming` bits via the
+    * SAME banded blocking the text SimHash path uses — the 64-bit hash
+    * splits into 4 × 16-bit bands; by pigeonhole any pair within ≤ 3 bits
+    * (more generally < 4) agrees on at least one whole band, so a
+    * band-bucket equi-join (shuffle on (band, value), never all-pairs)
+    * finds every candidate and a codegen popcount verifies exactly.
+    * Returns (a_id, b_id, hamming) with a < b.
+    *
+    * Scale shape: decode cost is one linear pass; the join is the banded
+    * LSH shuffle the dedup family already uses, with per-bucket pairing
+    * bounded by band-collision counts — no quadratic stage. `maxHamming`
+    * must stay < 4 for the 4-band pigeonhole guarantee (require()d).
+    */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4-band pigeonhole covers hamming < 4; got $maxHamming")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashes = assets
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => aHash(p).map(id -> _) })
+      .toDF("asset_id", "phash")
+      .localCheckpoint() // decoded once; read by all four band branches
+    val banded = hashes.select(col("asset_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 16).bitwiseAND(0xffffL)
+              .as("value"))): _*)).as("bk"))
+      .select(col("asset_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.value").as("value"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.value") === col("y.value")
+          && col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a_id"), col("y.asset_id").as("b_id"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+      .localCheckpoint()
+    graft.functions.releaseCheckpoint(hashes)
+    pairs
+  }
+
   /** Resize stage (images only; non-images pass through untouched):
     * payload is replaced with the resized PNG and dimensions re-derived —
     * the thumbnailing pass of a vision-data pipeline.

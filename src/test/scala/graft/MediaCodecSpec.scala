@@ -87,6 +87,56 @@ class MediaCodecSpec extends AnyFunSuite {
       out(4L).getAs[scala.collection.Seq[Float]]("features").size == 8)
   }
 
+  /** Gradient PNG with optional per-pixel jitter — near-identical when the
+    * jitter is small, structurally different when the gradient flips.
+    */
+  private def gradientPng(w: Int, h: Int, jitter: Int, seed: Int,
+      flip: Boolean = false): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (if (flip) (w - 1 - x) else x) * 255 / math.max(1, w - 1)
+      val j = if (jitter == 0) 0
+        else ((x * 31 + y * 17 + seed * 13) % (2 * jitter + 1)) - jitter
+      val v = math.max(0, math.min(255, base + j))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hash: re-encodes and light noise collide, flips do not") {
+    val base = Multimodal.aHash(gradientPng(64, 64, 0, 0)).get
+    val noisy = Multimodal.aHash(gradientPng(64, 64, 4, 7)).get
+    val resized = Multimodal.aHash(
+      Multimodal.RealCodecs.resizeImage(gradientPng(64, 64, 0, 0), 32).get).get
+    val flipped = Multimodal.aHash(gradientPng(64, 64, 0, 0, flip = true)).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, noisy) <= 3, s"noise moved ${ham(base, noisy)} bits")
+    assert(ham(base, resized) <= 3, s"resize moved ${ham(base, resized)} bits")
+    assert(ham(base, flipped) > 16,
+      s"mirror image must be far: ${ham(base, flipped)} bits")
+  }
+
+  test("image near-dup pairs: jittered copies pair, distinct images do not") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, gradientPng(64, 64, 0, 0)),       // base
+      (2L, gradientPng(64, 64, 4, 9)),       // near-dup of 1
+      (3L, gradientPng(64, 64, 0, 0, flip = true)), // structurally different
+      (4L, pngBytes(64, 64, 0xff0000)),      // unrelated solid
+      (5L, "corrupt".getBytes("UTF-8")))     // undecodable: silently skipped
+      .toDF("asset_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"flip must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("resizeStage: fit-to-maxDim, aspect preserved, non-images untouched") {
     import spark.implicits._
     val assets = Seq(
