@@ -103,6 +103,7 @@ object SparkEntry {
     "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
     "q_kmeans" -> ((s, d) => KMeans.kmeansClusters(s, d)),
     "q_seq_chunks" -> (TextAnalysis.sequenceChunks _),
+    "q_mix_temperature" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "q_pca_cov" -> (Pca.covarianceQuery _),
     "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
     "q_url_canonical" -> (TextPolicy.urlCanonical _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
     "q_kmeans" -> KMeans.kmeansClustersSql,
     "q_seq_chunks" -> TextAnalysis.sequenceChunksSql,
+    "q_mix_temperature" -> TextAnalysis.temperatureMixSql,
     "q_pca_cov" -> Pca.covarianceSql,
     "q_perplexity" -> TextPolicy.perplexityScoresSql,
     "q_url_canonical" -> TextPolicy.urlCanonicalSql,

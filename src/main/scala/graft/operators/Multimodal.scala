@@ -194,12 +194,12 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-    /** Parse a PCM WAV (RIFF) payload WITHOUT javax.sound: walks the chunk
-      * list to `fmt `/`data`, then computes 8 features = sample rate (Hz),
-      * channels, bits/sample, duration (s), RMS, peak, zero-cross rate,
-      * n_samples — all from 16-bit or 8-bit PCM frames.
+    /** PCM WAV (RIFF) parse WITHOUT javax.sound: walks the chunk list to
+      * `fmt `/`data` and returns (rate, channels, bits, mono-mixed
+      * [-1, 1] samples — channel 0 only, the VAD-sufficient projection).
       */
-    def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def parsePcm(payload: Array[Byte])
+        : Option[(Int, Int, Int, Array[Double])] = {
       def le16(o: Int) = ((payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8))
       def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
         ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
@@ -223,28 +223,103 @@ object Multimodal {
             if rate > 0 && channels > 0 && (bits == 8 || bits == 16)) yield {
           val bytesPer = bits / 8
           val nSamples = dLen / (bytesPer * channels)
-          var (sumSq, peak, crossings) = (0.0, 0.0, 0L)
-          var prev = 0.0
+          val samples = new Array[Double](nSamples)
           var i = 0
           while (i < nSamples) {
             val o = dOff + i * bytesPer * channels
-            val v = if (bits == 16)
-              (le16(o).toShort).toDouble / 32768.0
-            else ((payload(o) & 0xff) - 128).toDouble / 128.0
-            sumSq += v * v
-            if (math.abs(v) > peak) peak = math.abs(v)
-            if (i > 0 && v * prev < 0) crossings += 1
-            prev = v
+            samples(i) = if (bits == 16) (le16(o).toShort).toDouble / 32768.0
+              else ((payload(o) & 0xff) - 128).toDouble / 128.0
             i += 1
           }
-          val rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
-          (rate, channels, Array(rate.toFloat, channels.toFloat, bits.toFloat,
-            nSamples.toFloat / rate, rms.toFloat, peak.toFloat,
-            if (nSamples > 1) crossings.toFloat / (nSamples - 1) else 0f,
-            nSamples.toFloat))
+          (rate, channels, bits, samples)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+    /** WAV decode features: 8 = sample rate (Hz), channels, bits/sample,
+      * duration (s), RMS, peak, zero-cross rate, n_samples.
+      */
+    def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      parsePcm(payload).map { case (rate, channels, bits, s) =>
+        var (sumSq, peak, crossings) = (0.0, 0.0, 0L)
+        var i = 0
+        while (i < s.length) {
+          val v = s(i)
+          sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && v * s(i - 1) < 0) crossings += 1
+          i += 1
+        }
+        val rms = if (s.nonEmpty) math.sqrt(sumSq / s.length) else 0.0
+        (rate, channels, Array(rate.toFloat, channels.toFloat, bits.toFloat,
+          s.length.toFloat / rate, rms.toFloat, peak.toFloat,
+          if (s.length > 1) crossings.toFloat / (s.length - 1) else 0f,
+          s.length.toFloat))
+      }
+
+    /** Energy-based segmentation (VAD-lite, the speech-data chunking
+      * stage): classify fixed `windowMs` windows active/silent by RMS
+      * against `rmsThreshold`, merge consecutive same-class windows.
+      * Returns (segment_idx, active, start_sec, duration_sec, rms).
+      */
+    def audioSegments(payload: Array[Byte], windowMs: Int = 100,
+        rmsThreshold: Double = 0.02)
+        : Seq[(Int, Boolean, Float, Float, Float)] =
+      parsePcm(payload).map { case (rate, _, _, s) =>
+        val win = math.max(1, rate * windowMs / 1000)
+        val nWin = (s.length + win - 1) / win
+        val winRms = (0 until nWin).map { w =>
+          val (lo, hi) = (w * win, math.min(s.length, (w + 1) * win))
+          var sumSq = 0.0
+          var i = lo
+          while (i < hi) { sumSq += s(i) * s(i); i += 1 }
+          math.sqrt(sumSq / math.max(1, hi - lo))
+        }
+        val segs = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Boolean, Float, Float, Float)]
+        var (segStart, segSumSq, segN) = (0, 0.0, 0)
+        def flush(endWin: Int): Unit = if (endWin > segStart) {
+          val active = winRms(segStart) >= rmsThreshold
+          val startS = segStart * win.toFloat / rate
+          val endS = math.min(s.length, endWin * win).toFloat / rate
+          segs += ((segs.size, active, startS, endS - startS,
+            math.sqrt(segSumSq / math.max(1, segN)).toFloat))
+        }
+        for (w <- 0 until nWin) {
+          val active = winRms(w) >= rmsThreshold
+          if (w > segStart && active != (winRms(segStart) >= rmsThreshold)) {
+            flush(w); segStart = w; segSumSq = 0.0; segN = 0
+          }
+          val (lo, hi) = (w * win, math.min(s.length, (w + 1) * win))
+          var i = lo
+          while (i < hi) { segSumSq += s(i) * s(i); i += 1 }
+          segN += hi - lo
+        }
+        flush(nWin)
+        segs.toSeq
+      }.getOrElse(Seq.empty)
+  }
+
+  /** Segmentation stage: one row per (asset, audio segment) — the
+    * mapPartitions explode that feeds ASR-style per-utterance processing.
+    * Non-audio and undecodable assets contribute no rows.
+    */
+  def audioSegmentStage(assets: DataFrame, windowMs: Int = 100,
+      rmsThreshold: Double = 0.02): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, mime, p) =>
+        if (mime == "audio/wav" || mime == "audio/x-wav")
+          RealCodecs.audioSegments(p, windowMs, rmsThreshold).map {
+            case (idx, active, start, dur, rms) =>
+              (id, idx, active, start, dur, rms)
+          }
+        else Iterator.empty
+      })
+      .toDF("asset_id", "segment_idx", "active", "start_sec", "duration_sec",
+        "rms")
   }
 
   /** Decode stage with the REAL codecs: images and PCM WAVs decode for

@@ -387,6 +387,52 @@ object TextAnalysis {
          min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Temperature-scaled source mixing — the multilingual/multi-domain
+    * sampling knob (the `T` in p_i ∝ n_i^(1/T) from the mBERT/XLM-R line
+    * of work): raw source counts are exponentiated by alpha = 1/T and
+    * renormalized, flattening the source distribution toward uniform as T
+    * grows so low-resource sources are upsampled relative to their share.
+    * Emits per source: raw count, natural share, the T-scaled target
+    * share, and the effective per-document repeat factor (target share /
+    * natural share — >1 means that source is oversampled in the mix).
+    *
+    * Scale shape: one combiner-friendly count aggregate, a 1-row total
+    * via window over the ≤|sources| count table, pure arithmetic after —
+    * identical cost to any per-source summary regardless of corpus size.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+      temperature: Double = 2.0): DataFrame =
+    temperatureMix(Tables.documents(spark, dir), temperature)
+
+  /** DataFrame-parametric form — needs (doc_id, source). */
+  def temperatureMix(documents: DataFrame, temperature: Double): DataFrame = {
+    val alpha = 1.0 / temperature
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("_tot", sum(col("n_docs")).over(all))
+      .withColumn("_pow", pow(col("n_docs").cast("double"), alpha))
+      .withColumn("_powtot", sum(col("_pow")).over(all))
+      .select(col("source"), col("n_docs"),
+        round4(col("n_docs") / col("_tot")).as("natural_share"),
+        round4(col("_pow") / col("_powtot")).as("target_share"),
+        round4((col("_pow") / col("_powtot")) /
+          (col("n_docs") / col("_tot"))).as("repeat_factor"))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       t AS (SELECT sum(n_docs) AS tot,
+           sum(pow(n_docs, 0.5)) AS powtot FROM c)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         round(n_docs / tot + 1e-9, 4) AS natural_share,
+         round(pow(n_docs, 0.5) / powtot + 1e-9, 4) AS target_share,
+         round((pow(n_docs, 0.5) / powtot) / (n_docs / tot) + 1e-9, 4)
+           AS repeat_factor
+       FROM c, t ORDER BY source"""
+
   /** Context-window sequence packing accounting — the concat-then-chunk
     * step of a pretraining pipeline (documents concatenated per source in
     * id order, the token stream split into fixed `ctx`-token training

@@ -142,6 +142,30 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(converged("a") == 0.15 && converged("h") > converged("a"))
   }
 
+  test("temperature mixing: T flattens shares toward uniform, T=1 is natural") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // 90/10 split. T=1: shares unchanged. T=2 (alpha=.5):
+    // sqrt(90)=9.4868, sqrt(10)=3.1623 -> big 0.75, small 0.25 — the
+    // low-resource source's repeat factor is 2.5x.
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val t1 = TextAnalysis.temperatureMix(docs, temperature = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(t1("big") == ((0.9, 0.9, 1.0)) && t1("small") == ((0.1, 0.1, 1.0)),
+      s"T=1 must be the natural mix: $t1")
+    val t2 = TextAnalysis.temperatureMix(docs, temperature = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(t2("big") == ((0.75, 0.8333)), s"got $t2")
+    assert(t2("small") == ((0.25, 2.5)), s"low-resource upsampled 2.5x: $t2")
+    // target shares always renormalize to 1
+    val shares = TextAnalysis.temperatureMix(docs, temperature = 3.0)
+      .collect().map(_.getDouble(3)).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"shares sum: $shares")
+  }
+
   test("sequence chunks: boundary splits, carry-over, and exact fills") {
     import graft.operators.TextAnalysis
     import spark.implicits._

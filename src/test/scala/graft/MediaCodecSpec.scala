@@ -137,6 +137,45 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  /** WAV whose samples come from `gen(i)` (16-bit mono). */
+  private def wavFrom(rate: Int, n: Int, gen: Int => Short): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    for (i <- 0 until n) buf.putShort(gen(i))
+    buf.array()
+  }
+
+  test("audio segmentation: silence-tone-silence yields three segments") {
+    import spark.implicits._
+    // 8000 Hz, 2.4 s: [0, 0.8) silence, [0.8, 1.6) loud square, rest silence
+    val rate = 8000
+    val wav = wavFrom(rate, (2.4 * rate).toInt, i =>
+      if (i >= (0.8 * rate).toInt && i < (1.6 * rate).toInt)
+        (if ((i / 4) % 2 == 0) 16384 else -16384).toShort
+      else 0)
+    val segs = Multimodal.RealCodecs.audioSegments(wav, windowMs = 100)
+    assert(segs.size == 3, s"got $segs")
+    val Seq(s0, s1, s2) = segs
+    assert(!s0._2 && s1._2 && !s2._2, s"active pattern: $segs")
+    assert(math.abs(s1._3 - 0.8f) < 0.101 && math.abs(s1._4 - 0.8f) < 0.201,
+      s"tone boundaries: $s1")
+    assert(s1._5 > 0.4f && s0._5 < 0.01f, s"segment rms: $segs")
+    // the stage form: per-segment rows for audio, nothing for non-audio
+    val assets = Seq(
+      (1L, "audio/wav", wav),
+      (2L, "image/png", pngBytes(4, 4, 0))).toDF("asset_id", "mime", "payload")
+    val rows = Multimodal.audioSegmentStage(assets).collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(0) == 1L))
+    // segments tile the clip: durations sum to its length
+    assert(math.abs(rows.map(_.getFloat(4)).sum - 2.4f) < 1e-3)
+  }
+
   test("resizeStage: fit-to-maxDim, aspect preserved, non-images untouched") {
     import spark.implicits._
     val assets = Seq(
