@@ -102,6 +102,7 @@ object SparkEntry {
     "q_len_quantile" -> (TextAnalysis.lengthQuantiles _),
     "q_pagerank" -> (GraphAnalytics.supplierPartRank _),
     "q_kmeans" -> ((s, d) => KMeans.kmeansClusters(s, d)),
+    "q_pagerank_dangling" -> (GraphAnalytics.supplierPartRankDangling _),
     "q_seq_chunks" -> (TextAnalysis.sequenceChunks _),
     "q_mix_temperature" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "q_pca_cov" -> (Pca.covarianceQuery _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "q_len_quantile" -> TextAnalysis.lengthQuantilesSql,
     "q_pagerank" -> GraphAnalytics.supplierPartRankSql,
     "q_kmeans" -> KMeans.kmeansClustersSql,
+    "q_pagerank_dangling" -> GraphAnalytics.supplierPartRankDanglingSql,
     "q_seq_chunks" -> TextAnalysis.sequenceChunksSql,
     "q_mix_temperature" -> TextAnalysis.temperatureMixSql,
     "q_pca_cov" -> Pca.covarianceSql,

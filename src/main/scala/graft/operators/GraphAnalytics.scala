@@ -228,6 +228,49 @@ object GraphAnalytics {
        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
        FROM nodes GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 10"""
 
+  /** Oracle query for the REDISTRIBUTED variant: on the supplier->part
+    * bipartite graph every part is a sink, so without redistribution
+    * ~half the graph's rank mass simply vanishes — this graph is the
+    * showcase for why the textbook form exists. 2 iterations, top 30;
+    * the per-round dangling mass is a scalar the SQL mirrors as a
+    * subquery over the previous round's sink ranks.
+    */
+  def supplierPartRankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val edges = pairs.select(concat(lit("s"), col("sk")).as("src"),
+      concat(lit("p"), col("pk")).as("dst"))
+    pageRank(edges, iters = 2, damping = 0.85, topK = 30, dedup = false,
+      redistributeDangling = true, tol = None)
+  }
+
+  val supplierPartRankDanglingSql: String = {
+    // one redistribution round: S = sum of the previous round's rank over
+    // nodes with NO out-edge; every node gets 0.85 * S / N on top of the
+    // usual damped inflow
+    def iter(prev: String, cur: String): String =
+      s"""${cur}_dang AS (SELECT coalesce(sum($prev.rank), 0) AS mass
+           FROM $prev LEFT JOIN d ON d.src = $prev.node
+           WHERE d.src IS NULL),
+         $cur AS (SELECT n.node,
+           0.15 + 0.85 * (SELECT mass FROM ${cur}_dang) / (SELECT cnt FROM nc)
+             + 0.85 * coalesce(s.inflow, 0) AS rank
+         FROM n LEFT JOIN (
+           SELECT e.dst AS node, sum($prev.rank / d.deg) AS inflow
+           FROM e JOIN d ON d.src = e.src JOIN $prev ON $prev.node = e.src
+           GROUP BY 1) s ON s.node = n.node)"""
+    s"""WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+           'p' || l_partkey AS dst FROM lineitem),
+       n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       nc AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n),
+       d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       r0 AS (SELECT node, 1.0 AS rank FROM n),
+       ${iter("r0", "r1")},
+       ${iter("r1", "r2")}
+       SELECT node, round(rank + 1e-9, 4) AS rank FROM r2
+       ORDER BY rank DESC, node LIMIT 30"""
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007), deterministic variant: each round every node adopts the MOST
     * FREQUENT label among its neighbors, ties broken toward the smaller
