@@ -47,16 +47,19 @@ object KMeans {
     */
   def assign(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val cents = typedlit(centroids)
-    val emb = col("embedding").cast("array<double>")
+    // cast hoisted into a real column: a cast referenced inside the HOF
+    // lambdas re-evaluates per centroid (k x per row) — see the same
+    // finding in Pca.covariance
     val dists = transform(cents, c =>
-      round(aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)),
+      round(aggregate(zip_with(col("_e"), c, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v), 6))
     vectors
+      .withColumn("_e", col("embedding").cast("array<double>"))
       .withColumn("_dists", dists)
       .withColumn("dist", array_min(col("_dists")))
       .withColumn("cluster",
         (array_position(col("_dists"), col("dist")) - 1).cast("int"))
-      .drop("_dists")
+      .drop("_dists", "_e")
   }
 
   /** Lloyd's iterations; returns the final centroid set (k × dim, rounded
