@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.signBucket
+import graft.functions.round4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Product-quantized ANN index (Jégou et al. 2011, the FAISS `IndexIVFPQ`
+  * shape) — the compression tier beyond int8: the embedding splits into
+  * `m` subvectors, each encoded as its nearest centroid index from a
+  * per-subspace k-means codebook, so a 64-dim fp32 vector (256 bytes)
+  * stores as `m` single-byte codes (8 bytes at m=8 — 32× smaller). At
+  * 100 TB the assignments relation IS the index cost, and PQ is what makes
+  * billion-vector ANN fit on disk at all.
+  *
+  * Pieces, all built from parts this engine already has:
+  *  - codebooks: [[KMeans.fitCentroids]] per subspace (deterministic
+  *    lowest-id init — the whole index build is reproducible; at real
+  *    scale train on a sample, the codebook converges long before the
+  *    corpus ends);
+  *  - cells: the same sign-bucket coarse layer as the other variants, so
+  *    probed queries prune partitions identically;
+  *  - query: asymmetric distance (ADC) — the query precomputes its
+  *    m × ksub dot-product table against the codebooks ONCE on the driver
+  *    (a bounded parameter, broadcast in the scoring closure), each
+  *    candidate code scores with m table lookups, and the top
+  *    `k · refine` candidates re-rank against the exact fp32 vectors
+  *    (same refine contract as the int8 path: returned sims are
+  *    full-precision).
+  */
+object PqIndex {
+
+  /** Train per-subspace codebooks: `m` runs of k-means over the subvector
+    * slices. Returns codebooks(j)(c) = centroid c of subspace j.
+    */
+  def trainCodebooks(vectors: DataFrame, m: Int, ksub: Int,
+      iters: Int = 4): Seq[Seq[Seq[Double]]] = {
+    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = vectors.select(col("vec_id"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
+      KMeans.fitCentroids(sub, ksub, iters)
+    }
+  }
+
+  /** Encode vectors against trained codebooks: adds `code`
+    * (array<int>, length m — nearest sub-centroid per subspace, ties to
+    * the lower index like every k-means assignment here).
+    */
+  def encode(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]])
+      : DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.size
+    val cb = typedlit(codebooks)
+    vectors
+      .withColumn("_e", col("embedding").cast("array<double>"))
+      .withColumn("code",
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val sub = slice(col("_e"), j * dsub + 1, lit(dsub))
+          val dists = transform(element_at(cb, j + 1), c =>
+            round(aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, v) => acc + v), 6))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }))
+      .drop("_e")
+  }
+
+  /** Build the PQ index: codebooks + cell-partitioned code table. The
+    * fp32 embeddings are NOT stored here — the refine step reads them
+    * from the source relation (FAISS's IVFPQ + refine layout).
+    */
+  def build(vectors: DataFrame, path: String, cellBits: Int = 6,
+      m: Int = 8, ksub: Int = 16, iters: Int = 4): Unit = {
+    val spark = vectors.sparkSession
+    val codebooks = trainCodebooks(vectors, m, ksub, iters)
+    val cells = encode(vectors, codebooks)
+      .withColumn("cell", signBucket(col("embedding"), cellBits))
+      .drop("embedding")
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+    // cell routing centroids from the ORIGINAL vectors (same as the other
+    // variants: quantization error stays out of the routing structure)
+    val routed = vectors.withColumn("cell",
+      signBucket(col("embedding"), cellBits))
+    routed
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+      .select(col("cell"),
+        transform(col("ps"), p => p.getField("cx").cast("float"))
+          .as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c) }
+    }.toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Query: probe cells, ADC-score the probed codes, refine the top
+    * `k · refine` against the exact fp32 vectors. Output matches the
+    * other index variants: pass-through columns + full-precision `sim`.
+    */
+  def topK(spark: SparkSession, path: String, fullVectors: DataFrame,
+      qvec: Array[Float], k: Int, nprobe: Int, refine: Int = 4): DataFrame = {
+    val cells = IvfIndex.probeCells(spark, path, qvec, nprobe)
+    // the query's m × ksub dot-product table — bounded driver-side math
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "centroid_id")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray).toArray)
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val lut: Array[Array[Double]] = Array.tabulate(m) { j =>
+      codebooks(j).map { c =>
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) { dot += qvec(j * dsub + t) * c(t); t += 1 }
+        dot
+      }
+    }
+    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
+    val candidateIds = spark.read.parquet(s"$path/assignments")
+      .filter(col("cell").isin(cells: _*))
+      // ADC: approximate dot = sum over subspaces of lut(j)(code(j))
+      .withColumn("asim", aggregate(
+        zip_with(col("code"), lutLit, (cj, lutJ) => element_at(lutJ, cj + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .orderBy(desc("asim"), asc("vec_id"))
+      .limit(k * refine)
+      .select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val passThrough = fullVectors.columns
+      .filterNot(_ == "embedding").toSeq.map(col)
+    fullVectors
+      .filter(col("vec_id").isin(candidateIds: _*))
+      .withColumn("sim", round4(graft.functions.VectorFunctions
+        .cosineSim(col("embedding"), typedlit(qvec))))
+      .select(passThrough :+ col("sim"): _*)
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Bytes of the stored code table (the compression numerator). */
+  def assignBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path, "assignments")
+    val s = java.nio.file.Files.walk(root)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    finally s.close()
+  }
+}
