@@ -65,14 +65,17 @@ object Bench {
     // document-content queries against the full-probe (= brute-force)
     // top-10; latency is warm best-of-3 on the first query. Index builds
     // are untimed load-phase work, same as the main IVF index.
+    val ivfTmpDirs = scala.collection.mutable.Buffer[String]()
+    def ivfTmp(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      ivfTmpDirs += d
+      d
+    }
     val ivfReduced: Map[String, Double] = try {
       val docVecs = tools.ClusteredVectors.fromDocuments(spark, sfDir)
-      val tmpF = java.nio.file.Files
-        .createTempDirectory("bench-ivf-f32").toString
-      val tmpQ = java.nio.file.Files
-        .createTempDirectory("bench-ivf-q8").toString
-      val tmpK = java.nio.file.Files
-        .createTempDirectory("bench-ivf-km").toString
+      val tmpF = ivfTmp("bench-ivf-f32")
+      val tmpQ = ivfTmp("bench-ivf-q8")
+      val tmpK = ivfTmp("bench-ivf-km")
       operators.IvfIndex.build(docVecs, tmpF)
       operators.IvfIndex.buildQuantized(docVecs, tmpQ)
       operators.IvfIndex.buildKMeans(docVecs, tmpK)
@@ -109,8 +112,18 @@ object Bench {
         "int8_nprobe8_ms" -> int8Ms, "int8_nprobe8_recall10" -> int8Rec,
         "kmeans_nprobe8_ms" -> kmMs, "kmeans_nprobe8_recall10" -> kmRec)
     } catch { case _: Throwable =>
+      // keep the error-path key set IDENTICAL to the success path — a
+      // failed round must not change the JSON shape cross-round tooling
+      // diffs against
       Map("fp32_nprobe8_ms" -> -1.0, "fp32_nprobe8_recall10" -> -1.0,
-        "int8_nprobe8_ms" -> -1.0, "int8_nprobe8_recall10" -> -1.0)
+        "int8_nprobe8_ms" -> -1.0, "int8_nprobe8_recall10" -> -1.0,
+        "kmeans_nprobe8_ms" -> -1.0, "kmeans_nprobe8_recall10" -> -1.0)
+    } finally {
+      // the indexes are measurement scratch — reclaim the disk
+      ivfTmpDirs.foreach { d =>
+        scala.util.Try(org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(d)))
+      }
     }
 
     // Failure-honest timing (VERDICT r8 item 5): a query that THROWS is

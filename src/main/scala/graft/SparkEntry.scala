@@ -128,7 +128,7 @@ object SparkEntry {
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          ${centsSum("l_extendedprice * (1.0 - l_discount)")} AS revenue_cents,
-         round((avg(l_quantity)) + 1e-9, 4) AS avg_qty, count(*) AS count_order
+         round((avg(l_quantity)) + 1e-9, 4) + 0.0 AS avg_qty, count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_f1_time_window" ->
       s"""SELECT event_type, count(*) AS n, ${centsSum("value")} AS value_cents
@@ -164,7 +164,7 @@ object SparkEntry {
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_a5_hour_hist" ->
       """SELECT CAST(hour(ts) AS INT) AS hr, count(*) AS n,
-         round((avg(value)) + 1e-9, 4) AS avg_value
+         round((avg(value)) + 1e-9, 4) + 0.0 AS avg_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_a6_word_freq" ->
       s"""SELECT token, count(*) AS n FROM (
@@ -221,7 +221,7 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT a_id, b_id, jaccard FROM (
            SELECT a_id, b_id,
-             round((inter * 1.0 / (ca.n_sh + cb.n_sh - inter)) + 1e-9, 4) AS jaccard
+             round((inter * 1.0 / (ca.n_sh + cb.n_sh - inter)) + 1e-9, 4) + 0.0 AS jaccard
            FROM pairs JOIN counts ca ON ca.doc_id = a_id
            JOIN counts cb ON cb.doc_id = b_id) j
          WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
@@ -234,7 +234,7 @@ object SparkEntry {
            FROM px GROUP BY 1, 2)
          SELECT vec_id, label,
            round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim
          FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     "q_sim_bucket_pairs" ->
       """WITH e AS (SELECT vec_id, embedding,
@@ -256,7 +256,7 @@ object SparkEntry {
            FROM px GROUP BY 1, 2)
          SELECT a_id, b_id, sim FROM (
            SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM s) t
          WHERE sim >= 0.3 ORDER BY a_id, b_id""",
     "q_text_stats" -> TextAnalysis.docStatsSql,
     "q_lang_id" -> TextAnalysis.langPredictionSql,
@@ -332,7 +332,7 @@ object SparkEntry {
          s AS (SELECT vec_id, label, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
            FROM pairs GROUP BY 1, 2)
          SELECT vec_id, label, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim
          FROM s ORDER BY vec_id""",
     "q_sim_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -343,7 +343,7 @@ object SparkEntry {
            FROM px GROUP BY 1, 2)
          SELECT vec_id, label,
            round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim
          FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     // the quantized IVF path refines with exact fp32 cosine, so the oracle
     // is the SAME brute-force top-k as q_sim_ivf_topk — a hash match proves
@@ -357,7 +357,7 @@ object SparkEntry {
            FROM px GROUP BY 1, 2)
          SELECT vec_id, label,
            round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim
          FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
     "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),

@@ -83,6 +83,14 @@ object Ingest {
   private def matchCount(content: Column, patterns: Seq[String]): Column =
     patterns.map(p => when(content.rlike(p), 1).otherwise(0)).reduce(_ + _)
 
+  /** True when ANY classification pattern matches — the gate between the
+    * codegen regex path and [[LlmClassifier]]'s LLM fallback (the
+    * reference tries the LLM only after every pattern missed,
+    * `memory_classifier.py:107-135`).
+    */
+  def anyPatternMatch(content: Column): Column =
+    TypePatterns.flatMap(_._2).map(content.rlike).reduce(_ || _)
+
   /** (type, confidence) classification as two columns. */
   def classify(content: Column): (Column, Column) = {
     val counts = TypePatterns.map { case (t, ps) => t -> matchCount(content, ps) }
@@ -152,7 +160,8 @@ object Ingest {
     */
   def prepare(df: DataFrame, dim: Int = PlaceholderEmbedding.DefaultDim,
       embed: Option[Column => Column] = None,
-      summarize: Option[Column => Column] = None): DataFrame = {
+      summarize: Option[Column => Column] = None,
+      classifier: Option[Column => Column] = None): DataFrame = {
     val withDefaults = Seq(
       ("tags", lit(Array.empty[String]).cast("array<string>")),
       ("type", lit(null).cast("string")),
@@ -163,8 +172,25 @@ object Ingest {
       .foldLeft(df) { case (d, (name, default)) =>
         if (d.columns.contains(name)) d else d.withColumn(name, default)
       }
-    val (typeCol, confCol) = classify(col("content"))
-    withDefaults
+    // the classify stage is pluggable like the summarizer: default is the
+    // codegen regex table (U2); an [[LlmClassifier.resolve]] adds the LLM
+    // fallback for rows no pattern matched, as a (_1 type, _2 conf) struct.
+    // The struct is MATERIALIZED as one column (getField on the expression
+    // would duplicate it — CollapseProject does not inline a non-cheap
+    // UDF, but two independent getField projections would each carry their
+    // own copy and double the chat calls), and gated to untyped rows —
+    // the reference only classifies when no explicit type was provided.
+    val withCls = classifier match {
+      case Some(f) =>
+        withDefaults.withColumn("_cls",
+          when(col("type").isNull, f(col("content"))))
+      case None => withDefaults
+    }
+    val (typeCol, confCol) = classifier match {
+      case Some(_) => (col("_cls").getField("_1"), col("_cls").getField("_2"))
+      case None => classify(col("content"))
+    }
+    withCls
       .filter(length(col("content")) > 0 && length(col("content")) <= HardLimit)
       .withColumn("tags", normalizeTags(col("tags")))
       .withColumn("tag_prefixes", TextFunctions.tagPrefixes(col("tags")))
@@ -184,7 +210,7 @@ object Ingest {
           else lit(0.9))
           .otherwise(confCol))
       .withColumn("type", coalesce(col("_type_norm"), typeCol))
-      .drop("_type_norm")
+      .drop("_type_norm", "_cls")
       .withColumn("importance", least(greatest(col("importance"), lit(0.0)), lit(1.0)))
       // the summary stage is pluggable like the embedder: the default is
       // the extractive expression (U5); an [[LlmSummarizer.column]] swaps

@@ -130,3 +130,104 @@ class LlmIdentityWriter(client: ChatClient,
       .getOrElse(fallback.write(entitySlug, snippets))
   }
 }
+
+/** U2 memory-classifier LLM fallback (`automem/classification/
+  * memory_classifier.py:107-199`) — the last reference LLM chokepoint to
+  * get a trait seam. Contract, in the reference's order:
+  *
+  *  1. the deterministic regex table first ([[Ingest.TypePatterns]] — same
+  *     first-type-wins + count-boosted confidence as [[Ingest.classify]],
+  *     spec-pinned to agree with the column form row-for-row);
+  *  2. only when EVERY pattern misses, one chat call carrying the
+  *     reference's system prompt (the 7 canonical types + a JSON-object
+  *     instruction) and the content truncated to 1000 chars
+  *     (`memory_classifier.py:160-166`);
+  *  3. the answer parses as `{"type": ..., "confidence": ...}`; the type
+  *     normalizes through the canonical/alias table; an unmappable type
+  *     yields ("Context", 0.5) exactly as the reference's fallback does;
+  *  4. any transport failure, empty answer, or invalid JSON degrades to the
+  *     reference's terminal default — ("Memory", 0.3), which this engine's
+  *     alias table canonicalizes to "Context" — so a flaky LLM can never
+  *     break ingest (same None-on-failure doctrine as [[LlmSummarizer]]).
+  */
+class LlmClassifier(client: ChatClient) extends Serializable {
+
+  /** The reference's classification system prompt in spirit: the 7 types
+    * with one-line definitions and the JSON response contract.
+    */
+  def systemPrompt: String =
+    "You are a memory classification system. Classify each memory into " +
+      "exactly ONE of these types:\n" +
+      "- Decision: choices made, selected options, what was decided\n" +
+      "- Pattern: recurring behaviors, typical approaches\n" +
+      "- Preference: likes/dislikes, favorites, personal tastes\n" +
+      "- Style: communication approach, formatting, tone\n" +
+      "- Habit: regular routines, repeated actions, schedules\n" +
+      "- Insight: discoveries, learnings, realizations\n" +
+      "- Context: situational background, circumstances\n" +
+      "Return JSON with: {\"type\": \"<type>\", \"confidence\": <0.0-1.0>}"
+
+  /** Row form of [[Ingest.classify]]'s pattern stage: Some((type, conf))
+    * when any pattern matches, None when the content falls through to the
+    * LLM. Kept semantically identical to the Column form (first type in
+    * table order with a match wins; 0.6 + 0.1 per extra pattern of that
+    * type, capped 0.95) so swapping the classifier in cannot change
+    * already-classifiable rows.
+    */
+  def patternClassify(content: String): Option[(String, Double)] =
+    Ingest.TypePatterns.collectFirst {
+      case (t, ps) if ps.exists(p => p.r.findFirstIn(content).isDefined) =>
+        val m = ps.count(p => p.r.findFirstIn(content).isDefined)
+        (t, math.min(0.95, 0.6 + (m - 1) * 0.1))
+    }
+
+  private def normalizeType(raw: String): Option[String] = {
+    val t = Option(raw).map(_.trim).getOrElse("")
+    if (Ingest.MemoryTypes.contains(t)) Some(t)
+    else Ingest.TypeAliases.get(t.toLowerCase)
+  }
+
+  /** The LLM leg alone: None on transport failure / empty / invalid JSON. */
+  def classifyWithLlm(content: String): Option[(String, Double)] =
+    client.complete(systemPrompt, content.take(1000)).flatMap { raw =>
+      try {
+        val mapper = new ObjectMapper()
+        val node = mapper.readTree(raw)
+        if (!node.isObject) None
+        else {
+          val conf = if (node.path("confidence").isNumber)
+            node.path("confidence").asDouble() else 0.7
+          normalizeType(node.path("type").asText("")) match {
+            case Some(t) => Some((t, conf))
+            // unmappable type: the reference logs and returns Context 0.5
+            case None => Some(("Context", 0.5))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Full classify contract: patterns, then LLM, then the terminal
+    * default. "Memory" 0.3 is the reference's literal fallback pair;
+    * through this engine's alias table that canonicalizes to Context.
+    */
+  def classify(content: String): (String, Double) =
+    patternClassify(content)
+      .orElse(classifyWithLlm(content))
+      .getOrElse(("Context", 0.3))
+
+  /** Column form for [[Ingest.prepare]]'s pluggable classify stage: a
+    * struct (_1 = type, _2 = confidence). Pattern-matched rows stay on the
+    * codegen regex path — the UDF (and therefore the chat call) evaluates
+    * ONLY on the no-pattern branch, so classification cost is one HTTP
+    * call per genuinely ambiguous row, not per row.
+    */
+  def resolve: Column => Column = { c =>
+    val self = this
+    val llm = udf((content: String) =>
+      self.classifyWithLlm(content).getOrElse(("Context", 0.3)))
+    val (pt, pc) = Ingest.classify(c)
+    org.apache.spark.sql.functions.when(Ingest.anyPatternMatch(c),
+      org.apache.spark.sql.functions.struct(pt.as("_1"), pc.as("_2")))
+      .otherwise(llm(c))
+  }
+}

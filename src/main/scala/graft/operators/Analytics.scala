@@ -21,7 +21,7 @@ object Analytics {
       .orderBy(desc("n"), asc("event_type"))
 
   val countByTypeSql: String =
-    """SELECT event_type, count(*) AS n, round((avg(value)) + 1e-9, 4) AS avg_value
+    """SELECT event_type, count(*) AS n, round((avg(value)) + 1e-9, 4) + 0.0 AS avg_value
        FROM events GROUP BY 1 ORDER BY n DESC, event_type"""
 
   /** A2: relationship counts by type (`automem/api/graph.py:386-392`):
@@ -205,7 +205,7 @@ object Analytics {
          CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice / 1000000.0 END AS confidence
          FROM orders)
        SELECT src, dst,
-         round(coalesce(strength, score, confidence, 0.0) + 1e-9, 4) AS effective,
+         round(coalesce(strength, score, confidence, 0.0) + 1e-9, 4) + 0.0 AS effective,
          CASE WHEN strength IS NOT NULL THEN 'strength'
               WHEN score IS NOT NULL THEN 'score'
               ELSE 'confidence' END AS basis

@@ -137,7 +137,7 @@ object Dedup {
          GROUP BY 1, 2),
        jacc AS (SELECT c.a_id, c.b_id,
            round((coalesce(i.inter, 0) * 1.0 /
-             (ca.n_sh + cb.n_sh - coalesce(i.inter, 0))) + 1e-9, 4) AS jaccard
+             (ca.n_sh + cb.n_sh - coalesce(i.inter, 0))) + 1e-9, 4) + 0.0 AS jaccard
          FROM cand c
          LEFT JOIN ints i ON i.a_id = c.a_id AND i.b_id = c.b_id
          JOIN counts ca ON ca.doc_id = c.a_id
@@ -325,7 +325,7 @@ object Dedup {
        SELECT a_id, b_id, n_inter, c_max FROM (
          SELECT i.a_id, i.b_id, i.n_inter,
            round(greatest(i.n_inter * 1.0 / na.n_sh,
-             i.n_inter * 1.0 / nb.n_sh) + 1e-9, 4) AS c_max
+             i.n_inter * 1.0 / nb.n_sh) + 1e-9, 4) + 0.0 AS c_max
          FROM inter i JOIN n na ON na.doc_id = i.a_id
          JOIN n nb ON nb.doc_id = i.b_id) v
        WHERE c_max >= 0.5 ORDER BY a_id, b_id"""
@@ -568,7 +568,7 @@ object Dedup {
          FROM px GROUP BY 1, 2),
        np AS (SELECT a_id, b_id FROM (
            SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM s) t
          WHERE sim >= $threshold),
        edges AS (SELECT a_id AS src, b_id AS dst FROM np
          UNION ALL SELECT b_id, a_id FROM np),

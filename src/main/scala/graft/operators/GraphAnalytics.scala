@@ -267,7 +267,7 @@ object GraphAnalytics {
        r0 AS (SELECT node, 1.0 AS rank FROM n),
        ${iter("r0", "r1")},
        ${iter("r1", "r2")}
-       SELECT node, round(rank + 1e-9, 4) AS rank FROM r2
+       SELECT node, round(rank + 1e-9, 4) + 0.0 AS rank FROM r2
        ORDER BY rank DESC, node LIMIT 30"""
   }
 
@@ -374,7 +374,7 @@ object GraphAnalytics {
        ${iter("r0", "r1")},
        ${iter("r1", "r2")},
        ${iter("r2", "r3")}
-       SELECT node, round(rank + 1e-9, 4) AS rank FROM r3
+       SELECT node, round(rank + 1e-9, 4) + 0.0 AS rank FROM r3
        ORDER BY rank DESC, node LIMIT 30"""
   }
 }

@@ -105,8 +105,12 @@ object IvfIndex {
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val spark = vectors.sparkSession
     import spark.implicits._
+    // centroids persist as array<double>: storing float32 here would make
+    // storedCentroids round-trip through float and route appended boundary
+    // vectors to a DIFFERENT cell than an identical build-time vector
+    // (build-time assignment used the round6 doubles)
     cents.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .map { case (c, i) => (i.toLong, c) }
       .toDF("cell", "centroid")
       .join(counts, Seq("cell"), "left")
       .na.fill(0L, Seq("n"))
@@ -367,15 +371,45 @@ object IvfIndex {
     * scan), keep the top `nprobe`. Collected to literals — this is a
     * parameter lookup (<= 2^cellBits rows), not a data-path collect — so
     * the candidate filter prunes parquet partitions statically.
+    *
+    * Probe metric MATCHES the quantizer's assignment metric: a k-means
+    * index assigned vectors by squared-L2, so its cells rank by L2 too —
+    * ranking them by cosine could probe the wrong cells on unnormalized
+    * embeddings (a vector's own cell might not even rank first). Sign
+    * buckets have no stored geometry to be faithful to, so cosine stays
+    * the ranking there. Measured (`tools.IvfProbeMetricProbe`, clustered
+    * document vectors, nprobe 4/8/16 at sf0.01 AND sf0.1): the two
+    * rankings probe identical cells on this data — recall@10 0.80/0.93/
+    * 0.99 either way at sf0.1 — so the metric match costs nothing and
+    * removes the unnormalized-embedding failure mode.
     */
   def probeCells(spark: SparkSession, path: String, qvec: Array[Float],
       nprobe: Int): Seq[Long] =
-    spark.read.parquet(s"$path/centroids")
-      .withColumn("csim", cosineSim(col("centroid"), typedlit(qvec)))
-      .orderBy(desc("csim"), asc("cell"))
+    probeCellsWith(spark, path, qvec, nprobe,
+      if (quantizerOf(path) == "kmeans") "l2" else "cosine")
+
+  /** [[probeCells]] with an explicit cell-ranking metric — the seam
+    * `tools.IvfProbeMetricProbe` measures both through.
+    */
+  private[graft] def probeCellsWith(spark: SparkSession, path: String,
+      qvec: Array[Float], nprobe: Int, metric: String): Seq[Long] = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val scored = metric match {
+      case "l2" =>
+        val q = typedlit(qvec.map(_.toDouble).toSeq)
+        cents.withColumn("cscore",
+          -aggregate(
+            zip_with(col("centroid").cast("array<double>"), q,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v))
+      case _ => cents.withColumn("cscore", cosineSim(col("centroid"), typedlit(qvec)))
+    }
+    scored
+      .orderBy(desc("cscore"), asc("cell"))
       .limit(nprobe)
       .select(col("cell"))
       .collect().map(_.getLong(0)).toSeq
+  }
 
   /** Query the persisted index: centroid lookup + partition-pruned exact
     * search over probed cells only. Same TakeOrderedAndProject tail as

@@ -155,6 +155,6 @@ object KMeans {
              row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
            FROM d2) t WHERE rn = 1)
        SELECT vec_id, CAST(c AS BIGINT) AS cluster,
-         round(dist + 1e-9, 4) AS dist
+         round(dist + 1e-9, 4) + 0.0 AS dist
        FROM s2 ORDER BY vec_id"""
 }

@@ -32,7 +32,7 @@ object Maintenance {
   private val relevanceSql: String =
     s"""round((greatest(least(1.0, o_totalprice / 500000.0) * 0.3,
        least(1.0, exp(CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE $anchor) AS DOUBLE) * -0.01)
-         * (0.5 + least(1.0, o_totalprice / 500000.0))))) + 1e-9, 4)"""
+         * (0.5 + least(1.0, o_totalprice / 500000.0))))) + 1e-9, 4) + 0.0"""
 
   /** C1 decay: per-row relevance score (`consolidation.py:1023-1115`). */
   def decayScores(spark: SparkSession, dir: String): DataFrame =
@@ -116,7 +116,7 @@ object Maintenance {
          FROM px GROUP BY 1, 2, 3, 4),
        scored AS (SELECT a_id, a_label, b_id, b_label,
            round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM sums),
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM sums),
        kinds AS (SELECT a_id, b_id, sim,
            CASE WHEN a_label = b_label AND sim < 0.3 THEN 'contradicts'
                 WHEN a_label <> b_label AND sim > 0.7 THEN 'shares_theme'
@@ -214,7 +214,7 @@ object Maintenance {
          FROM px GROUP BY 1, 2),
        sims AS (SELECT a_id, b_id FROM (
            SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM s) t
          WHERE sim >= 0.4),
        ${clusterOracleTail(minSize = 3, metaSize = 5)}"""
 
@@ -256,7 +256,7 @@ object Maintenance {
          FROM px GROUP BY 1, 2),
        sims AS (SELECT a_id, b_id FROM (
            SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM s) t
          WHERE sim >= 0.25),
        ${clusterOracleTail(minSize = 3, metaSize = 5)}"""
   }

@@ -207,17 +207,22 @@ object Multimodal {
         if (payload == null || payload.length < 44 ||
           new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
           new String(payload, 8, 4, "US-ASCII") != "WAVE") return None
-        var off = 12
+        // Chunk lengths are UNSIGNED le32 and the payload is untrusted: a
+        // crafted length of -8/-9 read signed would make the advance zero
+        // and spin this loop forever on one corrupt WAV. Reading unsigned
+        // into a Long keeps the advance strictly >= 8 and overflow-free.
+        var off = 12L
         var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
         var data: Option[(Int, Int)] = None // (offset, len)
         while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
-          val id = new String(payload, off, 4, "US-ASCII")
-          val len = le32(off + 4)
+          val o = off.toInt
+          val id = new String(payload, o, 4, "US-ASCII")
+          val len = le32(o + 4).toLong & 0xffffffffL
           if (id == "fmt " && len >= 16)
-            fmt = Some((le16(off + 10), le32(off + 12), le16(off + 22)))
+            fmt = Some((le16(o + 10), le32(o + 12), le16(o + 22)))
           else if (id == "data")
-            data = Some((off + 8, math.min(len, payload.length - off - 8)))
-          off += 8 + len + (len & 1)
+            data = Some((o + 8, math.min(len, (payload.length - off - 8)).toInt))
+          off += 8L + len + (len & 1L)
         }
         for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data
             if rate > 0 && channels > 0 && (bits == 8 || bits == 16)) yield {
@@ -538,8 +543,8 @@ object Multimodal {
        SELECT asset_id, modality, mime, n_bytes,
          CAST(CASE WHEN h IS NULL THEN 0 ELSE 64 + h % 512 END AS INT) AS width,
          CAST(CASE WHEN h IS NULL THEN 0 ELSE 64 + (h >> 16) % 512 END AS INT) AS height,
-         round((CAST(h % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) AS f0,
-         round((CAST((h >> 49) % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) AS f7,
+         round((CAST(h % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) + 0.0 AS f0,
+         round((CAST((h >> 49) % 1000 AS DOUBLE) / 1000.0) + 1e-9, 4) + 0.0 AS f7,
          CASE WHEN modality = 'video'
            THEN least(7 * 37, n_bytes) // 37 + 1 ELSE 0 END AS n_frames
        FROM d ORDER BY asset_id"""

@@ -101,6 +101,13 @@ object Pca {
         else Iterator((n, sums.toSeq, prods.toSeq))
       }
       .collect() // ≤ numPartitions rows of d(d+3)/2 doubles — bounded
+    // empty input: mirror the declarative covariance (empty result, no
+    // partials.head crash — Pca.fit delegates here and inherits the guard)
+    if (partials.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("i", "long").add("j", "long").add("cov", "double"))
     val n = partials.map(_._1).sum.toDouble
     val dim = partials.head._2.size
     val sums = new Array[Double](dim)
@@ -135,7 +142,7 @@ object Pca {
          unnest(embedding)::DOUBLE AS x
        FROM embeddings)
        SELECT a.i, b.i AS j,
-         round(avg(a.x * b.x) - avg(a.x) * avg(b.x) + 1e-9, 4) AS cov
+         round(avg(a.x * b.x) - avg(a.x) * avg(b.x) + 1e-9, 4) + 0.0 AS cov
        FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
        GROUP BY 1, 2 ORDER BY 1, 2"""
 

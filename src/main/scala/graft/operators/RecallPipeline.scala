@@ -224,7 +224,7 @@ object RecallPipeline {
          -- + .20 requested-field bonus)
          SELECT qid, id,
            round((least(1.0, 0.75 + 0.20 / len(qvt) +
-             CASE WHEN req_any AND req_project THEN 0.20 ELSE 0.0 END)) + 1e-9, 4) AS ms
+             CASE WHEN req_any AND req_project THEN 0.20 ELSE 0.0 END)) + 1e-9, 4) + 0.0 AS ms
          FROM mdsurv
          WHERE scan_rn <= 200 AND len(qvt) > 0 AND list_contains(qvt, val)
            AND ((req_any AND req_project)
@@ -239,7 +239,7 @@ object RecallPipeline {
          FROM vpx GROUP BY 1, 2),
        vecc AS (SELECT qid, id,
            round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS cs
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS cs
          FROM vs),
        vtop AS (SELECT qid, id, cs FROM (
            SELECT qid, id, cs,
@@ -268,7 +268,7 @@ object RecallPipeline {
              ELSE 0 END) AS raw
          FROM cand c JOIN mems m ON m.id = c.id JOIN q0 q ON q.qid = c.qid),
        kwn AS (SELECT k.qid, k.id,
-           round((least(1.0, CAST(k.raw AS DOUBLE) / t.kw_max)) + 1e-9, 4) AS ks
+           round((least(1.0, CAST(k.raw AS DOUBLE) / t.kw_max)) + 1e-9, 4) + 0.0 AS ks
          FROM kwall k JOIN qtl t ON t.qid = k.qid WHERE k.raw > 0),
        ktop AS (SELECT qid, id, ks FROM (
            SELECT k.qid, k.id, k.ks,
@@ -314,12 +314,12 @@ object RecallPipeline {
              THEN 1.0 ELSE 0.0 END AS c_exact
          FROM hyd),
        scored AS (SELECT qid, id, match_type, importance, ts, text,
-           round((coalesce(vector_score, 0.0)) + 1e-9, 4) AS s_vector,
-           round((c_keyword) + 1e-9, 4) AS s_keyword,
-           round((c_tag) + 1e-9, 4) AS s_tag,
+           round((coalesce(vector_score, 0.0)) + 1e-9, 4) + 0.0 AS s_vector,
+           round((c_keyword) + 1e-9, 4) + 0.0 AS s_keyword,
+           round((c_tag) + 1e-9, 4) + 0.0 AS s_tag,
            round((c_vector * 0.35 + c_keyword * 0.35 + c_metadata * 0.35 + 0.0 * 0.25 +
              (c_tag * 0.2 + importance * 0.1 + confidence * 0.05 +
-              c_recency * 0.1 + 1.0 * 0.0) * 1.0 + c_exact * 0.2 + 0.0) + 1e-9, 4)
+              c_recency * 0.1 + 1.0 * 0.0) * 1.0 + c_exact * 0.2 + 0.0) + 1e-9, 4) + 0.0
              AS final_score
          FROM comps),
        fps AS (SELECT *,
@@ -368,9 +368,9 @@ object RecallPipeline {
        FROM scored),
        deduped AS (SELECT *, row_number() OVER (PARTITION BY fp
            ORDER BY final_score DESC, ts DESC, doc_id ASC) AS rn FROM final)
-       SELECT doc_id, round((final_score) + 1e-9, 4) AS score,
-         round((kw) + 1e-9, 4) AS kw, round((tag_score) + 1e-9, 4) AS tag_score,
-         round((recency) + 1e-9, 4) AS recency
+       SELECT doc_id, round((final_score) + 1e-9, 4) + 0.0 AS score,
+         round((kw) + 1e-9, 4) + 0.0 AS kw, round((tag_score) + 1e-9, 4) + 0.0 AS tag_score,
+         round((recency) + 1e-9, 4) + 0.0 AS recency
        FROM deduped WHERE rn = 1
        ORDER BY score DESC, doc_id ASC LIMIT $Limit"""
   }

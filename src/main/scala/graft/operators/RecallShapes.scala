@@ -59,7 +59,7 @@ object RecallShapes {
     """SELECT event_id, k, score FROM (
        SELECT event_id, k, round((least(1.0,
            0.15 + 0.45 * least(1.0, k / 100.0) +
-           0.20 * (CASE WHEN k % 7 = 0 THEN 1.0 ELSE 0.0 END))) + 1e-9, 4) AS score
+           0.20 * (CASE WHEN k % 7 = 0 THEN 1.0 ELSE 0.0 END))) + 1e-9, 4) + 0.0 AS score
        FROM (SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events WHERE contains(props, '"k"')) t
@@ -118,7 +118,7 @@ object RecallShapes {
 
   val tagOnlyScrollSql: String =
     """SELECT doc_id, lang, source,
-         round((least(1.0, n_chars / 500.0)) + 1e-9, 4) AS score
+         round((least(1.0, n_chars / 500.0)) + 1e-9, 4) + 0.0 AS score
        FROM documents
        WHERE list_has_any([lang, source], ['en', 'news'])
        ORDER BY score DESC, doc_id LIMIT 50"""
@@ -195,10 +195,10 @@ object RecallShapes {
 
   val multiQueryUnionSql: String =
     """WITH u AS (
-         SELECT doc_id, round((least(1.0, n_chars / 500.0)) + 1e-9, 4) AS score
+         SELECT doc_id, round((least(1.0, n_chars / 500.0)) + 1e-9, 4) + 0.0 AS score
          FROM documents WHERE contains(lower(text), 'spark')
          UNION ALL
-         SELECT doc_id, round((least(1.0, n_chars / 500.0)) + 1e-9, 4) AS score
+         SELECT doc_id, round((least(1.0, n_chars / 500.0)) + 1e-9, 4) + 0.0 AS score
          FROM documents WHERE contains(lower(text), 'window'))
        SELECT doc_id, max(score) AS best_score, count(*) AS n_queries
        FROM u GROUP BY 1 ORDER BY best_score DESC, doc_id LIMIT 50"""
@@ -229,7 +229,7 @@ object RecallShapes {
          ORDER BY n_chars DESC, doc_id LIMIT 5),
        entities AS (SELECT DISTINCT source FROM seeds ORDER BY source LIMIT 5)
        SELECT doc_id, source,
-         round((least(1.0, n_chars / 500.0) + 0.15) + 1e-9, 4) AS score
+         round((least(1.0, n_chars / 500.0) + 0.15) + 1e-9, 4) + 0.0 AS score
        FROM documents
        WHERE source IN (SELECT source FROM entities)
          AND doc_id NOT IN (SELECT doc_id FROM seeds)
@@ -255,7 +255,7 @@ object RecallShapes {
   val minMaxRerankSql: String =
     """SELECT event_id, norm FROM (
        SELECT event_id, round(((value - min(value) OVER ()) /
-         (max(value) OVER () - min(value) OVER ())) + 1e-9, 4) AS norm
+         (max(value) OVER () - min(value) OVER ())) + 1e-9, 4) + 0.0 AS norm
        FROM events) t ORDER BY norm DESC, event_id LIMIT 50"""
 
   /** R4 adaptive-floor gap detection (`recall.py:2351-2375`): within each
@@ -285,7 +285,7 @@ object RecallShapes {
            ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn,
          count(*) OVER (PARTITION BY c_mktsegment) AS n,
          round((lag(c_acctbal, 1) OVER (PARTITION BY c_mktsegment
-           ORDER BY c_acctbal DESC, c_custkey ASC) - c_acctbal) + 1e-9, 4) AS gap
+           ORDER BY c_acctbal DESC, c_custkey ASC) - c_acctbal) + 1e-9, 4) + 0.0 AS gap
        FROM customer),
        half AS (SELECT * FROM ranked WHERE rn > 1 AND rn <= n / 2),
        best AS (SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
@@ -361,7 +361,7 @@ object RecallShapes {
     """WITH seeds AS (SELECT c_custkey, c_acctbal FROM customer
          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10)
        SELECT o_orderkey, c_custkey,
-         round((o_totalprice + 0.25 * c_acctbal) + 1e-9, 4) AS score
+         round((o_totalprice + 0.25 * c_acctbal) + 1e-9, 4) + 0.0 AS score
        FROM orders JOIN seeds ON o_custkey = c_custkey
        ORDER BY score DESC, o_orderkey ASC LIMIT 25"""
 

@@ -162,7 +162,7 @@ object Similarity {
          FROM px GROUP BY 1, 2)
        SELECT a_id, b_id, sim FROM (
          SELECT a_id, b_id, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-           ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+           ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM s) t
        WHERE sim >= $threshold ORDER BY a_id, b_id"""
   }
 
@@ -376,7 +376,7 @@ object Similarity {
          FROM px GROUP BY 1, 2),
        sims AS (SELECT src, dst, sim FROM (
            SELECT src, dst, round((CASE WHEN nx = 0 OR ny = 0 THEN 0
-             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) AS sim FROM s) t
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END) + 1e-9, 4) + 0.0 AS sim FROM s) t
          WHERE sim >= 0.35),
        knn AS (SELECT src, dst, sim FROM (
            SELECT src, dst, sim, row_number() OVER (PARTITION BY src

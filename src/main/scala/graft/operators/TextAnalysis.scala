@@ -46,7 +46,7 @@ object TextAnalysis {
          (1.0 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0
              ELSE len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
                / length(text) END) * 10.0)) * 0.3
-         + 1e-9, 4) AS quality
+         + 1e-9, 4) + 0.0 AS quality
        FROM documents ORDER BY doc_id"""
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -134,10 +134,10 @@ object TextAnalysis {
        k AS (SELECT doc_id, source, rate, b < rate * 1000 AS keep FROM coin)
        SELECT source, count(*) AS n_total,
          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 4)
+         round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 4) + 0.0
            AS achieved_rate,
          min(CASE WHEN keep THEN doc_id END) AS first_kept,
-         round(any_value(rate) + 1e-9, 4) AS target_rate
+         round(any_value(rate) + 1e-9, 4) + 0.0 AS target_rate
        FROM k GROUP BY source ORDER BY source"""
 
   /** Rolling-hash fingerprint per document + duplicate-group stats: the
@@ -191,7 +191,7 @@ object TextAnalysis {
           CASE WHEN contains(lower(text), 'hash join') THEN 2 ELSE 0 END) AS raw
        FROM documents),
        f AS (SELECT * FROM s WHERE raw > 0)
-       SELECT doc_id, round((least(1.0, raw / 8.0)) + 1e-9, 4) AS kw_score
+       SELECT doc_id, round((least(1.0, raw / 8.0)) + 1e-9, 4) + 0.0 AS kw_score
        FROM f ORDER BY kw_score DESC, doc_id ASC LIMIT 100"""
 
   /** E2 pattern detection (`enrichment/runtime_helpers.py:74-174`): groups of
@@ -228,7 +228,7 @@ object TextAnalysis {
       .map(s => s"'$s'").mkString(", ")
     s"""WITH docs AS (SELECT * FROM documents WHERE n_chars >= 100),
        groups AS (SELECT lang, count(*) AS n_docs,
-           round(least(0.95, 0.35 + count(*) * 0.05) + 1e-9, 4) AS pattern_conf
+           round(least(0.95, 0.35 + count(*) * 0.05) + 1e-9, 4) + 0.0 AS pattern_conf
          FROM docs GROUP BY 1 HAVING count(*) >= 3),
        tok AS (SELECT lang, unnest($toks) AS token FROM docs),
        tc AS (SELECT lang, token, count(*) AS n FROM tok
@@ -295,7 +295,7 @@ object TextAnalysis {
        m AS (SELECT doc_id, $cnt FROM c)
        SELECT doc_id,
          CASE $typeCase ELSE 'Context' END AS mem_type,
-         round((CASE $confCase ELSE 0.5 END) + 1e-9, 4) AS confidence
+         round((CASE $confCase ELSE 0.5 END) + 1e-9, 4) + 0.0 AS confidence
        FROM m ORDER BY doc_id"""
   }
 
@@ -427,9 +427,9 @@ object TextAnalysis {
        t AS (SELECT sum(n_docs) AS tot,
            sum(pow(n_docs, 0.5)) AS powtot FROM c)
        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-         round(n_docs / tot + 1e-9, 4) AS natural_share,
-         round(pow(n_docs, 0.5) / powtot + 1e-9, 4) AS target_share,
-         round((pow(n_docs, 0.5) / powtot) / (n_docs / tot) + 1e-9, 4)
+         round(n_docs / tot + 1e-9, 4) + 0.0 AS natural_share,
+         round(pow(n_docs, 0.5) / powtot + 1e-9, 4) + 0.0 AS target_share,
+         round((pow(n_docs, 0.5) / powtot) / (n_docs / tot) + 1e-9, 4) + 0.0
            AS repeat_factor
        FROM c, t ORDER BY source"""
 
@@ -602,9 +602,9 @@ object TextAnalysis {
          FROM cnt, tot)
        SELECT d.doc_id, d.lang, CAST(sum(d.cnt) AS BIGINT) AS n_feats,
          round(CAST(sum(d.cnt * l.lam_u) AS DOUBLE) / 1e6 / sum(d.cnt)
-           + 1e-9, 4) AS avg_llr,
+           + 1e-9, 4) + 0.0 AS avg_llr,
          round(CAST(sum(d.cnt * l.lam_u) AS DOUBLE) / 1e6 / sum(d.cnt)
-           + 1e-9, 4) > 0.0 AS keep
+           + 1e-9, 4) + 0.0 > 0.0 AS keep
        FROM dbc d JOIN lam l ON l.b = d.b
        GROUP BY d.doc_id, d.lang ORDER BY d.doc_id"""
 
@@ -670,9 +670,9 @@ object TextAnalysis {
 
   val lengthQuantilesSql: String =
     """WITH q AS (SELECT source,
-         round(quantile_cont(n_chars, 0.1) + 1e-9, 4) AS p10,
-         round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
-         round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90
+         round(quantile_cont(n_chars, 0.1) + 1e-9, 4) + 0.0 AS p10,
+         round(quantile_cont(n_chars, 0.5) + 1e-9, 4) + 0.0 AS p50,
+         round(quantile_cont(n_chars, 0.9) + 1e-9, 4) + 0.0 AS p90
        FROM documents GROUP BY 1)
        SELECT d.source, q.p10, q.p50, q.p90, count(*) AS n_total,
          CAST(sum(CASE WHEN d.n_chars >= q.p10 AND d.n_chars <= q.p90

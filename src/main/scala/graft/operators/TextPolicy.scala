@@ -183,7 +183,7 @@ object TextPolicy {
     s"""WITH t AS (SELECT doc_id, $toks AS ws, length(text) AS len_text
          FROM documents),
        base AS (SELECT doc_id, len_text, ws, len(ws) AS n_words,
-           round((len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws) + 1e-9, 4)
+           round((len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws) + 1e-9, 4) + 0.0
              AS dup_word_frac
          FROM t WHERE len(ws) >= 2),
        pos AS (SELECT doc_id, n_words, dup_word_frac, len_text, ws,
@@ -196,7 +196,7 @@ object TextPolicy {
        top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            ORDER BY c DESC, bigram ASC) AS rn FROM cnt)
        SELECT doc_id, n_words, dup_word_frac, bigram AS top_bigram,
-         round(least(1.0, c * length(bigram) / len_text) + 1e-9, 4)
+         round(least(1.0, c * length(bigram) / len_text) + 1e-9, 4) + 0.0
            AS top_bigram_char_frac
        FROM top WHERE rn = 1 ORDER BY doc_id"""
   }
@@ -304,7 +304,7 @@ object TextPolicy {
        lm AS (SELECT tok, -ln((cnt + 1.0) / (total + 21.0)) AS nll
          FROM top, tot)
        SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-         round(avg(coalesce(lm.nll, -ln(1.0 / (tot.total + 21.0)))) + 1e-9, 4)
+         round(avg(coalesce(lm.nll, -ln(1.0 / (tot.total + 21.0)))) + 1e-9, 4) + 0.0
            AS avg_nll,
          CAST(sum(CASE WHEN lm.nll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_oov
@@ -393,10 +393,10 @@ object TextPolicy {
        qual AS (SELECT doc_id,
          round(least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END) / 200.0) * 0.4
          + least(1.0, (CASE WHEN len($toks) = 0 THEN 0.0 ELSE len(list_filter($toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len($toks) END) * 5.0) * 0.3
-         + (1.0 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) END) * 10.0)) * 0.3 + 1e-9, 4) AS quality
+         + (1.0 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) END) * 10.0)) * 0.3 + 1e-9, 4) + 0.0 AS quality
        FROM documents),
        rep AS (SELECT doc_id,
-         round((len($toks) - len(list_distinct($toks))) * 1.0 / len($toks) + 1e-9, 4) AS dupfrac
+         round((len($toks) - len(list_distinct($toks))) * 1.0 / len($toks) + 1e-9, 4) + 0.0 AS dupfrac
          FROM documents WHERE len($toks) >= 2),
        pre AS (SELECT d.doc_id,
            CASE WHEN lang.lp <> 'en' THEN 'a_lang'
@@ -534,7 +534,7 @@ object TextPolicy {
            coalesce(pd.n_shingles, 0) AS n_shingles,
            coalesce(pd.n_boiler, 0) AS n_boiler,
            round(CASE WHEN coalesce(pd.n_shingles, 0) = 0 THEN 0.0
-             ELSE pd.n_boiler * 1.0 / pd.n_shingles END + 1e-9, 4) AS coverage
+             ELSE pd.n_boiler * 1.0 / pd.n_shingles END + 1e-9, 4) + 0.0 AS coverage
          FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
        SELECT doc_id, n_shingles, n_boiler, coverage, coverage > 0.5 AS flagged
        FROM cov ORDER BY doc_id"""

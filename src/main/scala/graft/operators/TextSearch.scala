@@ -101,6 +101,6 @@ object TextSearch {
          JOIN dl ON dl.doc_id = tf.doc_id
          CROSS JOIN stats
          GROUP BY 1)
-       SELECT doc_id, round(s + 1e-9, 4) AS score FROM scored
+       SELECT doc_id, round(s + 1e-9, 4) + 0.0 AS score FROM scored
        ORDER BY score DESC, doc_id ASC LIMIT 20"""
 }

@@ -133,6 +133,86 @@ class LlmLoopbackSpec extends AnyFunSuite {
     assert(profile == "bob: snippet a | snippet b", profile)
   }
 
+  test("U2: classifier LLM fallback runs through the HTTP trait end-to-end") {
+    import spark.implicits._
+    // server classifies anything it is asked about as a lowercase alias —
+    // proving the normalize path — with its own confidence
+    val requests = withServer((_, _) =>
+      (200, chatResponse("""{"type": "insight", "confidence": 0.85}"""))) { url =>
+      val client = new HttpChatTransport(url, Some("k"), "cls-model")
+      val classifier = new LlmClassifier(client)
+      val docs = Seq(
+        "decided to use parquet for the backup format", // pattern hit
+        "zxqv plorf miltrane oseta").toDF("content") // no pattern -> LLM
+      val out = Ingest.prepare(docs, classifier = Some(classifier.resolve))
+        .select("content", "type", "confidence").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      // pattern row: codegen regex path, untouched by the LLM
+      assert(out("decided to use parquet for the backup format") ==
+        ("Decision", 0.6), s"got $out")
+      // ambiguous row: LLM answer, alias-normalized to canonical
+      assert(out("zxqv plorf miltrane oseta") == ("Insight", 0.85), s"got $out")
+    }
+    // exactly ONE chat call — the pattern-matched row never reaches the LLM
+    assert(requests.size == 1, s"expected 1 chat call, got ${requests.size}")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val req = mapper.readTree(requests.head)
+    assert(req.get("model").asText() == "cls-model")
+    val sys = req.get("messages").get(0).get("content").asText()
+    assert(sys.contains("memory classification system") &&
+      sys.contains("\"confidence\""), s"system prompt shape: $sys")
+    assert(req.get("messages").get(1).get("content").asText() ==
+      "zxqv plorf miltrane oseta")
+  }
+
+  test("U2: classifier degrades to the reference's terminal default") {
+    // dead endpoint -> ("Memory", 0.3) in the reference, canonicalized
+    // Context here; unmappable type -> Context 0.5; invalid JSON -> default
+    val dead = new LlmClassifier(new HttpChatTransport(
+      "http://127.0.0.1:1/nope", None, "m", timeoutMs = 300))
+    assert(dead.classify("zxqv plorf") == ("Context", 0.3))
+    withServer((_, _) => (200, chatResponse("""{"type": "saga"}"""))) { url =>
+      val c = new LlmClassifier(new HttpChatTransport(url, None, "m"))
+      assert(c.classify("zxqv plorf") == ("Context", 0.5),
+        "unmappable LLM type must yield Context 0.5")
+    }
+    withServer((_, _) => (200, chatResponse("not json at all"))) { url =>
+      val c = new LlmClassifier(new HttpChatTransport(url, None, "m"))
+      assert(c.classify("zxqv plorf") == ("Context", 0.3),
+        "invalid JSON must fall to the terminal default")
+    }
+    // content truncates to 1000 chars before the call (reference :160-166)
+    val long = "y" * 5000
+    val seen = withServer((_, _) =>
+      (200, chatResponse("""{"type": "habit", "confidence": 0.6}"""))) { url =>
+      val c = new LlmClassifier(new HttpChatTransport(url, None, "m"))
+      assert(c.classify(long) == ("Habit", 0.6))
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(seen.head).get("messages").get(1)
+      .get("content").asText().length == 1000)
+  }
+
+  test("U2: row-form pattern stage agrees with the Column classifier") {
+    import spark.implicits._
+    // never-called client: patternClassify must not need the LLM
+    val c = new LlmClassifier((_: String, _: String) => fail("LLM reached"))
+    val samples = Seq(
+      "decided to go with spark", "we prefer tabs rather than spaces",
+      "daily routine: standup then review", "realized the cache was stale",
+      "a recurring pattern appears every time", "naming convention for tags",
+      "completely ambiguous text with no signal")
+    val fromCols = samples.toDF("content")
+      .select(col("content"), Ingest.classify(col("content"))._1.as("t"),
+        Ingest.classify(col("content"))._2.as("cf"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    samples.foreach { s =>
+      val expected = c.patternClassify(s).getOrElse(("Context", 0.5))
+      assert(expected == fromCols(s), s"row/column divergence on: $s")
+    }
+  }
+
   test("auth header and temperature/max_tokens reach the endpoint") {
     var auth: Option[String] = None
     val requests = withServer { (_, ex) =>

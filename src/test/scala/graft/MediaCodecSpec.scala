@@ -194,4 +194,30 @@ class MediaCodecSpec extends AnyFunSuite {
       .select("payload").head.getAs[Array[Byte]](0)
     assert(audioBytes.toSeq == wavBytes(8000, 80, 1000, 4).toSeq)
   }
+
+  test("corrupt RIFF chunk lengths return None instead of hanging") {
+    // a signed read of chunk length -8 (0xFFFFFFF8) makes the old walker's
+    // advance zero — one crafted WAV would spin an executor task forever.
+    // Unsigned-length walk must terminate with None on every crafted case.
+    def crafted(len: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("junk".getBytes("US-ASCII")).putInt(len) // hostile length
+      buf.array()
+    }
+    for (len <- Seq(-8, -9, -1, Int.MinValue)) {
+      val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val f = done.submit(new java.util.concurrent.Callable[Option[_]] {
+        def call(): Option[_] = Multimodal.RealCodecs.parsePcm(crafted(len))
+      })
+      val r = f.get(5, java.util.concurrent.TimeUnit.SECONDS)
+      done.shutdownNow()
+      assert(r.isEmpty, s"crafted len=$len must parse to None")
+    }
+    // truncated-but-positive length still parses the valid prefix contract
+    assert(Multimodal.RealCodecs.parsePcm("RIFF".getBytes).isEmpty)
+    assert(Multimodal.RealCodecs.parsePcm(null).isEmpty)
+  }
 }

@@ -17,6 +17,14 @@ types before values are stringified for sorting. A local PASS requires int64
 to stay int64 — no HUGEINT/DECIMAL leakage into final oracle projections
 (wrap integer sums in CAST(... AS BIGINT), decimal arithmetic in ::DOUBLE).
 
+Bitwise float parity (the r10 q_pca_cov / q_dsir_weight lesson): the driver's
+value hash sees the BYTES of each float, so `0.0` (Spark round() via
+BigDecimal — no signed zero) vs `-0.0` (DuckDB's C round()) hash-mismatches
+even though `0.0 == -0.0` and `assert_frame_equal` passes. This comparator
+therefore reinterprets every float column as its IEEE-754 bit pattern
+(NaN canonicalized, signed zero preserved) BEFORE sorting/comparing, so a
+local PASS is bit-equality — the same strength as the driver's hash.
+
 Usage: python tools/verify_local.py <sfDir> <verifyOutDir>
        python tools/verify_local.py --selftest   # proves the dtype gate trips
 """
@@ -25,9 +33,25 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def bits(col: pd.Series) -> pd.Series:
+    """Reinterpret a float column as its IEEE-754 bit pattern (int64/int32)
+    so comparison and sorting are BITWISE: 0.0 != -0.0, NaN canonicalized to
+    one quiet-NaN payload. Non-float columns pass through unchanged."""
+    if col.dtype == np.float64:
+        a = col.to_numpy(dtype=np.float64, copy=True)
+        a[np.isnan(a)] = np.float64("nan")  # canonical quiet NaN payload
+        return pd.Series(a.view(np.int64), index=col.index, name=col.name)
+    if col.dtype == np.float32:
+        a = col.to_numpy(dtype=np.float32, copy=True)
+        a[np.isnan(a)] = np.float32("nan")
+        return pd.Series(a.view(np.int32), index=col.index, name=col.name)
+    return col
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -35,6 +59,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        else:
+            df[c] = bits(df[c])
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -76,10 +102,11 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
         return False
     try:
         pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
-        print(f"PASS {name} ({len(g)} rows)")
+        print(f"PASS {name} ({len(g)} rows, bitwise)")
         return True
     except AssertionError as e:
-        print(f"FAIL {name}: values differ: {str(e).splitlines()[-1] if str(e) else e}")
+        print(f"FAIL {name}: values differ (bitwise — float cols shown as "
+              f"IEEE bit patterns): {str(e).splitlines()[-1] if str(e) else e}")
         neq = (g != w) & ~(g.isna() & w.isna())
         rows = neq.any(axis=1)
         print(pd.concat([g[rows].head(3).add_suffix("_spark"),
@@ -107,9 +134,21 @@ def selftest() -> int:
     tripped = not compare("selftest_hugeint", spark_like, hugeint)
     print("-- selftest: CAST AS BIGINT oracle (must PASS):")
     clean = compare("selftest_cast", spark_like, fixed)
-    ok = tripped and clean
+    # Signed-zero gate (the r10 q_pca_cov / q_dsir_weight failure mode):
+    # 0.0 vs -0.0 is == -equal and assert_frame_equal-equal, but the driver's
+    # hash sees different bytes — the bitwise comparator MUST fail it.
+    print("-- selftest: planted -0.0 oracle vs +0.0 spark (must FAIL):")
+    pz = pd.DataFrame({"v": np.array([0.0, 1.5], dtype=np.float64)})
+    nz = pd.DataFrame({"v": np.array([-0.0, 1.5], dtype=np.float64)})
+    zero_tripped = not compare("selftest_signed_zero", pz, nz)
+    print("-- selftest: bit-identical floats incl. NaN (must PASS):")
+    nan_ok = compare(
+        "selftest_nan",
+        pd.DataFrame({"v": np.array([0.25, np.nan], dtype=np.float64)}),
+        pd.DataFrame({"v": np.array([0.25, np.nan], dtype=np.float64)}))
+    ok = tripped and clean and zero_tripped and nan_ok
     print(f"\nselftest {'OK' if ok else 'BROKEN'}: dtype gate "
-          f"{'trips on HUGEINT and passes on BIGINT' if ok else 'did not behave as required'}")
+          f"{'trips on HUGEINT, trips on -0.0, passes on BIGINT/bit-equal floats' if ok else 'did not behave as required'}")
     return 0 if ok else 1
 
 
