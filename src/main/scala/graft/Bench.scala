@@ -202,7 +202,8 @@ object Bench {
     // DIFFERENT question per timed call, so nothing is served from a
     // result cache — each call re-plants the request relation, re-runs
     // the optimizer and executes afresh.
-    val (singleRecall10kAdhocMs, singleRecall10kPrepareMs, singleRecall10kMs) = {
+    val (singleRecall10kAdhocMs, singleRecall10kPrepareMs, singleRecall10kMs,
+        singleRecall10kReplanMs, singleRecallFastPath) = {
       // a 10k-row corpus does not want 32 cache partitions: every scan
       // stage would pay 32 task launches for ~300 rows each
       val memories = tools.LabCorpus.corpus(spark).repartition(4).cache()
@@ -224,9 +225,18 @@ object Bench {
         val prepared = new domain.PreparedRecall(memories, spark.emptyDataFrame,
           limit = 10, now = tools.LabCorpus.Now, vocabParallelism = 4)
         val prepMs = (System.nanoTime() - tPrep) / 1e6
+        // `recall` now auto-routes a no-qvec request through the r11
+        // cached-physical fast path when its evidence gate passed, so the
+        // warm pin measures what a serving deployment actually gets; the
+        // replanned path is pinned separately for the delta
         def servedOnce(q: String): Double = {
           val t0 = System.nanoTime()
           prepared.recall(q).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def replanOnce(q: String): Double = {
+          val t0 = System.nanoTime()
+          prepared.recallReplanned(q).count()
           (System.nanoTime() - t0) / 1e9
         }
         // steady-state warmup: the r9 judge's ServeProbe trace showed the
@@ -238,8 +248,12 @@ object Bench {
         (0 to 9).foreach(i => servedOnce(qs(i)))
         val steady = (10 to 14).map(i => servedOnce(qs(i))).sorted
         val served = steady(steady.size / 2) * 1000.0
+        (0 to 4).foreach(i => replanOnce(qs(i)))
+        val replanSteady = (5 to 9).map(i => replanOnce(qs(i))).sorted
+        val replanned = replanSteady(replanSteady.size / 2) * 1000.0
+        val fastOn = prepared.fastPathEnabled
         prepared.close()
-        (adhoc, prepMs, served)
+        (adhoc, prepMs, served, replanned, fastOn)
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
@@ -325,7 +339,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

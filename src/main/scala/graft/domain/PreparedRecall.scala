@@ -3,7 +3,10 @@ package graft.domain
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
 import org.apache.spark.sql.graftshim.GraftShim
 
 /** Plan-reuse serving handle for ad-hoc single recall.
@@ -93,7 +96,17 @@ class PreparedRecall(
     * execution (~+50-90 ms at the 10k anchor) than per-call optimization
     * costs in planning.
     */
-  def recall(query: String, qvec: Option[Array[Float]] = None): DataFrame = {
+  def recall(query: String, qvec: Option[Array[Float]] = None): DataFrame =
+    if (qvec.isEmpty) fastRecall(query).getOrElse(recallReplanned(query, qvec))
+    else recallReplanned(query, qvec)
+
+  /** The r9-r10 serving path: splice the request into the analyzed
+    * template, re-run optimizer + physical planning per call. Always
+    * correct for any knob combination; [[recall]] falls back here whenever
+    * the fast path is unavailable or declined the request.
+    */
+  def recallReplanned(query: String, qvec: Option[Array[Float]] = None)
+      : DataFrame = {
     val qData = relationData(query, qvec)
     val swapped = template.transform {
       // keep the template's output attributes (expr ids are wired through
@@ -102,6 +115,370 @@ class PreparedRecall(
     }
     GraftShim.ofRows(spark, swapped).drop("qid")
   }
+
+  // ---------------------------------------------------------------------
+  // FAST PATH (r11): cached PHYSICAL plan + per-call request-row swap.
+  //
+  // The per-call fixed cost of recallReplanned is ~100 ms optimizer +
+  // ~25 ms physical planning (ServeProbe decomp). Probing the fully
+  // optimized plan (tools.PhysicalSpliceProbe) shows the request survives
+  // ONLY as LocalTableScanExec rows — ConvertToLocalRelation folds each
+  // request-side Project/Filter chain into a LocalRelation, and no request
+  // value reaches any other expression — so the physical plan's SHAPE is
+  // request-value-independent and the scans' ROWS are the only thing a new
+  // request changes. The fast path therefore:
+  //
+  //  1. at prepare time, plans the marker template ONCE (AQE off) and
+  //     captures the maximal request-only SUBTREES of the analyzed plan
+  //     (the q.filter(...).select(...) chains — including channel gates
+  //     like is_trend, whose folded row COUNT is value-dependent: a
+  //     trending query folds the keyword channel's scan to zero rows);
+  //  2. per call, replays each subtree through the full optimizer with the
+  //     fresh request planted (~1 ms: <10 nodes, 1 row) — reproducing
+  //     exactly the rows the full-plan optimization would have folded —
+  //     and swaps them into the cached physical plan by schema match
+  //     (transformUp copies the spine above each swapped scan, so every
+  //     request-dependent exchange/codegen node is fresh per call, while
+  //     static corpus-side exchanges stay SHARED across calls and their
+  //     broadcasts/shuffle files are legitimately reused);
+  //  3. executes the swapped physical plan directly.
+  //
+  // Safety is EVIDENCE-gated, not assumed: the state is enabled only if
+  // (a) the marker appears in no physical expression and no subquery,
+  // (b) every derivation subtree folds to a LocalRelation whose schema
+  //     matches exactly one scan-schema class with agreeing marker rows,
+  // (c) a validation set spanning the query classes (multi-token, single
+  //     token, empty, wildcard, stopword-only, sub-3-char, metadata-ish,
+  //     unicode/punctuation) produces IDENTICAL results fast vs replanned.
+  // Any failure disables the fast path for the life of the handle and
+  // recall() silently serves the replanned path — the r8/r9 serveRows
+  // lesson (a physical template that needs folding rules excluded is
+  // slower than replanning) does not apply here because ALL rules stay on.
+  // ---------------------------------------------------------------------
+
+  private val Marker = "__template__"
+
+  /** One physical request-scan schema class and how to feed it: fold
+    * subtree `subtreeIdx`, then project its rows to the scan's columns
+    * (`indices` into the subtree output — column pruning above a use site
+    * can narrow a scan to a subset of its origin subtree's schema).
+    */
+  private case class ScanFeed(names: Seq[String], subtreeIdx: Int,
+      indices: Seq[Int])
+
+  private case class FastState(
+      physical: SparkPlan,
+      output: Seq[Attribute],
+      subtrees: IndexedSeq[LogicalPlan],
+      subtreeNames: IndexedSeq[Seq[String]],
+      feeds: Seq[ScanFeed],
+      // channels the optimizer PRUNED out of the template because their
+      // request-side gate folded EMPTY for the marker (PropagateEmptyRelation
+      // removes the whole branch — e.g. trending / phrase-only for a
+      // keyword-class marker). A query that would activate one of these
+      // has no branch to run — runFast declines and the call falls back.
+      absent: Seq[Int])
+
+  /** Maximal subtrees of the analyzed template whose only leaves are the
+    * request relation — each is one channel's request-side derivation
+    * chain; the optimizer folds each to a (possibly empty) LocalRelation.
+    */
+  private def requestSubtrees(p: LogicalPlan): Seq[LogicalPlan] = {
+    val buf = scala.collection.mutable.Buffer[LogicalPlan]()
+    def requestOnly(n: LogicalPlan): Boolean = {
+      val leaves = n.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case lr: LocalRelation => isRequestRelation(lr)
+        case _ => false
+      }
+    }
+    def walk(n: LogicalPlan): Unit =
+      if (requestOnly(n)) buf += n else n.children.foreach(walk)
+    walk(p)
+    buf.toSeq
+  }
+
+  /** Canonical text form of one catalyst value — UnsafeRow/ArrayData
+    * toString is layout-dependent, so row comparison goes through typed
+    * getters instead.
+    */
+  private def canonValue(dt: org.apache.spark.sql.types.DataType, v: Any)
+      : String = v match {
+    case null => "∅"
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      dt match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          a.toObjectArray(et).map(canonValue(et, _)).mkString("[", ",", "]")
+        case _ => a.toString
+      }
+    case other => String.valueOf(other)
+  }
+
+  private def canonRows(attrs: Seq[Attribute], rows: Seq[InternalRow])
+      : Seq[String] =
+    rows.map(r => attrs.zipWithIndex.map { case (a, i) =>
+      canonValue(a.dataType, r.get(i, a.dataType)) }.mkString("|"))
+
+  /** Project folded subtree rows to a scan's (possibly narrower) schema. */
+  private def projectRows(lr: LocalRelation, indices: Seq[Int])
+      : Seq[InternalRow] =
+    lr.data.map { r =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        indices.map(i => r.get(i, lr.output(i).dataType)).toArray)
+    }
+
+  /** Fold one derivation subtree for fresh request data. */
+  private def foldSubtree(sub: LogicalPlan, qData: Seq[InternalRow])
+      : Option[LocalRelation] = {
+    val swapped = sub.transform {
+      case lr: LocalRelation if isRequestRelation(lr) => lr.copy(data = qData)
+    }
+    GraftShim.optimize(spark, swapped) match {
+      case lr: LocalRelation => Some(lr)
+      case _ => None
+    }
+  }
+
+  private def runFast(fs: FastState, query: String): Option[DataFrame] = try {
+    def build(): Option[SparkPlan] = {
+      val qData = relationData(query, None)
+      // a query activating a template-absent channel cannot be served off
+      // this physical plan — decline, the caller replans
+      if (fs.absent.exists(i =>
+        foldSubtree(fs.subtrees(i), qData).exists(_.data.nonEmpty)))
+        return None
+      val needed = fs.feeds.map(_.subtreeIdx).distinct
+      val folds: Map[Int, LocalRelation] = needed.flatMap { i =>
+        foldSubtree(fs.subtrees(i), qData) match {
+          case Some(lr) if lr.output.map(_.name) == fs.subtreeNames(i) =>
+            Some(i -> lr)
+          case _ => return None // schema drift — serve the replanned path
+        }
+      }.toMap
+      val freshRows: Map[Seq[String], Seq[InternalRow]] =
+        fs.feeds.map(f => f.names -> projectRows(folds(f.subtreeIdx), f.indices))
+          .toMap
+      // DEEP-CLONE the template before the swap: every call must execute a
+      // fully PRIVATE plan tree. Sharing the unchanged (static-side) nodes
+      // across concurrent executions measurably cross-served results
+      // between threads (FastConcurrencyProbe: 4-5/40 calls returned
+      // another in-flight query's rows; a plan cloned per call is 0/40 over
+      // every probe run) — some shared physical node carries per-execution
+      // state that is not safe under concurrent re-execution. The clone is
+      // ~1 ms on this ~300-node tree, and re-executing the static
+      // broadcasts per call is exactly what the replanned path also pays,
+      // so the fast path keeps its full planning-skip win.
+      Some(fs.physical.clone().asInstanceOf[SparkPlan].transformUp {
+        case l: LocalTableScanExec if freshRows.contains(l.output.map(_.name)) =>
+          l.copy(rows = freshRows(l.output.map(_.name)))
+      })
+    }
+    def execute(fresh: SparkPlan): DataFrame = {
+      val collected = fresh.executeCollect()
+      GraftShim.ofRows(spark,
+        LocalRelation(fs.output, collected.toIndexedSeq)).drop("qid")
+    }
+    build().map(execute)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Queries spanning the request-derivation classes; the fast path is
+    * enabled only when fast and replanned results agree on ALL of them.
+    */
+  private val ValidationQueries = Seq(
+    "alpha beta deployment pipeline review", // multi-token keyword
+    "deployment",                            // single token
+    "",                                      // empty -> trending channel
+    "*",                                     // wildcard -> trending
+    "the of and a",                          // stopword-only -> phrase branch
+    "zz",                                    // sub-3-char, non-stopword
+    "preference: dark mode theme settings",  // metadata-term carrying
+    "café ünïcode-dash_mix 1234") // unicode + punctuation
+
+  /** Which evidence gate decided the fast path's fate — "enabled" or the
+    * first failing gate's name (diagnosis surface for ServeProbe/specs).
+    */
+  @volatile private var fastGate: String = "unbuilt"
+
+  /** The pre-validation candidate, kept for diagnosis tooling only
+    * (FastServeDebug) — NEVER served to callers.
+    */
+  @volatile private var fastCandidate: Option[FastState] = None
+
+  /** Diagnosis-only: run the fast path even when validation rejected it. */
+  private[graft] def fastRecallUnsafe(query: String): Option[DataFrame] =
+    fastCandidate.flatMap(runFast(_, query))
+
+  /** Diagnosis-only: the cached physical template's tree string. */
+  private[graft] def fastPlanString: String =
+    fastCandidate.map(_.physical.toString).getOrElse("no candidate")
+
+  /** Diagnosis-only: per-phase timing of one fast call (ServeProbe). */
+  private[graft] def fastDecomp(query: String): String =
+    fastCandidate.map { fs =>
+      val t0 = System.nanoTime()
+      val qData = relationData(query, None)
+      val t1 = System.nanoTime()
+      val declined = fs.absent.exists(i =>
+        foldSubtree(fs.subtrees(i), qData).exists(_.data.nonEmpty))
+      val needed = fs.feeds.map(_.subtreeIdx).distinct
+      val folds = needed.flatMap(i =>
+        foldSubtree(fs.subtrees(i), qData).map(i -> _)).toMap
+      val t2 = System.nanoTime()
+      val freshRows = fs.feeds.map(f =>
+        f.names -> projectRows(folds(f.subtreeIdx), f.indices)).toMap
+      val fresh = fs.physical.transformUp {
+        case l: LocalTableScanExec if freshRows.contains(l.output.map(_.name)) =>
+          l.copy(rows = freshRows(l.output.map(_.name)))
+      }
+      val t3 = System.nanoTime()
+      val n = fresh.executeCollect().length
+      val t4 = System.nanoTime()
+      f"reqdata=${(t1 - t0) / 1e6}%6.1f folds=${(t2 - t1) / 1e6}%6.1f " +
+        f"swap=${(t3 - t2) / 1e6}%6.1f exec=${(t4 - t3) / 1e6}%6.1f ms " +
+        f"rows=$n declined=$declined"
+    }.getOrElse("no candidate")
+
+  private val fastState: Option[FastState] = buildFastState()
+
+  private def buildFastState(): Option[FastState] = {
+    def fail(reason: String): Option[FastState] = { fastGate = reason; None }
+    val wasAdaptive =
+      spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = GraftShim.ofRows(spark, template).queryExecution.executedPlan
+      // derivation subtrees folded for the marker
+      val subtrees = requestSubtrees(template).toIndexedSeq
+      val folded: IndexedSeq[Option[LocalRelation]] =
+        subtrees.map(foldSubtree(_, relationData(Marker, None)))
+      if (subtrees.isEmpty) return fail("no request subtree in the template")
+      if (folded.exists(_.isEmpty))
+        return fail("a derivation subtree did not fold to LocalRelation")
+      val subLrs = folded.map(_.get)
+      val subNames = subLrs.map(_.output.map(_.name))
+      // resolve every physical LocalTableScan to its origin subtree: exact
+      // schema match first, else the UNIQUE subtree whose output covers the
+      // scan's columns and whose marker rows project to the scan's rows
+      val scans = phys.collectWithSubqueries { case l: LocalTableScanExec => l }
+      val mainScans = phys.collect { case l: LocalTableScanExec => l }
+      if (scans.size != mainScans.size)
+        return fail("LocalTableScan inside a subquery")
+      // validation-query folds per subtree, for disambiguating scans that
+      // match several subtrees under the marker: two candidates are
+      // interchangeable only if their projections agree on EVERY
+      // validation class (e.g. (qid,qvec) matches both the full relation
+      // and the vector channel's select — identical on all classes)
+      val valFolds: IndexedSeq[Seq[LocalRelation]] =
+        subtrees.map { s =>
+          ValidationQueries.flatMap(v => foldSubtree(s, relationData(v, None)))
+        }
+      if (valFolds.exists(_.size != ValidationQueries.size))
+        return fail("a subtree failed to fold for a validation query")
+      def resolve(l: LocalTableScanExec): Either[String, Option[ScanFeed]] = {
+        val names = l.output.map(_.name)
+        val scanCanon = canonRows(l.output, l.rows)
+        def feedOf(i: Int): Option[ScanFeed] = {
+          val idx = names.map(subNames(i).indexOf)
+          if (idx.contains(-1)) None
+          else {
+            val projected = projectRows(subLrs(i), idx)
+            val attrs = idx.map(subLrs(i).output(_))
+            if (canonRows(attrs, projected) == scanCanon)
+              Some(ScanFeed(names, i, idx))
+            else None
+          }
+        }
+        def projectionSignature(f: ScanFeed): Seq[Seq[String]] =
+          valFolds(f.subtreeIdx).map { lr =>
+            val attrs = f.indices.map(lr.output(_))
+            canonRows(attrs, projectRows(lr, f.indices))
+          }
+        val exact = subtrees.indices.filter(i => subNames(i) == names)
+          .flatMap(feedOf)
+        val candidates =
+          if (exact.nonEmpty) exact else subtrees.indices.flatMap(feedOf)
+        val isRequestScan = candidates.nonEmpty ||
+          l.rows.exists(_.toString.contains(Marker))
+        if (!isRequestScan) Right(None) // a static relation (e.g. edges)
+        else if (candidates.isEmpty) Left(
+          s"marker scan (${names.mkString(",")}) matches no derivation")
+        else if (candidates.map(projectionSignature).distinct.size == 1)
+          Right(Some(candidates.head)) // interchangeable on every class
+        else Left(s"scan (${names.mkString(",")}) matches ${candidates.size} " +
+          "derivations that DISAGREE on a validation class")
+      }
+      val resolved = scans.map(resolve)
+      resolved.collectFirst { case Left(reason) => reason }
+        .foreach(r => return fail(r))
+      val feeds = resolved.collect { case Right(Some(f)) => f }.distinct
+      if (feeds.isEmpty) return fail("no request scan in physical plan")
+      // distinct schema classes must map to ONE feed each (the per-call
+      // swap matches scans by schema)
+      if (feeds.groupBy(_.names).exists(_._2.size > 1))
+        return fail("one scan schema resolved to two different feeds")
+      val exprMarker = phys.collectWithSubqueries {
+        case p if p.expressions.exists(_.toString.contains(Marker)) => p }
+      if (exprMarker.nonEmpty)
+        return fail(s"marker in expressions of ${exprMarker.map(_.nodeName).distinct.mkString(",")}")
+      // subtrees with no feed: EMPTY marker folds are channels the
+      // optimizer pruned from the template (record → per-call decline
+      // guard); a NON-empty unfed subtree is only safe if some fed
+      // subtree is interchangeable with it on every validation class
+      val fed = feeds.map(_.subtreeIdx).toSet
+      val unfed = subtrees.indices.filterNot(fed)
+      val absent = unfed.filter(i => subLrs(i).data.isEmpty)
+      for (i <- unfed if subLrs(i).data.nonEmpty) {
+        def signature(j: Int): Seq[Seq[String]] =
+          valFolds(j).map(lr => canonRows(lr.output, lr.data))
+        val twin = fed.exists(j => subNames(j) == subNames(i) &&
+          signature(j) == signature(i))
+        if (!twin) return fail(
+          s"unfed non-empty subtree (${subNames(i).mkString(",")}) has no interchangeable fed twin")
+      }
+      val candidate =
+        FastState(phys, phys.output, subtrees, subNames, feeds, absent)
+      fastCandidate = Some(candidate)
+      // end-to-end validation across the query classes: every class the
+      // fast path ACCEPTS must match the replanned results exactly; a
+      // declined class falls back to replanning by construction, but the
+      // keyword-class queries (the marker's own class, the serving hot
+      // path) must not decline — a fast path that declines everything is
+      // not a fast path
+      var served = 0
+      ValidationQueries.foreach { v =>
+        runFast(candidate, v) match {
+          case Some(df) =>
+            served += 1
+            val fast = df.collect().map(_.toString).toSeq
+            val slow = recallReplanned(v).collect().map(_.toString).toSeq
+            if (fast != slow) return fail(
+              s"validation mismatch on '$v': fast ${fast.size} rows vs replanned ${slow.size}")
+          case None =>
+            if (Recall.keywords(v).nonEmpty) return fail(
+              s"fast path declined a keyword-class validation query '$v'")
+        }
+      }
+      if (served == 0) return fail("fast path declined every validation query")
+      fastGate = s"enabled (served $served/${ValidationQueries.size} validation classes," +
+        s" ${absent.size} absent channel(s) decline per-call)"
+      Some(candidate)
+    } catch { case e if scala.util.control.NonFatal(e) =>
+      fail(s"exception: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", wasAdaptive)
+  }
+
+  /** Whether the cached-physical fast path survived its evidence gate. */
+  def fastPathEnabled: Boolean = fastState.isDefined
+
+  /** "enabled", or the first failing evidence gate. */
+  def fastPathDiagnosis: String = fastGate
+
+  /** Serve one no-qvec request off the cached physical plan; None when the
+    * fast path is disabled (caller falls back to [[recallReplanned]]).
+    */
+  def fastRecall(query: String): Option[DataFrame] =
+    fastState.flatMap(runFast(_, query))
 
   /** Release the cached index relations. */
   def close(): Unit = index.unpersist()

@@ -50,6 +50,35 @@ object ServeProbe {
     qs.slice(1, 12).foreach { q =>
       println(f"[served] ${served(q) * 1000}%7.1f ms  $q")
     }
+    // r11 fast path: cached physical plan, request rows swapped per call
+    println(s"[fast-enabled] ${prepared.fastPathEnabled} (${prepared.fastPathDiagnosis})")
+    def fast(q: String): Double = {
+      val t0 = System.nanoTime()
+      prepared.fastRecall(q).foreach(_.count())
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (prepared.fastPathEnabled) {
+      fast(qs.head)
+      qs.slice(1, 12).foreach { q =>
+        println(f"[fast  ] ${fast(q) * 1000}%7.1f ms  $q")
+      }
+      qs.take(3).foreach { q =>
+        println(s"[fast-decomp] ${prepared.fastDecomp(q)}  $q")
+      }
+      // controlled comparison: alternate fast-collect / replan-count /
+      // replan-collect on the same queries, report medians — exposes the
+      // count()-prunes-output-columns flattery in the replanned metric
+      def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      val trials = qs.take(10)
+      val fc = trials.map(q => t(prepared.fastRecall(q).foreach(_.collect())))
+      val rc = trials.map(q => t(prepared.recallReplanned(q).count()))
+      val rr = trials.map(q => t(prepared.recallReplanned(q).collect()))
+      println(f"[compare] fast-collect med=${med(fc)}%6.1f  " +
+        f"replan-count med=${med(rc)}%6.1f  replan-collect med=${med(rr)}%6.1f ms")
+    }
     // decompose a served call: swap/analyze vs optimize vs physical vs run
     for (q <- qs.take(4)) {
       val t0 = System.nanoTime()

@@ -24,4 +24,14 @@ object GraftShim {
 
   /** The analyzed logical plan of a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Run the session optimizer on an already-analyzed plan
+    * (`sessionState` is `private[sql]`). The prepared-recall FAST path
+    * replays the tiny request-derivation subtrees through this per call —
+    * the full rule set over a <10-node one-row tree costs ~1 ms, vs
+    * ~100 ms for the whole serving plan.
+    */
+  def optimize(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.optimizer.execute(plan)
 }

@@ -131,6 +131,45 @@ class PreparedRecallSpec extends AnyFunSuite {
     } finally prepared.close()
   }
 
+  test("r11 fast path: evidence gate enables, serves keyword classes, " +
+    "declines template-absent classes to the replanned fallback") {
+    import spark.implicits._
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    try {
+      assert(prepared.fastPathEnabled,
+        s"fast path should enable on this corpus: ${prepared.fastPathDiagnosis}")
+      // keyword-class queries serve FAST and match the replanned path
+      for (q <- Seq("postgres database", "dark mode editors", "mysql")) {
+        val fast = prepared.fastRecall(q)
+        assert(fast.isDefined, s"fast path must serve keyword query '$q'")
+        val f = fast.get.orderBy(asc("rank")).collect().map(_.toString).toSeq
+        val r = prepared.recallReplanned(q).orderBy(asc("rank"))
+          .collect().map(_.toString).toSeq
+        assert(f == r, s"fast/replanned divergence on '$q'")
+      }
+      // the trending class activates a channel the keyword-marker template
+      // does not contain — fastRecall declines, recall() still serves it
+      // correctly via the fallback
+      assert(prepared.fastRecall("*").isEmpty,
+        "trending query must decline the fast path")
+      val trending = prepared.recall("*").orderBy(asc("rank"))
+        .collect().map(_.toString).toSeq
+      val trendingReplanned = prepared.recallReplanned("*").orderBy(asc("rank"))
+        .collect().map(_.toString).toSeq
+      assert(trending == trendingReplanned && trending.nonEmpty)
+      // a caller-supplied qvec is a knob the template was not built with —
+      // recall() must route it to the replanned path (and stay correct)
+      val qvec = PlaceholderEmbedding.embed("postgres database")
+      val viaKnob = prepared.recall("postgres database", Some(qvec))
+        .orderBy(asc("rank")).collect().map(_.toString).toSeq
+      val viaKnobReplanned = prepared
+        .recallReplanned("postgres database", Some(qvec))
+        .orderBy(asc("rank")).collect().map(_.toString).toSeq
+      assert(viaKnob == viaKnobReplanned && viaKnob.nonEmpty)
+    } finally prepared.close()
+  }
+
   test("close() releases the cached index relations") {
     import spark.implicits._
     spark.sharedState.cacheManager.clearCache()
