@@ -76,9 +76,11 @@ object Bench {
       val tmpF = ivfTmp("bench-ivf-f32")
       val tmpQ = ivfTmp("bench-ivf-q8")
       val tmpK = ivfTmp("bench-ivf-km")
+      val tmpP = ivfTmp("bench-ivf-pq")
       operators.IvfIndex.build(docVecs, tmpF)
       operators.IvfIndex.buildQuantized(docVecs, tmpQ)
       operators.IvfIndex.buildKMeans(docVecs, tmpK)
+      operators.PqIndex.build(docVecs, tmpP)
       val qvecs = tools.ClusteredVectors.queryVectors(spark, sfDir)
       def fp32(q: Array[Float], np: Int) =
         operators.IvfIndex.topK(spark, tmpF, q, k = 10, nprobe = np)
@@ -102,22 +104,30 @@ object Bench {
       }
       def km(q: Array[Float], np: Int) =
         operators.IvfIndex.topK(spark, tmpK, q, k = 10, nprobe = np)
+      def pq(q: Array[Float], np: Int) =
+        operators.PqIndex.topK(spark, tmpP, docVecs, q, k = 10, nprobe = np)
       val (fp32Ms, fp32Rec) = row(q => fp32(q, 8))
       val (int8Ms, int8Rec) = row(q => int8(q, 8))
       // k-means coarse quantizer at the same nprobe: recall against the
       // SAME brute-force reference (full probe is exact for any quantizer)
       val (kmMs, kmRec) = row(q => km(q, 8))
+      // product quantization at the SAME reduced nprobe — a real IVFPQ
+      // serves at nprobe << cells, so the row finally measures what the
+      // 30x-compressed tier costs in recall when it prunes like the others
+      val (pqMs, pqRec) = row(q => pq(q, 8))
       graft.functions.releaseCheckpoint(docVecs)
       Map("fp32_nprobe8_ms" -> fp32Ms, "fp32_nprobe8_recall10" -> fp32Rec,
         "int8_nprobe8_ms" -> int8Ms, "int8_nprobe8_recall10" -> int8Rec,
-        "kmeans_nprobe8_ms" -> kmMs, "kmeans_nprobe8_recall10" -> kmRec)
+        "kmeans_nprobe8_ms" -> kmMs, "kmeans_nprobe8_recall10" -> kmRec,
+        "pq_nprobe8_ms" -> pqMs, "pq_nprobe8_recall10" -> pqRec)
     } catch { case _: Throwable =>
       // keep the error-path key set IDENTICAL to the success path — a
       // failed round must not change the JSON shape cross-round tooling
       // diffs against
       Map("fp32_nprobe8_ms" -> -1.0, "fp32_nprobe8_recall10" -> -1.0,
         "int8_nprobe8_ms" -> -1.0, "int8_nprobe8_recall10" -> -1.0,
-        "kmeans_nprobe8_ms" -> -1.0, "kmeans_nprobe8_recall10" -> -1.0)
+        "kmeans_nprobe8_ms" -> -1.0, "kmeans_nprobe8_recall10" -> -1.0,
+        "pq_nprobe8_ms" -> -1.0, "pq_nprobe8_recall10" -> -1.0)
     } finally {
       // the indexes are measurement scratch — reclaim the disk
       ivfTmpDirs.foreach { d =>

@@ -51,14 +51,20 @@ object Bpe {
 
   /** Train `numMerges` BPE merges over a text column. Returns the ordered
     * merge list. `sampleFraction` < 1 trains on a deterministic hash
-    * sample (`xxhash64` coin — reproducible, no RNG state).
+    * sample (`xxhash64` coin — reproducible, no RNG state); `seed` salts
+    * the coin so two DIFFERENT same-size samples can be drawn — the
+    * cross-sample merge-table agreement is the measured evidence that the
+    * sample is large enough for a reproducible tokenizer (BpeSpec,
+    * BpeScaleProbe). `onRound` observes (round, seconds) per merge round
+    * for wall-time probes.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      sampleFraction: Double = 1.0): Seq[(String, String)] = {
+      sampleFraction: Double = 1.0, seed: Long = 0L,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String)] = {
     val base0 = docs.select(col(textCol).as("text"))
     val base = if (sampleFraction >= 1.0) base0
       else base0.filter(
-        pmod(abs(xxhash64(col("text"))), lit(1000000)) <
+        pmod(abs(xxhash64(col("text"), lit(seed))), lit(1000000)) <
           lit((sampleFraction * 1000000).toLong))
     // working corpus: one row per WORD as its current symbol array —
     // word-frequency weighting falls out of keeping duplicates
@@ -71,7 +77,8 @@ object Bpe {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
-    for (_ <- 1 to numMerges if !exhausted) {
+    for (round <- 1 to numMerges if !exhausted) {
+      val roundT0 = System.nanoTime()
       // adjacent-pair counts: explode each row's bigrams, one groupBy
       val bigrams = when(size(col("syms")) < 2,
         array().cast("array<struct<a:string,b:string>>"))
@@ -94,6 +101,7 @@ object Bpe {
         graft.functions.releaseCheckpoint(work)
         work = next
       }
+      onRound(round, (System.nanoTime() - roundT0) / 1e9)
     }
     graft.functions.releaseCheckpoint(work)
     merges.toSeq

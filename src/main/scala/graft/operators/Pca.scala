@@ -21,6 +21,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * data. At much larger d, switch the per-row explode for per-partition
   * BLAS-style accumulation; the driver eigen step is d³ and fine through
   * d ≈ few thousand.
+  *
+  * MEASURED d ceiling (`tools.PcaDimProbe`, 100k vectors, local[32]):
+  * `covarianceFast` 1.3 s at d=256, 1.0 s at d=512, 5.2 s at d=1024 —
+  * the partial-merge stays trivial (32 partials × 4.0 MB = 128 MB
+  * collected, ~52 MB driver-heap delta at d=1024). The wall is the
+  * single-threaded Jacobi eigen: `fit` totals 1.2 s / 7.0 s / 172.6 s at
+  * d=256/512/1024. So: covariance alone is comfortable to d≈4096 (64 MB
+  * statistic), full PCA `fit` is practical to d≈1024 (minutes) and needs
+  * a parallel eigensolver beyond that — at 100 TB the fit runs ONCE per
+  * corpus on a sample, so 3 driver-minutes at d=1024 is acceptable,
+  * d=2048 (~23 min extrapolated d³) is the stated practical ceiling.
   */
 object Pca {
 
@@ -73,29 +84,36 @@ object Pca {
     */
   def covarianceFast(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
-    import spark.implicits._
+    // read the embeddings at the InternalRow layer: the Dataset encoder
+    // materializes every element as a BOXED Seq[Double] (measured 90 s for
+    // d=256 × 100k rows; 50 s after hoisting the unbox; 3 s reading
+    // UnsafeArrayData.toDoubleArray directly — the accumulation itself is
+    // ~3e9 fused multiply-adds and was never the cost)
     val partials = vectors
-      .select(col("embedding").cast("array<double>").as("e"))
-      .as[Seq[Double]]
+      .select(col("embedding").cast("array<double>"))
+      .queryExecution.toRdd
       .mapPartitions { it =>
         var n = 0L
         var sums: Array[Double] = null
         var prods: Array[Double] = null
-        it.foreach { e =>
-          val d = e.size
-          if (sums == null) {
-            sums = new Array[Double](d)
-            prods = new Array[Double](d * (d + 1) / 2)
+        it.foreach { row =>
+          if (!row.isNullAt(0)) {
+            val a = row.getArray(0).toDoubleArray()
+            val d = a.length
+            if (sums == null) {
+              sums = new Array[Double](d)
+              prods = new Array[Double](d * (d + 1) / 2)
+            }
+            var i = 0; var k = 0
+            while (i < d) {
+              val xi = a(i)
+              sums(i) += xi
+              var j = i
+              while (j < d) { prods(k) += xi * a(j); k += 1; j += 1 }
+              i += 1
+            }
+            n += 1
           }
-          var i = 0; var k = 0
-          while (i < d) {
-            val xi = e(i)
-            sums(i) += xi
-            var j = i
-            while (j < d) { prods(k) += xi * e(j); k += 1; j += 1 }
-            i += 1
-          }
-          n += 1
         }
         if (n == 0) Iterator.empty
         else Iterator((n, sums.toSeq, prods.toSeq))

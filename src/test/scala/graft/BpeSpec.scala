@@ -57,6 +57,34 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b, "deterministic sample must yield identical merges")
   }
 
+  test("cross-seed sample stability: two different half-samples of a real " +
+    "corpus learn (near-)identical merge tables") {
+    // tokenizer reproducibility from a SAMPLE is the design point of the
+    // deterministic hash sampling: two different seeds draw two different
+    // half-corpora, and a sufficient sample makes the learned merges agree.
+    // Real documents table (not synthetic repetition, which would trivially
+    // agree); per-round wall time recorded via the onRound hook so the
+    // probe discipline is spec-exercised too.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text")
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val m1 = Bpe.train(docs, "text", numMerges = 15, sampleFraction = 0.5,
+      seed = 1L, onRound = (_, s) => times += s)
+    val m2 = Bpe.train(docs, "text", numMerges = 15, sampleFraction = 0.5,
+      seed = 2L)
+    assert(m1.size == 15 && m2.size == 15)
+    assert(times.size == 15 && times.forall(_ > 0))
+    val prefix = m1.zip(m2).takeWhile { case (a, b) => a == b }.size
+    val overlap = (m1.toSet & m2.toSet).size
+    info(s"cross-seed: identical prefix $prefix/15, set overlap $overlap/15")
+    assert(overlap >= 12,
+      s"half-sample merge tables diverged: $overlap/15 overlap\n$m1\n$m2")
+    // and the same seed is exactly reproducible
+    val m1b = Bpe.train(docs, "text", numMerges = 15, sampleFraction = 0.5,
+      seed = 1L)
+    assert(m1 == m1b, "same seed must reproduce the identical table")
+  }
+
   test("degenerate corpora: empty text and singleton pairs stop training") {
     import spark.implicits._
     assert(Bpe.train(Seq("").toDF("text"), "text", 5).isEmpty)

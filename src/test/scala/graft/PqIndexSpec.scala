@@ -71,6 +71,72 @@ class PqIndexSpec extends AnyFunSuite {
     assert(ratio >= 10.0, s"expected >=10x compression, got ${ratio}x")
   }
 
+  test("reduced-nprobe PQ and OPQ-lite rotation: measured recall, exact " +
+    "refine parity, rotation never catastrophic") {
+    val tmpP = java.nio.file.Files.createTempDirectory("graft-pq-np").toString
+    val tmpR = java.nio.file.Files.createTempDirectory("graft-pq-rot").toString
+    PqIndex.build(docVecs, tmpP, m = 8, ksub = 32)
+    PqIndex.buildRotated(docVecs, tmpR, m = 8, ksub = 32)
+    val qvecs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 61 === 0).orderBy("doc_id")
+      .select("text").collect()
+      .map(r => graft.domain.LexicalEmbedding.embed(r.getString(0))).toSeq
+    def recallOf(f: Array[Float] => org.apache.spark.sql.DataFrame): Double = {
+      val rs = qvecs.map { q =>
+        val exact = docVecs
+          .withColumn("sim", graft.functions.round4(graft.functions
+            .VectorFunctions.cosineSim(col("embedding"), typedlit(q))))
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = f(q).select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+      rs.sum / rs.size
+    }
+    val plain = recallOf(q =>
+      PqIndex.topK(spark, tmpP, docVecs, q, k = 10, nprobe = 8, refine = 8))
+    val rotated = recallOf(q =>
+      PqIndex.topKRotated(spark, tmpR, docVecs, q, k = 10, nprobe = 8, refine = 8))
+    info(f"nprobe=8 recall@10: plain pq = $plain%.3f, opq-lite rotated = $rotated%.3f")
+    val plainFull = recallOf(q =>
+      PqIndex.topK(spark, tmpP, docVecs, q, k = 10, nprobe = 64, refine = 8))
+    val rotatedFull = recallOf(q =>
+      PqIndex.topKRotated(spark, tmpR, docVecs, q, k = 10, nprobe = 64, refine = 8))
+    info(f"full-probe recall@10: plain pq = $plainFull%.3f, rotated = $rotatedFull%.3f" +
+      " (separates codebook quality from cell routing)")
+    // PINNED NEGATIVE RESULT: on THESE embeddings (hashed-lexical — sparse,
+    // axis-aligned energy) the rotation HURTS: measured 0.90 -> 0.82
+    // full-probe, 0.87 -> 0.74 at nprobe 8. PCA densifies the naturally
+    // sparse subvectors, and 4-5 bit sub-codebooks quantize dense slices
+    // worse than sparse ones; the published OPQ win is for correlated DENSE
+    // model embeddings. The engine therefore defaults to the identity
+    // rotation; buildRotated stays as the option for dense-embedding
+    // deployments. This assertion is the honest record — if the data ever
+    // changes such that rotation wins, it should fail and flip the default.
+    assert(plain >= rotated,
+      s"rotation now WINS on this data ($rotated > $plain) — flip the default")
+    assert(rotatedFull >= 0.7, s"rotated PQ collapsed: $rotatedFull")
+    // refine parity: a corpus vector queried against the ROTATED index at
+    // full probe still scores exactly 1.0 (cosine is rotation-invariant,
+    // refine runs against the original fp32 vectors)
+    val self = docVecs.orderBy("vec_id").select("embedding").head
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val top = PqIndex.topKRotated(spark, tmpR, docVecs, self, k = 1, nprobe = 64)
+      .head
+    assert(top.getAs[Double]("sim") == 1.0, s"got $top")
+    // the stored rotation must be a PERMUTED ORTHONORMAL basis (the
+    // balanced-allocation reorder really happened and preserved geometry)
+    val rot = spark.read.parquet(s"$tmpR/rotation")
+      .orderBy("component").collect().map(_.getSeq[Double](1).toArray)
+    assert(rot.length == 64 && rot.forall(_.length == 64))
+    for (i <- Seq(0, 13, 37)) {
+      val n = math.sqrt(rot(i).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"row $i not unit: $n")
+    }
+    val dot0_1 = rot(0).zip(rot(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot0_1) < 1e-6, s"rows not orthogonal: $dot0_1")
+  }
+
   test("build is deterministic: identical codebooks and codes across runs") {
     val t1 = java.nio.file.Files.createTempDirectory("graft-pq-d1").toString
     val t2 = java.nio.file.Files.createTempDirectory("graft-pq-d2").toString
