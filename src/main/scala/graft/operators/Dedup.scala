@@ -581,4 +581,106 @@ object Dedup {
        SELECT vec_id, component, vec_id = component AS is_keeper
        FROM reach ORDER BY component, vec_id"""
   }
+
+  /** Exact-substring duplicate SPANS (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * dedup used for the paper's C4/RealNews results): any `n`-token run
+    * whose text occurs >= 2 times ANYWHERE in the corpus (other
+    * documents or the same one) is a removable duplicate span. Per
+    * document this reports the merged maximal spans: how many, how many
+    * tokens they cover, and the covered fraction — the accounting a
+    * pipeline cuts against. This is the complement of the PAIR detectors
+    * (winnowing/containment find which docs overlap; this marks WHICH
+    * TOKENS are duplicated, including within-document repetition that no
+    * pairwise score can express).
+    *
+    * Shape, suffix-array-free: the paper builds a corpus suffix array —
+    * a global sort Spark would pay a full shuffle for. Equal coverage for
+    * fixed n comes from the gram table instead: window `lead`s build each
+    * position's n-gram STRING (no hash — the string is the join key in
+    * BOTH engines, so the oracle cannot drift on hash choice), one
+    * groupBy counts global occurrences, duplicated starts join back, and
+    * a per-doc running-max window merges overlapping/touching intervals
+    * into maximal spans. Everything shuffles on doc_id or gram — linear,
+    * combiner-friendly, no corpus×corpus stage; the gram table is the
+    * same persisted artifact the containment detector builds.
+    */
+  def substringDupSpans(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gramCols = (1 until n).map(i => lead(col("tok"), i).over(w))
+    // two consumers (occurrence counts + start marking) re-derive the gram
+    // table; at corpus scale write it to parquet once instead (the same
+    // persisted-artifact note as containmentPairs — a localCheckpoint here
+    // would outlive this function's scope, and the RESULT is per-doc, i.e.
+    // corpus-sized, so pinning it is not an option either)
+    val grams = toks
+      .withColumn("g", concat_ws(" ", col("tok") +: gramCols: _*))
+      .withColumn("_last", gramCols.last)
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("g"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("g")
+    val starts = grams.join(dupGrams, Seq("g"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + n - 1).cast("long").as("e"))
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevEnd = max(col("e"))
+      .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = starts
+      // a start opens a NEW maximal span iff it is not covered by and not
+      // adjacent to everything before it (touching runs are one run)
+      .withColumn("new_span",
+        when(col("s") > coalesce(prevEnd, lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(ws))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .withColumn("dup_frac", graft.functions.round4(
+        col("dup_tokens") / greatest(col("n_tokens"), lit(1L))))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[substringDupSpans]] at n = 8. */
+  val substringDupSpansSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       g AS (SELECT doc_id, i AS pos,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+           tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS gm
+         FROM t, unnest(range(1, len(tk) - 6)) AS r(i)
+         WHERE len(tk) >= 8),
+       dup AS (SELECT gm FROM g GROUP BY gm HAVING count(*) >= 2),
+       ds AS (SELECT gr.doc_id, gr.pos AS s, gr.pos + 7 AS e
+         FROM g gr JOIN dup USING (gm)),
+       m AS (SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS new_span FROM ds),
+       sp AS (SELECT doc_id, s, e,
+           sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+         FROM m),
+       spans AS (SELECT doc_id, span_id, min(s) AS ss, max(e) AS se
+         FROM sp GROUP BY 1, 2),
+       perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(se - ss + 1) AS BIGINT) AS dup_tokens
+         FROM spans GROUP BY 1)
+       SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         coalesce(p.n_spans, 0) AS n_spans,
+         coalesce(p.dup_tokens, 0) AS dup_tokens,
+         round(coalesce(p.dup_tokens, 0) * 1.0 / greatest(len(t.tk), 1)
+           + 1e-9, 4) + 0.0 AS dup_frac
+       FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id"""
 }

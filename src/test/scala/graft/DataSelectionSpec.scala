@@ -389,4 +389,37 @@ class DataSelectionSpec extends AnyFunSuite {
         s"approx p50 drifted >5% for ${r.getString(0)}: exact=$e approx=$a")
     }
   }
+
+  test("exact-substring spans: hand-traced coverage, merging, and " +
+    "within-doc repetition") {
+    import spark.implicits._
+    // n=4 keeps the trace small. Fixtures:
+    //  doc 1 & 2 share the 6-token run "r1 r2 r3 r4 r5 r6" -> dup 4-gram
+    //    starts at 3 positions -> ONE merged span of 6 tokens in each;
+    //  doc 3 repeats its own 4 tokens "x1 x2 x3 x4" twice (positions 0-3
+    //    and 4-7): the gram occurs twice IN THE SAME DOC -> both
+    //    occurrences are duplicate spans, and they touch -> one 8-token
+    //    span (the within-doc case pairwise detectors cannot express);
+    //  doc 4 is clean -> zeros;
+    //  doc 5 has 3 tokens (< n) -> no grams -> zeros.
+    val docs = Seq(
+      (1L, "a1 a2 r1 r2 r3 r4 r5 r6 a3 a4"),
+      (2L, "b1 r1 r2 r3 r4 r5 r6 b2 b3 b4"),
+      (3L, "x1 x2 x3 x4 x1 x2 x3 x4 y1 y2"),
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (5L, "d1 d2 d3"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sspan").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup.substringDupSpans(spark, tmp, n = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // (n_tokens, n_spans, dup_tokens, dup_frac)
+    assert(out(1L) == ((10L, 1L, 6L, 0.6)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((10L, 1L, 6L, 0.6)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((10L, 1L, 8L, 0.8)), s"doc3 self-repeat: ${out(3L)}")
+    assert(out(4L) == ((10L, 0L, 0L, 0.0)), s"clean doc: ${out(4L)}")
+    assert(out(5L) == ((3L, 0L, 0L, 0.0)), s"short doc: ${out(5L)}")
+  }
 }
