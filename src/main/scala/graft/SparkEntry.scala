@@ -113,6 +113,7 @@ object SparkEntry {
     "q_asof_join" -> (Relational.asofClickForPurchase _),
     "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "q_substring_spans" -> ((s, d) => Dedup.substringDupSpans(s, d)),
+    "q_gopher_rules" -> (TextPolicy.gopherRules _),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
     "q_lpa_communities" -> (GraphAnalytics.coPurchaseCommunities _),
     "q_cube" -> (Analytics.shipmodeCube _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "q_asof_join" -> Relational.asofClickForPurchaseSql,
     "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
     "q_substring_spans" -> Dedup.substringDupSpansSql,
+    "q_gopher_rules" -> TextPolicy.gopherRulesSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_lpa_communities" -> GraphAnalytics.coPurchaseCommunitiesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,

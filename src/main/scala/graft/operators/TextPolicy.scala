@@ -538,4 +538,125 @@ object TextPolicy {
          FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
        SELECT doc_id, n_shingles, n_boiler, coverage, coverage > 0.5 AS flagged
        FROM cov ORDER BY doc_id"""
+
+  /** The Gopher required-stopword set (Rae et al. 2021, Appendix A1.1.2):
+    * a kept document must contain at least 2 of these.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A — the
+    * MassiveWeb filter most modern pretraining pipelines copy), plus the
+    * two C4 page-level drops (Raffel et al. 2020 §2.2: "lorem ipsum" and
+    * the curly-brace/code marker). Doc-level rules only — the Gopher
+    * line-fraction rules (bullet/ellipsis lines) need multi-line pages and
+    * this corpus is single-line; symbol-to-word covers the ellipsis mass.
+    *
+    * Emits every signal plus per-rule attribution: the first violated rule
+    * in canonical order (word_count, mean_word_len, symbol_ratio,
+    * alpha_words, stopwords, lorem, brace) — a pipeline wants to know WHY
+    * a document dropped, not just that it did. Pure codegen projection:
+    * one scan, no shuffle (ORDER BY is presentation for the oracle).
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val nWords = size(ws).cast("long")
+    val denom = greatest(nWords, lit(1L))
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / denom
+    def charCount(needle: String, width: Int): Column =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), needle, ""))) / width).cast("long")
+    // Gopher's symbol set: '#' and ellipsis (both the unicode char and
+    // the three-dot spelling)
+    val symbols = charCount("#", 1) + charCount("…", 1) +
+      charCount("\\.\\.\\.", 3)
+    val symbolRatio = symbols.cast("double") / denom
+    val alphaFrac = aggregate(ws, lit(0L),
+      (acc, w) => acc + when(w.rlike("[a-z]"), 1L).otherwise(0L))
+      .cast("double") / denom
+    val stopHits = size(filter(
+      typedlit(GopherStopwords), s => array_contains(ws, s))).cast("long")
+    val lowerText = lower(col("text"))
+    documents
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        round4(meanLen).as("mean_word_len"),
+        round4(symbolRatio).as("symbol_ratio"),
+        round4(alphaFrac).as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        (nWords < 50 || nWords > 100000).as("r_word_count"),
+        (meanLen < 3.0 || meanLen > 10.0).as("r_mean_word_len"),
+        (symbolRatio > 0.1).as("r_symbol_ratio"),
+        (alphaFrac < 0.8).as("r_alpha_words"),
+        (stopHits < 2).as("r_stopwords"),
+        lowerText.contains("lorem ipsum").as("r_lorem"),
+        lowerText.contains("{").as("r_brace"))
+      .withColumn("first_violation",
+        when(col("r_word_count"), "word_count")
+          .when(col("r_mean_word_len"), "mean_word_len")
+          .when(col("r_symbol_ratio"), "symbol_ratio")
+          .when(col("r_alpha_words"), "alpha_words")
+          .when(col("r_stopwords"), "stopwords")
+          .when(col("r_lorem"), "lorem")
+          .when(col("r_brace"), "brace")
+          .otherwise("kept"))
+      .withColumn("keep", col("first_violation") === "kept")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[gopherRules]]. */
+  val gopherRulesSql: String = {
+    val stops = GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    raw"""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+       FROM documents),
+       sig AS (SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         round(list_aggregate(list_transform(tk, w -> length(w)), 'sum')
+           * 1.0 / greatest(len(tk), 1) + 1e-9, 4) + 0.0 AS mean_word_len,
+         round(((length(lt) - length(replace(lt, '#', ''))) +
+             (length(lt) - length(replace(lt, '…', ''))) +
+             (length(lt) - length(replace(lt, '...', ''))) / 3)
+           * 1.0 / greatest(len(tk), 1) + 1e-9, 4) + 0.0 AS symbol_ratio,
+         round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+           * 1.0 / greatest(len(tk), 1) + 1e-9, 4) + 0.0 AS alpha_frac,
+         CAST(len(list_filter($stops::VARCHAR[],
+             s -> list_contains(tk, s))) AS BIGINT) AS stop_hits,
+         contains(lt, 'lorem ipsum') AS r_lorem,
+         contains(lt, '{') AS r_brace,
+         list_aggregate(list_transform(tk, w -> length(w)), 'sum')
+           * 1.0 / greatest(len(tk), 1) AS raw_mean,
+         ((length(lt) - length(replace(lt, '#', ''))) +
+             (length(lt) - length(replace(lt, '…', ''))) +
+             (length(lt) - length(replace(lt, '...', ''))) / 3)
+           * 1.0 / greatest(len(tk), 1) AS raw_sym,
+         len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+           * 1.0 / greatest(len(tk), 1) AS raw_alpha
+       FROM t),
+       f AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         stop_hits,
+         (n_words < 50 OR n_words > 100000) AS r_word_count,
+         (raw_mean < 3.0 OR raw_mean > 10.0) AS r_mean_word_len,
+         (raw_sym > 0.1) AS r_symbol_ratio,
+         (raw_alpha < 0.8) AS r_alpha_words,
+         (stop_hits < 2) AS r_stopwords, r_lorem, r_brace
+       FROM sig)
+       SELECT *, first_violation = 'kept' AS keep FROM (
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stop_hits, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_alpha_words, r_stopwords, r_lorem, r_brace,
+           CASE WHEN r_word_count THEN 'word_count'
+             WHEN r_mean_word_len THEN 'mean_word_len'
+             WHEN r_symbol_ratio THEN 'symbol_ratio'
+             WHEN r_alpha_words THEN 'alpha_words'
+             WHEN r_stopwords THEN 'stopwords'
+             WHEN r_lorem THEN 'lorem'
+             WHEN r_brace THEN 'brace'
+             ELSE 'kept' END AS first_violation
+         FROM f) v ORDER BY doc_id"""
+  }
 }

@@ -249,4 +249,42 @@ class TextPolicySpec extends AnyFunSuite {
       assert(ids.length >= 2, s"singleton component $comp should not appear")
     }
   }
+
+  test("gopher rules: each rule trips on its crafted violator, attribution " +
+    "follows canonical order, a clean document keeps") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val clean = "the quick brown fox and the lazy dog run to town with " +
+      "plenty of ordinary words that have good shape " + fifty
+    val docs = Seq(
+      (1L, clean), // keeps: >=50 words, sane lengths, stopwords present
+      (2L, "too few words to pass the count gate"), // word_count
+      (3L, ("a b c d " * 20) + fifty.split(" ").map(_ => "xy").mkString(" ")),
+      // ^ mean word length < 3 (all 1-2 char tokens, 130 words)
+      (4L, clean + " " + ("#" * 40)), // symbol ratio > 0.1 (40 '#', ~111 words)
+      (5L, clean.split(" ").map(_ => "123").mkString(" ")), // no alpha words
+      (6L, (1 to 60).map(i => s"unique$i").mkString(" ")), // no stopwords
+      (7L, clean + " lorem ipsum dolor sit amet"), // C4 lorem page drop
+      (8L, clean + " function() { return 42; }")) // C4 brace page drop
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPolicy.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("first_violation"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == (("kept", true)), s"clean doc: ${out(1L)}")
+    assert(out(2L) == (("word_count", false)), s"${out(2L)}")
+    assert(out(3L) == (("mean_word_len", false)), s"${out(3L)}")
+    assert(out(4L) == (("symbol_ratio", false)), s"${out(4L)}")
+    assert(out(5L)._1 == "alpha_words" || out(5L)._1 == "stopwords",
+      s"digit-only doc must drop before 'kept': ${out(5L)}")
+    assert(out(5L)._2 == false)
+    assert(out(6L) == (("stopwords", false)), s"${out(6L)}")
+    assert(out(7L) == (("lorem", false)), s"${out(7L)}")
+    assert(out(8L) == (("brace", false)), s"${out(8L)}")
+    // canonical-order attribution: a doc violating BOTH word count and
+    // stopwords reports word_count (the earlier rule)
+    val multi = graft.operators.TextPolicy
+      .gopherRules(Seq((9L, "zz qq pp")).toDF("doc_id", "text"))
+      .head.getAs[String]("first_violation")
+    assert(multi == "word_count", s"canonical order: $multi")
+  }
 }
