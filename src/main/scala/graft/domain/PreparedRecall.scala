@@ -55,10 +55,16 @@ class PreparedRecall(
     BatchRecall.buildIndex(memories, vocabParallelism)
       .cache().materialize()
 
-  /** The batch plan over a marker request, analyzed once. */
-  private val template: LogicalPlan = {
+  /** An analyzed batch plan over a marker request. Each serving CLASS gets
+    * its own template: the optimizer folds the request-side channel gates
+    * for the marker's values, so a keyword-class marker's plan has the
+    * trending/phrase-only branches pruned out entirely — a plan for one
+    * class structurally cannot serve another (the fast path's
+    * absent-channel guard is the runtime proof).
+    */
+  private def templateFor(markerQuery: String): LogicalPlan = {
     import spark.implicits._
-    val marker = Seq((0, "__template__")).toDF("qid", "query")
+    val marker = Seq((0, markerQuery)).toDF("qid", "query")
     val plan = GraftShim.analyzed(BatchRecall.batchRecall(
       memories, edges, marker, limit, weights, now, roundScores,
       index = Some(index), singleRequest = true))
@@ -73,6 +79,11 @@ class PreparedRecall(
       "no request relation found in the template plan")
     plan
   }
+
+  /** The replanned path's template (any class — replanning re-folds).
+    * Literal marker: the `Marker` val initializes later in the class body.
+    */
+  private val template: LogicalPlan = templateFor("__template__")
 
   private def relationData(query: String, qvec: Option[Array[Float]]) = {
     val fresh = BatchRecall.requestRelationFromSeq(spark,
@@ -338,19 +349,55 @@ class PreparedRecall(
         f"rows=$n declined=$declined"
     }.getOrElse("no candidate")
 
-  private val fastState: Option[FastState] = buildFastState()
+  /** A serving class = which request-side channels are ACTIVE (keyword /
+    * phrase-only / trending × metadata). The optimizer folds these gates
+    * into the template at plan time, so each class needs its own cached
+    * physical plan; the FIRST query of a class becomes its template marker
+    * (self-representative by construction). Keep in lockstep with
+    * `BatchRecall.requestRelationFromSeq`'s derivations.
+    */
+  private case class ServeClass(isTrend: Boolean, phraseOnly: Boolean,
+      hasMd: Boolean)
 
-  private def buildFastState(): Option[FastState] = {
+  private def serveClassOf(query: String): ServeClass = {
+    val toks = Recall.keywords(query)
+    val qtrim = query.toLowerCase.trim
+    val phrase = if (qtrim.length >= 3) qtrim else ""
+    val isTrend = toks.isEmpty && phrase.isEmpty
+    ServeClass(isTrend, toks.isEmpty && !isTrend,
+      MetadataScoring.prefilterTerms(query).nonEmpty)
+  }
+
+  private val fastStates =
+    new java.util.concurrent.ConcurrentHashMap[ServeClass, Option[FastState]]()
+
+  // the keyword class (the serving hot path) builds EAGERLY so prepare
+  // cost is paid up front; trending/phrase-only templates build lazily on
+  // the first query of their class (~1-2 s once, then cached)
+  private val fastState: Option[FastState] = {
+    val s = buildFastStateFor(Marker)
+    fastStates.put(serveClassOf(Marker), s)
+    s
+  }
+
+  private def buildFastStateFor(markerQuery: String): Option[FastState] = {
     def fail(reason: String): Option[FastState] = { fastGate = reason; None }
+    // degenerate markers ("", "*") would make the contains-based leak
+    // checks vacuous or always-firing — skip those two checks for them
+    // (feeds resolution + end-to-end validation still gate)
+    val leakCheckable = markerQuery.length >= 3
     val wasAdaptive =
       spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val phys = GraftShim.ofRows(spark, template).queryExecution.executedPlan
+      val classTemplate =
+        if (markerQuery == Marker) template else templateFor(markerQuery)
+      val phys =
+        GraftShim.ofRows(spark, classTemplate).queryExecution.executedPlan
       // derivation subtrees folded for the marker
-      val subtrees = requestSubtrees(template).toIndexedSeq
+      val subtrees = requestSubtrees(classTemplate).toIndexedSeq
       val folded: IndexedSeq[Option[LocalRelation]] =
-        subtrees.map(foldSubtree(_, relationData(Marker, None)))
+        subtrees.map(foldSubtree(_, relationData(markerQuery, None)))
       if (subtrees.isEmpty) return fail("no request subtree in the template")
       if (folded.exists(_.isEmpty))
         return fail("a derivation subtree did not fold to LocalRelation")
@@ -398,7 +445,7 @@ class PreparedRecall(
         val candidates =
           if (exact.nonEmpty) exact else subtrees.indices.flatMap(feedOf)
         val isRequestScan = candidates.nonEmpty ||
-          l.rows.exists(_.toString.contains(Marker))
+          (leakCheckable && l.rows.exists(_.toString.contains(markerQuery)))
         if (!isRequestScan) Right(None) // a static relation (e.g. edges)
         else if (candidates.isEmpty) Left(
           s"marker scan (${names.mkString(",")}) matches no derivation")
@@ -416,8 +463,8 @@ class PreparedRecall(
       // swap matches scans by schema)
       if (feeds.groupBy(_.names).exists(_._2.size > 1))
         return fail("one scan schema resolved to two different feeds")
-      val exprMarker = phys.collectWithSubqueries {
-        case p if p.expressions.exists(_.toString.contains(Marker)) => p }
+      val exprMarker = if (!leakCheckable) Nil else phys.collectWithSubqueries {
+        case p if p.expressions.exists(_.toString.contains(markerQuery)) => p }
       if (exprMarker.nonEmpty)
         return fail(s"marker in expressions of ${exprMarker.map(_.nodeName).distinct.mkString(",")}")
       // subtrees with no feed: EMPTY marker folds are channels the
@@ -438,14 +485,15 @@ class PreparedRecall(
       val candidate =
         FastState(phys, phys.output, subtrees, subNames, feeds, absent)
       fastCandidate = Some(candidate)
-      // end-to-end validation across the query classes: every class the
+      // end-to-end validation across the query classes: every query the
       // fast path ACCEPTS must match the replanned results exactly; a
-      // declined class falls back to replanning by construction, but the
-      // keyword-class queries (the marker's own class, the serving hot
-      // path) must not decline — a fast path that declines everything is
-      // not a fast path
+      // cross-class query declining is correct by construction (class
+      // dispatch routes it to its own template), but a query of the
+      // MARKER'S OWN class must never decline — a template that declines
+      // its own class is not a fast path
+      val markerClass = serveClassOf(markerQuery)
       var served = 0
-      ValidationQueries.foreach { v =>
+      (ValidationQueries :+ markerQuery).distinct.foreach { v =>
         runFast(candidate, v) match {
           case Some(df) =>
             served += 1
@@ -454,12 +502,12 @@ class PreparedRecall(
             if (fast != slow) return fail(
               s"validation mismatch on '$v': fast ${fast.size} rows vs replanned ${slow.size}")
           case None =>
-            if (Recall.keywords(v).nonEmpty) return fail(
-              s"fast path declined a keyword-class validation query '$v'")
+            if (serveClassOf(v) == markerClass) return fail(
+              s"fast path declined a same-class validation query '$v'")
         }
       }
       if (served == 0) return fail("fast path declined every validation query")
-      fastGate = s"enabled (served $served/${ValidationQueries.size} validation classes," +
+      fastGate = s"enabled[${markerQuery.take(16)}] (served $served validation queries," +
         s" ${absent.size} absent channel(s) decline per-call)"
       Some(candidate)
     } catch { case e if scala.util.control.NonFatal(e) =>
@@ -474,11 +522,17 @@ class PreparedRecall(
   /** "enabled", or the first failing evidence gate. */
   def fastPathDiagnosis: String = fastGate
 
-  /** Serve one no-qvec request off the cached physical plan; None when the
-    * fast path is disabled (caller falls back to [[recallReplanned]]).
+  /** Serve one no-qvec request off its CLASS's cached physical plan —
+    * trending and phrase-only queries get their own lazily-built template
+    * on first use, so every request class serves plan-cached. None when
+    * the class's evidence gate failed (caller falls back to
+    * [[recallReplanned]]).
     */
-  def fastRecall(query: String): Option[DataFrame] =
-    fastState.flatMap(runFast(_, query))
+  def fastRecall(query: String): Option[DataFrame] = {
+    val state = fastStates.computeIfAbsent(serveClassOf(query),
+      _ => buildFastStateFor(query))
+    state.flatMap(runFast(_, query))
+  }
 
   /** Release the cached index relations. */
   def close(): Unit = index.unpersist()

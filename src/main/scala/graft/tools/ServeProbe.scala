@@ -72,12 +72,19 @@ object ServeProbe {
       def t(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
       }
+      // INTERLEAVED per query (fast, replan-count, replan-collect back to
+      // back) so box-speed drift during the run cannot bias one arm
       val trials = qs.take(10)
-      val fc = trials.map(q => t(prepared.fastRecall(q).foreach(_.collect())))
-      val rc = trials.map(q => t(prepared.recallReplanned(q).count()))
-      val rr = trials.map(q => t(prepared.recallReplanned(q).collect()))
-      println(f"[compare] fast-collect med=${med(fc)}%6.1f  " +
-        f"replan-count med=${med(rc)}%6.1f  replan-collect med=${med(rr)}%6.1f ms")
+      val (fc, rc, rr) = (Seq.newBuilder[Double], Seq.newBuilder[Double],
+        Seq.newBuilder[Double])
+      trials.foreach { q =>
+        fc += t(prepared.fastRecall(q).foreach(_.collect()))
+        rc += t(prepared.recallReplanned(q).count())
+        rr += t(prepared.recallReplanned(q).collect())
+      }
+      println(f"[compare] fast-collect med=${med(fc.result())}%6.1f  " +
+        f"replan-count med=${med(rc.result())}%6.1f  " +
+        f"replan-collect med=${med(rr.result())}%6.1f ms (interleaved)")
     }
     // decompose a served call: swap/analyze vs optimize vs physical vs run
     for (q <- qs.take(4)) {

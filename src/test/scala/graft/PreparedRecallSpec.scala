@@ -149,15 +149,25 @@ class PreparedRecallSpec extends AnyFunSuite {
         assert(f == r, s"fast/replanned divergence on '$q'")
       }
       // the trending class activates a channel the keyword-marker template
-      // does not contain — fastRecall declines, recall() still serves it
-      // correctly via the fallback
-      assert(prepared.fastRecall("*").isEmpty,
-        "trending query must decline the fast path")
-      val trending = prepared.recall("*").orderBy(asc("rank"))
-        .collect().map(_.toString).toSeq
-      val trendingReplanned = prepared.recallReplanned("*").orderBy(asc("rank"))
-        .collect().map(_.toString).toSeq
-      assert(trending == trendingReplanned && trending.nonEmpty)
+      // does not contain — it gets its OWN lazily-built class template on
+      // first use and must then serve fast with replanned parity (empty
+      // query and wildcard are the same class and share it)
+      for (q <- Seq("*", "")) {
+        val fast = prepared.fastRecall(q)
+        assert(fast.isDefined,
+          s"trending-class '$q' must serve off its class template: " +
+            prepared.fastPathDiagnosis)
+        val f = fast.get.orderBy(asc("rank")).collect().map(_.toString).toSeq
+        val r = prepared.recallReplanned(q).orderBy(asc("rank"))
+          .collect().map(_.toString).toSeq
+        assert(f == r && f.nonEmpty, s"trending parity on '$q'")
+      }
+      // stopword-only (phrase-branch) class likewise
+      val ph = prepared.fastRecall("the of and a")
+      assert(ph.isDefined, s"phrase-class must serve: ${prepared.fastPathDiagnosis}")
+      assert(ph.get.orderBy(asc("rank")).collect().map(_.toString).toSeq ==
+        prepared.recallReplanned("the of and a").orderBy(asc("rank"))
+          .collect().map(_.toString).toSeq)
       // a caller-supplied qvec is a knob the template was not built with —
       // recall() must route it to the replanned path (and stay correct)
       val qvec = PlaceholderEmbedding.embed("postgres database")
