@@ -264,13 +264,17 @@ object Bench {
         // served path still DESCENDING through call ~8 (434 -> 375 -> 360
         // -> 335 -> 310 ms) under the old 6-call warmup, so the pinned
         // best-of-3 sampled the warmup slope, not steady state. Warm 10
-        // calls, then report the MEDIAN of 5 steady-state calls — median,
-        // not min, so one lucky GC-quiet call can't flatter the pin either.
-        (0 to 9).foreach(i => servedOnce(qs(i)))
-        val steady = (10 to 14).map(i => servedOnce(qs(i))).sorted
+        // calls on EACH path, then report the MEDIAN of 5 steady-state
+        // calls — median, not min, so one lucky GC-quiet call can't
+        // flatter the pin. The two paths measure INTERLEAVED per query
+        // (served, replanned, back to back): sequential blocks let
+        // box-speed drift during the ~20 s measurement bias whichever arm
+        // ran later (observed both directions on this container).
+        (0 to 9).foreach { i => servedOnce(qs(i)); replanOnce(qs(i)) }
+        val pairs = (10 to 14).map(i => (servedOnce(qs(i)), replanOnce(qs(i))))
+        val steady = pairs.map(_._1).sorted
         val served = steady(steady.size / 2) * 1000.0
-        (0 to 4).foreach(i => replanOnce(qs(i)))
-        val replanSteady = (5 to 9).map(i => replanOnce(qs(i))).sorted
+        val replanSteady = pairs.map(_._2).sorted
         val replanned = replanSteady(replanSteady.size / 2) * 1000.0
         val fastOn = prepared.fastPathEnabled
         prepared.close()
