@@ -279,7 +279,24 @@ class PreparedRecall(
       // ~1 ms on this ~300-node tree, and re-executing the static
       // broadcasts per call is exactly what the replanned path also pays,
       // so the fast path keeps its full planning-skip win.
-      Some(fs.physical.clone().asInstanceOf[SparkPlan].transformUp {
+      // Note on WHY clone() and nothing weaker: an r11 bisect attempt
+      // tried copying only selected node classes via
+      // `transformUp { case p => p.makeCopy(...) }` to identify the racy
+      // class — but Catalyst's mapChildren/withNewChildren compare
+      // children with STRUCTURAL equality (fastEquals = eq || ==), so a
+      // makeCopy that yields an ==-equal node is silently DISCARDED and
+      // the original stays shared. Partial per-class copies are therefore
+      // not expressible through the transform API at all ("copy every
+      // class" measured 6-11/40 divergent, identical to no copying);
+      // clone() is the one mechanism that forces fresh instances
+      // (mapChildren(forceCopy = true) internally). The per-call row swap
+      // itself survives only because swapped rows differ structurally.
+      // GRAFT_FAST_SHARE=1 (diagnosis only): skip the clone so
+      // FastConcurrencyProbe can re-demonstrate the shared-state race.
+      val base =
+        if (sys.env.contains("GRAFT_FAST_SHARE")) fs.physical
+        else fs.physical.clone().asInstanceOf[SparkPlan]
+      Some(base.transformUp {
         case l: LocalTableScanExec if freshRows.contains(l.output.map(_.name)) =>
           l.copy(rows = freshRows(l.output.map(_.name)))
       })

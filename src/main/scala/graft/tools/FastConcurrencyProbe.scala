@@ -45,6 +45,8 @@ object FastConcurrencyProbe {
     println(s"[gate] ${prepared.fastPathDiagnosis}")
     if (sys.env.contains("GRAFT_FAST_PLAN"))
       println(prepared.fastPlanString)
+    if (sys.env.contains("GRAFT_FAST_SHARE"))
+      println("[mode] GRAFT_FAST_SHARE: per-call clone DISABLED (race repro)")
     val queries = Seq("postgres database", "dark mode editors",
       "project alpha", "connection pooling", "mysql storage",
       "sprint planning notes", "postgres pooling pattern", "*")
