@@ -195,8 +195,12 @@ class LlmClassifier(client: ChatClient) extends Serializable {
         val node = mapper.readTree(raw)
         if (!node.isObject) None
         else {
+          // clamp: a misbehaving model returning 100 or -1 must not
+          // persist out-of-range confidence into the memories relation
+          // (Ingest.prepare's [0,1] clamp only covers explicitly-typed rows)
           val conf = if (node.path("confidence").isNumber)
-            node.path("confidence").asDouble() else 0.7
+            math.min(1.0, math.max(0.0, node.path("confidence").asDouble()))
+          else 0.7
           normalizeType(node.path("type").asText("")) match {
             case Some(t) => Some((t, conf))
             // unmappable type: the reference logs and returns Context 0.5

@@ -322,27 +322,36 @@ class PreparedRecall(
     "preference: dark mode theme settings",  // metadata-term carrying
     "café ünïcode-dash_mix 1234") // unicode + punctuation
 
-  /** Which evidence gate decided the fast path's fate — "enabled" or the
-    * first failing gate's name (diagnosis surface for ServeProbe/specs).
+  /** Which evidence gate decided each class's fate — "enabled[...]" or the
+    * first failing gate's name, KEYED BY ServeClass so a later lazy build
+    * of another class cannot overwrite the diagnosis the caller asked
+    * about (diagnosis surface for ServeProbe/specs).
     */
-  @volatile private var fastGate: String = "unbuilt"
+  private val fastGates =
+    new java.util.concurrent.ConcurrentHashMap[ServeClass, String]()
 
-  /** The pre-validation candidate, kept for diagnosis tooling only
-    * (FastServeDebug) — NEVER served to callers.
+  /** Pre-validation candidates keyed by ServeClass, kept for diagnosis
+    * tooling only (FastServeDebug) — NEVER served to callers.
     */
-  @volatile private var fastCandidate: Option[FastState] = None
+  private val fastCandidates =
+    new java.util.concurrent.ConcurrentHashMap[ServeClass, FastState]()
+
+  private def candidateFor(query: String): Option[FastState] =
+    Option(fastCandidates.get(serveClassOf(query)))
 
   /** Diagnosis-only: run the fast path even when validation rejected it. */
   private[graft] def fastRecallUnsafe(query: String): Option[DataFrame] =
-    fastCandidate.flatMap(runFast(_, query))
+    candidateFor(query).flatMap(runFast(_, query))
 
-  /** Diagnosis-only: the cached physical template's tree string. */
-  private[graft] def fastPlanString: String =
-    fastCandidate.map(_.physical.toString).getOrElse("no candidate")
+  /** Diagnosis-only: the cached physical template's tree string (the
+    * query's own class, so concurrent other-class builds can't swap it).
+    */
+  private[graft] def fastPlanString(query: String = Marker): String =
+    candidateFor(query).map(_.physical.toString).getOrElse("no candidate")
 
   /** Diagnosis-only: per-phase timing of one fast call (ServeProbe). */
   private[graft] def fastDecomp(query: String): String =
-    fastCandidate.map { fs =>
+    candidateFor(query).map { fs =>
       val t0 = System.nanoTime()
       val qData = relationData(query, None)
       val t1 = System.nanoTime()
@@ -398,19 +407,29 @@ class PreparedRecall(
   }
 
   private def buildFastStateFor(markerQuery: String): Option[FastState] = {
-    def fail(reason: String): Option[FastState] = { fastGate = reason; None }
+    val cls = serveClassOf(markerQuery)
+    def fail(reason: String): Option[FastState] = {
+      fastGates.put(cls, reason); None
+    }
     // degenerate markers ("", "*") would make the contains-based leak
     // checks vacuous or always-firing — skip those two checks for them
     // (feeds resolution + end-to-end validation still gate)
     val leakCheckable = markerQuery.length >= 3
-    val wasAdaptive =
-      spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // AQE is off for the template build (an AdaptiveSparkPlanExec root
+    // would hide the LocalTableScans the per-call swap targets) — via a
+    // CLONED session whose own conf carries the override, so the shared
+    // session conf never mutates: concurrent queries and concurrent
+    // other-class lazy builds plan under their own conf and cannot capture
+    // or inherit this override. (A thread-local SQLConf override does not
+    // reach InsertAdaptiveSparkPlan — see GraftShim.sessionWithConf.)
+    val planSession =
+      GraftShim.sessionWithConf(spark, "spark.sql.adaptive.enabled", "false")
     try {
       val classTemplate =
         if (markerQuery == Marker) template else templateFor(markerQuery)
       val phys =
-        GraftShim.ofRows(spark, classTemplate).queryExecution.executedPlan
+        GraftShim.ofRows(planSession, classTemplate)
+          .queryExecution.executedPlan
       // derivation subtrees folded for the marker
       val subtrees = requestSubtrees(classTemplate).toIndexedSeq
       val folded: IndexedSeq[Option[LocalRelation]] =
@@ -501,7 +520,7 @@ class PreparedRecall(
       }
       val candidate =
         FastState(phys, phys.output, subtrees, subNames, feeds, absent)
-      fastCandidate = Some(candidate)
+      fastCandidates.put(cls, candidate)
       // end-to-end validation across the query classes: every query the
       // fast path ACCEPTS must match the replanned results exactly; a
       // cross-class query declining is correct by construction (class
@@ -524,20 +543,28 @@ class PreparedRecall(
         }
       }
       if (served == 0) return fail("fast path declined every validation query")
-      fastGate = s"enabled[${markerQuery.take(16)}] (served $served validation queries," +
-        s" ${absent.size} absent channel(s) decline per-call)"
+      fastGates.put(cls,
+        s"enabled[${markerQuery.take(16)}] (served $served validation queries," +
+          s" ${absent.size} absent channel(s) decline per-call)")
       Some(candidate)
     } catch { case e if scala.util.control.NonFatal(e) =>
       fail(s"exception: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
     }
-    finally spark.conf.set("spark.sql.adaptive.enabled", wasAdaptive)
   }
 
   /** Whether the cached-physical fast path survived its evidence gate. */
   def fastPathEnabled: Boolean = fastState.isDefined
 
-  /** "enabled", or the first failing evidence gate. */
-  def fastPathDiagnosis: String = fastGate
+  /** "enabled[...]", or the first failing evidence gate — for the EAGER
+    * (keyword-marker) class; pass a query to read another class's gate.
+    */
+  def fastPathDiagnosis: String = fastPathDiagnosis(Marker)
+
+  /** The evidence-gate outcome for `query`'s serve class ("unbuilt" if
+    * that class has never been built).
+    */
+  def fastPathDiagnosis(query: String): String =
+    fastGates.getOrDefault(serveClassOf(query), "unbuilt")
 
   /** Serve one no-qvec request off its CLASS's cached physical plan —
     * trending and phrase-only queries get their own lazily-built template

@@ -114,6 +114,12 @@ object PqIndex {
       m: Int = 8, ksub: Int = 16, iters: Int = 4): Unit = {
     val spark = vectors.sparkSession
     val (eigs, comps) = Pca.fit(vectors)
+    // fail with the intended divisibility message here: the greedy
+    // allocation below would otherwise die in minBy on an empty filter
+    // (obscure UnsupportedOperationException) before trainCodebooks'
+    // own require ever runs
+    require(comps.length % m == 0,
+      s"embedding dim ${comps.length} must be divisible by m=$m subspaces")
     // Parametric OPQ allocation (Ge et al. 2013 §4): raw PCA order stuffs
     // all the variance into subspace 0 and starves the others' codebooks —
     // measured recall@10 DROPPED 0.87 -> 0.74 at nprobe 8 on the clustered

@@ -44,7 +44,7 @@ object FastConcurrencyProbe {
       limit = 5, now = now)
     println(s"[gate] ${prepared.fastPathDiagnosis}")
     if (sys.env.contains("GRAFT_FAST_PLAN"))
-      println(prepared.fastPlanString)
+      println(prepared.fastPlanString())
     if (sys.env.contains("GRAFT_FAST_SHARE"))
       println("[mode] GRAFT_FAST_SHARE: per-call clone DISABLED (race repro)")
     val queries = Seq("postgres database", "dark mode editors",

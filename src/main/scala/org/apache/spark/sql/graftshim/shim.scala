@@ -34,4 +34,25 @@ object GraftShim {
   def optimize(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.optimizer.execute(plan)
+
+  /** A CLONED SparkSession (same SparkContext, same SharedState — so the
+    * shared CacheManager still serves cached relations) with one conf key
+    * overridden in the clone's own sessionState. This is the only safe way
+    * to plan under a different conf: the mutate-and-restore idiom
+    * (`spark.conf.set` + finally) races (a concurrent overlapping override
+    * captures the temporary value as "original" and restores it
+    * permanently, and every concurrent query silently plans under the
+    * temporary value), and a thread-local `SQLConf.withExistingConf`
+    * override does NOT work for AQE — `InsertAdaptiveSparkPlan` overrides
+    * `Rule.conf` to read `session.sessionState.conf` directly (verified
+    * against the 4.1.2 bytecode), bypassing `SQLConf.get`.
+    */
+  def sessionWithConf(spark: SparkSession, key: String,
+      value: String): SparkSession = {
+    val cloned =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .cloneSession()
+    cloned.sessionState.conf.setConfString(key, value)
+    cloned
+  }
 }

@@ -165,6 +165,26 @@ class LlmLoopbackSpec extends AnyFunSuite {
       "zxqv plorf miltrane oseta")
   }
 
+  test("U2: out-of-range LLM confidence is clamped to [0,1] (r12 ADVICE)") {
+    // Ingest.prepare's clamp only covers explicitly-typed rows, so the
+    // classifier leg must clamp itself or a misbehaving model persists
+    // confidence=100 into the memories relation
+    withServer((_, _) =>
+      (200, chatResponse("""{"type": "insight", "confidence": 100}"""))) {
+      url =>
+        val classifier = new LlmClassifier(
+          new HttpChatTransport(url, Some("k"), "cls-model"))
+        assert(classifier.classify("zxqv plorf") == ("Insight", 1.0))
+    }
+    withServer((_, _) =>
+      (200, chatResponse("""{"type": "insight", "confidence": -3.5}"""))) {
+      url =>
+        val classifier = new LlmClassifier(
+          new HttpChatTransport(url, Some("k"), "cls-model"))
+        assert(classifier.classify("zxqv plorf") == ("Insight", 0.0))
+    }
+  }
+
   test("U2: classifier degrades to the reference's terminal default") {
     // dead endpoint -> ("Memory", 0.3) in the reference, canonicalized
     // Context here; unmappable type -> Context 0.5; invalid JSON -> default

@@ -180,6 +180,47 @@ class PreparedRecallSpec extends AnyFunSuite {
     } finally prepared.close()
   }
 
+  test("r12 ADVICE: template builds never mutate the session conf, and " +
+    "the gate diagnosis is keyed per serve class") {
+    import spark.implicits._
+    // the r11 idiom toggled session-global AQE off during each (lazy!)
+    // class build and restored it in a finally — two concurrent builds
+    // could capture each other's temporary "false" and leave AQE off for
+    // the whole session. The fix plans under a cloned session; pin the
+    // observable contract: the shared conf is bit-identical across eager
+    // AND lazy builds, even when builds run concurrently.
+    val key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    try {
+      assert(spark.conf.get(key) == "true",
+        "eager keyword-class build mutated the session conf")
+      // race two lazy first-builds of DIFFERENT classes (trending and
+      // phrase-only) — the r11 idiom fails this nondeterministically;
+      // the cloned-session build cannot
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val tasks = Seq("", "the of and a").map { q =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { prepared.fastRecall(q); () }
+          })
+        }
+        tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      assert(spark.conf.get(key) == "true",
+        "a lazy class build mutated (or failed to isolate) the session conf")
+      // per-class diagnosis: each class reports ITS OWN gate outcome,
+      // not whichever class built last
+      assert(prepared.fastPathDiagnosis("postgres db").startsWith("enabled"),
+        s"keyword class: ${prepared.fastPathDiagnosis("postgres db")}")
+      assert(prepared.fastPathDiagnosis("").startsWith("enabled"),
+        s"trending class: ${prepared.fastPathDiagnosis("")}")
+      assert(prepared.fastPathDiagnosis("the of and a").startsWith("enabled"),
+        s"phrase class: ${prepared.fastPathDiagnosis("the of and a")}")
+    } finally prepared.close()
+  }
+
   test("close() releases the cached index relations") {
     import spark.implicits._
     spark.sharedState.cacheManager.clearCache()
