@@ -180,6 +180,61 @@ object Bench {
       runs(runs.size / 2) * 1000.0
     }.getOrElse(-1.0)
 
+    // Driver-LATENCY canary (VERDICT r11 item 1). canary_ms above is a
+    // 32-way parallel scan-agg: it normalizes THROUGHPUT and is blind to
+    // what serving latency is made of — single-threaded driver work (eager
+    // analysis of a chained DataFrame, optimizer, physical planning) plus
+    // tiny-job scheduler round-trips. r11 proved the blindness: the
+    // code-frozen r9/r10 serving paths inflated ~2.2x across boxes while
+    // canary_ms moved 16%, leaving the 2x serving bar unfalsifiable. This
+    // probe is CODE-FROZEN (plain pinned Spark primitives, never graft
+    // code): a ~20-node plan REBUILT per call — fresh analysis, fresh
+    // optimization, fresh physical planning; codegen cache warm, exactly
+    // the serving profile — with one broadcast-join round-trip and a
+    // 2-stage single-partition job, under pinned conf (AQE off, 1 shuffle
+    // partition). Median of 50. Published as `latency_canary_ms` (measured
+    // ADJACENT to the serving block, since box speed drifts within a run)
+    // plus `latency_canary_start_ms` (same probe at bench start — the
+    // spread between the two IS the intra-run drift). Serving pins are
+    // restated in latency-canary units (`*_lcu` = ms / latency_canary_ms);
+    // cross-round and cross-box SERVING comparisons must divide by this,
+    // never by canary_ms. The ad-hoc path (Recall.recall, code-frozen
+    // since r9) doubles as the canary's validator: if adhoc_lcu is stable
+    // across boxes while raw ms inflates, the canary is measuring the
+    // right thing.
+    def latencyCanaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val base = spark.range(0, 64, 1, 1).toDF("id")
+        .withColumn("a", pmod(col("id"), lit(7)))
+        .withColumn("b", col("id") * 3 + 1)
+        .filter(col("b") > 10)
+        .withColumn("c", when(col("a") > 3, col("b")).otherwise(col("a") + 2))
+      val dim = spark.range(0, 7, 1, 1).toDF("a2")
+        .withColumn("w", col("a2") * 10)
+      base.join(broadcast(dim), col("a") === col("a2"))
+        .groupBy("a").agg(sum("b").as("sb"), avg("c").as("ac"),
+          max("w").as("mw"), count(lit(1)).as("n"))
+        .filter(col("n") > 0)
+        .withColumn("z", col("sb") + col("ac") * col("mw"))
+        .orderBy(col("a")).limit(5)
+        .collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    def latencyCanary(): Double = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        (1 to 10).foreach(_ => latencyCanaryOnce())
+        val runs = (1 to 50).map(_ => latencyCanaryOnce()).sorted
+        runs(runs.size / 2)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      }
+    }
+    val latencyCanaryStartMs = latencyCanary()
+
     // Queries run in NAME order (a Map would iterate in hash order — the
     // interference pattern between adjacent queries would then change
     // whenever a query is added), and the session is swept between queries
@@ -285,6 +340,11 @@ object Bench {
         memories.unpersist()
       }
     }
+    // The normalizing latency canary, measured ADJACENT to the serving
+    // block it normalizes (see the scaladoc at latencyCanaryOnce).
+    val latencyCanaryMs = latencyCanary()
+    def lcu(ms: Double): Double =
+      if (latencyCanaryMs > 0 && ms >= 0) ms / latencyCanaryMs else -1.0
     // Partitioned-layout pruning: the SAME time-windowed recall against
     // the 10k corpus stored flat vs time-partitioned. The granularity is
     // AUTO-CHOSEN (Layout.writeMemoriesAuto): a 10k-row corpus spread over
@@ -364,7 +424,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
