@@ -285,11 +285,16 @@ object Bench {
       val memories = tools.LabCorpus.corpus(spark).repartition(4).cache()
       memories.count()
       val qs = tools.LabCorpus.questions.map(_.query)
+      // collect(), not count(): a serving caller materializes the rows, and
+      // count() distorts both arms — it lets the replanned plan prune every
+      // output column (flattery the r11 ServeProbe comparison documented),
+      // and it charges the fast path 2 extra stages to re-aggregate a
+      // 10-row LocalRelation it has ALREADY collected.
       def adhocOnce(q: String): Double = {
         val t0 = System.nanoTime()
         domain.Recall.recall(memories, spark.emptyDataFrame,
           domain.RecallRequest(query = Some(q), limit = 10,
-            now = tools.LabCorpus.Now)).count()
+            now = tools.LabCorpus.Now)).collect()
         (System.nanoTime() - t0) / 1e9
       }
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -307,12 +312,12 @@ object Bench {
         // replanned path is pinned separately for the delta
         def servedOnce(q: String): Double = {
           val t0 = System.nanoTime()
-          prepared.recall(q).count()
+          prepared.recall(q).collect()
           (System.nanoTime() - t0) / 1e9
         }
         def replanOnce(q: String): Double = {
           val t0 = System.nanoTime()
-          prepared.recallReplanned(q).count()
+          prepared.recallReplanned(q).collect()
           (System.nanoTime() - t0) / 1e9
         }
         // steady-state warmup: the r9 judge's ServeProbe trace showed the

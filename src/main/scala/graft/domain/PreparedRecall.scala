@@ -274,9 +274,16 @@ class PreparedRecall(
       // across concurrent executions measurably cross-served results
       // between threads (FastConcurrencyProbe: 4-5/40 calls returned
       // another in-flight query's rows; a plan cloned per call is 0/40 over
-      // every probe run) — some shared physical node carries per-execution
-      // state that is not safe under concurrent re-execution. The clone is
-      // ~1 ms on this ~300-node tree, and re-executing the static
+      // every probe run). ROOT CAUSE (r12, tools.SharedPlanRaceProbe — a
+      // standalone plain-Spark repro, 17-20/80 divergent): the stateful
+      // class is any CodegenSupport node — its mutable `parent` field is
+      // written during WholeStageCodegen's produce/consume compilation
+      // walk, so two concurrent walks over a SHARED node cross-wire the
+      // generated program (bisect: sharing only FilterExec 20/80 divergent,
+      // only InputAdapter 27/80, only the non-CodegenSupport
+      // InMemoryTableScanExec 0/80). Sharing is per-query-safe in stock
+      // Spark only because plans are never shared across executions. The
+      // clone is ~1 ms on this ~300-node tree, and re-executing the static
       // broadcasts per call is exactly what the replanned path also pays,
       // so the fast path keeps its full planning-skip win.
       // Note on WHY clone() and nothing weaker: an r11 bisect attempt
@@ -422,8 +429,17 @@ class PreparedRecall(
     // other-class lazy builds plan under their own conf and cannot capture
     // or inherit this override. (A thread-local SQLConf override does not
     // reach InsertAdaptiveSparkPlan — see GraftShim.sessionWithConf.)
-    val planSession =
-      GraftShim.sessionWithConf(spark, "spark.sql.adaptive.enabled", "false")
+    // shuffle.partitions=1 for the template: every exchange in the serving
+    // plan sits ABOVE candidate generation and carries at most
+    // channels x overfetch rows (~160) regardless of corpus size — the
+    // bound comes from the per-channel limits, not the corpus — so the
+    // dedup/rank tail is correctly a single task at ANY scale, and each
+    // post-shuffle stage drops from a 4-task wave to one task of
+    // scheduling. Candidate-generation stages keep the cache's own
+    // partitioning (unaffected by this knob).
+    val planSession = GraftShim.sessionWithConf(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
     try {
       val classTemplate =
         if (markerQuery == Marker) template else templateFor(markerQuery)
@@ -518,8 +534,44 @@ class PreparedRecall(
         if (!twin) return fail(
           s"unfed non-empty subtree (${subNames(i).mkString(",")}) has no interchangeable fed twin")
       }
+      // STATIC-EXCHANGE REUSE (r12): a fresh physical instance — cloned
+      // fast plan or freshly-replanned plan alike — re-broadcasts every
+      // BroadcastExchange and re-runs every shuffle map stage per call
+      // (~390 ms measured at the 10k anchor), while re-executing the SAME
+      // instance costs ~34 ms because lazy broadcast futures and computed
+      // shuffle outputs are reused. The request feeds only a small top
+      // region of the plan, so every exchange whose subtree contains no
+      // feed scan computes request-INDEPENDENT data: wrap each in
+      // ReusedExchangeExec pointing at one shared instance. The wrapper is
+      // a LeafExecNode, so the per-call clone() copies the wrapper but
+      // SHARES the exchange beneath — static broadcasts/shuffles compute
+      // once per template, request-dependent nodes stay privately cloned
+      // (the concurrency backstop is untouched: FastConcurrencyProbe must
+      // stay 0/40; identical static data cannot cross-serve requests, and
+      // the race MECHANISM — CodegenSupport's mutable parent field, see
+      // runFast — cannot fire here because a shared exchange's subtree
+      // codegen-compiles exactly once under its lazy-val guard, never
+      // concurrently per call).
+      // An exchange is static iff its subtree has no scan the per-call
+      // swap could target — the SAME schema-match criterion the swap uses.
+      // GRAFT_FAST_NOREUSE=1 restores the r11 clone-everything behavior
+      // (A/B + race diagnosis).
+      val feedSchemas: Set[Seq[String]] = feeds.map(_.names).toSet
+      def hasFeedScan(p: SparkPlan): Boolean = p.exists {
+        case l: LocalTableScanExec => feedSchemas.contains(l.output.map(_.name))
+        case _ => false
+      }
+      val physShared =
+        if (sys.env.contains("GRAFT_FAST_NOREUSE")) phys
+        else phys.transformUp {
+          case e: org.apache.spark.sql.execution.exchange.Exchange
+              if !hasFeedScan(e) =>
+            org.apache.spark.sql.execution.exchange.ReusedExchangeExec(
+              e.output, e)
+        }
       val candidate =
-        FastState(phys, phys.output, subtrees, subNames, feeds, absent)
+        FastState(physShared, physShared.output, subtrees, subNames, feeds,
+          absent)
       fastCandidates.put(cls, candidate)
       // end-to-end validation across the query classes: every query the
       // fast path ACCEPTS must match the replanned results exactly; a

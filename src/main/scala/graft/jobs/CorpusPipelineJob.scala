@@ -42,14 +42,17 @@ object CorpusPipelineJob {
   /** Run the pipeline; `shards` is empty when the input has no `source`
     * column. Call `.release()` on the result after the last action.
     */
-  def run(documents: DataFrame, tokenBudget: Double = 500.0)
-      : PipelineOutputs = {
+  def run(documents: DataFrame, tokenBudget: Double = 500.0,
+      priorFingerprints: Option[DataFrame] = None): PipelineOutputs = {
     val spark = documents.sparkSession
     // the staged frame feeds THREE outputs (kept, funnel, shards-of-kept):
     // checkpoint it once so the corpus scan + fingerprint window don't
     // re-execute per write action (on a cluster, write staged to parquet
-    // and read it back — same trade, fault-tolerant)
-    val staged = TextPolicy.hygieneStaged(documents).localCheckpoint()
+    // and read it back — same trade, fault-tolerant). The cross-batch
+    // dedup join (when priorFingerprints is given) happens BEFORE the
+    // checkpoint so it too runs once.
+    val staged = TextPolicy.hygieneStaged(documents, priorFingerprints)
+      .localCheckpoint()
     val funnel = TextPolicy.funnelOf(staged)
     val keptBase = staged.filter(col("stage") === "kept").drop("stage")
       .withColumn("text", TextPolicy.redactPii(col("text")))

@@ -332,7 +332,24 @@ object TextPolicy {
     * = first failing hygiene stage or 'kept'. Needs (doc_id, text); extra
     * columns pass through (the pipeline job keeps them on survivors).
     */
-  def hygieneStaged(documents: DataFrame): DataFrame = {
+  def hygieneStaged(documents: DataFrame): DataFrame =
+    hygieneStaged(documents, None)
+
+  /** [[hygieneStaged]] with CROSS-BATCH dedup (r12, VERDICT r11 item 5):
+    * `priorFingerprints` is a relation with an `fp` column holding the
+    * fingerprints of content EMITTED by earlier pipeline batches. A row
+    * that survives every within-batch stage drops as `e_cross_batch_dup`
+    * when its fingerprint is already in the store. Attribution doctrine
+    * preserved: within-batch twins keep `d_fingerprint_dup` (only the
+    * within-batch keeper can be re-attributed), counts still sum to the
+    * corpus, and empty-fingerprint rows never cross-batch dedup — an empty
+    * fingerprint is not content identity, same as the within-batch rule.
+    * Scale shape: one additional left join on the fingerprint key — the
+    * same shuffle key the dedup window already uses; the store side is
+    * distinct-projected to one narrow column.
+    */
+  def hygieneStaged(documents: DataFrame,
+      priorFingerprints: Option[DataFrame]): DataFrame = {
     import graft.functions.TextFunctions.{fingerprint, langId, qualityScore}
     val ws = tokens(col("text"))
     val dupfrac = when(size(ws) >= 2,
@@ -341,7 +358,7 @@ object TextPolicy {
     // the dedup rank counts only SURVIVORS of the earlier stages: ranking
     // the whole corpus would let a dropped twin (same 320-char fingerprint,
     // junk tail) claim keep-first and eliminate BOTH copies of the content
-    documents
+    val staged = documents
       .withColumn("_pre",
         when(langId(col("text")) =!= "en", "a_lang")
           .when(qualityScore(col("text")) < 0.5, "b_quality")
@@ -360,6 +377,19 @@ object TextPolicy {
       .withColumn("stage", coalesce(col("_pre"),
         when(col("_surv_rank") > 1, "d_fingerprint_dup").otherwise("kept")))
       .drop("_pre", "_surv_rank")
+    priorFingerprints match {
+      case None => staged
+      case Some(store) =>
+        val seen = store.select(col("fp").as("_seen_fp"))
+          .filter(length(col("_seen_fp")) > 0).distinct()
+        staged
+          .withColumn("_fp_x", nullif(fingerprint(col("text")), lit("")))
+          .join(seen, col("_fp_x") === col("_seen_fp"), "left")
+          .withColumn("stage",
+            when(col("stage") === "kept" && col("_seen_fp").isNotNull,
+              "e_cross_batch_dup").otherwise(col("stage")))
+          .drop("_fp_x", "_seen_fp")
+    }
   }
 
   /** Funnel aggregation over a [[hygieneStaged]] frame — shared by the

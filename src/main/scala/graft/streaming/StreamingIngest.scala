@@ -175,12 +175,15 @@ object StreamingIngest {
     * runs the SAME composed pipeline (staged hygiene -> redact -> URL
     * policy -> shard pack) via foreachBatch, appending survivors to
     * `kept/` and the per-batch funnel rows (tagged with the batch id) to
-    * `funnel/` — the per-batch audit record RUNBOOK.md describes. Honest
-    * scope note: the fingerprint-dedup stage is BATCH-LOCAL here (a twin
-    * arriving in a later micro-batch is not deduped against earlier
-    * output); cross-batch exact dedup at ingest is
-    * `dropDuplicatesWithinWatermark` upstream, and the corpus-wide stages
-    * (boilerplate, DSIR, perplexity) stay batch jobs by nature.
+    * `funnel/` — the per-batch audit record RUNBOOK.md describes.
+    *
+    * CROSS-BATCH dedup (r12, VERDICT r11 item 5): a persisted fingerprint
+    * store under `outRoot/fpstore` carries the fingerprints every batch
+    * EMITTED; the next batch left-joins it and drops already-emitted
+    * content as funnel stage `e_cross_batch_dup` — so a duplicate arriving
+    * in a later micro-batch is caught, which batch-local dedup could not
+    * do (the r11 documented divergence, now closed). The corpus-wide
+    * stages (boilerplate, DSIR, perplexity) stay batch jobs by nature.
     */
   def pipelineStream(spark: SparkSession, sourceDir: String, outRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -194,26 +197,54 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = graft.jobs.CorpusPipelineJob.run(batch)
-        // RETRY-IDEMPOTENT writes: both outputs partition by batch_id and
-        // dynamically overwrite ONLY their own partition — a batch replayed
-        // after a mid-write failure rewrites its partition instead of
-        // appending a second copy (which would silently break the funnel's
-        // conservation invariant)
-        try {
-          out.kept.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(s"$outRoot/kept")
-          out.funnel.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(s"$outRoot/funnel")
-        // release per micro-batch: without this every batch strands its
-        // staged checkpoint blocks in the block manager until JVM GC
-        } finally out.release()
+        pipelineBatch(batch, batchId, outRoot)
       }
       .start()
+  }
+
+  /** One micro-batch of [[pipelineStream]], extracted so restart/replay
+    * semantics are directly testable. Every write is RETRY-IDEMPOTENT: all
+    * three outputs (kept, funnel, fingerprint store) partition by batch_id
+    * and dynamically overwrite ONLY their own partition, so a batch
+    * replayed after a mid-write failure rewrites its partitions instead of
+    * appending a second copy (which would silently break the funnel's
+    * conservation invariant). A replayed batch also must NOT dedup against
+    * its own earlier store write — the store read takes strictly EARLIER
+    * batch partitions only (`batch_id < batchId`, partition-pruned).
+    */
+  def pipelineBatch(batch: DataFrame, batchId: Long, outRoot: String): Unit = {
+    val spark = batch.sparkSession
+    val storeDir = s"$outRoot/fpstore"
+    val prior = scala.util.Try(
+      spark.read.parquet(storeDir).filter(col("batch_id") < batchId)
+        .select("fp")).toOption // first batch: no store yet
+    val out = graft.jobs.CorpusPipelineJob.run(batch, priorFingerprints = prior)
+    try {
+      out.kept.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$outRoot/kept")
+      out.funnel.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$outRoot/funnel")
+      // store update LAST (outputs land first, so a mid-write replay
+      // re-runs with the same prior-store view). Fingerprints come from
+      // the RAW batch text of kept doc_ids — kept/ itself carries
+      // REDACTED text, whose fingerprint differs from what a future
+      // twin's raw text would produce. Empty fingerprints are excluded
+      // (not content identity).
+      val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+      batch.join(out.kept.select("doc_id"), Seq("doc_id"), "leftsemi")
+        .select(nullif(fp, lit("")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(storeDir)
+    // release per micro-batch: without this every batch strands its
+    // staged checkpoint blocks in the block manager until JVM GC
+    } finally out.release()
   }
 
   /** Micro-batch ingest into the memories table: the streaming counterpart

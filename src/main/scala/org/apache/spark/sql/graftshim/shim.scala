@@ -47,12 +47,12 @@ object GraftShim {
     * `Rule.conf` to read `session.sessionState.conf` directly (verified
     * against the 4.1.2 bytecode), bypassing `SQLConf.get`.
     */
-  def sessionWithConf(spark: SparkSession, key: String,
-      value: String): SparkSession = {
+  def sessionWithConf(spark: SparkSession,
+      kv: (String, String)*): SparkSession = {
     val cloned =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .cloneSession()
-    cloned.sessionState.conf.setConfString(key, value)
+    kv.foreach { case (k, v) => cloned.sessionState.conf.setConfString(k, v) }
     cloned
   }
 }

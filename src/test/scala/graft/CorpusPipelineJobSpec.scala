@@ -63,6 +63,82 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     assert(funnel.columns.contains("batch_id"))
   }
 
+  test("cross-batch dedup: a duplicate arriving in a later batch is " +
+    "emitted once, funnel conserves, replay is idempotent (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xbatch").toString
+    val twin = "the cat and dog of the house is happy with all the good " +
+      "things around here today"
+    val other = "a fine morning walk in the park with the dog and all the " +
+      "good friends of the family is here"
+    val b1 = Seq((1L, twin, "web"), (2L, "el la de que el la de que", "web"))
+      .toDF("doc_id", "text", "source")
+    val b2 = Seq((10L, twin, "web"), (11L, other, "web"))
+      .toDF("doc_id", "text", "source")
+    graft.streaming.StreamingIngest.pipelineBatch(b1, 0L, s"$tmp/out")
+    graft.streaming.StreamingIngest.pipelineBatch(b2, 1L, s"$tmp/out")
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+    val funnel = spark.read.parquet(s"$tmp/out/funnel")
+    // the twin content is emitted exactly once — by the batch that saw it
+    // first; batch-local dedup could never catch this (r11 divergence)
+    val keptCount = kept.count() // materialize before the replay below
+    assert(kept.filter($"text".contains("cat and dog")).count() == 1,
+      "cross-batch twin must be emitted exactly once")
+    val b2f = funnel.filter($"batch_id" === 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b2f.get("e_cross_batch_dup").contains(1L),
+      s"batch 1 must attribute the twin to e_cross_batch_dup: $b2f")
+    assert(b2f.get("kept").contains(1L), s"got $b2f")
+    // conservation across batches: stage counts still sum to the corpus
+    assert(funnel.agg(sum("n")).head.getLong(0) == 4L)
+    // IDEMPOTENT RESTART: replaying batch 1 under the same batchId must
+    // leave every output unchanged — and crucially must NOT dedup the
+    // batch against its OWN earlier store write, which would silently
+    // erase `other` from the corpus on every recovery
+    graft.streaming.StreamingIngest.pipelineBatch(b2, 1L, s"$tmp/out")
+    val kept2 = spark.read.parquet(s"$tmp/out/kept")
+    assert(kept2.count() == keptCount, "replay must not change kept/")
+    assert(kept2.filter($"text".contains("fine morning walk")).count() == 1,
+      "replay must not self-dedup the batch against its own store write")
+    assert(spark.read.parquet(s"$tmp/out/funnel")
+      .agg(sum("n")).head.getLong(0) == 4L)
+  }
+
+  test("streaming twin catches a duplicate across two separate " +
+    "micro-batches end-to-end") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xstream").toString
+    val twin = "the cat and dog of the house is happy with all the good " +
+      "things around here today"
+    new java.io.File(s"$tmp/in").mkdirs()
+    Seq((1L, twin, "web")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/in/b0")
+    // the file source reads nested dirs only with a glob; write flat files
+    def moveUp(sub: String): Unit = {
+      val dir = new java.io.File(s"$tmp/in/$sub")
+      dir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$tmp/in/$sub.json"))
+      }
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    moveUp("b0")
+    val q = graft.streaming.StreamingIngest.pipelineStream(
+      spark, s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+    q.processAllAvailable()
+    Seq((10L, twin, "web")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/in/b1")
+    moveUp("b1")
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+    assert(kept.count() == 1,
+      "the second micro-batch's twin must be dropped by the store join")
+    val funnel = spark.read.parquet(s"$tmp/out/funnel")
+    assert(funnel.filter($"stage" === "e_cross_batch_dup").count() == 1)
+  }
+
   test("pipeline job main writes all four relations") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
     Tables.documents(spark, "/root/testdata/sf0.001")
