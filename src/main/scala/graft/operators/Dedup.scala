@@ -606,8 +606,34 @@ object Dedup {
     * same persisted artifact the containment detector builds.
     */
   def substringDupSpans(spark: SparkSession, dir: String, n: Int = 8)
-      : DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      : DataFrame = substringDupSpans(spark, dir, n, hashed = false)
+
+  /** [[substringDupSpans]] with the at-scale gram representation (r12,
+    * VERDICT r11 item 3). The paper's operating point is min-length 50
+    * tokens (Lee et al. 2022 §4.1: they remove duplicated substrings of
+    * >= 50 BPE tokens) — at n = 50 a literal gram STRING is ~50x corpus
+    * text, so the n = 8 string-gram form (kept as the cross-engine oracle,
+    * where the string key means DuckDB cannot drift on hash choice) does
+    * not scale to the paper's semantics. `hashed = true` runs the global
+    * occurrence count on `xxhash64(gram)` — the dominant shuffle then
+    * carries 8 bytes per position instead of the gram text — and then
+    * VERIFIES candidates on the exact string: positions whose hash is
+    * duplicated re-group on the literal gram, and only exact-string
+    * matches mark duplicate starts. Results are therefore EXACTLY equal
+    * to the string form at any n (a 64-bit collision can only send an
+    * extra position into verification, where the string compare rejects
+    * it) — pinned by DedupQualitySpec at sf0.01. The verification join
+    * ships gram text only for hash-duplicated positions; when the
+    * duplicated set is small Spark's runtime bloom filter / broadcast
+    * keeps that stage narrow too.
+    */
+  def substringDupSpans(spark: SparkSession, dir: String, n: Int,
+      hashed: Boolean): DataFrame =
+    substringDupSpansDf(Tables.documents(spark, dir), n, hashed)
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def substringDupSpansDf(docs: DataFrame, n: Int,
+      hashed: Boolean): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -622,11 +648,31 @@ object Dedup {
       .withColumn("_last", gramCols.last)
       .filter(col("_last").isNotNull)
       .select(col("doc_id"), col("pos"), col("g"))
-    val dupGrams = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-      .select("g")
-    val starts = grams.join(dupGrams, Seq("g"))
+    val dupStarts =
+      if (!hashed) {
+        val dupGrams = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= 2)
+          .select("g")
+        grams.join(dupGrams, Seq("g"))
+      } else {
+        val hGrams = grams.withColumn("h", xxhash64(col("g")))
+        // phase 1: global occurrence count on the 8-byte hash — column
+        // pruning drops the gram text from this (the dominant) shuffle
+        val dupH = hGrams.select("h").groupBy(col("h"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= 2)
+          .select("h")
+        // phase 2: exact-string verification of the hash-duplicated
+        // positions only — the decision is ALWAYS by literal gram
+        val cand = hGrams.join(dupH, Seq("h"))
+        val dupVerified = cand.groupBy(col("g"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= 2)
+          .select("g")
+        cand.join(dupVerified, Seq("g"))
+      }
+    val starts = dupStarts
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + n - 1).cast("long").as("e"))
     val ws = Window.partitionBy(col("doc_id")).orderBy(col("s"))
@@ -652,6 +698,12 @@ object Dedup {
         col("dup_tokens") / greatest(col("n_tokens"), lit(1L))))
       .orderBy("doc_id")
   }
+
+  /** The paper's operating point (Lee et al. 2022 §4.1: duplicated
+    * substrings of >= 50 tokens) in the at-scale hashed representation.
+    */
+  def substringDupSpansPaper(docs: DataFrame): DataFrame =
+    substringDupSpansDf(docs, n = 50, hashed = true)
 
   /** DuckDB mirror of [[substringDupSpans]] at n = 8. */
   val substringDupSpansSql: String =

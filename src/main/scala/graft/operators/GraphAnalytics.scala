@@ -44,6 +44,24 @@ object GraphAnalytics {
     pageRank(edges, iters, damping, topK, dedup,
       redistributeDangling = false, tol = None)
 
+  /** Persist edges BUCKETED by `src` for the iterative graph jobs — the
+    * at-scale layout ARCHITECTURE documents for PageRank/LPA, now measured
+    * (tools.PageRankLayoutProbe, 1M edges / 100k nodes, 3 iterations,
+    * broadcast joins disabled): the bucketed table cuts per-run shuffle
+    * bytes 162 -> 49 MB (-70%) and wall time 3.9 -> 2.5 s vs the cached
+    * unbucketed form, for a one-time ~2 s layout write. The win is the
+    * per-round rank join: a bucketed scan reports hashpartitioning(src),
+    * so the src-side exchange disappears every iteration and only the
+    * irreducible inflow groupBy(dst) (+ node join) still moves data. Feed
+    * `spark.table(table)` to [[pageRank]]/[[labelPropagation]] with
+    * `dedup = false` (the write deduplicates).
+    */
+  def writeBucketedEdges(edges: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    edges.select(col("src"), col("dst")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(table)
+
   /** Full-option PageRank. Two orthogonal extensions over the oracle mode
     * (VERDICT r9 item 7), each with a clear "when to use":
     *

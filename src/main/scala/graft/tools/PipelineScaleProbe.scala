@@ -50,6 +50,31 @@ object PipelineScaleProbe {
         when(col("id") % 10 === 0, base + noise / lit(50f)).otherwise(noise)
       }).as("embedding"))
 
+  /** Longer docs (150 tokens) with a PLANTED duplicated run: every 10th
+    * doc carries the same fixed 70-token sequence at positions 20-89, so
+    * the paper-point exact-substring pass (n = 50) has real >= 50-token
+    * duplicate spans to find; all other positions are hash-unique word
+    * soup (a 16-word vocabulary makes accidental 50-gram collisions
+    * impossible in practice, 16^-50).
+    */
+  def syntheticLongDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = Seq("pipeline", "review", "standup", "retro", "incident",
+      "migration", "rollout", "oncall", "postmortem", "planning", "shuffle",
+      "broadcast", "partition", "executor", "catalyst", "codegen")
+    val vocabCol = array(vocab.map(lit): _*)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 150).map { p =>
+        val rand = element_at(vocabCol,
+          (mix(col("id") * 41 + p) % vocab.size).cast("int") + 1)
+        if (p >= 20 && p < 90)
+          when(col("id") % 10 === 0, element_at(vocabCol,
+            (mix(lit(p * 17 + 3)) % vocab.size).cast("int") + 1))
+            .otherwise(rand)
+        else rand
+      }: _*).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
       else Seq(10000L, 50000L, 100000L)
@@ -119,6 +144,19 @@ object PipelineScaleProbe {
       time(s"seq_chunks  n=$n") {
         graft.operators.TextAnalysis.sequenceChunks(srcDocs, ctx = 256L).count()
       }
+      // exact-substring at the PAPER's n=50 (VERDICT r11 item 3): hashed
+      // vs literal-string gram on 150-token docs with planted 70-token
+      // duplicate runs — the hashed form's dominant shuffle carries 8
+      // bytes per position where the string form carries ~300
+      val longDocs = syntheticLongDocs(spark, n).cache(); longDocs.count()
+      time(s"xsubstr50h  n=$n") {
+        graft.operators.Dedup.substringDupSpansPaper(longDocs).count()
+      }
+      time(s"xsubstr50s  n=$n") {
+        graft.operators.Dedup
+          .substringDupSpansDf(longDocs, n = 50, hashed = false).count()
+      }
+      longDocs.unpersist()
       docs.unpersist(); vecs.unpersist()
     }
     spark.stop()

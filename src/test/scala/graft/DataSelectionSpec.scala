@@ -421,5 +421,44 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(out(3L) == ((10L, 1L, 8L, 0.8)), s"doc3 self-repeat: ${out(3L)}")
     assert(out(4L) == ((10L, 0L, 0L, 0.0)), s"clean doc: ${out(4L)}")
     assert(out(5L) == ((3L, 0L, 0L, 0.0)), s"short doc: ${out(5L)}")
+    // the hashed variant must agree EXACTLY on the same fixtures
+    val hashed = graft.operators.Dedup
+      .substringDupSpans(spark, tmp, n = 4, hashed = true).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(hashed == out, s"hashed variant drifted: $hashed vs $out")
+  }
+
+  test("bucketed-edges table yields the same PageRank as the raw edge " +
+    "frame (r12 layout writer)") {
+    import spark.implicits._
+    val edges = (0 until 400).map(i =>
+      (s"n${i % 37}", s"n${(i * 7 + 3) % 37}")).toDF("src", "dst")
+    val raw = GraphAnalytics.pageRank(edges, iters = 3, damping = 0.85,
+      topK = 15).collect().map(_.toString).toSeq
+    GraphAnalytics.writeBucketedEdges(edges, "ds_bucketed_edges")
+    try {
+      val bucketed = GraphAnalytics.pageRank(
+        spark.table("ds_bucketed_edges"), iters = 3, damping = 0.85,
+        topK = 15, dedup = false).collect().map(_.toString).toSeq
+      assert(bucketed == raw, "layout must never change results")
+    } finally spark.sql("DROP TABLE ds_bucketed_edges")
+  }
+
+  test("exact-substring spans: hashed-gram variant is bitwise-equal to " +
+    "the string-gram form at sf0.01, n=8 and the paper's n=50 (r12)") {
+    // the hashed form's decision is always by exact string (hash only
+    // routes candidates into verification), so results must be EQUAL —
+    // not approximately equal — at any n
+    val dir = "/root/testdata/sf0.01"
+    for (n <- Seq(8, 50)) {
+      val s = graft.operators.Dedup.substringDupSpans(spark, dir, n)
+        .collect().map(_.toString)
+      val h = graft.operators.Dedup
+        .substringDupSpans(spark, dir, n, hashed = true)
+        .collect().map(_.toString)
+      assert(s.sameElements(h), s"hashed != string at n=$n")
+      if (n == 8) assert(s.nonEmpty)
+    }
   }
 }
