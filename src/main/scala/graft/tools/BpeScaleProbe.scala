@@ -24,6 +24,29 @@ object BpeScaleProbe {
     val n = docs.count()
     println(s"[bpescale] corpus $sfDir: $n docs, fraction=$fraction, merges=$numMerges")
 
+    // Sample-stability matrix (VERDICT r11 item 8): cross-seed merge
+    // overlap AND downstream fertility at fractions {0.2, 0.5, 1.0} x two
+    // seeds — the question is the smallest sample at which the merge
+    // table stops depending on WHICH sample was drawn (>= 28/30 overlap).
+    // fraction 1.0 is the trivial anchor (the "sample" is the corpus, so
+    // both seeds see identical data).
+    if (sys.env.contains("BPE_MATRIX")) {
+      for (f <- Seq(0.2, 0.5, 1.0)) {
+        val a = graft.operators.Bpe.train(docs, "text", numMerges,
+          sampleFraction = f, seed = 1L)
+        val b = graft.operators.Bpe.train(docs, "text", numMerges,
+          sampleFraction = f, seed = 2L)
+        val overlap = (a.toSet & b.toSet).size
+        val prefix = a.zip(b).takeWhile { case (x, y) => x == y }.size
+        val fa = graft.operators.Bpe.fertility(docs, "text", a)
+        val fb = graft.operators.Bpe.fertility(docs, "text", b)
+        println(f"[bpematrix] fraction=$f%.1f overlap=$overlap/${a.size} " +
+          f"prefix=$prefix fertility seed1=$fa%.4f seed2=$fb%.4f " +
+          f"drift=${math.abs(fa - fb)}%.4f")
+      }
+      docs.unpersist(); spark.stop(); return
+    }
+
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     val t0 = System.nanoTime()
     val m1 = graft.operators.Bpe.train(docs, "text", numMerges,
