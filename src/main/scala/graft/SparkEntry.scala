@@ -114,6 +114,7 @@ object SparkEntry {
     "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "q_substring_spans" -> ((s, d) => Dedup.substringDupSpans(s, d)),
     "q_gopher_rules" -> (TextPolicy.gopherRules _),
+    "q_quality_classifier" -> ((s, d) => TextPolicy.qualityClassifier(s, d)),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
     "q_lpa_communities" -> (GraphAnalytics.coPurchaseCommunities _),
     "q_cube" -> (Analytics.shipmodeCube _),
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
     "q_substring_spans" -> Dedup.substringDupSpansSql,
     "q_gopher_rules" -> TextPolicy.gopherRulesSql,
+    "q_quality_classifier" -> TextPolicy.qualityClassifierSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_lpa_communities" -> GraphAnalytics.coPurchaseCommunitiesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,

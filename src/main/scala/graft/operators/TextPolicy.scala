@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{md5Bucket, tokens}
 import graft.functions.round4
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -689,4 +689,111 @@ object TextPolicy {
              ELSE 'kept' END AS first_violation
          FROM f) v ORDER BY doc_id"""
   }
+
+  /** GPT-3-style trained quality classifier with Pareto-threshold document
+    * sampling (Brown et al. 2020, Appendix A; the same curated-vs-crawl
+    * discriminator filters LLaMA's CommonCrawl, Touvron et al. 2023 §2).
+    * Train: multinomial Naive Bayes over whitespace tokens, positives =
+    * documents from the `positiveSources` (curated corpora), negatives =
+    * the rest; add-one smoothing. Score: mean per-token log-odds, so the
+    * decision boundary sits at 0 regardless of document length. Keep rule:
+    * GPT-3 keeps a page when `score > threshold - pareto(alpha)`; the
+    * noise lets a tail of below-boundary pages through so the filtered
+    * corpus is not a hard cliff at the classifier boundary. Here the
+    * threshold is the NB boundary (0) and the Pareto draw is DETERMINISTIC
+    * — `u = md5("qc" || doc_id) / 1e6`, `pareto = (1-u)^(-1/alpha) - 1` —
+    * so the op is replayable and oracle-checkable.
+    *
+    * Determinism (the DSIR lesson, r9): token weights are quantized to
+    * integer MICRO-units (`round(w*1e6 + 1e-3)` as long), so the per-doc
+    * accumulation is exact integer arithmetic — associative and
+    * commutative under any partition-merge order — and the keep compare is
+    * LONG vs LONG (`llr_u > -pareto_u * n_tokens`), never float vs float.
+    * The only float ops left are two divisions and round4 on exact integer
+    * inputs, plus the quantizations themselves, whose +1e-3 nudge keeps a
+    * 1-ulp cross-engine `ln`/`pow` difference from straddling a .5 tie.
+    *
+    * Scale shape: one explode pass; the per-doc-token aggregate is
+    * combiner-friendly and is consumed TWICE (vocabulary build + scoring
+    * join) via ReusedExchange — left join, like DSIR, so the inferred
+    * isnotnull filter cannot un-canonicalize the shared aggregate. The
+    * weight table is VOCABULARY-sized (unlike DSIR's fixed-bucket table):
+    * at these SFs it broadcasts via AQE; at 100 TB whitespace vocabulary
+    * is unbounded, so the scoring join becomes a shuffle join on the token
+    * — still linear — or the vocabulary gets df-capped / feature-hashed
+    * (then this op degenerates to DSIR's bucketed form). No stage is more
+    * than linear in the corpus.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2"),
+      alpha: Double = 9.0): DataFrame =
+    qualityClassifier(Tables.documents(spark, dir), positiveSources, alpha)
+
+  /** DataFrame-parametric form — needs (doc_id, source, text). */
+  def qualityClassifier(documents: DataFrame, positiveSources: Seq[String],
+      alpha: Double): DataFrame = {
+    val dtc = documents
+      .select(col("doc_id"),
+        col("source").isInCollection(positiveSources).as("pos"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("pos"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = dtc.groupBy(col("w")).agg(
+      sum(when(col("pos"), col("cnt")).otherwise(0L)).as("p_cnt"),
+      sum(when(!col("pos"), col("cnt")).otherwise(0L)).as("n_cnt"))
+    // Totals via a 1-row combiner aggregate broadcast back onto the vocab —
+    // NOT a global window: the vocabulary is unbounded (unlike DSIR's
+    // <=64-row bucket table), and Window.partitionBy() would funnel every
+    // vocab row through a single partition.
+    val tot = vocab.agg(sum(col("p_cnt")).as("pt"), sum(col("n_cnt")).as("nt"),
+      count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        round((log((col("p_cnt") + 1.0) / (col("pt") + col("v"))) -
+          log((col("n_cnt") + 1.0) / (col("nt") + col("v")))) * 1e6 + 1e-3)
+          .cast("long").as("w_u"))
+    dtc.join(weights, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("w_u")).as("llr_u"))
+      .withColumn("pareto_u",
+        round((pow(lit(1.0) -
+            md5Bucket("qc", col("doc_id"), 1000000).cast("double") / 1e6,
+          lit(-1.0 / alpha)) - 1.0) * 1e6 + 1e-3).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        round4(col("llr_u") / 1e6 / col("n_tokens")).as("score"),
+        round4(col("pareto_u") / lit(1e6)).as("pareto"),
+        (col("llr_u") > -col("pareto_u") * col("n_tokens")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[qualityClassifier]] at the default knobs. */
+  val qualityClassifierSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS pos,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+       dtc AS (SELECT doc_id, pos, unnest(ws) AS w FROM t),
+       dc AS (SELECT doc_id, pos, w, count(*) AS cnt FROM dtc GROUP BY 1, 2, 3),
+       voc AS (SELECT w,
+           sum(CASE WHEN pos = 1 THEN cnt ELSE 0 END) AS p_cnt,
+           sum(CASE WHEN pos = 0 THEN cnt ELSE 0 END) AS n_cnt
+         FROM dc GROUP BY 1),
+       tot AS (SELECT sum(p_cnt) AS pt, sum(n_cnt) AS nt, count(*) AS v
+         FROM voc),
+       wt AS (SELECT w, CAST(round(
+           (ln((p_cnt + 1.0) / (pt + v)) - ln((n_cnt + 1.0) / (nt + v)))
+           * 1e6 + 1e-3) AS BIGINT) AS w_u FROM voc, tot),
+       sc AS (SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(d.cnt * w.w_u) AS BIGINT) AS llr_u
+         FROM dc d JOIN wt w ON w.w = d.w GROUP BY 1),
+       pu AS (SELECT doc_id, n_tokens, llr_u, CAST(round(
+           (pow(1.0 - (('0x' || substr(md5('qc' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT % 1000000) / 1e6, -1.0 / 9.0) - 1.0)
+           * 1e6 + 1e-3) AS BIGINT) AS pareto_u FROM sc)
+       SELECT doc_id, n_tokens,
+         round(CAST(llr_u AS DOUBLE) / 1e6 / n_tokens + 1e-9, 4) + 0.0
+           AS score,
+         round(CAST(pareto_u AS DOUBLE) / 1e6 + 1e-9, 4) + 0.0 AS pareto,
+         llr_u > -pareto_u * n_tokens AS keep
+       FROM pu ORDER BY doc_id"""
 }

@@ -287,4 +287,94 @@ class TextPolicySpec extends AnyFunSuite {
       .head.getAs[String]("first_violation")
     assert(multi == "word_count", s"canonical order: $multi")
   }
+
+  // Scala replica of the operator's deterministic pareto draw:
+  // u = md5("qc" || doc_id) first-15-hex mod 1e6, pareto=(1-u)^(-1/9)-1,
+  // quantized to micro-units with the +1e-3 nudge.
+  private def paretoU(docId: Long, alpha: Double = 9.0): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"qc$docId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val u = (BigInt(hex, 16) % 1000000).toDouble / 1e6
+    math.round((math.pow(1.0 - u, -1.0 / alpha) - 1.0) * 1e6 + 1e-3)
+  }
+
+  test("quality classifier: curated-like docs score positive, crawl-like " +
+    "negative; positive scores always keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cur", "insight wisdom clarity insight depth"),
+      (2L, "cur", "wisdom clarity depth nuance insight"),
+      (3L, "raw", "spam junk noise spam clickbait"),
+      (4L, "raw", "junk noise clickbait spam junk"),
+      (5L, "raw", "insight wisdom clarity depth nuance"), // curated-shaped
+      (6L, "cur", "spam junk noise clickbait spam")) // crawl-shaped
+      .toDF("doc_id", "source", "text")
+    val out = TextPolicy.qualityClassifier(docs, Seq("cur"), 9.0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(5L)._1 > 0, s"curated-shaped doc must score > 0: ${out(5L)}")
+    assert(out(6L)._1 < 0, s"crawl-shaped doc must score < 0: ${out(6L)}")
+    // pareto >= 0 always, so score > 0 implies keep regardless of the draw
+    out.values.filter(_._1 > 0).foreach(v => assert(v._2, s"$v"))
+    // and every negative-scoring doc's keep must match the exact long rule
+    val full = TextPolicy.qualityClassifier(docs, Seq("cur"), 9.0).collect()
+    full.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(math.abs(r.getAs[Double]("pareto") - paretoU(id) / 1e6)
+        <= 1e-4 + 1e-9,
+        s"pareto mismatch for $id: ${r.getAs[Double]("pareto")} vs " +
+          s"${paretoU(id) / 1e6}")
+    }
+  }
+
+  test("quality classifier: score and keep match a hand-computed NB " +
+    "log-odds with the deterministic pareto rule") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "cur", "good text good signal"),
+      (11L, "raw", "bad text bad noise"),
+      (12L, "raw", "good signal bad noise"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    // hand NB: token counts by class, add-one smoothing, micro-quantized
+    val toks = rows.map { case (id, s, t) =>
+      (id, s == "cur", t.trim.toLowerCase.split("\\s+").toSeq)
+    }
+    val posCnt = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val negCnt = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    toks.foreach { case (_, pos, ws) =>
+      ws.foreach(w => if (pos) posCnt(w) += 1 else negCnt(w) += 1)
+    }
+    val vocab = (posCnt.keySet ++ negCnt.keySet).toSeq
+    val (pt, nt, v) = (posCnt.values.sum, negCnt.values.sum, vocab.size)
+    val wU = vocab.map { w =>
+      w -> math.round((math.log((posCnt(w) + 1.0) / (pt + v)) -
+        math.log((negCnt(w) + 1.0) / (nt + v))) * 1e6 + 1e-3)
+    }.toMap
+    val expected = toks.map { case (id, _, ws) =>
+      val llrU = ws.map(wU).sum
+      val keep = llrU > -paretoU(id) * ws.size
+      id -> ((llrU.toDouble / 1e6 / ws.size, keep))
+    }.toMap
+    val out = TextPolicy.qualityClassifier(docs, Seq("cur"), 9.0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
+    expected.foreach { case (id, (score, keep)) =>
+      assert(math.abs(out(id)._1 - score) <= 1e-4 + 1e-9,
+        s"score mismatch for $id: ${out(id)._1} vs $score")
+      assert(out(id)._2 == keep, s"keep mismatch for $id")
+    }
+  }
+
+  test("quality classifier: the per-doc-token aggregate is shared via " +
+    "ReusedExchange") {
+    val df = TextPolicy.qualityClassifier(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty)
+    // collect first: under AQE exchange reuse materializes only in the
+    // FINAL adaptive plan (same idiom as DataSelectionSpec's dsir pin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"vocabulary build and scoring join must share the dtc aggregate:\n" +
+        plan.take(4000))
+  }
 }
