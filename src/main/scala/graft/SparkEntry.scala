@@ -72,6 +72,7 @@ object SparkEntry {
     "q_shard_pack" -> (TextAnalysis.shardPack _),
     "q_boilerplate" -> ((s, d) => TextPolicy.boilerplateFlags(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_dedup_lsh_cc" -> ((s, d) => Dedup.minhashLshFamilies(s, d)),
     "q_pii_redact" -> (TextPolicy.piiRedact _),
     "q_contamination" -> ((s, d) => TextPolicy.contamination(s, d)),
     "q_sessionize" -> (Relational.sessionStats _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_pagerank_dangling" -> (GraphAnalytics.supplierPartRankDangling _),
     "q_seq_chunks" -> (TextAnalysis.sequenceChunks _),
     "q_mix_temperature" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
+    "q_unimax_mix" -> (TextAnalysis.unimaxMix _),
     "q_pca_cov" -> (Pca.covarianceQuery _),
     "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
     "q_url_canonical" -> (TextPolicy.urlCanonical _),
@@ -312,6 +314,7 @@ object SparkEntry {
     "q_pagerank_dangling" -> GraphAnalytics.supplierPartRankDanglingSql,
     "q_seq_chunks" -> TextAnalysis.sequenceChunksSql,
     "q_mix_temperature" -> TextAnalysis.temperatureMixSql,
+    "q_unimax_mix" -> TextAnalysis.unimaxMixSql(),
     "q_pca_cov" -> Pca.covarianceSql,
     "q_perplexity" -> TextPolicy.perplexityScoresSql,
     "q_url_canonical" -> TextPolicy.urlCanonicalSql,
@@ -367,6 +370,7 @@ object SparkEntry {
          FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
     "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),
+    "q_dedup_lsh_cc" -> Dedup.minhashLshFamiliesSql(),
     "q_sessionize" -> Relational.sessionStatsSql,
     "q_a_rollup" -> Analytics.revenueRollupSql,
     "q_train_split" -> TextAnalysis.trainSplitSql,

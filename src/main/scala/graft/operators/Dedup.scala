@@ -111,13 +111,15 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  def minhashLshPairsSql(k: Int = 4, threshold: Double = 0.3,
-      maxBucket: Int = 50): String = {
+  /** Shared CTE chain: banded candidates -> exact-Jaccard `jacc` table.
+    * Consumed by [[minhashLshPairsSql]] and [[minhashLshFamiliesSql]].
+    */
+  private def lshPairCtes(k: Int, maxBucket: Int): String = {
     val toksE = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
     val comps = (1 to k).map(s =>
       s"list_aggregate(list_transform(list_distinct($toksE), t -> md5(t || '#$s')), 'min')")
       .mkString(", ")
-    s"""WITH bands AS (SELECT doc_id, unnest([$comps]) AS mh,
+    s"""bands AS (SELECT doc_id, unnest([$comps]) AS mh,
            unnest(range(1, $k + 1)) AS band FROM documents),
        grouped AS (SELECT band, mh, list(doc_id) AS ds FROM bands
          GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= $maxBucket),
@@ -141,10 +143,65 @@ object Dedup {
          FROM cand c
          LEFT JOIN ints i ON i.a_id = c.a_id AND i.b_id = c.b_id
          JOIN counts ca ON ca.doc_id = c.a_id
-         JOIN counts cb ON cb.doc_id = c.b_id)
+         JOIN counts cb ON cb.doc_id = c.b_id)"""
+  }
+
+  def minhashLshPairsSql(k: Int = 4, threshold: Double = 0.3,
+      maxBucket: Int = 50): String =
+    s"""WITH ${lshPairCtes(k, maxBucket)}
        SELECT a_id, b_id, jaccard FROM jacc
        WHERE jaccard >= $threshold ORDER BY a_id, b_id"""
+
+  /** MinHash-LSH fuzzy-dedup FAMILIES — the transitive closure a
+    * production dedup runs on top of the pair detector (the
+    * SlimPajama/The-Stack pipeline shape: LSH candidate pairs -> verify ->
+    * connected components -> keep one exemplar per family). Pairs come
+    * from [[minhashLshPairs]] (banded candidates, exact-Jaccard verified);
+    * components from pointer-jumping min-label propagation
+    * ([[graft.domain.Consolidation.connectedComponents]]). Transitivity is
+    * the point: A~B and B~C place A and C in one family even when A and C
+    * share no band — pair-level keep-best would keep both.
+    *
+    * Scale shape: the pair stage is [[minhashLshPairs]]'s (bucket-join,
+    * capped mega-buckets, O(candidates) verification); CC then runs on the
+    * PAIR graph only — duplicate mass, not the corpus — in O(log diameter)
+    * rounds of bounded shuffles. Emits one row per clustered doc: family
+    * label (= min member id), family size, keeper flag; unique docs stay
+    * out, so output is bounded by duplicate mass.
+    */
+  def minhashLshFamilies(spark: SparkSession, dir: String, k: Int = 4,
+      threshold: Double = 0.3, maxBucket: Int = 50): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir, k, threshold, maxBucket)
+      .select(col("a_id").as("src"), col("b_id").as("dst")).cache()
+    val vertices = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct()
+    val out = graft.domain.Consolidation.connectedComponents(vertices, pairs)
+      .withColumn("family_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("id").as("doc_id"), col("component").as("family"),
+        col("family_size"), (col("id") === col("component")).as("is_keeper"))
+      .orderBy("family", "doc_id")
+      .localCheckpoint() // materialize before releasing the pair cache
+    pairs.unpersist()
+    out
   }
+
+  def minhashLshFamiliesSql(k: Int = 4, threshold: Double = 0.3,
+      maxBucket: Int = 50): String =
+    s"""WITH ${lshPairCtes(k, maxBucket)},
+       np AS (SELECT a_id, b_id FROM jacc WHERE jaccard >= $threshold),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM np
+         UNION ALL SELECT b_id, a_id FROM np),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
+         SELECT a AS doc_id, min(b) AS family FROM r GROUP BY a)
+       SELECT doc_id, family,
+         CAST(count(*) OVER (PARTITION BY family) AS BIGINT) AS family_size,
+         doc_id = family AS is_keeper
+       FROM reach ORDER BY family, doc_id"""
 
   /** SimHash text dedup: 16-bit signature where bit b is set iff the sum of
     * (+1/-1 for bit b of each distinct token's 60-bit md5-derived hash) is

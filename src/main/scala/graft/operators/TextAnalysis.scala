@@ -433,6 +433,103 @@ object TextAnalysis {
            AS repeat_factor
        FROM c, t ORDER BY source"""
 
+  /** UniMax mixture allocation (Chung et al. 2023, ICLR — "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token budget across sources as
+    * uniformly as possible subject to a per-source EPOCH CAP — no source
+    * is repeated more than `maxEpochs` passes, the failure mode
+    * temperature sampling has on low-resource sources (it upsamples them
+    * into dozens of epochs). Closed form of the paper's greedy
+    * ascending-size loop: while allocation proceeds in the capped regime
+    * the consumed budget is exactly the prefix of capacities, so a source
+    * at ascending rank r (of n) is capped iff
+    * `cap * (n - r + 1) <= budget - prefixCap(r-1)`; the test is monotone
+    * (for later ranks the naive capacity prefix only OVERSTATES real
+    * consumption, keeping it false once false), and every uncapped source
+    * gets the waterfilling level
+    * `lambda = (budget - sum(capped caps)) / #uncapped`. One window pass
+    * replaces the loop.
+    *
+    * Determinism discipline (the DSIR lesson): capacities are LONG
+    * micro-tokens (`tokens * maxEpochsMicro`), so prefix/total sums are
+    * exact integer arithmetic — associative under any window/partition
+    * order — and the capped test is a long compare. Floats appear only in
+    * the final division chain, written identically in the oracle.
+    * Micro-token capacity overflows int64 at ~9e12 tokens/source divided
+    * by n; a >100 TB single source wants milli-token units.
+    *
+    * Scale shape: token counting is the corpus scan (combiner-friendly
+    * sum); the waterfill runs on the <= |sources| aggregate via
+    * empty-partition windows — same pattern as [[temperatureMix]],
+    * constant cost beyond the scan.
+    */
+  def unimaxMix(spark: SparkSession, dir: String): DataFrame =
+    unimaxMix(Tables.documents(spark, dir), budgetTokens = 20000L,
+      maxEpochsMicro = 800000L)
+
+  /** DataFrame-parametric form — needs (source, text). `maxEpochsMicro` is
+    * the epoch cap in millionths (800000 = 0.8 epochs).
+    */
+  def unimaxMix(documents: DataFrame, budgetTokens: Long,
+      maxEpochsMicro: Long): DataFrame = {
+    val budgetU = budgetTokens * 1000000L
+    val counts = documents
+      .select(col("source"), tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).cast("long").as("tokens"))
+      .withColumn("cap_u", col("tokens") * maxEpochsMicro)
+    // <= |sources| rows from here on — the single-partition windows are
+    // deliberate (same as temperatureMix)
+    val o = Window.orderBy(col("cap_u"), col("source"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("_r", row_number().over(o))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_prefix", coalesce(sum(col("cap_u"))
+        .over(o.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("cap_u") * (col("_n") - col("_r") + 1L) <= lit(budgetU) - col("_prefix"))
+      .withColumn("_capsum", coalesce(
+        sum(when(col("capped"), col("cap_u"))).over(all), lit(0L)))
+      .withColumn("_nun", sum(when(col("capped"), 0L).otherwise(1L)).over(all))
+      .withColumn("_alloc_u", when(col("capped"), col("cap_u").cast("double"))
+        .otherwise((lit(budgetU) - col("_capsum")).cast("double") / col("_nun")))
+      .select(col("source"), col("tokens"), col("capped"),
+        round4(col("_alloc_u") / 1e6).as("alloc_tokens"),
+        round4(col("_alloc_u") / 1e6 / col("tokens")).as("epochs"),
+        round4(col("_alloc_u") / 1e6 / budgetTokens).as("mix_share"))
+      .orderBy("source")
+  }
+
+  def unimaxMixSql(budgetTokens: Long = 20000L,
+      maxEpochsMicro: Long = 800000L): String = {
+    val budgetU = budgetTokens * 1000000L
+    raw"""WITH tc AS (SELECT source, CAST(sum(
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+           AS BIGINT) AS tokens FROM documents GROUP BY 1),
+       c AS (SELECT source, tokens, tokens * $maxEpochsMicro AS cap_u FROM tc),
+       w AS (SELECT source, tokens, cap_u,
+           row_number() OVER o AS r, count(*) OVER () AS n,
+           coalesce(sum(cap_u) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS prefix
+         FROM c WINDOW o AS (ORDER BY cap_u, source)),
+       f AS (SELECT *, cap_u * (n - r + 1) <= $budgetU - prefix AS capped
+         FROM w),
+       g AS (SELECT *,
+           coalesce(sum(CASE WHEN capped THEN cap_u END) OVER (), 0)
+             AS capsum,
+           sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS nun FROM f),
+       a AS (SELECT source, tokens, capped,
+           CASE WHEN capped THEN CAST(cap_u AS DOUBLE)
+                ELSE CAST($budgetU - capsum AS DOUBLE) / nun END AS alloc_u
+         FROM g)
+       SELECT source, tokens, capped,
+         round(alloc_u / 1e6 + 1e-9, 4) + 0.0 AS alloc_tokens,
+         round(alloc_u / 1e6 / tokens + 1e-9, 4) + 0.0 AS epochs,
+         round(alloc_u / 1e6 / $budgetTokens + 1e-9, 4) + 0.0 AS mix_share
+       FROM a ORDER BY source"""
+  }
+
   /** Context-window sequence packing accounting — the concat-then-chunk
     * step of a pretraining pipeline (documents concatenated per source in
     * id order, the token stream split into fixed `ctx`-token training

@@ -166,6 +166,49 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-3, s"shares sum: $shares")
   }
 
+  test("unimax: hand-computed waterfill — small source capped at maxEpochs, " +
+    "rest split the remaining budget evenly") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, Seq.fill(n)("w").mkString(" "))
+    // token counts s1=10 s2=20 s3=100 s4=100; budget 100; cap 2 epochs.
+    // Ascending caps [20, 40, 200, 200]: r1 20*4=80<=100 -> capped;
+    // r2 40*3=120>80 -> uncapped; lambda=(100-20)/3=26.667 for s2,s3,s4.
+    val docs = Seq(doc(1, "s1", 10), doc(2, "s2", 20), doc(3, "s3", 100),
+      doc(4, "s4", 100)).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.unimaxMix(docs, budgetTokens = 100L,
+      maxEpochsMicro = 2000000L).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Boolean]("capped"), r.getAs[Double]("alloc_tokens"),
+          r.getAs[Double]("epochs"), r.getAs[Double]("mix_share")))).toMap
+    assert(out("s1") == ((true, 20.0, 2.0, 0.2)), s"s1: ${out("s1")}")
+    for (s <- Seq("s2", "s3", "s4"))
+      assert(out(s)._1 == false &&
+        math.abs(out(s)._2 - 26.6667) <= 1e-4, s"$s: ${out(s)}")
+    assert(math.abs(out("s2")._3 - 1.3333) <= 1e-4 &&
+      math.abs(out("s3")._3 - 0.2667) <= 1e-4, s"epochs: $out")
+    // allocations exhaust the budget when anyone is uncapped
+    assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
+  }
+
+  test("unimax: epoch cap binds everywhere when the budget exceeds " +
+    "total capacity — allocation underfills, never over-repeats") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq((1L, "s1", Seq.fill(10)("w").mkString(" ")),
+      (2L, "s2", Seq.fill(20)("w").mkString(" ")),
+      (3L, "s3", Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.unimaxMix(docs, budgetTokens = 1000L,
+      maxEpochsMicro = 2000000L).collect()
+    assert(out.forall(_.getAs[Boolean]("capped")), "all capped")
+    assert(out.forall(r => math.abs(r.getAs[Double]("epochs") - 2.0) <= 1e-4),
+      "every source at exactly the epoch cap")
+    val total = out.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(total - 260.0) <= 1e-3, s"2*(10+20+100) = 260: $total")
+  }
+
   test("sequence chunks: boundary splits, carry-over, and exact fills") {
     import graft.operators.TextAnalysis
     import spark.implicits._

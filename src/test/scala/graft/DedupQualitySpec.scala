@@ -105,4 +105,37 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(r >= 0.9, s"recall $r")
     assert(p >= 0.9, s"precision $p")
   }
+
+  test("lsh families: transitive closure merges the chain A~B~C into one " +
+    "family even though A and C pair below threshold") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lshcc").toString
+    // 40 distinct base tokens; B changes 3 spaced positions from A, C
+    // changes 4 MORE from B — so A-B and B-C kill 9 shingles each
+    // (J = 29/47 = 0.62) but A-C kills 21 (J = 17/59 = 0.29 < 0.3): the
+    // pair detector must link A-B and B-C only, and the family op must
+    // place all three in one family via transitivity.
+    val a = (0 until 40).map(i => s"w$i")
+    val b = a.updated(10, "bxa").updated(20, "bxb").updated(30, "bxc")
+    val c = b.updated(5, "cxa").updated(15, "cxb").updated(25, "cxc")
+      .updated(35, "cxd")
+    val uniq = (0 until 40).map(i => s"zq$i")
+    Seq((1L, a), (2L, b), (3L, c), (4L, uniq))
+      .map { case (id, ts) =>
+        (id, "en", "src0", ts.mkString(" "), ts.mkString(" ").length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = pairsOf(Dedup.minhashLshPairs(spark, tmp))
+    assert(pairs((1L, 2L)) && pairs((2L, 3L)), s"chain pairs missing: $pairs")
+    assert(!pairs((1L, 3L)),
+      s"A-C must be below threshold so only transitivity links them: $pairs")
+    val fams = Dedup.minhashLshFamilies(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("family"),
+        r.getAs[Long]("family_size"), r.getAs[Boolean]("is_keeper")))
+    assert(fams.map(_._1).toSet == Set(1L, 2L, 3L),
+      s"unique doc 4 stays out: ${fams.toSeq}")
+    assert(fams.forall(f => f._2 == 1L && f._3 == 3L), s"${fams.toSeq}")
+    assert(fams.collect { case (id, _, _, true) => id }.toSeq == Seq(1L),
+      "keeper = min member only")
+  }
 }
