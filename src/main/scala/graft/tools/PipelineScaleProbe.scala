@@ -144,6 +144,17 @@ object PipelineScaleProbe {
       time(s"seq_chunks  n=$n") {
         graft.operators.TextAnalysis.sequenceChunks(srcDocs, ctx = 256L).count()
       }
+      // NB quality classifier (r12): one explode pass consumed twice via
+      // exchange reuse + a vocabulary-sized weight join — linear in corpus
+      time(s"quality_clf n=$n") {
+        graft.operators.TextPolicy
+          .qualityClassifier(srcDocs, Seq("s0", "s1"), 9.0).count()
+      }
+      time(s"unimax      n=$n") {
+        graft.operators.TextAnalysis
+          .unimaxMix(srcDocs, budgetTokens = n, maxEpochsMicro = 800000L)
+          .count()
+      }
       // exact-substring at the PAPER's n=50 (VERDICT r11 item 3): hashed
       // vs literal-string gram on 150-token docs with planted 70-token
       // duplicate runs — the hashed form's dominant shuffle carries 8
