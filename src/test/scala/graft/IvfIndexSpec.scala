@@ -300,4 +300,63 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(compacted.contains(true), "repeated appends must cross the bound")
     assert(IvfIndex.filesPerCell(tmp) <= 2.5)
   }
+
+  test("streaming ivf batches: first batch builds, later batches append, " +
+    "a marker-guarded replay is a no-op, and the residual window is " +
+    "exactly a duplicate append") {
+    import graft.streaming.StreamingIngest
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-s").toString
+    def slice(from: Int, until: Int) = (from until until).map { i =>
+      (i.toLong, s"label${i % 4}", PlaceholderEmbedding.embed(s"doc $i").toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    def nRows = spark.read.parquet(s"$tmp/assignments").count()
+    // empty first batch must NOT freeze a zero-vector quantizer
+    assert(!StreamingIngest.ivfBatch(slice(0, 0), 0L, tmp))
+    assert(!IvfIndex.exists(tmp))
+    assert(StreamingIngest.ivfBatch(slice(0, 200), 0L, tmp), "build applies")
+    assert(StreamingIngest.ivfBatch(slice(200, 400), 1L, tmp), "append applies")
+    assert(nRows == 400)
+    // both batches queryable at full probe, identical to brute force
+    val qvec = PlaceholderEmbedding.embed("doc 350")
+    val top = IvfIndex.topK(spark, tmp, qvec, k = 1, nprobe = 64).collect()
+    assert(top.head.getAs[Long]("vec_id") == 350L, s"${top.toSeq}")
+    // checkpoint-recovery replay (marker present) is a no-op
+    assert(!StreamingIngest.ivfBatch(slice(200, 400), 1L, tmp))
+    assert(nRows == 400)
+    // crash INSIDE the sink = marker missing though data landed: the
+    // documented residual window re-appends — pin the failure mode
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(tmp, "_stream_commits", "1"))
+    assert(StreamingIngest.ivfBatch(slice(200, 400), 1L, tmp))
+    assert(nRows == 600, "residual window duplicates, by documented design")
+  }
+
+  test("streaming ivf end-to-end: a file-source stream builds then appends " +
+    "across micro-batches") {
+    import graft.streaming.StreamingIngest
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-e2e")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("idx").toString
+    def slice(from: Int, until: Int) = (from until until).map { i =>
+      (i.toLong, PlaceholderEmbedding.embed(s"doc $i").toSeq)
+    }.toDF("vec_id", "embedding")
+    slice(0, 150).coalesce(1).write.parquet(s"$src/b0")
+    slice(150, 300).coalesce(1).write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(slice(0, 1).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+    val q = StreamingIngest.ivfAppendStream(stream, idx,
+      root.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$idx/assignments").count() == 300)
+    val markers = java.nio.file.Files.list(
+      java.nio.file.Paths.get(idx, "_stream_commits")).count()
+    assert(markers == 2, s"one marker per micro-batch: $markers")
+    val qvec = PlaceholderEmbedding.embed("doc 222")
+    val top = IvfIndex.topK(spark, idx, qvec, k = 1, nprobe = 64).collect()
+    assert(top.head.getAs[Long]("vec_id") == 222L)
+  }
 }
