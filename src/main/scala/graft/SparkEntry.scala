@@ -107,6 +107,7 @@ object SparkEntry {
     "q_seq_chunks" -> (TextAnalysis.sequenceChunks _),
     "q_mix_temperature" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "q_unimax_mix" -> (TextAnalysis.unimaxMix _),
+    "q_doremi_mix" -> (TextAnalysis.doremiMix _),
     "q_pca_cov" -> (Pca.covarianceQuery _),
     "q_perplexity" -> ((s, d) => TextPolicy.perplexityScores(s, d)),
     "q_url_canonical" -> (TextPolicy.urlCanonical _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_seq_chunks" -> TextAnalysis.sequenceChunksSql,
     "q_mix_temperature" -> TextAnalysis.temperatureMixSql,
     "q_unimax_mix" -> TextAnalysis.unimaxMixSql(),
+    "q_doremi_mix" -> TextAnalysis.doremiMixSql,
     "q_pca_cov" -> Pca.covarianceSql,
     "q_perplexity" -> TextPolicy.perplexityScoresSql,
     "q_url_canonical" -> TextPolicy.urlCanonicalSql,

@@ -530,6 +530,155 @@ object TextAnalysis {
        FROM a ORDER BY source"""
   }
 
+  /** DoReMi domain reweighting (Xie et al. 2023, NeurIPS — "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * Group-DRO multiplicative-weights over per-domain EXCESS LOSS — the
+    * domains a proxy model finds hardest relative to a per-domain
+    * reference get upweighted, the step most post-Pile mixture recipes
+    * borrow. The paper's proxy/reference losses come from two trained
+    * 280M models; this engine's deterministic stand-in keeps the exact
+    * same structure with unigram LMs: reference = the domain's own
+    * add-one-smoothed unigram distribution, proxy = the corpus-wide one,
+    * so `excess(d) = mean_tokens(ln p_d(w) - ln p_corpus(w))` — literally
+    * the per-token log-loss gap between the generalist and the domain
+    * specialist, clamped at 0 like the paper's `max(0, ·)`.
+    *
+    * Update rule (T steps, the paper's Algorithm 1 with eta=1, smoothing
+    * c=0.001): `a_i = w_i * exp(eta * lambda_i)`; normalize;
+    * `w_i' = (1-c) * a_i / sum(a) + c/n`. Reported weights are the final
+    * step AND the across-step average (DoReMi's actual output is the
+    * average mixture).
+    *
+    * Determinism discipline (the DSIR idiom, three layers): (1) per-
+    * (domain, token) log-prob deltas quantize to integer MICRO-units, so
+    * the per-domain accumulation is exact long arithmetic under any
+    * partition-merge order; (2) the iteration state itself is RE-QUANTIZED
+    * to micro-longs after every step, so both engines iterate on identical
+    * integers and a sub-ulp `exp` disagreement cannot compound across
+    * steps; (3) every float expression is written token-for-token
+    * identically in the oracle (including `1.0 - 0.001` — the LITERAL
+    * 0.999 is a different double). The +1e-3 nudge guards each
+    * re-quantization's .5 boundary.
+    *
+    * Scale shape: one explode pass into a combiner-friendly
+    * (domain, token) aggregate — the same class as [[dsirWeights]]; the
+    * corpus-level token table joins on the token (linear shuffle, or
+    * broadcast at vocab sizes that fit); the iteration runs on |domains|
+    * rows COLLECTED to the driver (the k-means-centroid pattern — a
+    * bounded model parameter, not a corpus collect) and is O(T*n).
+    */
+  def doremiMix(spark: SparkSession, dir: String): DataFrame =
+    doremiMix(Tables.documents(spark, dir), eta = 1.0, steps = 10,
+      smoothing = 0.001)
+
+  /** DataFrame-parametric form — needs (source, text). */
+  def doremiMix(documents: DataFrame, eta: Double, steps: Int,
+      smoothing: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dwc = documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val cw = dwc.groupBy(col("w")).agg(sum(col("cnt")).as("c_w"))
+    val dt = dwc.groupBy(col("source")).agg(sum(col("cnt")).as("t_d"))
+    val tot = cw.agg(sum(col("c_w")).as("tt"), count(lit(1)).as("v"))
+    // LEFT joins for the same ReusedExchange reason as dsirWeights: an
+    // inner join's inferred isnotnull would un-canonicalize the shared
+    // (source, w) aggregate
+    val delta = dwc.join(cw, Seq("w"), "left")
+      .join(broadcast(dt), Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("cnt"),
+        round((log((col("cnt") + 1.0) / (col("t_d") + col("v"))) -
+          log((col("c_w") + 1.0) / (col("tt") + col("v")))) * 1e6 + 1e-3)
+          .cast("long").as("delta_u"))
+    val lam = delta.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("delta_u")).as("ex_u"))
+      .select(col("source"), col("n_tokens"),
+        greatest(round(col("ex_u").cast("double") / col("n_tokens") + 1e-3)
+          .cast("long"), lit(0L)).as("lam_u"))
+      .orderBy("source")
+      .collect()
+    val n = lam.length
+    val lamU = lam.map(_.getLong(2))
+    val w = Array.fill(n)(math.round(1e6 / n + 1e-3))
+    val acc = Array.fill(n)(0L)
+    for (_ <- 1 to steps) {
+      val a = Array.tabulate(n)(i =>
+        w(i).toDouble * math.exp(eta * lamU(i) / 1e6))
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i); i += 1 }
+      i = 0
+      while (i < n) {
+        val m = (1.0 - smoothing) * a(i) / s + smoothing / n
+        w(i) = math.round(m * 1e6 + 1e-3)
+        acc(i) += w(i)
+        i += 1
+      }
+    }
+    lam.indices.map(i =>
+        (lam(i).getString(0), lam(i).getLong(1), lamU(i), w(i), acc(i)))
+      .toDF("source", "n_tokens", "lam_u", "w_u", "acc_u")
+      .select(col("source"), col("n_tokens"),
+        round4(col("lam_u") / 1e6).as("excess_loss"),
+        round4(col("w_u") / 1e6).as("weight"),
+        round4(col("acc_u") / lit(steps * 1e6)).as("weight_avg"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[doremiMix]] at the default knobs: the iteration is
+    * a recursive CTE whose state is a pair of domain-ordered micro-long
+    * LISTS (weights, across-step accumulator) — list order fixes the
+    * normalization's summation order to match the driver loop's.
+    */
+  val doremiMixSql: String =
+    raw"""WITH RECURSIVE t AS (SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+       FROM documents),
+       dwc AS (SELECT source, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+       cw AS (SELECT w, sum(cnt) AS c_w FROM dwc GROUP BY 1),
+       dt AS (SELECT source, sum(cnt) AS t_d FROM dwc GROUP BY 1),
+       tot AS (SELECT sum(c_w) AS tt, count(*) AS v FROM cw),
+       del AS (SELECT d.source, d.cnt, CAST(round(
+             (ln((d.cnt + 1.0) / (dt.t_d + tot.v)) -
+              ln((c.c_w + 1.0) / (tot.tt + tot.v))) * 1e6 + 1e-3) AS BIGINT)
+           AS delta_u
+         FROM dwc d JOIN cw c USING (w) JOIN dt ON dt.source = d.source, tot),
+       lam AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           greatest(CAST(round(CAST(sum(cnt * delta_u) AS DOUBLE) / sum(cnt)
+             + 1e-3) AS BIGINT), 0) AS lam_u
+         FROM del GROUP BY 1),
+       ll AS (SELECT list(source ORDER BY source) AS srcs,
+           list(lam_u ORDER BY source) AS lams, count(*) AS n FROM lam),
+       it AS (
+         SELECT 0 AS i,
+             list_transform(range(n),
+               x -> CAST(round(1e6 / n + 1e-3) AS BIGINT)) AS w,
+             list_transform(range(n), x -> CAST(0 AS BIGINT)) AS acc
+           FROM ll
+         UNION ALL
+         SELECT i + 1, neww,
+             list_transform(range(len(neww)), j -> acc[j+1] + neww[j+1])
+           FROM (SELECT i, acc, list_transform(range(len(a)), j ->
+               CAST(round(((1.0 - 0.001) * a[j+1] / s + 0.001 / nn) * 1e6
+                 + 1e-3) AS BIGINT)) AS neww
+             FROM (SELECT i, acc, a, list_aggregate(a, 'sum') AS s,
+                 len(a) AS nn
+               FROM (SELECT it.i, it.acc,
+                   list_transform(range(len(it.w)), j ->
+                     it.w[j+1] * exp(1.0 * ll.lams[j+1] / 1e6)) AS a
+                 FROM it, ll WHERE it.i < 10) z1) z2) z3),
+       fin AS (SELECT w, acc FROM it WHERE i = 10),
+       ex AS (SELECT unnest(ll.srcs) AS source, unnest(fin.w) AS w_u,
+           unnest(fin.acc) AS acc_u FROM fin, ll)
+       SELECT e.source, l.n_tokens,
+         round(l.lam_u / 1e6 + 1e-9, 4) + 0.0 AS excess_loss,
+         round(e.w_u / 1e6 + 1e-9, 4) + 0.0 AS weight,
+         round(e.acc_u / (10 * 1e6) + 1e-9, 4) + 0.0 AS weight_avg
+       FROM ex e JOIN lam l USING (source) ORDER BY source"""
+
   /** Context-window sequence packing accounting — the concat-then-chunk
     * step of a pretraining pipeline (documents concatenated per source in
     * id order, the token stream split into fixed `ctx`-token training

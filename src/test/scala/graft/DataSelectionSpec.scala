@@ -504,4 +504,43 @@ class DataSelectionSpec extends AnyFunSuite {
       if (n == 8) assert(s.nonEmpty)
     }
   }
+
+  test("doremi: the divergent domain carries the largest excess loss and " +
+      "gains weight; weights stay a distribution") {
+    import spark.implicits._
+    // Domains a/b share one vocabulary (the corpus LM models them well —
+    // small excess); domain c is disjoint (the corpus LM is a poor proxy
+    // for it — large excess). DoReMi must upweight c above uniform and
+    // above both a and b.
+    val docs = Seq(
+      ("a", "the cat sat on the mat the cat sat again"),
+      ("a", "the dog sat on the rug the dog sat again"),
+      ("b", "the cat and the dog sat on the mat"),
+      ("b", "the rug and the mat the cat the dog"),
+      ("c", "zhe ge mao zuo zai dian zi shang mian ne"),
+      ("c", "na ge gou zuo zai di tan shang mian ba"))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val res = TextAnalysis.doremiMix(docs, eta = 1.0, steps = 10,
+      smoothing = 0.001).collect()
+    val bySrc = res.map(r => r.getString(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(bySrc.keySet == Set("a", "b", "c"))
+    val (exC, wC, wAvgC) = bySrc("c")
+    assert(exC > bySrc("a")._1 && exC > bySrc("b")._1,
+      s"disjoint domain must have the largest excess: $bySrc")
+    assert(wC > 1.0 / 3 && wC > bySrc("a")._2 && wC > bySrc("b")._2,
+      s"divergent domain must gain weight: $bySrc")
+    // final and averaged weights each sum to ~1 (quantization leaves
+    // <= n micro-units of slack)
+    val sumW = res.map(_.getDouble(3)).sum
+    val sumAvg = res.map(_.getDouble(4)).sum
+    assert(math.abs(sumW - 1.0) < 1e-3 && math.abs(sumAvg - 1.0) < 1e-3,
+      s"weights must normalize: $sumW / $sumAvg")
+    assert(res.forall(_.getDouble(2) >= 0.0), "excess is clamped at 0")
+    // the averaged mixture is smoother than the final step: it sits
+    // between uniform and the final weight for the extreme domain
+    assert(wAvgC <= wC + 1e-9 && wAvgC >= 1.0 / 3 - 1e-9,
+      s"average must interpolate toward uniform: $bySrc")
+  }
 }
