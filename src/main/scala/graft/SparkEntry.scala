@@ -73,6 +73,7 @@ object SparkEntry {
     "q_boilerplate" -> ((s, d) => TextPolicy.boilerplateFlags(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_lsh_cc" -> ((s, d) => Dedup.minhashLshFamilies(s, d)),
+    "q_softdedup_weight" -> ((s, d) => Dedup.softDedupWeights(s, d)),
     "q_pii_redact" -> (TextPolicy.piiRedact _),
     "q_contamination" -> ((s, d) => TextPolicy.contamination(s, d)),
     "q_sessionize" -> (Relational.sessionStats _),
@@ -373,6 +374,7 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.simhashGroupsSql(),
     "q_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql(),
     "q_dedup_lsh_cc" -> Dedup.minhashLshFamiliesSql(),
+    "q_softdedup_weight" -> Dedup.softDedupWeightsSql,
     "q_sessionize" -> Relational.sessionStatsSql,
     "q_a_rollup" -> Analytics.revenueRollupSql,
     "q_train_split" -> TextAnalysis.trainSplitSql,

@@ -792,4 +792,108 @@ object Dedup {
          round(coalesce(p.dup_tokens, 0) * 1.0 / greatest(len(t.tk), 1)
            + 1e-9, 4) + 0.0 AS dup_frac
        FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id"""
+
+  /** Soft deduplication by data commonness (Xia et al. 2024, "SoftDedup:
+    * an Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pre-training"): instead of DROPPING near-duplicates, every document
+    * is RE-WEIGHTED by how common its n-gram content is across the corpus
+    * — hard dedup's cliff (a document is either in or out) becomes a
+    * smooth sampling multiplier, which the paper shows beats MinHash-drop
+    * at equal compute. Commonness of a document is the geometric-mean
+    * corpus probability of its word-3-gram occurrences (the paper's
+    * n-gram-LM formulation): `log_commonness = mean_occurrences
+    * ln(c_s / T)` where `c_s` is the shingle's corpus occurrence count
+    * and T the total. The sampling weight is `exp(-sharpness *
+    * log_commonness)` — common (duplicate-heavy) documents get weight
+    * pushed below average, rare content above — reported raw and
+    * normalized to mean 1 over the corpus (`norm_weight` is the
+    * per-document repeat factor a sampler consumes directly).
+    *
+    * Determinism: per-shingle `ln` quantizes to micro-longs (exact
+    * per-doc integer sums, any merge order); the per-doc weight
+    * re-quantizes to micro-longs so the normalizing total is an exact
+    * long sum; only then one division (the DSIR idiom, three layers
+    * deep like [[graft.operators.TextAnalysis.doremiMix]]).
+    *
+    * Scale shape: the (doc, shingle) count aggregate is computed once and
+    * consumed twice (corpus shingle counts + the scoring join) via
+    * ReusedExchange — left joins throughout so the inferred isnotnull
+    * cannot un-canonicalize the shared subtree. The scoring join shuffles
+    * on the shingle (linear); the normalizing total is a 1-row aggregate
+    * broadcast, NOT a global window (corpus-sized frame). Docs under 3
+    * tokens have no shingles: commonness 0, weight exp(0) = 1 — neutral
+    * by construction, never dropped.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String,
+      sharpness: Double = 0.25): DataFrame =
+    softDedupWeights(Tables.documents(spark, dir), sharpness)
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def softDedupWeights(documents: DataFrame, sharpness: Double): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val dsc = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
+    val cs = dsc.groupBy(col("sh")).agg(sum(col("cnt")).as("c_s"))
+    val tot = cs.agg(sum(col("c_s")).as("tt"))
+    val lnp = cs.crossJoin(broadcast(tot))
+      .select(col("sh"),
+        round(log((col("c_s") * 1.0) / col("tt")) * 1e6 + 1e-3)
+          .cast("long").as("lnp_u"))
+    val perDoc = dsc.join(lnp, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("m"), sum(col("cnt") * col("lnp_u")).as("sum_u"))
+    val logcRaw = when(col("m").isNull, lit(0.0))
+      .otherwise(col("sum_u").cast("double") / 1e6 / col("m"))
+    val wu = documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("n_shingles"),
+        logcRaw.as("logc"),
+        round(exp(lit(-sharpness) * logcRaw) * 1e6 + 1e-3)
+          .cast("long").as("w_u"))
+    val nrm = wu.agg(sum(col("w_u")).as("tw"), count(lit(1)).as("d"))
+    wu.crossJoin(broadcast(nrm))
+      .select(col("doc_id"), col("n_shingles"),
+        graft.functions.round4(col("logc")).as("log_commonness"),
+        graft.functions.round4(col("w_u") / 1e6).as("weight"),
+        graft.functions.round4((col("w_u") * col("d")) * lit(1.0) / col("tw"))
+          .as("norm_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[softDedupWeights]] at sharpness 0.25. */
+  val softDedupWeightsSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+         FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+               FROM t WHERE len(tk) >= 3) p),
+       dsc AS (SELECT doc_id, sh, count(*) AS cnt FROM sh GROUP BY 1, 2),
+       cs AS (SELECT sh, sum(cnt) AS c_s FROM dsc GROUP BY 1),
+       tot AS (SELECT sum(c_s) AS tt FROM cs),
+       lnp AS (SELECT sh, CAST(round(ln((c_s * 1.0) / tt) * 1e6 + 1e-3)
+           AS BIGINT) AS lnp_u FROM cs, tot),
+       pd AS (SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS m,
+           CAST(sum(d.cnt * l.lnp_u) AS BIGINT) AS sum_u
+         FROM dsc d JOIN lnp l USING (sh) GROUP BY 1),
+       wu AS (SELECT doc.doc_id, coalesce(pd.m, 0) AS n_shingles,
+           CASE WHEN pd.m IS NULL THEN 0.0
+                ELSE CAST(pd.sum_u AS DOUBLE) / 1e6 / pd.m END AS logc,
+           CAST(round(exp(-0.25 * (CASE WHEN pd.m IS NULL THEN 0.0
+                ELSE CAST(pd.sum_u AS DOUBLE) / 1e6 / pd.m END)) * 1e6 + 1e-3)
+             AS BIGINT) AS w_u
+         FROM documents doc LEFT JOIN pd USING (doc_id)),
+       nrm AS (SELECT sum(w_u) AS tw, count(*) AS d FROM wu)
+       SELECT doc_id, n_shingles,
+         round(logc + 1e-9, 4) + 0.0 AS log_commonness,
+         round(w_u / 1e6 + 1e-9, 4) + 0.0 AS weight,
+         round((w_u * d) * 1.0 / tw + 1e-9, 4) + 0.0 AS norm_weight
+       FROM wu, nrm ORDER BY doc_id"""
 }

@@ -138,4 +138,38 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(fams.collect { case (id, _, _, true) => id }.toSeq == Seq(1L),
       "keeper = min member only")
   }
+
+  test("softdedup: duplicated content is downweighted, rare content " +
+    "upweighted, and the normalized weights conserve mass") {
+    import spark.implicits._
+    // Doc 1 repeated verbatim 5x (ids 1-5) — its shingles are 5x more
+    // common than the two singleton docs' -> higher (less negative)
+    // log-commonness, smaller weight. Doc 7 is a 2-token doc: no
+    // shingles, neutral weight exactly 1.0 before normalization.
+    val dup = "ka ro mi ta lu ne so vi ze pa"
+    val uniqA = "du fe kadu rofe mita lune sovi zepa dufe karo"
+    val uniqB = "tami nelu viso paze fedu roka mife talu nevi zapa"
+    val docs = ((1L to 5L).map(i => (i, dup)) ++
+      Seq((6L, uniqA), (7L, "du fe"), (8L, uniqB)))
+      .toDF("doc_id", "text")
+    val res = Dedup.softDedupWeights(docs, sharpness = 0.25).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(res.size == 8)
+    // duplicated docs share identical stats
+    val (mDup, logcDup, wDup, _) = res(1L)
+    (2L to 5L).foreach(i => assert(res(i) == res(1L), s"twins differ: $res"))
+    assert(mDup == 8, "10 tokens -> 8 3-gram occurrences")
+    // commonness ordering: dup docs more common than unique docs
+    assert(logcDup > res(6L)._2 && logcDup > res(8L)._2,
+      s"dup content must be more common: $res")
+    assert(wDup < res(6L)._3 && wDup < res(8L)._3,
+      s"dup content must weigh less: $res")
+    // the shingle-free doc is exactly neutral pre-normalization
+    assert(res(7L)._1 == 0L && res(7L)._2 == 0.0 && res(7L)._3 == 1.0,
+      s"short doc must be neutral: ${res(7L)}")
+    // normalization conserves mass: mean norm_weight ~ 1
+    val meanNorm = res.values.map(_._4).sum / res.size
+    assert(math.abs(meanNorm - 1.0) < 1e-3, s"mass not conserved: $meanNorm")
+  }
 }
