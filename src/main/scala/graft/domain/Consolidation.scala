@@ -192,6 +192,18 @@ object Consolidation {
     * both sides of a self-join, while a checkpoint truncates the lineage so
     * recompute is impossible. (On a multi-node cluster prefer a reliable
     * checkpoint dir; localCheckpoint trades fault-tolerance for speed.)
+    *
+    * Known skew point, measured (PipelineScaleProbe lshfam arms, 100k-member
+    * planted component): the pointer-jump join keys on the CURRENT label, so
+    * once a mega-component converges, all its rows hash to one partition of
+    * that join each round (32x max/mean task read with AQE off). Because it
+    * is a JOIN — not a window — AQE's OptimizeSkewedJoin can split the
+    * skewed probe-side partition at scale (the build side for a given label
+    * is a single row, so replication is free); keep AQE on for production
+    * CC runs. A window over the component key would have the same skew with
+    * no runtime remedy, which is why family sizing downstream
+    * ([[graft.operators.Dedup.familiesFromPairs]]) is an aggregate + join,
+    * never a window.
     */
   def connectedComponents(vertices: DataFrame, simEdges: DataFrame,
       maxIter: Int = 15): DataFrame = {

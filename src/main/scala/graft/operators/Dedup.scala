@@ -173,17 +173,37 @@ object Dedup {
       threshold: Double = 0.3, maxBucket: Int = 50): DataFrame = {
     val pairs = minhashLshPairs(spark, dir, k, threshold, maxBucket)
       .select(col("a_id").as("src"), col("b_id").as("dst")).cache()
-    val vertices = pairs.select(col("src").as("id"))
-      .unionByName(pairs.select(col("dst").as("id"))).distinct()
-    val out = graft.domain.Consolidation.connectedComponents(vertices, pairs)
-      .withColumn("family_size",
-        count(lit(1)).over(Window.partitionBy(col("component"))))
-      .select(col("id").as("doc_id"), col("component").as("family"),
-        col("family_size"), (col("id") === col("component")).as("is_keeper"))
-      .orderBy("family", "doc_id")
+    val out = familiesFromPairs(pairs)
       .localCheckpoint() // materialize before releasing the pair cache
     pairs.unpersist()
     out
+  }
+
+  /** Family labeling over a verified near-dup PAIR graph: pointer-jumping
+    * connected components, then family size and keeper flag. Extracted so
+    * the mega-family skew probe can exercise exactly this stage with a
+    * planted 10^5-member component.
+    *
+    * family_size is a groupBy + join-back, NOT `count().over(partitionBy)`:
+    * a window moves every row of a family onto one task, and 100 TB
+    * web-crawl boilerplate families run 10^7-10^8 members — a guaranteed
+    * straggler. The aggregate pre-combines per map partition (a mega-family
+    * collapses to one row per partition before the shuffle), and the
+    * join-back reuses the same shuffle key. Output is bitwise-identical to
+    * the window form. The final orderBy stays: a range-partitioned global
+    * sort spreads a mega-family across tasks at (family, doc_id)
+    * boundaries, so it is NOT a skew point.
+    */
+  def familiesFromPairs(pairs: DataFrame): DataFrame = {
+    val vertices = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct()
+    val cc = graft.domain.Consolidation.connectedComponents(vertices, pairs)
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("family_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("family"),
+        col("family_size"), (col("id") === col("component")).as("is_keeper"))
+      .orderBy("family", "doc_id")
   }
 
   def minhashLshFamiliesSql(k: Int = 4, threshold: Double = 0.3,

@@ -170,6 +170,102 @@ object PipelineScaleProbe {
       longDocs.unpersist()
       docs.unpersist(); vecs.unpersist()
     }
+
+    // --- mega-family skew arm (r12 VERDICT item 1) -----------------------
+    // One planted family of 100k+1 twins (star pair graph: doc 0 paired
+    // with 1..n — the boilerplate shape LSH dedup meets on web crawls),
+    // run through the REAL family stage (Dedup.familiesFromPairs), with
+    // per-stage task skew printed. A/B: the old count().over(
+    // partitionBy(component)) form funnels every row of the family through
+    // ONE task (max/mean read ratio ~= numPartitions); the shipped
+    // groupBy+join form pre-combines per partition, so no stage reads the
+    // family on a single task.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val n = 100000L
+      // AQE off for this arm ONLY: at probe scale (100k narrow rows) AQE
+      // coalesces every exchange to one task, hiding the skew signature
+      // this arm exists to expose; a 10^8-row family at 100 TB is NOT
+      // coalesced, so the static 32-partition plan is the faithful shape.
+      val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = spark.range(1L, n + 1).select(
+        lit(0L).as("src"), col("id").as("dst"))
+        .unionByName(spark.range(1L, n, 97).select( // sparse extra edges
+          col("id").as("src"), (col("id") + 1).as("dst")))
+        .repartition(32).cache()
+      pairs.count()
+      val skew = new SkewListener
+      spark.sparkContext.addSparkListener(skew)
+      def runAndReport(label: String)(f: => Long): Unit = {
+        skew.reset()
+        val t0 = System.nanoTime()
+        val rows = f
+        Thread.sleep(1000) // let the listener bus drain task-end events
+        val worst = skew.worstStages(6)
+        println(f"[pipescale] $label ${(System.nanoTime() - t0) / 1e9}%7.2f s ($rows rows)")
+        worst.foreach { case (sid, name, nT, maxR, meanR) =>
+          println(f"[pipescale]   $label stage=$sid [$name] tasks=$nT maxReadRec=$maxR meanReadRec=$meanR%.0f skew=${maxR / math.max(meanR, 1.0)}%.1fx")
+        }
+      }
+      // force the family_size computation with sum(family_size): a bare
+      // count() lets ColumnPruning delete the unused Window (and would
+      // A/B an empty stage against a real one)
+      def groupbyForm(): Long = graft.operators.Dedup.familiesFromPairs(pairs)
+        .select(sum(col("family_size"))).collect().head.getLong(0)
+      def windowForm(): Long = {
+        // the pre-r13 shape, kept here ONLY as the skew baseline
+        val vertices = pairs.select(col("src").as("id"))
+          .unionByName(pairs.select(col("dst").as("id"))).distinct()
+        graft.domain.Consolidation.connectedComponents(vertices, pairs)
+          .withColumn("family_size",
+            count(lit(1)).over(Window.partitionBy(col("component"))))
+          .select(sum(col("family_size"))).collect().head.getLong(0)
+      }
+      runAndReport(s"lshfam_groupby_aqeoff n=$n")(groupbyForm())
+      runAndReport(s"lshfam_window_aqeoff  n=$n")(windowForm())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      runAndReport(s"lshfam_groupby_aqeon  n=$n")(groupbyForm())
+      runAndReport(s"lshfam_window_aqeon   n=$n")(windowForm())
+      spark.sparkContext.removeSparkListener(skew)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      pairs.unpersist()
+    }
     spark.stop()
   }
+}
+
+/** Per-stage task-skew collector: tracks shuffle-read records per task and
+  * reports the stages with the highest max/mean ratio — the straggler
+  * signature a skewed-key window produces.
+  */
+final class SkewListener extends org.apache.spark.scheduler.SparkListener {
+  import scala.collection.mutable
+  private val byStage = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
+  private val names = mutable.Map.empty[Int, String]
+  def reset(): Unit = synchronized { byStage.clear(); names.clear() }
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    synchronized {
+      val recs = Option(t.taskMetrics)
+        .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+      byStage.getOrElseUpdate(t.stageId, mutable.ArrayBuffer.empty) += recs
+    }
+  override def onStageCompleted(
+      s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    synchronized {
+      names(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
+    }
+  /** Top-k stages by max task read records:
+    * (stageId, name, nTasks, max, mean).
+    */
+  def worstStages(k: Int): Seq[(Int, String, Int, Long, Double)] =
+    synchronized {
+      byStage.toSeq
+        .filter { case (_, rs) => rs.nonEmpty && rs.max > 0 }
+        .map { case (sid, rs) =>
+          (sid, names.getOrElse(sid, "?").take(60), rs.size, rs.max,
+            rs.sum.toDouble / rs.size) }
+        .sortBy(-_._4).take(k)
+    }
 }

@@ -139,6 +139,39 @@ class DedupQualitySpec extends AnyFunSuite {
       "keeper = min member only")
   }
 
+  test("lsh families: planted mega-family — groupBy+join family_size is " +
+    "bitwise-identical to the window form and sizes the whole component") {
+    import spark.implicits._
+    // The 100 TB failure shape in miniature: ONE family with 5000 twins
+    // (star pair graph around doc 0) plus a detached 3-chain. The shipped
+    // groupBy(component).count()+join form must agree bitwise with the
+    // count().over(partitionBy(component)) form it replaced; the skew
+    // difference at 100k members is measured in PipelineScaleProbe's
+    // lshfam arms (the window funnels the family through one task).
+    val mega = (1L to 5000L).map(i => (0L, i))
+    val chain = Seq((9001L, 9002L), (9002L, 9003L))
+    val pairs = (mega ++ chain).toDF("src", "dst")
+    val got = Dedup.familiesFromPairs(pairs)
+    val window = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    val vertices = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct()
+    val old = graft.domain.Consolidation.connectedComponents(vertices, pairs)
+      .withColumn("family_size", count(lit(1)).over(window))
+      .select(col("id").as("doc_id"), col("component").as("family"),
+        col("family_size"), (col("id") === col("component")).as("is_keeper"))
+    assert(got.exceptAll(old).isEmpty && old.exceptAll(got).isEmpty,
+      "groupBy+join form must be bitwise-identical to the window form")
+    val rows = got.collect()
+    assert(rows.count(_.getAs[Long]("family") == 0L) == 5001)
+    assert(rows.filter(_.getAs[Long]("family") == 0L)
+      .forall(_.getAs[Long]("family_size") == 5001L))
+    assert(rows.filter(_.getAs[Long]("family") == 9001L)
+      .forall(_.getAs[Long]("family_size") == 3L))
+    assert(rows.filter(_.getAs[Boolean]("is_keeper"))
+      .map(_.getAs[Long]("doc_id")).toSet == Set(0L, 9001L))
+  }
+
   test("softdedup: duplicated content is downweighted, rare content " +
     "upweighted, and the normalized weights conserve mass") {
     import spark.implicits._
