@@ -222,6 +222,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     def latencyCanary(): Double = {
+      // capture-and-restore, not restore-to-assumed-defaults: a hardcoded
+      // restore drifts silently the day the session baseline changes
+      val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "1")
       try {
@@ -229,8 +233,8 @@ object Bench {
         val runs = (1 to 50).map(_ => latencyCanaryOnce()).sorted
         runs(runs.size / 2)
       } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", priorParts)
       }
     }
     val latencyCanaryStartMs = latencyCanary()
@@ -448,6 +452,13 @@ object Bench {
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
     println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    // Compact headline record, printed LAST (VERDICT r12 item 2): the
+    // driver's bench artifact keeps only the tail of stdout, and the full
+    // record above is one ~8 KB line whose leading headline fields
+    // (canaries, serving pins) fall outside a 2000-char tail. This second
+    // line repeats ONLY the adjudicable pins so they always land inside
+    // the tail window regardless of how many queries the full record grew.
+    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
