@@ -105,6 +105,79 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
       .agg(sum("n")).head.getLong(0) == 4L)
   }
 
+  test("fpstore compaction: folded store still cross-batch-dedups, replay " +
+    "stays idempotent, and the fingerprint set is unchanged (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fpcomp").toString
+    val twin = "the cat and dog of the house is happy with all the good " +
+      "things around here today"
+    def batchDf(id: Long, text: String) =
+      Seq((id, text, "web")).toDF("doc_id", "text", "source")
+    def uniqueText(i: Long) = s"unique document number $i about the " +
+      s"morning walk in the park with friends and family member $i here"
+    // batches 0..5: twin in batch 0, unique content after
+    graft.streaming.StreamingIngest.pipelineBatch(
+      batchDf(0L, twin), 0L, s"$tmp/out")
+    (1L to 5L).foreach { i =>
+      graft.streaming.StreamingIngest.pipelineBatch(
+        batchDf(i * 10, uniqueText(i)), i, s"$tmp/out")
+    }
+    val store = s"$tmp/out/fpstore"
+    def partIds() = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted.toSeq
+    assert(partIds() == (0L to 5L), s"got ${partIds()}")
+    val fpsBefore = spark.read.parquet(store).select("fp")
+      .distinct().as[String].collect().toSet
+    // force compaction (pressure threshold 2 < 6 partitions) as batch 6
+    // would: fold ids 0..5 into the max folded id (5)
+    graft.streaming.StreamingIngest.compactFpStore(
+      spark, store, upToExclusive = 6L, maxPartitions = 2)
+    assert(partIds() == Seq(5L), s"got ${partIds()}")
+    assert(spark.read.parquet(store).select("fp")
+      .distinct().as[String].collect().toSet == fpsBefore,
+      "compaction must change layout, never the fingerprint set")
+    // the folded store still catches the batch-0 twin arriving in batch 6
+    graft.streaming.StreamingIngest.pipelineBatch(
+      batchDf(100L, twin), 6L, s"$tmp/out")
+    val funnel6 = spark.read.parquet(s"$tmp/out/funnel")
+      .filter($"batch_id" === 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel6.get("e_cross_batch_dup").contains(1L), s"got $funnel6")
+    // replay of batch 6 (compaction now a no-op: only partition 5 is
+    // below it besides its own) must leave every output unchanged
+    val keptBefore = spark.read.parquet(s"$tmp/out/kept").count()
+    graft.streaming.StreamingIngest.pipelineBatch(
+      batchDf(100L, twin), 6L, s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out/kept").count() == keptBefore)
+    assert(spark.read.parquet(s"$tmp/out/funnel")
+      .filter($"batch_id" === 6).agg(sum("n")).head.getLong(0) == 1L)
+  }
+
+  test("fpstore read failure fails the micro-batch instead of silently " +
+    "skipping cross-batch dedup (r13, ADVICE)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fperr").toString
+    val b = Seq((1L, "a perfectly fine document about the morning walk in " +
+      "the park with the dog", "web")).toDF("doc_id", "text", "source")
+    graft.streaming.StreamingIngest.pipelineBatch(b, 0L, s"$tmp/out")
+    // corrupt the store: a parquet file that isn't parquet
+    val part = new java.io.File(s"$tmp/out/fpstore").listFiles()
+      .find(_.getName.startsWith("batch_id=")).get
+    part.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not parquet".getBytes)
+    }
+    intercept[Exception] {
+      graft.streaming.StreamingIngest.pipelineBatch(
+        Seq((2L, "another fine document about the evening walk in the " +
+          "park with the cat", "web")).toDF("doc_id", "text", "source"),
+        1L, s"$tmp/out")
+      // force evaluation path: pipelineBatch writes eagerly, so reaching
+      // here without throwing means the corrupt read was swallowed
+    }
+  }
+
   test("streaming twin catches a duplicate across two separate " +
     "micro-batches end-to-end") {
     import spark.implicits._
