@@ -476,6 +476,10 @@ object TextAnalysis {
     val counts = documents
       .select(col("source"), tokenCount(col("text")).as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).cast("long").as("tokens"))
+      // a zero-token source has nothing to allocate and would make the
+      // epochs division 0/0 = NaN (cross-engine NaN behavior is
+      // undefined); it leaves the allocation entirely, mirrored in SQL
+      .filter(col("tokens") > 0L)
       .withColumn("cap_u", col("tokens") * maxEpochsMicro)
     // <= |sources| rows from here on — the single-partition windows are
     // deliberate (same as temperatureMix)
@@ -507,7 +511,8 @@ object TextAnalysis {
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
            AS BIGINT) AS tokens FROM documents GROUP BY 1),
-       c AS (SELECT source, tokens, tokens * $maxEpochsMicro AS cap_u FROM tc),
+       c AS (SELECT source, tokens, tokens * $maxEpochsMicro AS cap_u
+         FROM tc WHERE tokens > 0),
        w AS (SELECT source, tokens, cap_u,
            row_number() OVER o AS r, count(*) OVER () AS n,
            coalesce(sum(cap_u) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING

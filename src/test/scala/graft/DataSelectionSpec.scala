@@ -192,6 +192,27 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
   }
 
+  test("unimax: a zero-token source leaves the allocation entirely — no " +
+    "NaN epochs, other allocations as if it never existed (r13, ADVICE)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, Seq.fill(n)("w").mkString(" "))
+    val base = Seq(doc(1, "s1", 10), doc(2, "s2", 20), doc(3, "s3", 100),
+      doc(4, "s4", 100))
+    val withEmpty = (base :+ ((5L, "sempty", "")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.unimaxMix(withEmpty, budgetTokens = 100L,
+      maxEpochsMicro = 2000000L).collect()
+    assert(!out.exists(_.getAs[String]("source") == "sempty"),
+      "zero-token source must not appear")
+    assert(out.forall(r => !r.getAs[Double]("epochs").isNaN))
+    val ref = TextAnalysis.unimaxMix(base.toDF("doc_id", "source", "text"),
+      budgetTokens = 100L, maxEpochsMicro = 2000000L).collect()
+    assert(out.map(_.toString).sorted.sameElements(ref.map(_.toString).sorted),
+      "allocation must match the fixture without the empty source")
+  }
+
   test("unimax: epoch cap binds everywhere when the budget exceeds " +
     "total capacity — allocation underfills, never over-repeats") {
     import graft.operators.TextAnalysis
