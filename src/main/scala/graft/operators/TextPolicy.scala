@@ -719,23 +719,52 @@ object TextPolicy {
     * isnotnull filter cannot un-canonicalize the shared aggregate. The
     * weight table is VOCABULARY-sized (unlike DSIR's fixed-bucket table):
     * at these SFs it broadcasts via AQE; at 100 TB whitespace vocabulary
-    * is unbounded, so the scoring join becomes a shuffle join on the token
-    * — still linear — or the vocabulary gets df-capped / feature-hashed
-    * (then this op degenerates to DSIR's bucketed form). No stage is more
-    * than linear in the corpus.
+    * is unbounded, so either the scoring join becomes a shuffle join on
+    * the token — still linear — or pass `hashBuckets = Some(n)` for the
+    * FEATURE-HASHED form (the hashing trick, Weinberger et al. 2009 ICML;
+    * the DSIR bucketed idiom): tokens map to `xxhash64 mod n` buckets, the
+    * weight table is bounded at n rows and ALWAYS broadcasts, at the cost
+    * of hash-collision noise in the weights. Kept-set agreement vs the
+    * exact form is spec-measured at sf0.01 and probe-measured at 100k
+    * docs (QualityScaleSpec / PipelineScaleProbe `quality_clf_hN`). No
+    * stage is more than linear in the corpus either way.
     */
   def qualityClassifier(spark: SparkSession, dir: String,
       positiveSources: Seq[String] = Seq("src0", "src1", "src2"),
       alpha: Double = 9.0): DataFrame =
     qualityClassifier(Tables.documents(spark, dir), positiveSources, alpha)
 
-  /** DataFrame-parametric form — needs (doc_id, source, text). */
+  /** DataFrame-parametric form — needs (doc_id, source, text). Exact
+    * vocabulary — the oracle-gated default.
+    */
   def qualityClassifier(documents: DataFrame, positiveSources: Seq[String],
-      alpha: Double): DataFrame = {
-    val dtc = documents
+      alpha: Double): DataFrame =
+    qualityClassifierImpl(documents, positiveSources, alpha, None)
+
+  /** At-scale feature-hashed form (the hashing trick): tokens map to
+    * `xxhash64 mod buckets` features, bounding the weight table at
+    * `buckets` rows so it always broadcasts regardless of corpus
+    * vocabulary, at the cost of collision noise in the weights.
+    */
+  def qualityClassifierHashed(documents: DataFrame,
+      positiveSources: Seq[String], alpha: Double, buckets: Int): DataFrame =
+    qualityClassifierImpl(documents, positiveSources, alpha, Some(buckets))
+
+  private def qualityClassifierImpl(documents: DataFrame,
+      positiveSources: Seq[String], alpha: Double,
+      hashBuckets: Option[Int]): DataFrame = {
+    // a generator must sit top-level in its select; the hashed feature
+    // maps the exploded token in a second projection
+    val exploded = documents
       .select(col("doc_id"),
         col("source").isInCollection(positiveSources).as("pos"),
-        explode(tokens(col("text"))).as("w"))
+        explode(tokens(col("text"))).as("tok"))
+    val feature = hashBuckets match {
+      case Some(n) => pmod(xxhash64(col("tok")), lit(n.toLong))
+      case None => col("tok")
+    }
+    val dtc = exploded
+      .select(col("doc_id"), col("pos"), feature.as("w"))
       .groupBy(col("doc_id"), col("pos"), col("w"))
       .agg(count(lit(1)).as("cnt"))
     val vocab = dtc.groupBy(col("w")).agg(

@@ -150,6 +150,14 @@ object PipelineScaleProbe {
         graft.operators.TextPolicy
           .qualityClassifier(srcDocs, Seq("s0", "s1"), 9.0).count()
       }
+      // feature-hashed at-scale form (r12 VERDICT item 4): bounded 4096-row
+      // weight table (always broadcastable) vs the unbounded-vocabulary
+      // exact form above
+      time(s"quality_clf_h4096 n=$n") {
+        graft.operators.TextPolicy
+          .qualityClassifierHashed(srcDocs, Seq("s0", "s1"), 9.0, 4096)
+          .count()
+      }
       time(s"unimax      n=$n") {
         graft.operators.TextAnalysis
           .unimaxMix(srcDocs, budgetTokens = n, maxEpochsMicro = 800000L)

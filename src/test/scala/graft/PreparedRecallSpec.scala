@@ -78,6 +78,24 @@ class PreparedRecallSpec extends AnyFunSuite {
     } finally prepared.close()
   }
 
+  test("every reachable serve class is pre-built at prepare time — no " +
+    "first-query lazy build (r13)") {
+    import spark.implicits._
+    val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),
+      limit = 5, now = now)
+    try {
+      // one representative query per class, none equal to the prepare
+      // markers; "unbuilt" would mean a lazy build still waits on the
+      // first request of that class
+      for (q <- Seq("postgres database", "memory memories", "for the",
+          "ml the", "", "ml")) {
+        val diag = prepared.fastPathDiagnosis(q)
+        assert(diag != "unbuilt",
+          s"class of '$q' must be pre-built at prepare time, got: $diag")
+      }
+    } finally prepared.close()
+  }
+
   test("prepared recall accepts a caller-supplied query vector") {
     import spark.implicits._
     val prepared = new PreparedRecall(memories, Seq.empty[Edge].toDF(),

