@@ -327,6 +327,26 @@ object StreamingIngest {
     * batches are O(batch) frozen-quantizer appends with pressure-gated
     * compaction via [[graft.operators.IvfIndex.appendWithMaintenance]].
     *
+    * Quantizer STALENESS under drift, measured (tools.IvfDriftProbe, 50%
+    * of the corpus appended from a shifted distribution over 5 batches,
+    * k=16 cells, queries from the drifted distribution): reduced-probe
+    * recall@10 (nprobe 4/16) drops 0.106 vs a fresh rebuild when the
+    * drifted neighborhoods STRADDLE frozen cell boundaries (frozen 0.894
+    * / rebuilt 1.000), but loses NOTHING when the drifted content forms
+    * tight new clusters (1.000/1.000) — coherent drift routes
+    * consistently even through badly-fitting centroids. The cheap
+    * ground-truth-free signal is the assignment-fit ratio — mean assigned
+    * squared distance of an appended batch against the frozen centroids,
+    * over the build set's own mean ([[graft.operators.KMeans.assign]]'s
+    * `dist` column; probe: ratio ~170 in both drift regimes vs ~1 for
+    * in-distribution appends). It detects DRIFT, not straddling, so it is
+    * necessary-but-not-sufficient: recommended policy is to track the
+    * ratio per batch and schedule an OFFLINE rebuild (build new, swap
+    * path) once it stays >>1 across a sustained appended fraction
+    * (>=~25%), accepting that coherent-drift rebuilds are wasted work —
+    * distinguishing the two regimes needs ground-truth recall, which a
+    * production stream does not have.
+    *
     * Delivery contract, stated honestly: foreachBatch is at-least-once on
     * restart and a plain parquet append is not transactional. A per-batch
     * COMMIT MARKER (`indexPath/_stream_commits/<batchId>`), written after
