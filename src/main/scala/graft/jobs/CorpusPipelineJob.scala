@@ -79,6 +79,71 @@ object CorpusPipelineJob {
     PipelineOutputs(kept, funnel, profile, shards, staged)
   }
 
+  /** Knobs for the opt-in data-SELECTION stage that runs after hygiene:
+    * GPT-3-style quality classifier keep (TextPolicy.qualityClassifier) →
+    * SoftDedup reweighting of the survivors (Dedup.softDedupWeights) →
+    * UniMax epoch-capped mixture allocation over the surviving sources
+    * (TextAnalysis.unimaxMix).
+    */
+  final case class SelectionConfig(
+      positiveSources: Seq[String],
+      paretoAlpha: Double = 9.0,
+      budgetTokens: Long = 20000L,
+      maxEpochsMicro: Long = 800000L)
+
+  /** [[PipelineOutputs]] plus the selection stage's three relations:
+    * `selected` — classifier-kept survivors with (score, sd_weight);
+    * `mixture` — the UniMax per-source allocation over them; `funnel` —
+    * the hygiene funnel EXTENDED with the classifier drop (stage
+    * `s_classifier_drop`), so the stage counts still sum to the input
+    * corpus: hygiene's `kept` row is replaced by the classifier split.
+    */
+  final case class SelectionOutputs(base: PipelineOutputs,
+      selected: DataFrame, mixture: DataFrame, funnel: DataFrame) {
+    def release(): Unit = base.release()
+  }
+
+  /** The full LLM-data-prep path in one call (VERDICT r12 item 8):
+    * hygiene→redact→URL→pack via [[run]], then the selection chain over
+    * its survivors. Each stage is the same oracle-gated operator the
+    * library exposes individually; this adds only composition and the
+    * extended funnel. Input needs (doc_id, source, text).
+    */
+  def runWithSelection(documents: DataFrame, sel: SelectionConfig,
+      tokenBudget: Double = 500.0,
+      priorFingerprints: Option[DataFrame] = None): SelectionOutputs = {
+    val base = run(documents, tokenBudget, priorFingerprints)
+    // classify on the ORIGINAL kept text semantics: kept carries redacted
+    // text, which is what ships downstream — score what ships
+    val verdicts = graft.operators.TextPolicy
+      .qualityClassifier(base.kept, sel.positiveSources, sel.paretoAlpha)
+      .select(col("doc_id"), col("score"), col("keep"))
+    val judged = base.kept.join(verdicts, Seq("doc_id"))
+    val survivors = judged.filter(col("keep")).drop("keep")
+    // softDedupWeights emits one row per input doc (shingle-less docs get
+    // weight 1.0 internally), so the join is lossless
+    val weights = graft.operators.Dedup
+      .softDedupWeights(survivors, sharpness = 0.25)
+      .select(col("doc_id"), col("norm_weight").as("sd_weight"))
+    val selected = survivors.join(weights, Seq("doc_id"))
+    val mixture = graft.operators.TextAnalysis
+      .unimaxMix(selected, sel.budgetTokens, sel.maxEpochsMicro)
+    // extended funnel: hygiene's `kept` row splits into the classifier
+    // survivors (new `kept`) and `s_classifier_drop`; totals conserve
+    val dropped = judged.filter(!col("keep"))
+    val funnel = base.funnel.filter(col("stage") =!= "kept")
+      .unionByName(survivors.agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("first_doc"))
+        .select(lit("kept").as("stage"), col("n"), col("first_doc")))
+      .unionByName(dropped.agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("first_doc"))
+        .select(lit("s_classifier_drop").as("stage"), col("n"),
+          col("first_doc")))
+      .filter(col("n") > 0)
+      .orderBy("stage")
+    SelectionOutputs(base, selected, mixture, funnel)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusPipelineJob <documentsPath> <outRoot> [tokenBudget]")

@@ -42,6 +42,48 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     out.release()
   }
 
+  test("selection stage composes classifier keep -> soft-dedup weight -> " +
+    "UniMax mixture over survivors with a conserving funnel (r13)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = CorpusPipelineJob.runWithSelection(docs,
+      CorpusPipelineJob.SelectionConfig(
+        positiveSources = Seq("src0", "src1", "src2")))
+    try {
+      val total = docs.count()
+      val funnelRows = out.funnel.collect()
+      // the extended funnel still conserves the corpus: hygiene stages +
+      // classifier split account for every input doc exactly once
+      assert(funnelRows.map(_.getLong(1)).sum == total,
+        s"funnel must conserve: ${funnelRows.mkString(", ")}")
+      val selRows = out.selected.collect()
+      assert(selRows.nonEmpty, "some survivors must pass the classifier")
+      assert(selRows.length == funnelRows
+        .find(_.getString(0) == "kept").map(_.getLong(1)).get,
+        "selected must equal the funnel's kept row")
+      val hygieneKept = CorpusPipelineJob.run(docs)
+      val hygieneKeptN = hygieneKept.kept.count()
+      hygieneKept.release()
+      val clfDropped = funnelRows
+        .find(_.getString(0) == "s_classifier_drop").map(_.getLong(1))
+        .getOrElse(0L)
+      assert(selRows.length + clfDropped == hygieneKeptN,
+        "classifier split must partition the hygiene survivors")
+      // every selected doc carries a positive sd_weight, and the weights
+      // average to ~1 (SoftDedup conserves mass over the scored set)
+      assert(selRows.forall(_.getAs[Double]("sd_weight") > 0))
+      val meanW = selRows.map(_.getAs[Double]("sd_weight")).sum /
+        selRows.length
+      assert(math.abs(meanW - 1.0) < 0.01, s"mean norm weight: $meanW")
+      // the mixture covers exactly the surviving sources and its shares
+      // sum to <= 1 (== 1 when any source is uncapped)
+      val mixRows = out.mixture.collect()
+      assert(mixRows.map(_.getAs[String]("source")).toSet ==
+        selRows.map(_.getAs[String]("source")).toSet)
+      val shareSum = mixRows.map(_.getAs[Double]("mix_share")).sum
+      assert(shareSum <= 1.0 + 1e-6, s"shares sum: $shareSum")
+    } finally out.release()
+  }
+
   test("streaming pipeline twin appends kept + batch-tagged funnel rows") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-pipes").toString
