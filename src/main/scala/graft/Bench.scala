@@ -285,8 +285,13 @@ object Bench {
     val (singleRecall10kAdhocMs, singleRecall10kPrepareMs, singleRecall10kMs,
         singleRecall10kReplanMs, singleRecallFastPath) = {
       // a 10k-row corpus does not want 32 cache partitions: every scan
-      // stage would pay 32 task launches for ~300 rows each
-      val memories = tools.LabCorpus.corpus(spark).repartition(4).cache()
+      // stage would pay 32 task launches for ~300 rows each. ONE partition
+      // measured fastest end-to-end at this corpus size (r13 A/B via
+      // SERVE_PARTS: exec 213-257 ms at 1 vs 256-276 at 4 — the two
+      // per-call candidate scans each drop a 4-task wave to one task);
+      // the corpus fits one partition comfortably, and the scan stays
+      // parallel at real corpus sizes where it matters.
+      val memories = tools.LabCorpus.corpus(spark).repartition(1).cache()
       memories.count()
       val qs = tools.LabCorpus.questions.map(_.query)
       // collect(), not count(): a serving caller materializes the rows, and

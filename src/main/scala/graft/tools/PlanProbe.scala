@@ -79,6 +79,45 @@ object PlanProbe {
     (3 to 7).foreach { i =>
       println(s"[fast-decomp $mode] ${prepared.fastDecomp(LabCorpus.questions(i).query)}")
     }
+
+    // per-JOB anatomy of one fast call: job descriptions/callsites name
+    // the region (broadcast exchange build vs shuffle vs final collect),
+    // and per-stage task counts + times show where the wall-clock sits
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        jobs.put(j.jobId, desc.take(90))
+        jobStages.put(j.jobId, j.stageInfos.map(_.stageId))
+      }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+        val recs = i.taskMetrics.shuffleReadMetrics.recordsRead
+        stageMs.put(i.stageId, (ms, i.numTasks, recs))
+      }
+    })
+    val qq = LabCorpus.questions.map(_.query)
+    (8 to 10).foreach(i => prepared.fastRecall(qq(i)).foreach(_.count()))
+    Thread.sleep(400); jobs.clear(); jobStages.clear(); stageMs.clear()
+    val ta0 = System.nanoTime()
+    prepared.fastRecall(qq(11)).foreach(_.collect())
+    val taEl = (System.nanoTime() - ta0) / 1e6
+    Thread.sleep(600)
+    println(f"[anatomy] one fast call $taEl%7.1f ms, ${jobs.size} jobs:")
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toSeq.sortBy(_._1).foreach { case (jid, desc) =>
+      val st = jobStages.getOrDefault(jid, Seq.empty)
+      val detail = st.sorted.map { sid =>
+        stageMs.asScala.get(sid).map { case (ms, nt, rr) =>
+          f"s$sid:${ms}ms/${nt}t/${rr}r" }.getOrElse(s"s$sid:skipped")
+      }.mkString(" ")
+      println(f"  job $jid%3d  $detail  [$desc]")
+    }
     spark.stop()
   }
 }
