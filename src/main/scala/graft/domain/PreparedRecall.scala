@@ -586,8 +586,29 @@ class PreparedRecall(
             org.apache.spark.sql.execution.exchange.ReusedExchangeExec(
               e.output, e)
         }
+      // DRIVER-LOCAL request broadcasts (r13): a request-side
+      // BroadcastExchangeExec whose child is a bare feed LocalTableScan
+      // still pays a 1-task collect JOB per call for rows the swap just
+      // materialized on the driver. LocalTableBroadcastExec collects via
+      // LocalTableScanExec.executeCollect (job-free) and builds the
+      // relation driver-side exactly like the stock exchange's future
+      // does — removing four jobs (and their submit round-trips) from
+      // every fast call. GRAFT_FAST_NOLOCALBC=1 restores the stock
+      // exchanges for A/B.
+      // env for process-level A/B, system property for same-process
+      // interleaved A/B (ServePartsProbe-style, set per handle build)
+      val physLocalBc =
+        if (sys.env.contains("GRAFT_FAST_NOLOCALBC") ||
+          sys.props.contains("graft.fast.nolocalbc")) physShared
+        else physShared.transformUp {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+              if b.child.isInstanceOf[LocalTableScanExec] &&
+                hasFeedScan(b.child) =>
+            org.apache.spark.sql.graftshim.LocalTableBroadcastExec(
+              b.mode, b.child)
+        }
       val candidate =
-        FastState(physShared, physShared.output, subtrees, subNames, feeds,
+        FastState(physLocalBc, physLocalBc.output, subtrees, subNames, feeds,
           absent)
       fastCandidates.put(cls, candidate)
       // end-to-end validation across the query classes: every query the
