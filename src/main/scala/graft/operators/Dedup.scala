@@ -782,6 +782,131 @@ object Dedup {
   def substringDupSpansPaper(docs: DataFrame): DataFrame =
     substringDupSpansDf(docs, n = 50, hashed = true)
 
+  def substringDedupApply(spark: SparkSession, dir: String, n: Int = 8,
+      hashed: Boolean = false): DataFrame =
+    substringDedupApplyDf(Tables.documents(spark, dir), n, hashed)
+
+  /** The APPLY step of exact-substring dedup (Lee et al. 2022 §4.1 —
+    * their pipeline does not just FIND duplicated substrings, it removes
+    * all but one occurrence from the corpus before training): rewrite
+    * each document with its duplicated spans cut out, keeping the FIRST
+    * corpus occurrence of every duplicated n-gram (first = minimal
+    * (doc_id, pos) — deterministic and oracle-checkable, where the
+    * paper's tool keeps an arbitrary one). Non-first occurrences become
+    * spans, touching/overlapping spans merge per document (same maximal-
+    * run logic as [[substringDupSpansDf]]), covered tokens are dropped,
+    * and the text is reconstructed from the survivors in position order.
+    *
+    * Scale shape: first-occurrence detection is `min(struct(doc_id,pos))`
+    * grouped by gram — a combiner-friendly aggregate joined back on the
+    * same key, NEVER `row_number over (partition by gram)`: a boilerplate
+    * gram duplicated 10^8 times would put every occurrence on one window
+    * task, while the aggregate collapses it to one row per partition (the
+    * oracle uses the window form — fine at oracle SF). `hashed = true`
+    * runs the duplicate-gram detection on xxhash64 with exact-string
+    * verification, exactly like [[substringDupSpansDf]]. Span explosion
+    * is O(duplicate tokens) and reconstruction is one combiner aggregate
+    * per doc.
+    */
+  def substringDedupApplyDf(docs: DataFrame, n: Int,
+      hashed: Boolean): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gramCols = (1 until n).map(i => lead(col("tok"), i).over(w))
+    val grams = toks
+      .withColumn("g", concat_ws(" ", col("tok") +: gramCols: _*))
+      .withColumn("_last", gramCols.last)
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("g"))
+    val gramsForCount =
+      if (!hashed) grams
+      else {
+        // hash phase bounds the string shuffle to hash-duplicated
+        // positions, as in substringDupSpansDf
+        val hGrams = grams.withColumn("h", xxhash64(col("g")))
+        val dupH = hGrams.groupBy(col("h"))
+          .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("h")
+        hGrams.join(dupH, Seq("h")).drop("h")
+      }
+    val firsts = gramsForCount.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+      .select(col("g"), col("first"))
+    val dupStarts = gramsForCount.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + n - 1).cast("long").as("e"))
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevEnd = max(col("e"))
+      .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupStarts
+      .withColumn("new_span",
+        when(col("s") > coalesce(prevEnd, lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(ws))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("ss"), col("se"))).as("pos"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("text_dedup"))
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[substringDedupApply]] at n = 8 (window form for
+    * first-occurrence detection — oracle SF only; see the Spark form's
+    * scale note).
+    */
+  val substringDedupApplySql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       g AS (SELECT doc_id, i AS pos,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+           tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS gm
+         FROM t, unnest(range(1, len(tk) - 6)) AS r(i)
+         WHERE len(tk) >= 8),
+       rk AS (SELECT doc_id, pos, gm,
+           count(*) OVER (PARTITION BY gm) AS occ,
+           row_number() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn
+         FROM g),
+       ds AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM rk
+         WHERE occ >= 2 AND rn >= 2),
+       m AS (SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS new_span FROM ds),
+       sp AS (SELECT doc_id, s, e,
+           sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+         FROM m),
+       spans AS (SELECT doc_id, span_id, min(s) AS ss, max(e) AS se
+         FROM sp GROUP BY 1, 2),
+       cov AS (SELECT doc_id, unnest(range(ss, se + 1)) AS pos FROM spans),
+       tokpos AS (SELECT doc_id, i AS pos, tk[i] AS tok
+         FROM t, unnest(range(1, len(tk) + 1)) AS r(i)),
+       kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+         LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         WHERE c.doc_id IS NULL),
+       rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+         FROM kept GROUP BY 1)
+       SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         coalesce(rb.kept_tokens, 0) AS kept_tokens,
+         coalesce(rb.text_dedup, '') AS text_dedup
+       FROM t LEFT JOIN rb USING (doc_id) ORDER BY t.doc_id"""
+
   /** DuckDB mirror of [[substringDupSpans]] at n = 8. */
   val substringDupSpansSql: String =
     raw"""WITH t AS (SELECT doc_id,

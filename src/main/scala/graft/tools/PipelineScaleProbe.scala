@@ -175,6 +175,12 @@ object PipelineScaleProbe {
         graft.operators.Dedup
           .substringDupSpansDf(longDocs, n = 50, hashed = false).count()
       }
+      // the APPLY step (r13): cut the duplicated runs, keep-first —
+      // hashed detection + span explosion + per-doc rebuild
+      time(s"xsubapply50 n=$n") {
+        graft.operators.Dedup
+          .substringDedupApplyDf(longDocs, n = 50, hashed = true).count()
+      }
       longDocs.unpersist()
       docs.unpersist(); vecs.unpersist()
     }

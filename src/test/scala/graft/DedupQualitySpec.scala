@@ -172,6 +172,39 @@ class DedupQualitySpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(0L, 9001L))
   }
 
+  test("exact-substring APPLY: first corpus occurrence keeps its text, " +
+    "later twins lose the duplicated run, hashed form is identical (r13)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("xsubap").toString
+    // doc 1: unique prefix + a 10-token run; doc 2: different prefix +
+    // the SAME run (later -> loses it); doc 3: fully unique (unchanged)
+    val run = (0 until 10).map(i => s"dup$i")
+    val d1 = (0 until 5).map(i => s"a$i") ++ run
+    val d2 = (0 until 5).map(i => s"b$i") ++ run
+    val d3 = (0 until 15).map(i => s"c$i")
+    Seq((1L, d1), (2L, d2), (3L, d3))
+      .map { case (id, ts) =>
+        (id, "en", "src0", ts.mkString(" "), ts.mkString(" ").length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.substringDedupApply(spark, tmp, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[String]("text_dedup")))).toMap
+    assert(out(1L) == ((15L, d1.mkString(" "))),
+      s"first occurrence keeps everything: ${out(1L)}")
+    // doc 2's duplicated-gram starts are run positions 0..2 (8-grams fit
+    // at offsets 5..7 of a 15-token doc) -> merged span covers the whole
+    // 10-token run
+    assert(out(2L) == ((5L, (0 until 5).map(i => s"b$i").mkString(" "))),
+      s"later twin must lose the duplicated run: ${out(2L)}")
+    assert(out(3L) == ((15L, d3.mkString(" "))), s"unique doc: ${out(3L)}")
+    // hashed form is result-identical by construction
+    val hashed = Dedup.substringDedupApply(spark, tmp, n = 8, hashed = true)
+    val strForm = Dedup.substringDedupApply(spark, tmp, n = 8)
+    assert(hashed.exceptAll(strForm).isEmpty &&
+      strForm.exceptAll(hashed).isEmpty)
+  }
+
   test("softdedup: duplicated content is downweighted, rare content " +
     "upweighted, and the normalized weights conserve mass") {
     import spark.implicits._
