@@ -70,6 +70,7 @@ object SparkEntry {
     "q_batch_recall_100q" -> (RecallPipeline.batchRecall100 _),
     "q_bm25_topk" -> (TextSearch.bm25Query _),
     "q_shard_pack" -> (TextAnalysis.shardPack _),
+    "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_boilerplate" -> ((s, d) => TextPolicy.boilerplateFlags(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_lsh_cc" -> ((s, d) => Dedup.minhashLshFamilies(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "q_batch_recall_100q" -> RecallPipeline.batchRecall100Sql,
     "q_bm25_topk" -> TextSearch.bm25Sql,
     "q_shard_pack" -> TextAnalysis.shardPackSql,
+    "q_source_overlap" -> TextAnalysis.sourceOverlapSql,
     "q_boilerplate" -> TextPolicy.boilerplateFlagsSql,
     "q_pii_redact" -> TextPolicy.piiRedactSql,
     "q_contamination" -> TextPolicy.contaminationSql,

@@ -930,4 +930,79 @@ object TextAnalysis {
            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        FROM documents d JOIN q ON q.source = d.source
        GROUP BY 1, 2, 3, 4 ORDER BY 1"""
+
+  /** Cross-source content-overlap matrix (r13): for every source pair,
+    * the count of distinct word-3-grams they SHARE and the Jaccard of
+    * their shingle sets — the inter-source contamination diagnostic a
+    * mixture recipe wants before weighting sources independently (two
+    * mirrors of the same crawl would otherwise be double-counted by every
+    * per-source allocator: UniMax, DoReMi, temperature mixing). Distinct
+    * from [[graft.operators.TextPolicy.contamination]], which screens the
+    * corpus against a known BENCHMARK list; this screens the corpus
+    * against itself, source-pairwise.
+    *
+    * Scale shape: one shingle pass -> distinct (source, shingle) — both
+    * combiner-friendly; the pair stage joins the deduped table with
+    * itself ON THE SHINGLE, so the quadratic term is bounded by
+    * (sources-per-shingle choose 2) per shingle — sources are a bounded
+    * set (unlike documents), so the join output is at most |sources|^2 x
+    * distinct shingles, and in practice shared-shingle mass. No window,
+    * no corpus self-join.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — needs (doc_id, source, text). */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    // shingles derive per DOCUMENT (a lead over source-pooled tokens would
+    // fabricate grams across doc boundaries), then dedup to (source, sh)
+    val docToks = documents.select(col("doc_id"), col("source"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = docToks
+      .withColumn("t1", lead(col("tok"), 1).over(wd))
+      .withColumn("t2", lead(col("tok"), 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(col("source"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(totals.select(col("source").as("source_a"),
+        col("n_sh").as("a_total")), Seq("source_a"))
+      .join(totals.select(col("source").as("source_b"),
+        col("n_sh").as("b_total")), Seq("source_b"))
+      .withColumn("jaccard", graft.functions.round4(
+        col("shared").cast("double") /
+          (col("a_total") + col("b_total") - col("shared"))))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("a_total"), col("b_total"), col("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]]. */
+  val sourceOverlapSql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       shex AS (SELECT DISTINCT source,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+         FROM t, unnest(range(1, len(tk) - 1)) AS r(i) WHERE len(tk) >= 3),
+       tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM shex
+         GROUP BY 1),
+       p AS (SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared
+         FROM shex a JOIN shex b ON a.sh = b.sh AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT p.source_a, p.source_b, p.shared,
+         ta.n_sh AS a_total, tb.n_sh AS b_total,
+         round(p.shared * 1.0 / (ta.n_sh + tb.n_sh - p.shared) + 1e-9, 4)
+           + 0.0 AS jaccard
+       FROM p JOIN tot ta ON ta.source = p.source_a
+       JOIN tot tb ON tb.source = p.source_b
+       ORDER BY 1, 2"""
 }
