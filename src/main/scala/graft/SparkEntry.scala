@@ -71,6 +71,7 @@ object SparkEntry {
     "q_bm25_topk" -> (TextSearch.bm25Query _),
     "q_shard_pack" -> (TextAnalysis.shardPack _),
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "q_source_kl" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "q_boilerplate" -> ((s, d) => TextPolicy.boilerplateFlags(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_lsh_cc" -> ((s, d) => Dedup.minhashLshFamilies(s, d)),
@@ -296,6 +297,7 @@ object SparkEntry {
     "q_bm25_topk" -> TextSearch.bm25Sql,
     "q_shard_pack" -> TextAnalysis.shardPackSql,
     "q_source_overlap" -> TextAnalysis.sourceOverlapSql,
+    "q_source_kl" -> TextAnalysis.sourceDivergenceSql,
     "q_boilerplate" -> TextPolicy.boilerplateFlagsSql,
     "q_pii_redact" -> TextPolicy.piiRedactSql,
     "q_contamination" -> TextPolicy.contaminationSql,

@@ -985,6 +985,87 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Pairwise source unigram KL divergence (r13): for every source pair,
+    * `KL(a || b) = sum_w p_a(w) ln(p_a(w) / p_b(w))` over the UNION
+    * vocabulary with add-one smoothing — the distributional companion to
+    * [[sourceOverlap]]'s set-level Jaccard (overlap says whether sources
+    * share literal content; divergence says whether they speak the same
+    * distribution — two paraphrase-mirrors of one crawl have low KL and
+    * low Jaccard, a giveaway no single diagnostic catches). Reported both
+    * directions per pair (KL is asymmetric).
+    *
+    * Determinism (the DSIR idiom): each per-token term quantizes to an
+    * integer NANO-unit long (`round(term * 1e9 + 1e-3)`), so the
+    * per-pair accumulation is exact integer arithmetic under any
+    * partition-merge order, and a 1-ulp cross-engine `ln` disagreement
+    * cannot straddle a rounding tie. Every float expression is written
+    * token-for-token identically in the oracle.
+    *
+    * Scale shape: token counts are one combiner aggregate; the union-
+    * vocabulary grid is |vocab| x |sources| rows (sources are a bounded
+    * set) and the pair join keys on the token — linear in vocabulary,
+    * never quadratic in corpus.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergence(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — needs (source, text). */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("t"))
+    val vocabSize = counts.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    // full (source, token) grid over the union vocabulary, zero-filled —
+    // smoothing needs the absent-token rows
+    val grid = counts.select(col("w")).distinct()
+      .crossJoin(totals)
+      .join(counts, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("source"), col("w"),
+        ((col("c") + 1.0) / (col("t") + col("v"))).as("p"))
+    val a = grid.select(col("source").as("source_a"), col("w"),
+      col("p").as("pa"))
+    val b = grid.select(col("source").as("source_b"), col("w"),
+      col("p").as("pb"))
+    a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(col("pa") * log(col("pa") / col("pb")) * 1e9 + 1e-3)
+          .cast("long").as("tab_u"),
+        round(col("pb") * log(col("pb") / col("pa")) * 1e9 + 1e-3)
+          .cast("long").as("tba_u"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("tab_u")).as("ab_u"), sum(col("tba_u")).as("ba_u"))
+      .select(col("source_a"), col("source_b"),
+        graft.functions.round4(col("ab_u") / 1e9).as("kl_ab"),
+        graft.functions.round4(col("ba_u") / 1e9).as("kl_ba"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB mirror of [[sourceDivergence]]. */
+  val sourceDivergenceSql: String =
+    raw"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+       cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt
+         GROUP BY 1),
+       voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
+       grid AS (SELECT s.source, vv.w,
+           (coalesce(c.c, 0) + 1.0) / (s.t + voc.v) AS p
+         FROM (SELECT DISTINCT w FROM cnt) vv
+         CROSS JOIN tot s CROSS JOIN voc
+         LEFT JOIN cnt c ON c.source = s.source AND c.w = vv.w),
+       terms AS (SELECT a.source AS source_a, b.source AS source_b,
+           CAST(round(a.p * ln(a.p / b.p) * 1e9 + 1e-3) AS BIGINT) AS tab_u,
+           CAST(round(b.p * ln(b.p / a.p) * 1e9 + 1e-3) AS BIGINT) AS tba_u
+         FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source)
+       SELECT source_a, source_b,
+         round(CAST(sum(tab_u) AS DOUBLE) / 1e9 + 1e-9, 4) + 0.0 AS kl_ab,
+         round(CAST(sum(tba_u) AS DOUBLE) / 1e9 + 1e-9, 4) + 0.0 AS kl_ba
+       FROM terms GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** DuckDB mirror of [[sourceOverlap]]. */
   val sourceOverlapSql: String =
     raw"""WITH t AS (SELECT doc_id, source,

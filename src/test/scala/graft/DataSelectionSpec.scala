@@ -192,6 +192,27 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
   }
 
+  test("source divergence: twin sources sit near zero KL, disjoint-vocab " +
+    "sources far above, and both directions are positive (r13)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s_twin1", "alpha beta gamma delta alpha beta"),
+      (2L, "s_twin2", "alpha beta gamma delta beta alpha"),
+      (3L, "s_other", "omega psi chi phi omega psi"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("kl_ab"), r.getAs[Double]("kl_ba")))).toMap
+    val twins = out(("s_twin1", "s_twin2"))
+    val far = out(("s_other", "s_twin1"))
+    assert(twins._1 < 0.01 && twins._2 < 0.01,
+      s"same-distribution sources must sit near zero: $twins")
+    assert(far._1 > 10 * twins._1.max(1e-6), s"disjoint vocab: $far vs $twins")
+    assert(out.values.forall(v => v._1 >= 0 && v._2 >= 0),
+      s"KL is non-negative: $out")
+  }
+
   test("unimax: a zero-token source leaves the allocation entirely — no " +
     "NaN epochs, other allocations as if it never existed (r13, ADVICE)") {
     import graft.operators.TextAnalysis
