@@ -753,8 +753,16 @@ object TextPolicy {
   private def qualityClassifierImpl(documents: DataFrame,
       positiveSources: Seq[String], alpha: Double,
       hashBuckets: Option[Int]): DataFrame = {
-    // a generator must sit top-level in its select; the hashed feature
-    // maps the exploded token in a second projection
+    val dtc = docTokenCounts(documents, positiveSources, hashBuckets)
+    scoreFromDtc(dtc, weightsFromDtc(dtc), alpha)
+  }
+
+  /** Per-(doc, class-flag, feature) counts — the shared first pass. A
+    * generator must sit top-level in its select; the hashed feature maps
+    * the exploded token in a second projection.
+    */
+  private def docTokenCounts(documents: DataFrame,
+      positiveSources: Seq[String], hashBuckets: Option[Int]): DataFrame = {
     val exploded = documents
       .select(col("doc_id"),
         col("source").isInCollection(positiveSources).as("pos"),
@@ -763,10 +771,13 @@ object TextPolicy {
       case Some(n) => pmod(xxhash64(col("tok")), lit(n.toLong))
       case None => col("tok")
     }
-    val dtc = exploded
+    exploded
       .select(col("doc_id"), col("pos"), feature.as("w"))
       .groupBy(col("doc_id"), col("pos"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def weightsFromDtc(dtc: DataFrame): DataFrame = {
     val vocab = dtc.groupBy(col("w")).agg(
       sum(when(col("pos"), col("cnt")).otherwise(0L)).as("p_cnt"),
       sum(when(!col("pos"), col("cnt")).otherwise(0L)).as("n_cnt"))
@@ -776,15 +787,22 @@ object TextPolicy {
     // vocab row through a single partition.
     val tot = vocab.agg(sum(col("p_cnt")).as("pt"), sum(col("n_cnt")).as("nt"),
       count(lit(1)).as("v"))
-    val weights = vocab.crossJoin(broadcast(tot))
+    vocab.crossJoin(broadcast(tot))
       .select(col("w"),
         round((log((col("p_cnt") + 1.0) / (col("pt") + col("v"))) -
           log((col("n_cnt") + 1.0) / (col("nt") + col("v")))) * 1e6 + 1e-3)
           .cast("long").as("w_u"))
+  }
+
+  private def scoreFromDtc(dtc: DataFrame, weights: DataFrame,
+      alpha: Double): DataFrame =
     dtc.join(weights, Seq("w"), "left")
       .groupBy(col("doc_id"))
+      // coalesce is a no-op in batch mode (every token is in the
+      // vocabulary by construction) but gives FROZEN-weight apply its
+      // unseen-token semantics: weight 0, neutral
       .agg(sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt") * col("w_u")).as("llr_u"))
+        sum(col("cnt") * coalesce(col("w_u"), lit(0L))).as("llr_u"))
       .withColumn("pareto_u",
         round((pow(lit(1.0) -
             md5Bucket("qc", col("doc_id"), 1000000).cast("double") / 1e6,
@@ -794,7 +812,26 @@ object TextPolicy {
         round4(col("pareto_u") / lit(1e6)).as("pareto"),
         (col("llr_u") > -col("pareto_u") * col("n_tokens")).as("keep"))
       .orderBy("doc_id")
-  }
+
+  /** TRAIN half of the classifier, exposed for freeze-and-apply
+    * deployments (the streaming selection twin): the (w, w_u) micro-long
+    * NB weight table over this corpus.
+    */
+  def qualityClassifierWeights(documents: DataFrame,
+      positiveSources: Seq[String]): DataFrame =
+    weightsFromDtc(docTokenCounts(documents, positiveSources, None))
+
+  /** APPLY half: score documents under a FROZEN weight table (trained
+    * elsewhere — an earlier batch, a curated reference corpus). Tokens
+    * absent from the table contribute 0 (neutral); everything else is the
+    * batch form verbatim, so applying a corpus's own weights reproduces
+    * [[qualityClassifier]] exactly.
+    */
+  def qualityClassifierApply(documents: DataFrame,
+      positiveSources: Seq[String], weights: DataFrame,
+      alpha: Double): DataFrame =
+    scoreFromDtc(docTokenCounts(documents, positiveSources, None), weights,
+      alpha)
 
   /** DuckDB mirror of [[qualityClassifier]] at the default knobs. */
   val qualityClassifierSql: String =

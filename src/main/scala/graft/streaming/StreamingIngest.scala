@@ -318,6 +318,56 @@ object StreamingIngest {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** One micro-batch of the SELECTION stream — the streaming twin of
+    * [[graft.jobs.CorpusPipelineJob.runWithSelection]]'s classifier stage,
+    * under the frozen-model doctrine the IVF ingest uses for its
+    * quantizer: the NB weight table trains on the FIRST non-empty batch
+    * and FREEZES (a per-batch-retrained classifier would score the same
+    * document differently depending on arrival time — selection must be
+    * replayable and time-invariant); later batches apply the frozen
+    * weights, with unseen tokens contributing 0 (neutral —
+    * [[graft.operators.TextPolicy.qualityClassifierApply]]). Writes
+    * `selected/` (classifier-kept rows with score) and `selfunnel/`
+    * (kept / s_classifier_drop counts), both partitioned by batch_id with
+    * dynamic overwrite, so replay is idempotent exactly like
+    * [[pipelineBatch]]. Weight staleness under topic drift is the same
+    * residual the IVF probe measures (IvfDriftProbe doctrine): retrain =
+    * an offline rebuild decision, not a per-batch mutation.
+    */
+  def selectionBatch(batch: DataFrame, batchId: Long, outRoot: String,
+      positiveSources: Seq[String], alpha: Double = 9.0): Unit = {
+    val spark = batch.sparkSession
+    val wDir = s"$outRoot/clfweights"
+    val wPath = new org.apache.hadoop.fs.Path(wDir)
+    val fs = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wPath)) {
+      if (batch.isEmpty) return // leave training to a non-empty batch
+      graft.operators.TextPolicy
+        .qualityClassifierWeights(batch, positiveSources)
+        .write.mode("overwrite").parquet(wDir)
+    }
+    val weights = spark.read.parquet(wDir)
+    val verdicts = graft.operators.TextPolicy
+      .qualityClassifierApply(batch, positiveSources, weights, alpha)
+      .select(col("doc_id"), col("score"), col("keep"))
+    val judged = batch.join(verdicts, Seq("doc_id")).cache()
+    try {
+      judged.filter(col("keep")).drop("keep")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$outRoot/selected")
+      judged
+        .groupBy(when(col("keep"), "kept").otherwise("s_classifier_drop")
+          .as("stage"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$outRoot/selfunnel")
+    } finally judged.unpersist()
+  }
+
   /** Streaming ANN ingest: append each micro-batch of (vec_id, embedding)
     * rows to a persisted [[graft.operators.IvfIndex]] — the incremental
     * path a 100 TB vector corpus actually takes (a nightly full rebuild of

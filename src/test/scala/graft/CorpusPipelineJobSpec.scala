@@ -197,6 +197,58 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
       .filter($"batch_id" === 6).agg(sum("n")).head.getLong(0) == 1L)
   }
 
+  test("streaming selection: weights freeze on batch 0, unseen tokens " +
+    "score neutral, funnel conserves per batch, replay idempotent (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val tmp = java.nio.file.Files.createTempDirectory("graft-selstrm")
+      .toString
+    val b0 = Seq(
+      (1L, "cur", "insight wisdom clarity insight depth"),
+      (2L, "cur", "wisdom clarity depth nuance insight"),
+      (3L, "raw", "spam junk noise spam clickbait"),
+      (4L, "raw", "junk noise clickbait spam junk"))
+      .toDF("doc_id", "source", "text")
+    graft.streaming.StreamingIngest.selectionBatch(
+      b0, 0L, s"$tmp/out", Seq("cur"))
+    // batch 0 under its own frozen weights == the batch-mode classifier
+    val batchMode = graft.operators.TextPolicy
+      .qualityClassifier(b0, Seq("cur"), 9.0)
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    def selectedIds(b: Long) = spark.read.parquet(s"$tmp/out/selected")
+      .filter($"batch_id" === b).select("doc_id").as[Long].collect().toSet
+    assert(selectedIds(0L) == batchMode,
+      "batch 0 must reproduce the batch classifier exactly")
+    val wBefore = spark.read.parquet(s"$tmp/out/clfweights").collect()
+      .map(_.toString).sorted.toSeq
+    // batch 1: one curated-shaped doc (frozen weights keep it), one doc of
+    // entirely UNSEEN tokens (scores 0 -> kept when its pareto draw > 0)
+    val b1 = Seq(
+      (10L, "raw", "insight wisdom clarity depth nuance"),
+      (11L, "raw", "zzq yyw xxv uut tts"))
+      .toDF("doc_id", "source", "text")
+    graft.streaming.StreamingIngest.selectionBatch(
+      b1, 1L, s"$tmp/out", Seq("cur"))
+    assert(spark.read.parquet(s"$tmp/out/clfweights").collect()
+      .map(_.toString).sorted.toSeq == wBefore,
+      "weights must FREEZE after batch 0 — later batches never retrain")
+    assert(selectedIds(1L).contains(10L),
+      "frozen weights must keep the curated-shaped later arrival")
+    val unseenScore = spark.read.parquet(s"$tmp/out/selected")
+      .filter($"doc_id" === 11L).select("score").as[Double].collect()
+    assert(unseenScore.isEmpty || unseenScore.head == 0.0,
+      s"unseen-token doc scores neutral 0: ${unseenScore.toSeq}")
+    // per-batch funnel conservation
+    val funnel = spark.read.parquet(s"$tmp/out/selfunnel")
+    assert(funnel.filter($"batch_id" === 1).agg(sum("n"))
+      .head.getLong(0) == 2L)
+    // replay idempotence
+    val before = selectedIds(1L)
+    graft.streaming.StreamingIngest.selectionBatch(
+      b1, 1L, s"$tmp/out", Seq("cur"))
+    assert(selectedIds(1L) == before, "replay must not change selected/")
+  }
+
   test("fpstore read failure fails the micro-batch instead of silently " +
     "skipping cross-batch dedup (r13, ADVICE)") {
     import spark.implicits._
