@@ -424,10 +424,21 @@ class PreparedRecall(
   // by ~1-2 s per additional class, pinned honestly in the bench's
   // single_recall_10k_prepare_ms.
   locally {
-    if (prebuildClasses)
-      PreparedRecall.ClassMarkers.foreach { m =>
+    if (prebuildClasses) {
+      // the six builds are independent (each plans under its own cloned
+      // session and lands in its own class key; computeIfAbsent
+      // serializes per key only) — build them concurrently, the same
+      // concurrency contract serving itself runs under
+      // (FastConcurrencyProbe). Await.result rethrows a build-thread
+      // failure at prepare time instead of deferring it to first use.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val builds = PreparedRecall.ClassMarkers.map(m => Future {
         fastStates.computeIfAbsent(serveClassOf(m), _ => buildFastStateFor(m))
-      }
+      })
+      Await.result(Future.sequence(builds),
+        scala.concurrent.duration.Duration(10, "min"))
+    }
   }
 
   private def buildFastStateFor(markerQuery: String): Option[FastState] = {
