@@ -72,6 +72,7 @@ object SparkEntry {
     "q_shard_pack" -> (TextAnalysis.shardPack _),
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
+    "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "q_boilerplate" -> ((s, d) => TextPolicy.boilerplateFlags(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_lsh_cc" -> ((s, d) => Dedup.minhashLshFamilies(s, d)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "q_shard_pack" -> TextAnalysis.shardPackSql,
     "q_source_overlap" -> TextAnalysis.sourceOverlapSql,
     "q_source_kl" -> TextAnalysis.sourceDivergenceSql,
+    "q_weighted_sample" -> TextAnalysis.weightedSampleSql,
     "q_boilerplate" -> TextPolicy.boilerplateFlagsSql,
     "q_pii_redact" -> TextPolicy.piiRedactSql,
     "q_contamination" -> TextPolicy.contaminationSql,

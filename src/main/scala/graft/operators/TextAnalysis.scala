@@ -985,6 +985,73 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Weighted reservoir sample per source (r13): k documents per source,
+    * sampled WITHOUT replacement proportionally to a per-document weight
+    * — the consumer of [[graft.operators.Dedup.softDedupWeights]]-style
+    * reweighting ("sample the corpus under the dedup weights" is the step
+    * between weighting and training). Efraimidis & Spirtakis 2006 A-ES
+    * keys: `key = u^(1/w)` with u a deterministic md5 draw; the k largest
+    * keys per source ARE a weight-proportional without-replacement sample,
+    * and determinism makes the op replayable and oracle-checkable.
+    *
+    * Scale shape — the top-k-per-group pattern done skew-aware: a plain
+    * `row_number over (partition by source)` puts a 10^10-doc source on
+    * one task. Instead, phase 1 takes the per-(source, salt-of-64) top-k
+    * on bounded partitions; phase 2 re-ranks the <= 64k survivors per
+    * source — the second window sees k x 64 rows per source regardless of
+    * corpus size. Both phases are windows over BOUNDED partitions; the
+    * oracle uses the single-window form (fine at oracle SF), equality is
+    * structural (phase 1 can only discard rows that phase 2's global
+    * top-k would discard anyway).
+    *
+    * Determinism: the A-ES key quantizes to an integer nano-unit long
+    * (`round(pow(u, 1/w) * 1e9 + 1e-3)`), ties break on doc_id — exact
+    * integer compares in both engines. The demo weight is a deterministic
+    * function of n_chars so the oracle can mirror it; production callers
+    * pass a real weight column via the DataFrame form.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", (pmod(col("n_chars"), lit(7)) + 1).cast("double"))
+    weightedSample(docs, k)
+  }
+
+  /** DataFrame-parametric form — needs (doc_id, source, w > 0). */
+  def weightedSample(documents: DataFrame, k: Int): DataFrame = {
+    val u = graft.functions.TextFunctions
+      .md5Bucket("ws#", col("doc_id"), 1000000).cast("double") / 1e6
+    val keyed = documents.withColumn("key_u",
+      round(pow(u, lit(1.0) / col("w")) * 1e9 + 1e-3).cast("long"))
+    val o1 = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(64L)))
+      .orderBy(desc("key_u"), asc("doc_id"))
+    val o2 = Window.partitionBy(col("source"))
+      .orderBy(desc("key_u"), asc("doc_id"))
+    keyed
+      .withColumn("_r1", row_number().over(o1)).filter(col("_r1") <= k)
+      .withColumn("rank", row_number().over(o2)).filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("key_u"),
+        graft.functions.round4(col("w")).as("w"))
+      .orderBy("source", "rank")
+  }
+
+  /** DuckDB mirror of [[weightedSample]] at k = 10. */
+  val weightedSampleSql: String =
+    """WITH keyed AS (SELECT doc_id, source,
+         CAST(n_chars % 7 + 1 AS DOUBLE) AS w,
+         CAST(round(pow((('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT % 1000000) / 1e6,
+           1.0 / (n_chars % 7 + 1)) * 1e9 + 1e-3) AS BIGINT) AS key_u
+         FROM documents),
+       rk AS (SELECT source, doc_id, key_u, w,
+           row_number() OVER (PARTITION BY source
+             ORDER BY key_u DESC, doc_id ASC) AS rank FROM keyed)
+       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, key_u,
+         round(w + 1e-9, 4) + 0.0 AS w
+       FROM rk WHERE rank <= 10 ORDER BY source, rank"""
+
   /** Pairwise source unigram KL divergence (r13): for every source pair,
     * `KL(a || b) = sum_w p_a(w) ln(p_a(w) / p_b(w))` over the UNION
     * vocabulary with add-one smoothing — the distributional companion to

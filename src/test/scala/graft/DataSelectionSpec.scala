@@ -192,6 +192,37 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
   }
 
+  test("weighted sample: heavy-weight docs dominate the reservoir and the " +
+    "salted two-phase top-k equals the single-window form (r13)") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one source, 10 heavy docs (w=1000) among 90 near-zero (w=0.001):
+    // A-ES keys put the heavy docs at ~1e9 and the light ones at ~0, so
+    // the k=10 reservoir must be exactly the heavy set
+    val docs = (1L to 100L).map(i =>
+      (i, "s0", if (i <= 10) 1000.0 else 0.001)).toDF("doc_id", "source", "w")
+    val got = TextAnalysis.weightedSample(docs, k = 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == (1L to 10L).toSet,
+      s"heavy docs must dominate: ${got.map(_.getAs[Long]("doc_id")).toSeq}")
+    // structural equality vs the plain single-window top-k
+    val u = graft.functions.TextFunctions
+      .md5Bucket("ws#", col("doc_id"), 1000000).cast("double") / 1e6
+    val single = docs.withColumn("key_u",
+        round(pow(u, lit(1.0) / col("w")) * 1e9 + 1e-3).cast("long"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(desc("key_u"), asc("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("key_u"),
+        graft.functions.round4(col("w")).as("w"))
+    val twoPhase = TextAnalysis.weightedSample(docs, k = 10)
+    assert(twoPhase.exceptAll(single).isEmpty &&
+      single.exceptAll(twoPhase).isEmpty,
+      "two-phase top-k must equal the single-window form")
+  }
+
   test("source divergence: twin sources sit near zero KL, disjoint-vocab " +
     "sources far above, and both directions are positive (r13)") {
     import graft.operators.TextAnalysis
