@@ -985,6 +985,82 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-source Zipf slope (r13): fit `ln(freq) ~ a + b ln(rank)` over
+    * the top-N token frequencies of each source — the corpus-health
+    * fingerprint (natural language sits near b = -1; templated or
+    * machine-generated sources flatten toward 0, mono-boilerplate
+    * steepens). Fitting on the HEAD only is deliberate: the head is where
+    * Zipf behavior is diagnostic AND it makes the op scale-shaped — the
+    * rank window runs on top-N rows per source (two-phase salted top-k,
+    * the [[weightedSample]] pattern), never on a source's full unbounded
+    * vocabulary.
+    *
+    * Determinism: ln(rank)/ln(freq) quantize to integer MICRO-unit longs;
+    * the OLS sums (Sx, Sy, Sxy, Sxx) are exact integer arithmetic (max
+    * |term| ~ ln(1e15)^2 * 1e12 < 2^63 at micro units with N <= 200), and
+    * the slope is one double division of exact integers — identical in
+    * both engines.
+    */
+  def zipfSlope(spark: SparkSession, dir: String, topN: Int = 50)
+      : DataFrame = zipfSlope(Tables.documents(spark, dir), topN)
+
+  /** DataFrame-parametric form — needs (source, text). */
+  def zipfSlope(documents: DataFrame, topN: Int): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    // two-phase top-N per source (the weightedSample pattern): a source's
+    // vocabulary never lands on one window task
+    val o1 = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("w")), lit(64L)))
+      .orderBy(desc("c"), asc("w"))
+    val o2 = Window.partitionBy(col("source")).orderBy(desc("c"), asc("w"))
+    val head = counts
+      .withColumn("_r1", row_number().over(o1)).filter(col("_r1") <= topN)
+      .withColumn("rank", row_number().over(o2)).filter(col("rank") <= topN)
+    val quant = head.select(col("source"),
+      round(log(col("rank").cast("double")) * 1e6 + 1e-3).cast("long")
+        .as("x_u"),
+      round(log(col("c").cast("double")) * 1e6 + 1e-3).cast("long")
+        .as("y_u"))
+    quant.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x_u")).as("sx"), sum(col("y_u")).as("sy"),
+        sum(col("x_u") * col("y_u")).as("sxy"),
+        sum(col("x_u") * col("x_u")).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        graft.functions.round4(
+          (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[zipfSlope]] at topN = 50. */
+  val zipfSlopeSql: String =
+    raw"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+       cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       rk AS (SELECT source, c,
+           row_number() OVER (PARTITION BY source
+             ORDER BY c DESC, w ASC) AS rank FROM cnt),
+       q AS (SELECT source,
+           CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6 + 1e-3) AS BIGINT)
+             AS x_u,
+           CAST(round(ln(CAST(c AS DOUBLE)) * 1e6 + 1e-3) AS BIGINT)
+             AS y_u
+         FROM rk WHERE rank <= 50),
+       s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
+           CAST(sum(x_u * y_u) AS BIGINT) AS sxy,
+           CAST(sum(x_u * x_u) AS BIGINT) AS sxx
+         FROM q GROUP BY 1)
+       SELECT source, n_terms,
+         round(CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+           CAST(n_terms * sxx - sx * sx AS DOUBLE) + 1e-9, 4) + 0.0
+           AS zipf_slope
+       FROM s ORDER BY source"""
+
   /** Weighted reservoir sample per source (r13): k documents per source,
     * sampled WITHOUT replacement proportionally to a per-document weight
     * — the consumer of [[graft.operators.Dedup.softDedupWeights]]-style

@@ -192,6 +192,26 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
   }
 
+  test("zipf slope: a perfect power law recovers its exponent; flat " +
+    "frequencies fit ~0 (r13)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // synthesize frequencies directly as repeated tokens: source zipf has
+    // token t_r appearing round(1000 / r) times (slope -1); source flat
+    // has every token 50 times (slope 0)
+    def docsOf(src: String, freq: Int => Int) = (1 to 20).flatMap { r =>
+      Seq.fill(freq(r))(s"t$r")
+    }.grouped(40).zipWithIndex.map { case (ts, i) =>
+      (src.hashCode.toLong * 1000 + i, src, ts.mkString(" "))
+    }.toSeq
+    val docs = (docsOf("zipf", r => math.round(1000.0 / r).toInt) ++
+      docsOf("flat", _ => 50)).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(docs, topN = 20).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("zipf_slope")).toMap
+    assert(math.abs(out("zipf") - (-1.0)) < 0.01, s"got ${out("zipf")}")
+    assert(math.abs(out("flat")) < 0.01, s"got ${out("flat")}")
+  }
+
   test("weighted sample: heavy-weight docs dominate the reservoir and the " +
     "salted two-phase top-k equals the single-window form (r13)") {
     import graft.operators.TextAnalysis
