@@ -985,6 +985,71 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Order-aware n-gram novelty (r13): per document, the fraction of its
+    * distinct word-3-grams whose FIRST corpus occurrence (by doc_id
+    * order) is this document — the admission/curriculum metric a
+    * streaming ingest or data-ordering policy reads ("how much of this
+    * document is new against everything already admitted"). Complements
+    * [[graft.operators.Dedup.softDedupWeights]] (frequency-weighted,
+    * order-blind): a verbatim copy of an EARLIER doc scores novelty 0
+    * here regardless of how rare its content is corpus-wide.
+    *
+    * Scale shape: first-occurrence is `min(doc_id)` grouped by shingle —
+    * the combiner aggregate + join-back idiom (never a window over the
+    * shingle: a boilerplate shingle with 10^8 occurrences is one window
+    * task); everything else is per-doc aggregates.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val docToks = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = docToks
+      .withColumn("t1", lead(col("tok"), 1).over(wd))
+      .withColumn("t2", lead(col("tok"), 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+    val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(firsts, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.functions.round4(coalesce(col("n_novel"), lit(0L)) /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[ngramNovelty]]. */
+  val ngramNoveltySql: String =
+    raw"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       shex AS (SELECT DISTINCT doc_id,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+         FROM t, unnest(range(1, len(tk) - 1)) AS r(i) WHERE len(tk) >= 3),
+       f AS (SELECT sh, min(doc_id) AS first_doc FROM shex GROUP BY 1),
+       pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel
+         FROM shex s JOIN f USING (sh) GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(pd.n_shingles, 0) AS n_shingles,
+         coalesce(pd.n_novel, 0) AS n_novel,
+         round(coalesce(pd.n_novel, 0) * 1.0 /
+           greatest(coalesce(pd.n_shingles, 0), 1) + 1e-9, 4) + 0.0
+           AS novelty
+       FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
+
   /** Per-source Zipf slope (r13): fit `ln(freq) ~ a + b ln(rank)` over
     * the top-N token frequencies of each source — the corpus-health
     * fingerprint (natural language sits near b = -1; templated or

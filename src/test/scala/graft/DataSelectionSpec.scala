@@ -192,6 +192,24 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
   }
 
+  test("ngram novelty: a verbatim later copy scores 0, the original 1, " +
+    "and a half-overlap doc scores its fresh fraction (r13)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val a = (0 until 12).map(i => s"w$i").mkString(" ") // 10 shingles
+    val half = ((6 until 12) ++ (100 until 106)).map(i => s"w$i")
+      .mkString(" ") // shares shingles from a's tail, adds fresh ones
+    val docs = Seq((1L, a), (2L, a), (3L, half))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))).toMap
+    assert(out(1L)._2 == 1.0, s"original is fully novel: ${out(1L)}")
+    assert(out(2L) == ((0L, 0.0)), s"verbatim later copy: ${out(2L)}")
+    assert(out(3L)._2 > 0.0 && out(3L)._2 < 1.0,
+      s"half-overlap sits strictly between: ${out(3L)}")
+  }
+
   test("zipf slope: a perfect power law recovers its exponent; flat " +
     "frequencies fit ~0 (r13)") {
     import graft.operators.TextAnalysis
