@@ -163,6 +163,26 @@ object PipelineScaleProbe {
           .unimaxMix(srcDocs, budgetTokens = n, maxEpochsMicro = 800000L)
           .count()
       }
+      // r13 additions: overlap matrix / KL grid / novelty / weighted
+      // sample / zipf head-fit — all must stay linear in corpus
+      time(s"src_overlap n=$n") {
+        graft.operators.TextAnalysis.sourceOverlap(
+          srcDocs.withColumn("doc_id", col("doc_id"))).count()
+      }
+      time(s"src_kl      n=$n") {
+        graft.operators.TextAnalysis.sourceDivergence(srcDocs).count()
+      }
+      time(s"novelty     n=$n") {
+        graft.operators.TextAnalysis.ngramNovelty(docs).count()
+      }
+      time(s"wsample     n=$n") {
+        graft.operators.TextAnalysis.weightedSample(
+          srcDocs.withColumn("w",
+            (pmod(col("doc_id"), lit(7)) + 1).cast("double")), 10).count()
+      }
+      time(s"zipf        n=$n") {
+        graft.operators.TextAnalysis.zipfSlope(srcDocs, 50).count()
+      }
       // exact-substring at the PAPER's n=50 (VERDICT r11 item 3): hashed
       // vs literal-string gram on 150-token docs with planted 70-token
       // duplicate runs — the hashed form's dominant shuffle carries 8
