@@ -75,6 +75,7 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "q_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "q_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     "q_boilerplate" -> ((s, d) => TextPolicy.boilerplateFlags(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_lsh_cc" -> ((s, d) => Dedup.minhashLshFamilies(s, d)),
@@ -304,6 +305,7 @@ object SparkEntry {
     "q_weighted_sample" -> TextAnalysis.weightedSampleSql,
     "q_zipf_slope" -> TextAnalysis.zipfSlopeSql,
     "q_ngram_novelty" -> TextAnalysis.ngramNoveltySql,
+    "q_heaps_law" -> TextAnalysis.heapsLawSql,
     "q_boilerplate" -> TextPolicy.boilerplateFlagsSql,
     "q_pii_redact" -> TextPolicy.piiRedactSql,
     "q_contamination" -> TextPolicy.contaminationSql,

@@ -985,6 +985,92 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Heaps'-law vocabulary-growth exponent (r13): fit `ln V(N) ~ a +
+    * beta ln N` where V(N) is the distinct-token vocabulary after the
+    * first N corpus tokens (by doc_id order), at 16 evenly-spaced doc-id
+    * checkpoints — the companion health check to [[zipfSlope]]: natural
+    * text grows sublinearly (beta ~ 0.4-0.6); beta near 1 means the
+    * vocabulary is inflating linearly (serial numbers, hashes, noise —
+    * content that poisons tokenizers and dedup alike).
+    *
+    * Scale shape: everything is the combiner idiom — V at a checkpoint is
+    * `count(tokens whose FIRST doc <= checkpoint)` over the
+    * `min(doc_id) per token` aggregate, and N is the token-count sum
+    * below the checkpoint; both broadcast-join against the 16-row
+    * checkpoint relation. No window anywhere; the OLS runs on 16 rows
+    * with the micro-quantized integer sums of [[zipfSlope]].
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLaw(Tables.documents(spark, dir))
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def heapsLaw(documents: DataFrame): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val firsts = toksDf.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDocTok = toksDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+    // 16 checkpoints at even fractions of max(doc_id) — deterministic
+    // integer arithmetic both engines reproduce exactly
+    val maxId = documents.agg(max(col("doc_id")).as("m"))
+    // floor BOTH engines: DuckDB's CAST(x AS BIGINT) rounds where Spark's
+    // cast truncates (the verify_local doctrine)
+    val checkpoints = maxId.select(
+      explode(sequence(lit(1), lit(16))).as("ck"), col("m"))
+      .select(col("ck"),
+        floor(col("m") * col("ck") / lit(16.0)).cast("long").as("cut"))
+    val vAt = checkpoints.join(firsts, col("first_doc") <= col("cut"))
+      .groupBy(col("ck"), col("cut")).agg(count(lit(1)).as("v"))
+    val nAt = checkpoints.join(perDocTok, col("doc_id") <= col("cut"))
+      .groupBy(col("ck")).agg(sum(col("n_tok")).as("n"))
+    val pts = vAt.join(nAt, Seq("ck"))
+      .filter(col("n") > 0 && col("v") > 0)
+      .select(
+        round(log(col("n").cast("double")) * 1e6 + 1e-3).cast("long")
+          .as("x_u"),
+        round(log(col("v").cast("double")) * 1e6 + 1e-3).cast("long")
+          .as("y_u"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x_u")).as("sx"), sum(col("y_u")).as("sy"),
+        sum(col("x_u") * col("y_u")).as("sxy"),
+        sum(col("x_u") * col("x_u")).as("sxx"))
+      .select(col("n_points"),
+        graft.functions.round4(
+          (col("n_points") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_points") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("heaps_beta"))
+  }
+
+  /** DuckDB mirror of [[heapsLaw]]. */
+  val heapsLawSql: String =
+    raw"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+       f AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+       pdt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+       mx AS (SELECT max(doc_id) AS m FROM documents),
+       cks AS (SELECT ck, CAST(floor(m * ck / 16.0) AS BIGINT) AS cut
+         FROM mx, unnest(range(1, 17)) AS r(ck)),
+       vat AS (SELECT c.ck, count(*) AS v FROM cks c
+         JOIN f ON f.first_doc <= c.cut GROUP BY 1),
+       nat AS (SELECT c.ck, CAST(sum(p.n_tok) AS BIGINT) AS n FROM cks c
+         JOIN pdt p ON p.doc_id <= c.cut GROUP BY 1),
+       pts AS (SELECT
+           CAST(round(ln(CAST(n.n AS DOUBLE)) * 1e6 + 1e-3) AS BIGINT)
+             AS x_u,
+           CAST(round(ln(CAST(v.v AS DOUBLE)) * 1e6 + 1e-3) AS BIGINT)
+             AS y_u
+         FROM vat v JOIN nat n USING (ck) WHERE n.n > 0 AND v.v > 0),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
+           CAST(sum(x_u * y_u) AS BIGINT) AS sxy,
+           CAST(sum(x_u * x_u) AS BIGINT) AS sxx FROM pts)
+       SELECT n_points,
+         round(CAST(n_points * sxy - sx * sy AS DOUBLE) /
+           CAST(n_points * sxx - sx * sx AS DOUBLE) + 1e-9, 4) + 0.0
+           AS heaps_beta
+       FROM s"""
+
   /** Order-aware n-gram novelty (r13): per document, the fraction of its
     * distinct word-3-grams whose FIRST corpus occurrence (by doc_id
     * order) is this document — the admission/curriculum metric a

@@ -192,6 +192,26 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 100.0) <= 1e-3)
   }
 
+  test("heaps law: pure-noise vocabulary fits beta ~ 1, a closed " +
+    "vocabulary fits ~ 0 (r13)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // noise: every token globally unique -> V(N) = N -> beta = 1
+    val noise = (1L to 64L).map(d =>
+      (d, (0 until 20).map(p => s"u${d}_$p").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bNoise = TextAnalysis.heapsLaw(noise).collect().head
+      .getAs[Double]("heaps_beta")
+    assert(math.abs(bNoise - 1.0) < 0.01, s"noise beta: $bNoise")
+    // closed vocabulary: 8 tokens cycling -> V saturates -> beta ~ 0
+    val closed = (1L to 64L).map(d =>
+      (d, (0 until 20).map(p => s"t${(d + p) % 8}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bClosed = TextAnalysis.heapsLaw(closed).collect().head
+      .getAs[Double]("heaps_beta")
+    assert(bClosed < 0.1, s"closed-vocab beta: $bClosed")
+  }
+
   test("ngram novelty: a verbatim later copy scores 0, the original 1, " +
     "and a half-overlap doc scores its fresh fraction (r13)") {
     import graft.operators.TextAnalysis
