@@ -146,9 +146,19 @@ object CorpusPipelineJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusPipelineJob <documentsPath> <outRoot> [tokenBudget]")
+      "usage: CorpusPipelineJob <documentsPath> <outRoot> [tokenBudget] " +
+        "[--select src0,src1,...]  (the sources the classifier treats as " +
+        "curated positives; enables the selection stage)")
     val Array(docsPath, outRoot) = args.take(2)
-    val budget = args.lift(2).map(_.toDouble).getOrElse(500.0)
+    val rest = args.drop(2)
+    val selIdx = rest.indexOf("--select")
+    val positives =
+      if (selIdx >= 0 && selIdx + 1 < rest.length)
+        Some(rest(selIdx + 1).split(",").toSeq)
+      else None
+    val budget = rest.filterNot(_.startsWith("--"))
+      .filterNot(a => selIdx >= 0 && rest.indexOf(a) == selIdx + 1)
+      .headOption.map(_.toDouble).getOrElse(500.0)
     // only stop the session on exit if this main created it — under a test
     // or notebook harness getOrCreate returns the caller's shared session
     val preExisting = SparkSession.getActiveSession
@@ -159,15 +169,33 @@ object CorpusPipelineJob {
       .getOrCreate()
     try {
       val docs = spark.read.parquet(docsPath)
-      val out = run(docs, budget)
-      try {
-        out.kept.write.mode("overwrite").parquet(s"$outRoot/kept")
-        out.funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
-        if (out.profile.schema.nonEmpty)
-          out.profile.write.mode("overwrite").parquet(s"$outRoot/profile")
-        if (out.shards.schema.nonEmpty)
-          out.shards.write.mode("overwrite").parquet(s"$outRoot/shards")
-      } finally out.release()
+      positives match {
+        case Some(pos) =>
+          val out = runWithSelection(docs, SelectionConfig(pos), budget)
+          try {
+            out.base.kept.write.mode("overwrite").parquet(s"$outRoot/kept")
+            out.funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
+            out.selected.write.mode("overwrite")
+              .parquet(s"$outRoot/selected")
+            out.mixture.write.mode("overwrite").parquet(s"$outRoot/mixture")
+            if (out.base.profile.schema.nonEmpty)
+              out.base.profile.write.mode("overwrite")
+                .parquet(s"$outRoot/profile")
+            if (out.base.shards.schema.nonEmpty)
+              out.base.shards.write.mode("overwrite")
+                .parquet(s"$outRoot/shards")
+          } finally out.release()
+        case None =>
+          val out = run(docs, budget)
+          try {
+            out.kept.write.mode("overwrite").parquet(s"$outRoot/kept")
+            out.funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
+            if (out.profile.schema.nonEmpty)
+              out.profile.write.mode("overwrite").parquet(s"$outRoot/profile")
+            if (out.shards.schema.nonEmpty)
+              out.shards.write.mode("overwrite").parquet(s"$outRoot/shards")
+          } finally out.release()
+      }
     } finally if (!preExisting) spark.stop()
   }
 }

@@ -306,6 +306,23 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     assert(funnel.filter($"stage" === "e_cross_batch_dup").count() == 1)
   }
 
+  test("pipeline job main with --select writes the selection relations " +
+    "too (r13)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jobsel")
+      .toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    CorpusPipelineJob.main(Array(s"$tmp/docs", s"$tmp/out", "500.0",
+      "--select", "src0,src1,src2"))
+    for (rel <- Seq("kept", "funnel", "selected", "mixture", "profile",
+        "shards"))
+      assert(spark.read.parquet(s"$tmp/out/$rel").count() > 0,
+        s"$rel must be written and non-empty")
+    // the funnel written by --select is the EXTENDED one
+    assert(spark.read.parquet(s"$tmp/out/funnel")
+      .filter(col("stage") === "s_classifier_drop").count() <= 1)
+  }
+
   test("pipeline job main writes all four relations") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
     Tables.documents(spark, "/root/testdata/sf0.001")
