@@ -959,6 +959,12 @@ object TextAnalysis {
     val docToks = documents.select(col("doc_id"), col("source"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // localCheckpoint the deduped (source, shingle) table: it feeds THREE
+    // consumers (both self-join sides + totals), and the self-join's
+    // differing aliases defeat exchange reuse — without this the corpus
+    // scan + shingle window executed three times (seen in explain). At
+    // 100 TB write it to parquet and read back instead (the
+    // containmentPairs persisted-artifact note).
     val sh = docToks
       .withColumn("t1", lead(col("tok"), 1).over(wd))
       .withColumn("t2", lead(col("tok"), 2).over(wd))
@@ -966,6 +972,7 @@ object TextAnalysis {
       .select(col("source"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
       .distinct()
+      .localCheckpoint()
     val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("source").as("source_a"), col("sh"))
       .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
