@@ -124,6 +124,7 @@ object SparkEntry {
     "q_dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "q_substring_spans" -> ((s, d) => Dedup.substringDupSpans(s, d)),
     "q_substring_dedup" -> ((s, d) => Dedup.substringDedupApply(s, d)),
+    "q_dup_rate_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "q_gopher_rules" -> (TextPolicy.gopherRules _),
     "q_quality_classifier" -> ((s, d) => TextPolicy.qualityClassifier(s, d)),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
@@ -340,6 +341,7 @@ object SparkEntry {
     "q_dedup_winnowing" -> Dedup.winnowingPairsSql,
     "q_substring_spans" -> Dedup.substringDupSpansSql,
     "q_substring_dedup" -> Dedup.substringDedupApplySql,
+    "q_dup_rate_source" -> Dedup.dupRateBySourceSql,
     "q_gopher_rules" -> TextPolicy.gopherRulesSql,
     "q_quality_classifier" -> TextPolicy.qualityClassifierSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,

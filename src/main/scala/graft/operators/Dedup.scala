@@ -938,6 +938,62 @@ object Dedup {
            + 1e-9, 4) + 0.0 AS dup_frac
        FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id"""
 
+  /** Per-source duplication profile (r13): the corpus-report row "source
+    * X is N% duplicated" — [[substringDupSpansDf]]'s per-document
+    * duplicate-span mass aggregated by source. The number a mixture
+    * recipe reads next to [[graft.operators.TextAnalysis.sourceOverlap]]:
+    * overlap says WHO shares content, this says HOW MUCH of each source
+    * is repeated text at all.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    substringDupSpansDf(docs, n, hashed = false)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("dup_tokens")).as("dup_tokens"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_with_dups"))
+      .withColumn("dup_rate", graft.functions.round4(
+        col("dup_tokens") / greatest(col("n_tokens"), lit(1L))))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[dupRateBySource]] at n = 8. */
+  val dupRateBySourceSql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+       g AS (SELECT doc_id, i AS pos,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+           tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS gm
+         FROM t, unnest(range(1, len(tk) - 6)) AS r(i)
+         WHERE len(tk) >= 8),
+       dup AS (SELECT gm FROM g GROUP BY gm HAVING count(*) >= 2),
+       ds AS (SELECT gr.doc_id, gr.pos AS s, gr.pos + 7 AS e
+         FROM g gr JOIN dup USING (gm)),
+       m AS (SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS new_span FROM ds),
+       sp AS (SELECT doc_id, s, e,
+           sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+         FROM m),
+       spans AS (SELECT doc_id, span_id, min(s) AS ss, max(e) AS se
+         FROM sp GROUP BY 1, 2),
+       perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(se - ss + 1) AS BIGINT) AS dup_tokens
+         FROM spans GROUP BY 1)
+       SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t.tk)) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+         CAST(sum(CASE WHEN coalesce(p.n_spans, 0) > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS docs_with_dups,
+         round(sum(coalesce(p.dup_tokens, 0)) * 1.0 /
+           greatest(sum(len(t.tk)), 1) + 1e-9, 4) + 0.0 AS dup_rate
+       FROM t LEFT JOIN perdoc p USING (doc_id)
+       GROUP BY 1 ORDER BY 1"""
+
   /** Soft deduplication by data commonness (Xia et al. 2024, "SoftDedup:
     * an Efficient Data Reweighting Method for Speeding Up Language Model
     * Pre-training"): instead of DROPPING near-duplicates, every document
