@@ -943,7 +943,10 @@ object Dedup {
     * duplicate-span mass aggregated by source. The number a mixture
     * recipe reads next to [[graft.operators.TextAnalysis.sourceOverlap]]:
     * overlap says WHO shares content, this says HOW MUCH of each source
-    * is repeated text at all.
+    * is repeated text at all. The oracle form runs the string-gram spans
+    * (n = 8, cross-engine checkable); at 100 TB pass the per-doc frame
+    * from [[substringDupSpansPaper]] (hashed n = 50) into the same
+    * aggregation — results differ only by the span detector's knobs.
     */
   def dupRateBySource(spark: SparkSession, dir: String,
       n: Int = 8): DataFrame = {
