@@ -24,17 +24,25 @@ object Dedup {
 
   /** R1-style fingerprint dedup keep-best: normalize -> first 64 chars, keep
     * the longest doc (tie: smallest id). Emits one row per surviving doc.
+    *
+    * Keep-best is ONE hash aggregate (`max_by` over the composite sort key),
+    * never a `row_number` window partitioned by fingerprint: a boilerplate
+    * page duplicated 10^7x is one fingerprint, and a window would sort that
+    * whole group on a single task with no AQE remedy, while the aggregate
+    * pre-combines per input partition (the [[dedupSources]] /
+    * [[exactDupGroups]] idiom).
     */
-  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-      .orderBy(desc("n_chars"), asc("doc_id"))
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("fp", fingerprint(col("text"), 64))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("fp"))
+      .agg(
+        // keep-longest, tie keep-smallest-id: max over (n_chars, -doc_id)
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("doc_id"),
+        max(col("n_chars")).as("n_chars"))
       .select(col("doc_id"), col("fp"), col("n_chars"))
       .orderBy("doc_id")
-  }
 
   /** MinHash bucket dedup: docs sharing a full k-component signature are
     * near-dup candidates. Signature is a groupBy key — linear, no pair join.
@@ -531,8 +539,8 @@ object Dedup {
   /** A10 dedup-source aggregation (`recall.py:382-387`): keep-best
     * fingerprint dedup that also RECORDS what it merged — per surviving row,
     * the sorted id list (and count) of the rows it absorbed, the reference's
-    * `deduped_from`. Same rank window as [[fingerprintDedup]]; losers
-    * aggregate per fingerprint and join back to the keeper. The list is
+    * `deduped_from`. Same keep-best `max_by` aggregate as
+    * [[fingerprintDedup]]; losers aggregate per fingerprint alongside it. The list is
     * joined to a string so the cross-engine compare is on a scalar.
     */
   def dedupSources(spark: SparkSession, dir: String): DataFrame =

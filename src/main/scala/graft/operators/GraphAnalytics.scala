@@ -345,9 +345,16 @@ object GraphAnalytics {
     val edges = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
-    labelPropagation(edges, iters = 2)
-      .withColumn("community_size",
-        count(lit(1)).over(Window.partitionBy(col("label"))))
+    // community_size via groupBy+join, never count().over(partitionBy
+    // (label)): real-graph LPA converges to giant communities (a web-graph
+    // giant component is a double-digit fraction of all nodes), and a
+    // window would put every member on one task; the aggregate
+    // pre-combines and the join back is AQE-skew-splittable.
+    val labels = labelPropagation(edges, iters = 2)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label"), col("community_size"))
       .orderBy("node")
   }
 

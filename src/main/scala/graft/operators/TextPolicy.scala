@@ -355,28 +355,41 @@ object TextPolicy {
     val dupfrac = when(size(ws) >= 2,
       round4((size(ws) - size(array_distinct(ws))).cast("double") / size(ws)))
       .otherwise(lit(0.0))
-    // the dedup rank counts only SURVIVORS of the earlier stages: ranking
-    // the whole corpus would let a dropped twin (same 320-char fingerprint,
-    // junk tail) claim keep-first and eliminate BOTH copies of the content
-    val staged = documents
+    // the dedup keeper considers only SURVIVORS of the earlier stages:
+    // ranking the whole corpus would let a dropped twin (same 320-char
+    // fingerprint, junk tail) claim keep-first and eliminate BOTH copies
+    // of the content.
+    //
+    // Keep-first is the aggregate+join idiom, NEVER a window partitioned
+    // by the fingerprint: one boilerplate page duplicated 10^7-10^8x is a
+    // single fingerprint key, and a running-sum window would funnel every
+    // copy through ONE task (windows have no AQE skew remedy; the
+    // Consolidation.connectedComponents doctrine). keeper = min(doc_id)
+    // over survivor rows per fingerprint — a combiner-friendly hash
+    // aggregate — joined back on the same shuffle key the window would
+    // have used; the join side IS AQE-skew-splittable.
+    val keyed = documents
       .withColumn("_pre",
         when(langId(col("text")) =!= "en", "a_lang")
           .when(qualityScore(col("text")) < 0.5, "b_quality")
           .when(dupfrac > 0.65, "c_repetition"))
       // an EMPTY fingerprint (whitespace/punct-only text) is not content
-      // identity: partitioning on it would mark all such docs mutual
+      // identity: keying on it would mark all such docs mutual
       // duplicates AND concentrate them on one hot key at scale — fall
       // back to a per-doc key so they neither dedup nor skew
-      .withColumn("_surv_rank",
-        sum(when(col("_pre").isNull, 1).otherwise(0)).over(
-          Window.partitionBy(coalesce(
-              nullif(fingerprint(col("text")), lit("")),
-              concat(lit("doc#"), col("doc_id"))))
-            .orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_fpk", coalesce(
+        nullif(fingerprint(col("text")), lit("")),
+        concat(lit("doc#"), col("doc_id"))))
+    val keepers = keyed.filter(col("_pre").isNull)
+      .groupBy(col("_fpk")).agg(min(col("doc_id")).as("_keep_id"))
+    // a survivor row always finds its keeper (its group contains itself);
+    // pre-dropped rows may miss (left join) but coalesce picks _pre first
+    val staged = keyed
+      .join(keepers, Seq("_fpk"), "left")
       .withColumn("stage", coalesce(col("_pre"),
-        when(col("_surv_rank") > 1, "d_fingerprint_dup").otherwise("kept")))
-      .drop("_pre", "_surv_rank")
+        when(col("doc_id") === col("_keep_id"), "kept")
+          .otherwise("d_fingerprint_dup")))
+      .drop("_pre", "_fpk", "_keep_id")
     priorFingerprints match {
       case None => staged
       case Some(store) =>

@@ -265,6 +265,79 @@ object PipelineScaleProbe {
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       pairs.unpersist()
     }
+
+    // --- mega-fingerprint hygiene arm (r13 VERDICT item 1) ----------------
+    // One boilerplate page planted 100k+1 times (one content fingerprint —
+    // the shape a crawl's cookie-banner page has at 10^7-10^8 copies), mixed
+    // with an equal mass of unique docs, run through the REAL flagship
+    // hygiene path (TextPolicy.hygieneStaged: the route every batch,
+    // streaming, and selection pipeline funnels through). A/B: the pre-r14
+    // keep-first form ranked survivors with a running-sum window partitioned
+    // by the content fingerprint, which reads the ENTIRE twin family on one
+    // task (maxReadRec ~= family size, skew ~= numPartitions); the shipped
+    // form aggregates keeper = min(doc_id) per fingerprint (combiner
+    // pre-reduces each input partition to ONE row per fingerprint) and joins
+    // back — no stage reads the family on a single task.
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.fingerprint
+      val n = 100000L
+      val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // survives a_lang (en stopwords), b_quality (stopword-dense, no
+      // punctuation), c_repetition (dupfrac 5/17 = 0.29): all twins reach
+      // the keep-first stage, the worst case for the dedup key
+      val boiler = "the pipeline review and standup of the incident is " +
+        "planning the rollout and oncall of the retro"
+      val docs = spark.range(n + 1)
+        .select(col("id").as("doc_id"), lit(boiler).as("text"))
+        .unionByName(syntheticDocs(spark, n)
+          .select((col("doc_id") + n + 1).as("doc_id"), col("text")))
+        .repartition(32).cache()
+      docs.count()
+      val skew = new SkewListener
+      spark.sparkContext.addSparkListener(skew)
+      def runAndReport(label: String)(f: => Long): Unit = {
+        skew.reset()
+        val t0 = System.nanoTime()
+        val rows = f
+        Thread.sleep(1000)
+        println(f"[pipescale] $label ${(System.nanoTime() - t0) / 1e9}%7.2f s ($rows rows)")
+        skew.worstStages(6).foreach { case (sid, name, nT, maxR, meanR) =>
+          println(f"[pipescale]   $label stage=$sid [$name] tasks=$nT maxReadRec=$maxR meanReadRec=$meanR%.0f skew=${maxR / math.max(meanR, 1.0)}%.1fx")
+        }
+      }
+      // shipped flagship path: aggregate+join keep-first
+      def aggregateForm(): Long = graft.operators.TextPolicy
+        .hygieneStaged(docs)
+        .groupBy("stage").count()
+        .select(sum(col("count"))).collect().head.getLong(0)
+      // the pre-r14 shape, kept here ONLY as the skew baseline: keep-first
+      // rank via a running-sum window partitioned by the fingerprint
+      def windowForm(): Long = docs
+        .withColumn("_surv_rank", sum(lit(1)).over(
+          Window.partitionBy(coalesce(
+              nullif(fingerprint(col("text")), lit("")),
+              concat(lit("doc#"), col("doc_id"))))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("stage",
+          when(col("_surv_rank") > 1, "d_fingerprint_dup").otherwise("kept"))
+        .groupBy("stage").count()
+        .select(sum(col("count"))).collect().head.getLong(0)
+      runAndReport(s"hygiene_aggjoin_aqeoff n=$n")(aggregateForm())
+      runAndReport(s"hygiene_window_aqeoff  n=$n")(windowForm())
+      // the AQE contrast is the finding's point: the join's hot fingerprint
+      // partition is AQE-splittable (and at probe scale the tiny keeper
+      // side even turns broadcast — no probe-side shuffle at all), while
+      // the window's hot partition has NO runtime remedy
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      runAndReport(s"hygiene_aggjoin_aqeon  n=$n")(aggregateForm())
+      runAndReport(s"hygiene_window_aqeon   n=$n")(windowForm())
+      spark.sparkContext.removeSparkListener(skew)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
