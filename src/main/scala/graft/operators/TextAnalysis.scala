@@ -343,11 +343,11 @@ object TextAnalysis {
     * a training shard by RUNNING token count within its source, so shards
     * land near a fixed token budget (500 here) without a global sort. A
     * global running sum would be a single-partition window — a driver-shaped
-    * bottleneck at 100 TB; partitioning the cumsum by source keeps every
-    * window group parallel and is what packing wants anyway (shards stay
-    * source-homogeneous for mixture accounting). At real scale the window
-    * key salts further — (source, ingest-date) — bounding any one
-    * sequential scan. A doc is assigned to the shard its CUMULATIVE-BEFORE
+    * bottleneck at 100 TB; partitioning the cumsum by source keeps shards
+    * source-homogeneous for mixture accounting, and within each source the
+    * cumsum is SALTED into contiguous doc_id ranges and stitched exactly
+    * (see the three-arg overload) so a mega-source never serializes onto
+    * one task. A doc is assigned to the shard its CUMULATIVE-BEFORE
     * count falls in (floor((cum - n_tok) / budget)): no shard splits a
     * document, and a shard closes only once the running total crosses its
     * cumulative boundary (an individual shard can undershoot the budget
@@ -357,14 +357,47 @@ object TextAnalysis {
   def shardPack(spark: SparkSession, dir: String): DataFrame =
     shardPack(Tables.documents(spark, dir), budget = 500.0)
 
-  /** DataFrame-parametric form — needs (doc_id, source, text). */
-  def shardPack(documents: DataFrame, budget: Double): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    documents
+  /** DataFrame-parametric form — needs (doc_id, source, text). Default
+    * salt width keeps any one sequential cumsum scan under 4096 docs.
+    */
+  def shardPack(documents: DataFrame, budget: Double): DataFrame =
+    shardPack(documents, budget, saltWidth = 4096L)
+
+  /** Salted two-phase form (the at-scale path, r13 VERDICT item 2): a
+    * single `sum over (partition by source order by doc_id)` puts a
+    * mega-source — the web crawl IS most of a real corpus — on ONE task.
+    * Instead the per-source running count is computed in two exact integer
+    * phases over CONTIGUOUS doc_id ranges (`salt = doc_id DIV saltWidth`,
+    * monotone in doc_id, so per-salt order concatenates to global order):
+    *   1. cumsum within (source, salt) — every window group is <= saltWidth
+    *      rows, parallel across salts;
+    *   2. per-salt token subtotals (a combiner aggregate), prefix-summed by
+    *      a window whose groups hold ONE ROW PER SALT (corpus/saltWidth
+    *      rows — tiny), joined back on the same (source, salt) key.
+    * offset + within-salt cumsum == the global cumsum exactly (all-long
+    * arithmetic — the sequenceChunks integer doctrine), so shard
+    * boundaries are bitwise-identical to the unsalted form at any width
+    * (equality spec in TextAnalysisSpec; saltWidth = Long.MaxValue
+    * degenerates to one salt = the unsalted plan).
+    */
+  def shardPack(documents: DataFrame, budget: Double,
+      saltWidth: Long): DataFrame = {
+    val toks = documents
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tok"))
+      .withColumn("_salt", expr(s"doc_id DIV ${saltWidth}L"))
+    val wSalt = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("doc_id"))
+    val wPrefix = Window.partitionBy(col("source")).orderBy(col("_salt"))
+    val offsets = toks.groupBy(col("source"), col("_salt"))
+      .agg(sum(col("n_tok")).as("_sub"))
+      .withColumn("_off", sum(col("_sub")).over(wPrefix) - col("_sub"))
+      .select(col("source"), col("_salt"), col("_off"))
+    toks
+      .withColumn("_cum_in", sum(col("n_tok")).over(wSalt))
+      .join(offsets, Seq("source", "_salt"))
       .withColumn("shard",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)))
+        floor((col("_off") + col("_cum_in") - col("n_tok")) / lit(budget)))
       .groupBy(col("source"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tok"),

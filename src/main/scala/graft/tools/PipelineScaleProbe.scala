@@ -334,6 +334,27 @@ object PipelineScaleProbe {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       runAndReport(s"hygiene_aggjoin_aqeon  n=$n")(aggregateForm())
       runAndReport(s"hygiene_window_aqeon   n=$n")(windowForm())
+
+      // --- mega-source shardPack arm (r13 VERDICT item 2) -----------------
+      // One source holding ~all docs (the "web" crawl shape): the unsalted
+      // per-source cumsum (saltWidth = Long.MaxValue = the pre-r14 plan)
+      // serializes the whole source onto one window task; the shipped
+      // salted two-phase form bounds every window group at saltWidth docs
+      // and stitches with a one-row-per-salt prefix — bitwise-equal output
+      // (TextSearchSpec), skew gone.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val srcDocs = docs.select(col("doc_id"), col("text"))
+        .withColumn("source",
+          when(col("doc_id") % 100 === 99, "tail").otherwise("web"))
+        .repartition(32).cache()
+      srcDocs.count()
+      def packRows(width: Long): Long = graft.operators.TextAnalysis
+        .shardPack(srcDocs, 500.0, width)
+        .select(sum(col("n_docs"))).collect().head.getLong(0)
+      runAndReport(s"shardpack_salted4096_aqeoff n=${2 * n}")(packRows(4096L))
+      runAndReport(s"shardpack_unsalted_aqeoff   n=${2 * n}")(packRows(Long.MaxValue))
+      srcDocs.unpersist()
+
       spark.sparkContext.removeSparkListener(skew)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       docs.unpersist()

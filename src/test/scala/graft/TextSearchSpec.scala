@@ -86,6 +86,23 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("shard packing: salted two-phase cumsum is exactly the unsalted " +
+    "packing at every salt width") {
+    // saltWidth = Long.MaxValue degenerates to one salt per source = the
+    // pre-r14 single-window plan; tiny widths force many stitched salts
+    // (including salts that straddle shard boundaries). All-long
+    // arithmetic, so equality is exact, not approximate.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val unsalted = graft.operators.TextAnalysis
+      .shardPack(docs, 500.0, Long.MaxValue).collect().toSeq
+    assert(unsalted.nonEmpty)
+    for (width <- Seq(1L, 7L, 64L, 4096L)) {
+      val salted = graft.operators.TextAnalysis
+        .shardPack(docs, 500.0, width).collect().toSeq
+      assert(salted == unsalted, s"salted width=$width diverged")
+    }
+  }
+
   test("bm25 plan cuts with TakeOrderedAndProject and no cartesian corpus product") {
     val df = TextSearch.bm25TopK(corpus, "text", "doc_id", Seq("cat"), 5)
     val plan = df.queryExecution.executedPlan.toString
