@@ -632,21 +632,33 @@ object Dedup {
     val bands = Seq(0, 8, 16, 24).map(off =>
       s"SELECT vec_id, embedding, '$off:' || (${bucketExpr(off)}) AS bucket FROM embeddings")
       .mkString("\n         UNION ALL\n         ")
-    // mirrors boundedBandedPairs: per (band, bucket) the chain (id-order
-    // neighbor) + star (bucket min anchor) candidates, cosine-verified
-    s"""WITH keyed AS ($bands),
-       nbr AS (SELECT bucket, vec_id, embedding,
+    // mirrors boundedBandedPairs: per (band, bucket, vec_id % 64 salt) the
+    // chain (id-order neighbor) + star (salt min anchor) candidates, plus
+    // the per-salt anchor chain across the bucket, cosine-verified
+    s"""WITH keyed0 AS ($bands),
+       keyed AS (SELECT vec_id, embedding, bucket, vec_id % 64 AS salt
+         FROM keyed0),
+       nbr AS (SELECT bucket, salt, vec_id, embedding,
            lag(vec_id) OVER w AS prev_id, lag(embedding) OVER w AS prev_emb,
            first_value(vec_id) OVER w AS anchor_id,
            first_value(embedding) OVER w AS anchor_emb
-         FROM keyed WINDOW w AS (PARTITION BY bucket ORDER BY vec_id)),
+         FROM keyed WINDOW w AS (PARTITION BY bucket, salt ORDER BY vec_id)),
+       anch AS (SELECT bucket, salt, min(vec_id) AS anchor_id,
+           arg_min(embedding, vec_id) AS anchor_emb
+         FROM keyed GROUP BY 1, 2),
+       across AS (SELECT bucket, anchor_id, anchor_emb,
+           lag(anchor_id) OVER wa AS pa_id, lag(anchor_emb) OVER wa AS pa_emb
+         FROM anch WINDOW wa AS (PARTITION BY bucket ORDER BY anchor_id)),
        cand AS (
          SELECT DISTINCT a_id, b_id, ae, be FROM (
            SELECT prev_id AS a_id, vec_id AS b_id, prev_emb AS ae,
              embedding AS be FROM nbr WHERE prev_id IS NOT NULL
            UNION ALL
            SELECT anchor_id, vec_id, anchor_emb, embedding FROM nbr
-           WHERE anchor_id <> vec_id AND (prev_id IS NULL OR anchor_id <> prev_id))),
+           WHERE anchor_id <> vec_id AND (prev_id IS NULL OR anchor_id <> prev_id)
+           UNION ALL
+           SELECT pa_id, anchor_id, pa_emb, anchor_emb FROM across
+           WHERE pa_id IS NOT NULL)),
        px AS (SELECT a_id, b_id, unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
          FROM cand),
        s AS (SELECT a_id, b_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny

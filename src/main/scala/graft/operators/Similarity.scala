@@ -113,14 +113,32 @@ object Similarity {
     * not may fragment a component) is the same recall-for-scale cap the
     * MinHash-LSH path takes with maxBucket, and the probe shows the planted
     * clusters stay intact.
+    *
+    * Mega-bucket bound (r13 VERDICT item 3): a corpus of near-identical
+    * embeddings — PRECISELY SemDeDup's target — collapses into ONE sign
+    * bucket per band, and a window partitioned by the bare bucket would
+    * sort all of it on a single task (windows have no AQE skew remedy).
+    * The chain/star window therefore partitions by (bucket, vec_id %
+    * salts), bounding every window group at ~1/salts of the bucket.
+    * Cross-salt connectivity is restored by ONE extra chain over the
+    * per-salt anchors — a combiner aggregate emitting <= `salts` rows per
+    * bucket, whose own window groups are <= `salts` rows. If every
+    * emitted link verifies (the identical-embedding case), the bucket is
+    * exactly as connected as the unsalted form: members chain within
+    * their salt, star to their salt anchor, anchors chain to each other.
+    * The salt is `vec_id % salts` (not a hash) so the DuckDB oracle
+    * mirrors it token-for-token; `salts = 1` degenerates to the unsalted
+    * r12 plan (the probe baseline).
     */
   def boundedBandedPairs(e: DataFrame, bits: Int = 8,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, salts: Int = 64): DataFrame = {
     def bandPairs(off: Int): DataFrame = {
       val keyed = e.select(col("vec_id"), col("embedding"),
         concat_ws(":", lit(off.toString),
           signBucketAt(col("embedding"), bits, off)).as("bucket"))
-      val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+        .withColumn("salt", pmod(col("vec_id"), lit(salts.toLong)))
+      val w = Window.partitionBy(col("bucket"), col("salt"))
+        .orderBy(col("vec_id"))
       val nbrs = keyed
         .withColumn("prev_id", lag(col("vec_id"), 1).over(w))
         .withColumn("prev_emb", lag(col("embedding"), 1).over(w))
@@ -134,7 +152,18 @@ object Similarity {
           col("anchor_id") =!= col("prev_id"))
         .select(col("anchor_id").as("a_id"), col("vec_id").as("b_id"),
           col("anchor_emb").as("a_emb"), col("embedding").as("b_emb"))
-      chain.unionByName(star)
+      // per-salt anchors chained in id order across the bucket: the only
+      // whole-bucket stage left, over <= `salts` rows per bucket
+      val wa = Window.partitionBy(col("bucket")).orderBy(col("anchor_id"))
+      val across = keyed.groupBy(col("bucket"), col("salt"))
+        .agg(min(col("vec_id")).as("anchor_id"),
+          min_by(col("embedding"), col("vec_id")).as("anchor_emb"))
+        .withColumn("pa_id", lag(col("anchor_id"), 1).over(wa))
+        .withColumn("pa_emb", lag(col("anchor_emb"), 1).over(wa))
+        .filter(col("pa_id").isNotNull)
+        .select(col("pa_id").as("a_id"), col("anchor_id").as("b_id"),
+          col("pa_emb").as("a_emb"), col("anchor_emb").as("b_emb"))
+      chain.unionByName(star).unionByName(across)
         .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
         .select(col("a_id"), col("b_id"), col("sim"))
     }

@@ -355,6 +355,25 @@ object PipelineScaleProbe {
       runAndReport(s"shardpack_unsalted_aqeoff   n=${2 * n}")(packRows(Long.MaxValue))
       srcDocs.unpersist()
 
+      // --- SemDeDup mega-bucket arm (r13 VERDICT item 3) ------------------
+      // n IDENTICAL embeddings: one sign bucket in every band — the
+      // degenerate corpus SemDeDup exists to clean. salts=1 is the pre-r14
+      // plan (the whole bucket sorts on one window task); the shipped
+      // salts=64 form bounds every chain/star group at n/64 and the only
+      // whole-bucket stage is the 64-row anchor chain.
+      val megaVecs = spark.range(n).select(
+        (col("id") * 37 + 5).as("vec_id"),
+        transform(sequence(lit(0), lit(31)),
+          i => sin(i.cast("double") * 1.7).cast("float")).as("embedding"))
+        .repartition(32).cache()
+      megaVecs.count()
+      def semPairs(salts: Int): Long = graft.operators.Similarity
+        .boundedBandedPairs(megaVecs, 8, 0.9, salts)
+        .select(count(lit(1))).collect().head.getLong(0)
+      runAndReport(s"semdedup_salt64_aqeoff n=$n")(semPairs(64))
+      runAndReport(s"semdedup_salt1_aqeoff  n=$n")(semPairs(1))
+      megaVecs.unpersist()
+
       spark.sparkContext.removeSparkListener(skew)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       docs.unpersist()

@@ -250,6 +250,26 @@ class TextPolicySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: a mega-bucket of identical embeddings stays ONE " +
+    "component under the salted chain+star candidate generation") {
+    import spark.implicits._
+    // identical embeddings collapse into one sign bucket in EVERY band —
+    // SemDeDup's exact target shape. The salted form (vec_id % 64 sub-
+    // groups + per-salt anchor chain) must keep the bucket connected:
+    // one component, min-id keeper. Ids are sparse and non-contiguous so
+    // the modulo scatters them across many salts.
+    val base = (0 until 32).map(i => math.sin(i * 1.7).toFloat).toArray
+    val vecs = (0 until 500).map(i => (i * 37L + 5, base))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semanticDedup(vecs, threshold = 0.9)
+      .collect()
+    assert(out.length == 500, s"all members cluster; got ${out.length}")
+    val minId = out.map(_.getAs[Long]("vec_id")).min
+    assert(out.map(_.getAs[Long]("component")).distinct.toSeq == Seq(minId),
+      "salting must not fragment the identical-embedding bucket")
+    assert(out.count(_.getAs[Boolean]("is_keeper")) == 1)
+  }
+
   test("gopher rules: each rule trips on its crafted violator, attribution " +
     "follows canonical order, a clean document keeps") {
     import spark.implicits._
