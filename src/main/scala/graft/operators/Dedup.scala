@@ -965,14 +965,27 @@ object Dedup {
     * overlap says WHO shares content, this says HOW MUCH of each source
     * is repeated text at all. The oracle form runs the string-gram spans
     * (n = 8, cross-engine checkable); at 100 TB pass the per-doc frame
-    * from [[substringDupSpansPaper]] (hashed n = 50) into the same
-    * aggregation — results differ only by the span detector's knobs.
+    * from [[substringDupSpansPaper]] (hashed n = 50) into the two-frame
+    * overload — results differ only by the span detector's knobs.
     */
   def dupRateBySource(spark: SparkSession, dir: String,
       n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    substringDupSpansDf(docs, n, hashed = false)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    dupRateBySource(substringDupSpansDf(docs, n, hashed = false), docs)
+  }
+
+  /** At-scale overload (r13 VERDICT item 4): the same per-source
+    * aggregation over a PRECOMPUTED per-doc span frame — `spans` is any
+    * [[substringDupSpansDf]]-shaped frame (doc_id, n_tokens, n_spans,
+    * dup_tokens), so the 100 TB path feeds [[substringDupSpansPaper]]'s
+    * hashed n = 50 output (8-byte grams, the paper's operating point)
+    * without re-detecting. `sources` needs (doc_id, source). One
+    * fingerprint-free join on doc_id + a combiner count/sum aggregate —
+    * linear; PipelineScaleProbe runs this composition per size.
+    */
+  def dupRateBySource(spans: DataFrame, sources: DataFrame): DataFrame =
+    spans
+      .join(sources.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -981,7 +994,6 @@ object Dedup {
       .withColumn("dup_rate", graft.functions.round4(
         col("dup_tokens") / greatest(col("n_tokens"), lit(1L))))
       .orderBy("source")
-  }
 
   /** DuckDB mirror of [[dupRateBySource]] at n = 8. */
   val dupRateBySourceSql: String =

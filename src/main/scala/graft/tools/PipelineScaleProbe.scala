@@ -201,6 +201,15 @@ object PipelineScaleProbe {
         graft.operators.Dedup
           .substringDedupApplyDf(longDocs, n = 50, hashed = true).count()
       }
+      // per-source dup-rate over the PAPER-point (hashed n=50) span frame
+      // (r13 VERDICT item 4): the promised 100 TB composition as code —
+      // detector output feeds the two-frame aggregation overload
+      time(s"duprate50h  n=$n") {
+        graft.operators.Dedup.dupRateBySource(
+          graft.operators.Dedup.substringDupSpansPaper(longDocs),
+          longDocs.withColumn("source",
+            concat(lit("s"), (col("doc_id") % 5).cast("string")))).count()
+      }
       longDocs.unpersist()
       docs.unpersist(); vecs.unpersist()
     }

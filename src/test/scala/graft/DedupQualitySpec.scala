@@ -238,4 +238,28 @@ class DedupQualitySpec extends AnyFunSuite {
     val meanNorm = res.values.map(_._4).sum / res.size
     assert(math.abs(meanNorm - 1.0) < 1e-3, s"mass not conserved: $meanNorm")
   }
+
+  test("dup-rate by source: the two-frame overload composed with the " +
+    "span detector equals the one-call oracle form, and accepts the " +
+    "paper-point hashed n=50 frame") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val oneCall = graft.operators.Dedup
+      .dupRateBySource(spark, "/root/testdata/sf0.001", n = 8)
+      .collect().toSeq
+    val composed = graft.operators.Dedup.dupRateBySource(
+      graft.operators.Dedup.substringDupSpansDf(docs, 8, hashed = false),
+      docs).collect().toSeq
+    assert(oneCall.nonEmpty && composed == oneCall)
+    // the at-scale path: hashed n=50 spans through the same aggregation —
+    // all sources present, accounting conserved against the corpus
+    val paper = graft.operators.Dedup.dupRateBySource(
+      graft.operators.Dedup.substringDupSpansPaper(docs), docs).collect()
+    assert(paper.map(_.getAs[String]("source")).toSet ==
+      oneCall.map(_.getAs[String]("source")).toSet)
+    assert(paper.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    paper.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("docs_with_dups") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
