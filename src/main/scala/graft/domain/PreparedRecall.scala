@@ -426,11 +426,13 @@ class PreparedRecall(
   locally {
     if (prebuildClasses) {
       // the six builds are independent (each plans under its own cloned
-      // session and lands in its own class key; computeIfAbsent
-      // serializes per key only) — build them concurrently, the same
-      // concurrency contract serving itself runs under
-      // (FastConcurrencyProbe). Await.result rethrows a build-thread
-      // failure at prepare time instead of deferring it to first use.
+      // session and lands in its own class key; computeIfAbsent locks
+      // the key's HASH BIN, so two builds can transiently serialize on a
+      // bin collision — latency-only, never a correctness issue) — build
+      // them concurrently, the same concurrency contract serving itself
+      // runs under (FastConcurrencyProbe). Await.result rethrows a
+      // build-thread failure at prepare time instead of deferring it to
+      // first use.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val builds = PreparedRecall.ClassMarkers.map(m => Future {

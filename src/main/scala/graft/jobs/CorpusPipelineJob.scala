@@ -152,12 +152,15 @@ object CorpusPipelineJob {
     val Array(docsPath, outRoot) = args.take(2)
     val rest = args.drop(2)
     val selIdx = rest.indexOf("--select")
+    require(selIdx < 0 || selIdx + 1 < rest.length,
+      "--select requires a comma-separated source list")
     val positives =
-      if (selIdx >= 0 && selIdx + 1 < rest.length)
-        Some(rest(selIdx + 1).split(",").toSeq)
-      else None
-    val budget = rest.filterNot(_.startsWith("--"))
-      .filterNot(a => selIdx >= 0 && rest.indexOf(a) == selIdx + 1)
+      if (selIdx >= 0) Some(rest(selIdx + 1).split(",").toSeq) else None
+    // drop the --select pair POSITIONALLY (value equality would also drop
+    // an unrelated arg that happens to repeat the sources string)
+    val budget = rest.zipWithIndex
+      .filterNot { case (_, i) => i == selIdx || i == selIdx + 1 }
+      .map(_._1).filterNot(_.startsWith("--"))
       .headOption.map(_.toDouble).getOrElse(500.0)
     // only stop the session on exit if this main created it — under a test
     // or notebook harness getOrCreate returns the caller's shared session

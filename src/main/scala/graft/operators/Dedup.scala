@@ -817,6 +817,16 @@ object Dedup {
     * run logic as [[substringDupSpansDf]]), covered tokens are dropped,
     * and the text is reconstructed from the survivors in position order.
     *
+    * Self-repetitive caveat: when a NON-first occurrence inside the
+    * keeper document overlaps its own first occurrence (a run of
+    * identical tokens longer than n), the merged span covers positions
+    * belonging to the kept occurrence too, so the kept occurrence may be
+    * truncated rather than survive verbatim — the guarantee is "at most
+    * one occurrence survives per duplicated gram", not "the first
+    * occurrence survives intact". Cross-document duplication (the mass
+    * that matters) is unaffected; the paper's suffix-array tool makes the
+    * same arbitrary cut inside self-overlapping runs.
+    *
     * Scale shape: first-occurrence detection is `min(struct(doc_id,pos))`
     * grouped by gram — a combiner-friendly aggregate joined back on the
     * same key, NEVER `row_number over (partition by gram)`: a boilerplate

@@ -340,11 +340,19 @@ object StreamingIngest {
     val wDir = s"$outRoot/clfweights"
     val wPath = new org.apache.hadoop.fs.Path(wDir)
     val fs = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(wPath)) {
+    // trained-ness is gated on a COMMIT MARKER written after the weights
+    // land, not on the directory's existence: a crash between parquet dir
+    // creation and its data files would otherwise leave an empty/partial
+    // store that every replay trusts forever (a stuck-stream wedge). The
+    // marker is a sibling, not a child, because retraining overwrites the
+    // directory itself.
+    val marker = new org.apache.hadoop.fs.Path(s"$outRoot/clfweights._TRAINED")
+    if (!fs.exists(marker)) {
       if (batch.isEmpty) return // leave training to a non-empty batch
       graft.operators.TextPolicy
         .qualityClassifierWeights(batch, positiveSources)
         .write.mode("overwrite").parquet(wDir)
+      fs.create(marker, true).close()
     }
     val weights = spark.read.parquet(wDir)
     val verdicts = graft.operators.TextPolicy

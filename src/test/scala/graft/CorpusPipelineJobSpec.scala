@@ -249,6 +249,28 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     assert(selectedIds(1L) == before, "replay must not change selected/")
   }
 
+  test("streaming selection: a crash between weights-dir creation and " +
+    "data landing retrains on the next batch instead of wedging (r14, " +
+    "ADVICE marker gating)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-selwedge")
+      .toString
+    // simulate the crash window: the weights DIRECTORY exists but holds
+    // no committed data and no marker — the pre-r14 fs.exists(dir) gate
+    // would skip training forever and every batch would fail reading it
+    new java.io.File(s"$tmp/out/clfweights").mkdirs()
+    val b0 = Seq(
+      (1L, "cur", "insight wisdom clarity insight depth"),
+      (2L, "raw", "spam junk noise spam clickbait"))
+      .toDF("doc_id", "source", "text")
+    graft.streaming.StreamingIngest.selectionBatch(
+      b0, 0L, s"$tmp/out", Seq("cur"))
+    assert(new java.io.File(s"$tmp/out/clfweights._TRAINED").exists(),
+      "training must commit the marker")
+    assert(spark.read.parquet(s"$tmp/out/clfweights").count() > 0)
+    assert(spark.read.parquet(s"$tmp/out/selected").count() >= 1)
+  }
+
   test("fpstore read failure fails the micro-batch instead of silently " +
     "skipping cross-batch dedup (r13, ADVICE)") {
     import spark.implicits._
