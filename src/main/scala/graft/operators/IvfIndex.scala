@@ -74,7 +74,36 @@ object IvfIndex {
       .parquet(s"$path/assignments")
     sumsToCentroids(cellSums(cells)).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    pinBaselineFit(vectors, path)
   }
+
+  /** Mean squared distance of `vectors` to their nearest FROZEN centroid
+    * — the ground-truth-free drift signal IvfDriftProbe established
+    * (probe: ~1x for in-distribution appends, ~170x under planted drift).
+    * One bounded-centroid-set assign over the batch; the per-stream
+    * consumer is [[graft.streaming.StreamingIngest.ivfBatch]], which
+    * rates each appended micro-batch against [[baselineFit]].
+    */
+  def assignmentFit(vectors: DataFrame, path: String): Double =
+    KMeans.assign(vectors, storedCentroids(vectors.sparkSession, path))
+      .agg(avg(col("dist"))).head.getDouble(0)
+
+  /** The pinned build-time fit (mean assigned distance of the BUILD set
+    * against its own centroids), written by [[build]]/[[buildKMeans]] as
+    * `<path>/BASELINE_FIT`. None for indexes built before the marker
+    * existed.
+    */
+  def baselineFit(path: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(path, "BASELINE_FIT")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toDouble)
+    else None
+  }
+
+  private def pinBaselineFit(vectors: DataFrame, path: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "BASELINE_FIT"),
+      assignmentFit(vectors, path).toString)
 
   /** K-means coarse-quantizer build — the textbook IVF (FAISS
     * `IndexIVFFlat`'s shape): cells are the nearest of `k` Lloyd's
@@ -117,6 +146,7 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "QUANTIZER"), "kmeans")
+    pinBaselineFit(vectors, path)
   }
 
   /** The index's quantizer kind: "kmeans" when the marker exists, else

@@ -403,7 +403,13 @@ object StreamingIngest {
     * path) once it stays >>1 across a sustained appended fraction
     * (>=~25%), accepting that coherent-drift rebuilds are wasted work —
     * distinguishing the two regimes needs ground-truth recall, which a
-    * production stream does not have.
+    * production stream does not have. As of r14 the ratio IS computed
+    * in-stream: every applied append writes
+    * `<indexPath>/_fit/<batchId>.json` holding the batch's assignment
+    * fit, the pinned build-time baseline (`BASELINE_FIT`, written by the
+    * build), and their ratio — the advisory rebuild signal landing next
+    * to the commit marker, at the cost of one bounded-centroid-set
+    * aggregate over the batch.
     *
     * Delivery contract, stated honestly: foreachBatch is at-least-once on
     * restart and a plain parquet append is not transactional. A per-batch
@@ -450,7 +456,23 @@ object StreamingIngest {
         case Some(k) => IvfIndex.buildKMeans(batch, indexPath, k)
         case None => IvfIndex.build(batch, indexPath, cellBits)
       }
-    } else IvfIndex.appendWithMaintenance(batch, indexPath, cellBits)
+    } else {
+      IvfIndex.appendWithMaintenance(batch, indexPath, cellBits)
+      // advisory drift signal (r13 VERDICT item 5): rate this batch's fit
+      // against the frozen centroids vs the pinned build-time baseline,
+      // landed next to the commit marker. Written BEFORE the marker so a
+      // crash in between replays both (overwrite-idempotent); absent
+      // baseline (pre-r14 index) or empty batch skips cleanly.
+      if (!batch.isEmpty) IvfIndex.baselineFit(indexPath).foreach { base =>
+        val fit = IvfIndex.assignmentFit(batch, indexPath)
+        val ratio = fit / math.max(base, 1e-12)
+        val fitDir = java.nio.file.Paths.get(indexPath, "_fit")
+        java.nio.file.Files.createDirectories(fitDir)
+        java.nio.file.Files.writeString(
+          fitDir.resolve(s"$batchId.json"),
+          f"""{"batch_id":$batchId,"fit":$fit,"baseline":$base,"ratio":$ratio}""")
+      }
+    }
     java.nio.file.Files.createDirectories(marker.getParent)
     java.nio.file.Files.createFile(marker)
     true

@@ -332,6 +332,41 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(nRows == 600, "residual window duplicates, by documented design")
   }
 
+  test("streaming ivf drift signal: appended batches land a per-batch " +
+    "fit row, and a drifted batch's ratio exceeds a coherent batch's " +
+    "(r14, VERDICT item 5)") {
+    import graft.streaming.StreamingIngest
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-fit")
+      .toString
+    // two tight clusters at 0 and 1; a drifted batch sits at +25 — far
+    // from every frozen centroid
+    def cluster(from: Int, until: Int, base: Double) =
+      (from until until).map { i =>
+        (i.toLong, Seq.tabulate(8)(d =>
+          (base + (i % 5) * 0.01 + d * 0.001).toFloat))
+      }.toDF("vec_id", "embedding")
+    val build = cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0))
+    assert(StreamingIngest.ivfBatch(build, 0L, tmp, kMeansK = Some(2)))
+    assert(graft.operators.IvfIndex.baselineFit(tmp).exists(_ >= 0.0),
+      "build must pin BASELINE_FIT")
+    // batch 0 (the build) writes no fit row; appends do
+    assert(StreamingIngest.ivfBatch(cluster(200, 300, 1.0), 1L, tmp))
+    assert(StreamingIngest.ivfBatch(cluster(300, 400, 25.0), 2L, tmp))
+    def ratio(b: Long): Double = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tmp, "_fit", s"$b.json"))
+      "\"ratio\":([0-9.eE+-]+)".r.findFirstMatchIn(txt).get.group(1).toDouble
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tmp, "_fit", "0.json")))
+    val coherent = ratio(1L)
+    val drifted = ratio(2L)
+    assert(drifted > coherent * 10,
+      s"drifted batch must rate far worse: coherent=$coherent drifted=$drifted")
+    assert(coherent < 10.0, s"in-distribution append must rate ~1: $coherent")
+  }
+
   test("streaming ivf end-to-end: a file-source stream builds then appends " +
     "across micro-batches") {
     import graft.streaming.StreamingIngest
