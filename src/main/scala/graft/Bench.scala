@@ -463,7 +463,12 @@ object Bench {
     // (canaries, serving pins) fall outside a 2000-char tail. This second
     // line repeats ONLY the adjudicable pins so they always land inside
     // the tail window regardless of how many queries the full record grew.
-    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"sf":"$sfDir"}""")
+    // top5_slowest (r13 VERDICT item 6): per-query regressions on the
+    // expensive tail must survive artifact truncation too.
+    val top5Slowest = jsonMap(timed
+      .collect { case (k, (_, Right(w))) => k -> w }
+      .toSeq.sortBy(-_._2).take(5))
+    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

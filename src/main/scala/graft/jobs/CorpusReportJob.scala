@@ -1,0 +1,97 @@
+package graft.jobs
+
+import graft.functions.TextFunctions.tokens
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The corpus-profile REPORT as one job (r13 VERDICT item 6): the five
+  * per-source profiling relations a mixture recipe reads together —
+  *
+  *   zipf/        per-source Zipf head slope       [[TextAnalysis.zipfSlope]]
+  *   heaps/       Heaps' vocabulary-growth beta    [[TextAnalysis.heapsLaw]]
+  *   divergence/  pairwise source KL               [[TextAnalysis.sourceDivergence]]
+  *   overlap/     cross-source shingle Jaccard     [[TextAnalysis.sourceOverlap]]
+  *   duprate/     per-source duplication rate      [[Dedup.dupRateBySource]]
+  *
+  * Run standalone, each op rescans and RE-TOKENIZES the corpus — five
+  * full text passes for one report. This job tokenizes ONCE: a single
+  * position-explode is checkpointed (the sourceOverlap pattern; at 100 TB
+  * write it to parquet and read back — the containmentPairs
+  * persisted-artifact note) and every relation derives from it through
+  * the operators' own `FromTokens`/`FromCounts` composition points, so
+  * each output is the SAME oracle-gated relation the standalone op
+  * produces (equality spec in CorpusReportJobSpec; shared-scan win
+  * measured in tools.CorpusReportProbe). The per-(source, token) count
+  * table is additionally checkpointed once and feeds BOTH the Zipf head
+  * fit and the KL grid.
+  *
+  * Usage: CorpusReportJob <documentsPath> <outRoot> [topN]
+  */
+object CorpusReportJob {
+
+  /** The five report frames plus the checkpoint-release hook: all five
+    * read the internally checkpointed token/count tables, so callers MUST
+    * call [[release]] after their last action on them.
+    */
+  final case class Report(zipf: DataFrame, heaps: DataFrame,
+      divergence: DataFrame, overlap: DataFrame, dupRate: DataFrame,
+      private val pinned: Seq[DataFrame]) {
+    def release(): Unit = pinned.foreach(graft.functions.releaseCheckpoint)
+  }
+
+  /** Build all five relations from one tokenize pass. `documents` needs
+    * (doc_id, source, text). Call `.release()` after the last action.
+    */
+  def run(documents: DataFrame, topN: Int = 50, dupN: Int = 8): Report = {
+    // THE tokenize pass: every relation below derives from this explode
+    val docToks = documents.select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    // per-(source, token) counts: shared by zipf + divergence
+    val counts = docToks
+      .select(col("source"), col("tok").as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // per-doc token counts reproduce size(tokens(text)) exactly: tokens()
+    // of empty/whitespace text is a one-element array (one explode row),
+    // so every document appears in docToks
+    val docLens = docToks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    val spans = Dedup.substringDupSpansFromTokens(
+      docToks.select(col("doc_id"), col("pos"), col("tok")),
+      docLens, dupN, hashed = false)
+    Report(
+      zipf = TextAnalysis.zipfSlopeFromCounts(counts, topN),
+      heaps = TextAnalysis.heapsLawFromTokens(
+        docToks.select(col("doc_id"), col("tok").as("w")), documents),
+      divergence = TextAnalysis.sourceDivergenceFromCounts(counts),
+      overlap = TextAnalysis.sourceOverlapFromTokens(docToks),
+      dupRate = Dedup.dupRateBySource(spans, documents),
+      pinned = Seq(docToks, counts))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CorpusReportJob <documentsPath> <outRoot> [topN]")
+    val Array(docsPath, outRoot) = args.take(2)
+    val topN = args.lift(2).map(_.toInt).getOrElse(50)
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .appName("graft-corpus-report")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val report = run(spark.read.parquet(docsPath), topN)
+      try {
+        report.zipf.write.mode("overwrite").parquet(s"$outRoot/zipf")
+        report.heaps.write.mode("overwrite").parquet(s"$outRoot/heaps")
+        report.divergence.write.mode("overwrite")
+          .parquet(s"$outRoot/divergence")
+        report.overlap.write.mode("overwrite").parquet(s"$outRoot/overlap")
+        report.dupRate.write.mode("overwrite").parquet(s"$outRoot/duprate")
+      } finally report.release()
+    } finally if (!preExisting) spark.stop()
+  }
+}

@@ -730,9 +730,23 @@ object Dedup {
 
   /** DataFrame-parametric form — needs (doc_id, text). */
   def substringDupSpansDf(docs: DataFrame, n: Int,
-      hashed: Boolean): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      hashed: Boolean): DataFrame =
+    substringDupSpansFromTokens(
+      docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok"))),
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      n, hashed)
+
+  /** [[substringDupSpansDf]] over a PRECOMPUTED (doc_id, pos, tok)
+    * position-explode plus a (doc_id, n_tokens) length relation (which
+    * must still carry zero-token docs — they exist in `docLens` but not
+    * in the explode) — the corpus-report composition point
+    * ([[graft.jobs.CorpusReportJob]] shares one tokenize pass across all
+    * report relations).
+    */
+  def substringDupSpansFromTokens(toks: DataFrame, docLens: DataFrame,
+      n: Int, hashed: Boolean): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val gramCols = (1 until n).map(i => lead(col("tok"), i).over(w))
     // two consumers (occurrence counts + start marking) re-derive the gram
@@ -786,9 +800,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("se") - col("ss") + 1).as("dup_tokens"))
-    docs
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    docLens
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_spans", "dup_tokens"))
       .withColumn("dup_frac", graft.functions.round4(

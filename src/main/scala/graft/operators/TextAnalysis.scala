@@ -986,11 +986,16 @@ object TextAnalysis {
     sourceOverlap(Tables.documents(spark, dir))
 
   /** DataFrame-parametric form — needs (doc_id, source, text). */
-  def sourceOverlap(documents: DataFrame): DataFrame = {
+  def sourceOverlap(documents: DataFrame): DataFrame =
+    sourceOverlapFromTokens(documents.select(col("doc_id"), col("source"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok"))))
+
+  /** [[sourceOverlap]] over a PRECOMPUTED (doc_id, source, pos, tok)
+    * position-explode — the corpus-report composition point.
+    */
+  def sourceOverlapFromTokens(docToks: DataFrame): DataFrame = {
     // shingles derive per DOCUMENT (a lead over source-pooled tokens would
     // fabricate grams across doc boundaries), then dedup to (source, sh)
-    val docToks = documents.select(col("doc_id"), col("source"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // localCheckpoint the deduped (source, shingle) table: it feeds THREE
     // consumers (both self-join sides + totals), and the self-join's
@@ -1044,9 +1049,17 @@ object TextAnalysis {
     heapsLaw(Tables.documents(spark, dir))
 
   /** DataFrame-parametric form — needs (doc_id, text). */
-  def heapsLaw(documents: DataFrame): DataFrame = {
-    val toksDf = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+  def heapsLaw(documents: DataFrame): DataFrame =
+    heapsLawFromTokens(documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w")),
+      documents)
+
+  /** [[heapsLaw]] over a PRECOMPUTED (doc_id, w) token relation; the
+    * `documents` frame still supplies max(doc_id) (zero-token docs exist
+    * there but not in the explode) — the corpus-report composition point.
+    */
+  def heapsLawFromTokens(toksDf: DataFrame, documents: DataFrame)
+      : DataFrame = {
     val firsts = toksDf.groupBy(col("w"))
       .agg(min(col("doc_id")).as("first_doc"))
     val perDocTok = toksDf.groupBy(col("doc_id"))
@@ -1196,10 +1209,17 @@ object TextAnalysis {
       : DataFrame = zipfSlope(Tables.documents(spark, dir), topN)
 
   /** DataFrame-parametric form — needs (source, text). */
-  def zipfSlope(documents: DataFrame, topN: Int): DataFrame = {
-    val counts = documents
+  def zipfSlope(documents: DataFrame, topN: Int): DataFrame =
+    zipfSlopeFromCounts(documents
       .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")), topN)
+
+  /** [[zipfSlope]] over a PRECOMPUTED per-(source, token) count relation
+    * (`source`, `w`, `c`) — the corpus-report composition point: the same
+    * counts frame feeds [[sourceDivergenceFromCounts]], so one tokenize
+    * pass serves both ([[graft.jobs.CorpusReportJob]]).
+    */
+  def zipfSlopeFromCounts(counts: DataFrame, topN: Int): DataFrame = {
     // two-phase top-N per source (the weightedSample pattern): a source's
     // vocabulary never lands on one window task
     val o1 = Window
@@ -1344,10 +1364,15 @@ object TextAnalysis {
     sourceDivergence(Tables.documents(spark, dir))
 
   /** DataFrame-parametric form — needs (source, text). */
-  def sourceDivergence(documents: DataFrame): DataFrame = {
-    val counts = documents
+  def sourceDivergence(documents: DataFrame): DataFrame =
+    sourceDivergenceFromCounts(documents
       .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+
+  /** [[sourceDivergence]] over a PRECOMPUTED (source, w, c) count
+    * relation — see [[zipfSlopeFromCounts]].
+    */
+  def sourceDivergenceFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("source"))
       .agg(sum(col("c")).cast("long").as("t"))
     val vocabSize = counts.select(col("w")).distinct()
