@@ -12,9 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - multi-session conversations ingested one memory per utterance with
   *    conversation/session/speaker tags and dialog-id metadata
   *    (`test_locomo.py:314-389` `_prepare_conversation_memories`);
-  *  - questions in three categories — single-hop, temporal, multi-hop
-  *    (LoCoMo categories 1-3; categories 4-5 are open-domain/LLM-judged and
-  *    out of deterministic scope) — each with labelled evidence dialog ids;
+  *  - questions across ALL FIVE LoCoMo categories (r13 VERDICT item 7) —
+  *    single-hop, temporal, multi-hop, open-domain (paraphrase/inference
+  *    wording, scored on evidence ids like the rest), and adversarial
+  *    (the fact is absent; correct behavior is ABSTENTION via the score
+  *    floor) — plus the LongMemEval-shaped knowledge-update category;
+  *    answerable questions carry labelled evidence dialog ids;
   *  - per-question recall parameterization ported from the reference
   *    evaluator (`test_locomo.py:730-820` `recall_for_question`): temporal
   *    questions get month/year hints appended and a wider limit, multi-hop
@@ -392,11 +395,13 @@ object LocomoMini {
 
   def turns: Seq[Turn] = conv1 ++ conv2 ++ conv3 ++ conv4 ++ conv5
 
-  /** The 150 questions across five conversations — single 54 / temporal 32
-    * / multihop 32 / update 32 (every category >= 30, VERDICT r7 item 3;
-    * the single-heavy skew mirrors the reference mini tier's 114:63:43
+  /** The 174 questions across five conversations — single 54 / temporal 32
+    * / multihop 32 / update 32 / open 12 / adversarial 12 (every
+    * reference-mirrored category >= 30, VERDICT r7 item 3; the
+    * single-heavy skew mirrors the reference mini tier's 114:63:43
     * single:temporal:multihop category counts,
-    * `benchmarks/EXPERIMENT_LOG.md:172`). Question wording is part of
+    * `benchmarks/EXPERIMENT_LOG.md:172`; open/adversarial complete the
+    * five LoCoMo categories, r13 item 7). Question wording is part of
     * the fixture: temporal questions carry a reference-grade temporal-intent keyword
     * (`recently` — `automem/utils/time.py:10-17`; bare `last` is intent
     * only in the harness's own keyword list, not the engine's) so `recencyBias = "auto"` fires for them and ONLY
@@ -665,7 +670,59 @@ object LocomoMini {
     Question("update", 2, "Where does Priya mix her glazes?", Seq("D2:5:13")),
     Question("update", 3, "Where does Ben sell his honey?", Seq("D3:5:11")),
     Question("update", 3, "Where does Aiko buy brass fittings?", Seq("D3:5:12")),
-    Question("update", 3, "What do the hives winter under?", Seq("D3:5:13")))
+    Question("update", 3, "What do the hives winter under?", Seq("D3:5:13")),
+    // ---- open-domain (12; LoCoMo category 3 — the question paraphrases
+    // or reasons ABOUT the planted fact instead of quoting its words, so
+    // retrieval leans on the vector/entity channels with only one or two
+    // shared content words; wording must avoid every temporal keyword)
+    Question("open", 1, "Which feathered pet mimics household sounds?",
+      Seq("D1:2:8")),
+    Question("open", 1, "Who can finally order coffee abroad without pausing?",
+      Seq("D1:5:6")),
+    Question("open", 1, "What mode of transport carries two riders by the river?",
+      Seq("D1:3:1")),
+    Question("open", 2, "Which craft equipment needs a full day of heating?",
+      Seq("D2:1:5")),
+    Question("open", 2, "What footrace left someone struggling with stairs?",
+      Seq("D2:3:5")),
+    Question("open", 3, "Which trade pairs naturally with an apiary?",
+      Seq("D3:4:7")),
+    Question("open", 3, "Which antique optical instrument got a completely new mount?",
+      Seq("D3:3:3")),
+    Question("open", 4, "Which board-game final hinged on giving up the queen?",
+      Seq("D4:4:6")),
+    Question("open", 4, "What woven artwork reached the opera stage?",
+      Seq("D4:5:1")),
+    Question("open", 5, "Which vintage vehicle entered a hill event?",
+      Seq("D5:5:1")),
+    Question("open", 5, "What plants gained a balcony greenhouse?",
+      Seq("D5:3:5")),
+    Question("open", 5, "Which swimmer says open water beats any pool lane?",
+      Seq("D5:5:10")),
+    // ---- adversarial (12; LoCoMo category 5 — the fact is NOT in the
+    // conversation, so the correct behavior is ABSTENTION: every retrieved
+    // row scores below the answerable floor under the relevance gate.
+    // Each question borrows ANOTHER conversation's topic, which the
+    // conversation-tag scope excludes; speaker names are deliberately
+    // absent — with the lexical-bag embedder a speaker name alone lifts
+    // top-1 ~0.05-0.08 (every turn embeds "Speaker:"), which is exactly
+    // the calibration mass a no-answer policy must not hand out for free
+    Question("adversarial", 1, "What glaze came out of the kiln?", Nil),
+    Question("adversarial", 1, "Which rooftop beehive produced honey?", Nil),
+    Question("adversarial", 2, "What parrot was adopted from the shelter?",
+      Nil),
+    Question("adversarial", 2, "Which brass telescope got restored?", Nil),
+    Question("adversarial", 3, "What marathon was finished in Valencia?", Nil),
+    Question("adversarial", 3, "Which tapestry hangs at the opera house?",
+      Nil),
+    Question("adversarial", 4, "What spices sell at the bazaar hall?", Nil),
+    Question("adversarial", 4, "Which glacier ice caves got hiked?", Nil),
+    Question("adversarial", 5, "What indigo dye boxes got planted?", Nil),
+    Question("adversarial", 5, "Which cinnamon knots sold out at a bakery?",
+      Nil),
+    Question("adversarial", 3, "What Portuguese verbs does the tutor teach?",
+      Nil),
+    Question("adversarial", 4, "Which celadon vases survived the firing?", Nil))
 
   /** Superseded facts, old dialog -> new dialog (`EVOLVED_INTO` is the
     * supersession relation the current-state walk follows, Schema
@@ -805,7 +862,16 @@ object LocomoMini {
     */
   def answer(memories: DataFrame, edges: DataFrame, q: Question,
       weights: graft.domain.Scoring.Weights = graft.domain.Scoring.Weights())
-      : Seq[String] = {
+      : Seq[String] = answerScored(memories, edges, q, weights).map(_._1)
+
+  /** [[answer]] with each ranked id's final score — the abstention input:
+    * an adversarial question is answered correctly when its TOP score
+    * stays under [[AbstainFloor]] (the secondary speaker-tag rows carry
+    * score 0 — they are a recall-supplement, never abstention evidence).
+    */
+  def answerScored(memories: DataFrame, edges: DataFrame, q: Question,
+      weights: graft.domain.Scoring.Weights = graft.domain.Scoring.Weights())
+      : Seq[(String, Double)] = {
     val temporal = isTemporalQuestion(q.question)
     val multiHop = q.evidence.size > 1
     val query = (q.question +: (if (temporal) temporalHints(q.question) else Nil))
@@ -821,14 +887,16 @@ object LocomoMini {
       queryEmbedder = Some(graft.domain.LexicalEmbedding.embed(_)),
       now = Now)
     var ids = Recall.recall(memories, edges, req)
-      .select("id").collect().map(_.getString(0)).toSeq
+      .select("id", "final_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
     if (multiHop) speakerFromQuestion(q.question).foreach { sp =>
       val bySpeaker = Recall.recall(memories, edges, RecallRequest(
         query = None, limit = 50,
         tags = Seq(s"speaker:${sp.toLowerCase}", s"conversation:conv-${q.conv}"),
         tagMode = "all", tagMatch = "exact", now = Now))
         .select("id").collect().map(_.getString(0))
-      ids = ids ++ bySpeaker.filterNot(ids.contains)
+      ids = ids ++ bySpeaker.filterNot(s => ids.exists(_._1 == s))
+        .map((_, 0.0))
     }
     ids
   }
@@ -842,7 +910,13 @@ object LocomoMini {
     * per-stage re-planning only pays off on real shuffles) and few shuffle
     * partitions — ~2x per question (tools.RecallProfile measurement).
     */
-  def rankings(spark: SparkSession): Map[Int, Seq[String]] = {
+  def rankings(spark: SparkSession): Map[Int, Seq[String]] =
+    scoredRankings(spark).view.mapValues(_.map(_._1)).toMap
+
+  /** Ranked (id, score) per question index — one pass serving both the
+    * id goldens and the adversarial abstention contract.
+    */
+  def scoredRankings(spark: SparkSession): Map[Int, Seq[(String, Double)]] = {
     val mem = memories(spark).cache()
     mem.count()
     val es = edges(spark)
@@ -852,7 +926,7 @@ object LocomoMini {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       questions.zipWithIndex.map { case (q, i) =>
-        i -> answer(mem, es, q)
+        i -> answerScored(mem, es, q)
       }.toMap
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -31,7 +31,7 @@ object LocomoReport {
     val nq = LocomoMini.questions.size
     val counts = LocomoMini.questions.groupBy(_.category).view.mapValues(_.size).toMap
     println(s"\nquestions: $nq  $counts")
-    Seq("single", "temporal", "multihop", "update").foreach { cat =>
+    Seq("single", "temporal", "multihop", "update", "open").foreach { cat =>
       val acc = catMean(cat,
         (got, want) => if (want.forall(got.contains)) 1.0 else 0.0)
       println(s"$cat: accuracy=$acc")
@@ -59,9 +59,12 @@ object LocomoReport {
         now = LocomoMini.Now))
         .select("final_score").collect().headOption
         .map(_.getDouble(0)).getOrElse(0.0)
-    val unanswerable = Seq(
-      top1(1, "What color is the submarine parked outside?"),
-      top1(2, "Which opera premiered at the festival?"))
+    val unanswerable = LocomoMini.questions.filter(_.category == "adversarial")
+      .map { q =>
+        val s = top1(q.conv, q.question)
+        println(f"top1-adversarial $s%.4f '${q.question}'")
+        s
+      }
     val answerable = LocomoMini.questions.filter(_.category == "single")
       .map { q =>
         val s = top1(q.conv, q.question)
