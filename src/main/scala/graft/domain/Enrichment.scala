@@ -105,8 +105,17 @@ object Enrichment {
         "regexp_extract_all(lower(content), '[a-z]{4,}', 0)")).as("tok"))
       .filter(!col("tok").isin("the", "that", "with", "from", "this", "have", "were"))
       .groupBy(col("type"), col("tok")).agg(count(lit(1)).as("n"))
+    // two-phase top-5 per type (the hot-key doctrine): the per-type
+    // vocabulary grows with the corpus, so phase 1 prunes to top-5 per
+    // (type, token-salt) on bounded groups before the <= 64x5-row final
+    // rank — exact, same total order
+    val w1 = Window.partitionBy(col("type"),
+        pmod(xxhash64(col("tok")), lit(64L)))
+      .orderBy(desc("n"), asc("tok"))
     val w = Window.partitionBy(col("type")).orderBy(desc("n"), asc("tok"))
-    val keyTerms = tokens.withColumn("_rn", row_number().over(w))
+    val keyTerms = tokens
+      .withColumn("_p1", row_number().over(w1)).filter(col("_p1") <= 5)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= 5)
       .groupBy(col("type"))
       .agg(collect_list(col("tok")).as("key_terms"))

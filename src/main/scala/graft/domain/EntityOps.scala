@@ -181,25 +181,40 @@ object IdentitySynthesis {
       version: Int = 1): org.apache.spark.sql.DataFrame = {
     val spark = memories.sparkSession
     val entityTag = explode(filter(col("tags"), t => t.startsWith("entity:")))
-    val w = Window.partitionBy(col("slug")).orderBy(desc("timestamp"), asc("id"))
-    val perEntity = memories
+    val base = memories
       .filter(coalesce(col("archived"), lit(false)) === false)
       .select(col("id"), col("timestamp"),
         substring(col("content"), 1, 160).as("snippet"), entityTag.as("etag"))
       .withColumn("slug", element_at(split(col("etag"), ":"), 3))
-      .withColumn("_rn", row_number().over(w))
-      .groupBy(col("slug"))
-      .agg(
-        // snippets are bounded, but the SOURCE COUNT is the total current
-        // memory count (`identity_synthesis.py` gathers refs with
-        // limit=None) — the reference's staleness check compares it to the
-        // live reference count, so a capped value would mis-trigger
-        // re-synthesis forever past maxSnippets memories
-        sort_array(collect_list(when(col("_rn") <= maxSnippets,
-          struct(col("_rn"), col("snippet"))))).getField("snippet")
-          .as("snippets"),
-        count(lit(1)).as("identity_source_count"),
+    // the SOURCE COUNT is the total current memory count
+    // (`identity_synthesis.py` gathers refs with limit=None) — the
+    // reference's staleness check compares it to the live reference
+    // count, so a capped value would mis-trigger re-synthesis forever
+    // past maxSnippets memories. It is a combiner aggregate over ALL
+    // mentions, joined back — never computed inside the snippet ranking.
+    val stats = base.groupBy(col("slug"))
+      .agg(count(lit(1)).as("identity_source_count"),
         max(col("timestamp")).as("identity_updated_at"))
+    // two-phase top-maxSnippets per entity (the hot-key doctrine): a
+    // celebrity entity's mention count grows with the corpus, so phase 1
+    // keeps top-k per (slug, id-salt) on bounded groups and the final
+    // rank sees <= 64k rows per slug — exact, same total order
+    val w1 = Window.partitionBy(col("slug"),
+        pmod(xxhash64(col("id")), lit(64L)))
+      .orderBy(desc("timestamp"), asc("id"))
+    val w = Window.partitionBy(col("slug"))
+      .orderBy(desc("timestamp"), asc("id"))
+    val snippets = base
+      .withColumn("_p1", row_number().over(w1))
+      .filter(col("_p1") <= maxSnippets)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxSnippets)
+      .groupBy(col("slug"))
+      .agg(sort_array(collect_list(struct(col("_rn"), col("snippet"))))
+        .getField("snippet").as("snippets"))
+    val perEntity = stats.join(snippets, Seq("slug"))
+      .select(col("slug"), col("snippets"), col("identity_source_count"),
+        col("identity_updated_at"))
     val writeUdf = org.apache.spark.sql.functions.udf(
       (slug: String, snippets: Seq[String]) => writer.write(slug, snippets))
     perEntity

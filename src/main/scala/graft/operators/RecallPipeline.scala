@@ -50,15 +50,25 @@ object RecallPipeline {
       .withColumn("final_score",
         col("kw") * 0.35 + col("tag_score") * 0.2 + col("importance") * 0.1 +
           col("confidence") * 0.05 + col("recency") * 0.1)
-    // R1 fingerprint dedup keep-best, R2 sort, top-k
-    val w = Window.partitionBy(col("fp"))
-      .orderBy(desc("final_score"), desc("timestamp"), asc("doc_id"))
+    // R1 fingerprint dedup keep-best, R2 sort, top-k. Keep-best is ONE
+    // max_by hash aggregate over the corpus-wide fingerprint key, never a
+    // row_number window partitioned by fp: a boilerplate page duplicated
+    // 10^7x is one fingerprint, and a window would sort that whole group
+    // on a single task (the r13/r14 hot-key doctrine; same fix as
+    // Dedup.fingerprintDedup and TextPolicy.hygieneStaged).
     scored.withColumn("fp", TextFunctions.fingerprint(col("text"), 320))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), round4(col("final_score")).as("score"),
-        round4(col("kw")).as("kw"), round4(col("tag_score")).as("tag_score"),
-        round4(col("recency")).as("recency"))
+      .groupBy(col("fp"))
+      .agg(max_by(
+        struct(col("doc_id"), col("final_score"), col("kw"),
+          col("tag_score"), col("recency")),
+        // keep-best order: final_score desc, timestamp desc, doc_id asc
+        struct(col("final_score"), col("timestamp"), -col("doc_id")))
+        .as("best"))
+      .select(col("best.doc_id").as("doc_id"),
+        round4(col("best.final_score")).as("score"),
+        round4(col("best.kw")).as("kw"),
+        round4(col("best.tag_score")).as("tag_score"),
+        round4(col("best.recency")).as("recency"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(Limit)
   }

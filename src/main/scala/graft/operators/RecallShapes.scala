@@ -262,20 +262,53 @@ object RecallShapes {
     * segment, the largest score gap between consecutive ranked candidates in
     * the top half.
     */
-  def largestGap(spark: SparkSession, dir: String): DataFrame = {
-    val rank = Window.partitionBy(col("c_mktsegment"))
+  def largestGap(spark: SparkSession, dir: String): DataFrame =
+    largestGap(Tables.customer(spark, dir))
+
+  /** DataFrame-parametric form — needs
+    * (c_mktsegment, c_custkey, c_acctbal).
+    */
+  def largestGap(customers: DataFrame): DataFrame = {
+    // Salted exact ranking (r14): c_mktsegment has ~5 values, so a
+    // row_number/lag window partitioned by it puts 1/5 OF ALL CUSTOMERS
+    // on one task at 100 TB. The rank is instead computed per
+    // (segment, integer-dollar bucket of the sort key) — floor(acctbal)
+    // is monotone in the (acctbal desc) order, so per-bucket ranks stitch
+    // exactly: global rn = count of rows in higher buckets (a one-row-
+    // per-bucket prefix, the sequenceChunks integer doctrine) + the
+    // within-bucket rank. The consecutive-pair gap needs one value across
+    // each bucket boundary — the previous bucket's LAST (= minimum)
+    // acctbal, carried on the same tiny per-bucket summary. The final
+    // best-gap pick per segment is a max_by aggregate, not a window.
+    // (Degenerate bound: all-identical balances collapse into one bucket
+    // — value-contiguity is what makes the stitch exact, so an identical-
+    // value mass is one group, the same residual the oracle form has.)
+    val cust = customers
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("_b", floor(col("c_acctbal")).cast("long"))
+    val wb = Window.partitionBy(col("c_mktsegment")).orderBy(desc("_b"))
+    val buckets = cust.groupBy(col("c_mktsegment"), col("_b"))
+      .agg(count(lit(1)).as("_bn"), min(col("c_acctbal")).as("_blast"))
+      .withColumn("_off", coalesce(sum(col("_bn")).over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_prev_last", lag(col("_blast"), 1).over(wb))
+      .withColumn("_n", sum(col("_bn")).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      .drop("_blast")
+    val win = Window.partitionBy(col("c_mktsegment"), col("_b"))
       .orderBy(desc("c_acctbal"), asc("c_custkey"))
-    val seg = Window.partitionBy(col("c_mktsegment"))
-    val ranked = Tables.customer(spark, dir)
-      .withColumn("rn", row_number().over(rank))
-      .withColumn("n", count(lit(1)).over(seg))
-      .withColumn("gap", round4(lag(col("c_acctbal"), 1).over(rank) - col("c_acctbal")))
-      .filter(col("rn") > 1 && col("rn") <= col("n") / 2)
-    val best = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(desc("gap"), asc("rn"))
-    ranked.withColumn("pick", row_number().over(best))
-      .filter(col("pick") === 1)
-      .select(col("c_mktsegment"), col("c_custkey"), col("gap"), col("rn"))
+    val ranked = cust
+      .join(buckets, Seq("c_mktsegment", "_b"))
+      .withColumn("rn", (col("_off") + row_number().over(win)).cast("int"))
+      .withColumn("gap", round4(
+        coalesce(lag(col("c_acctbal"), 1).over(win), col("_prev_last")) -
+          col("c_acctbal")))
+      .filter(col("rn") > 1 && col("rn") <= col("_n") / 2)
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(max_by(struct(col("c_custkey"), col("gap"), col("rn")),
+        struct(col("gap"), -col("rn"))).as("best"))
+      .select(col("c_mktsegment"), col("best.c_custkey").as("c_custkey"),
+        col("best.gap").as("gap"), col("best.rn").as("rn"))
       .orderBy("c_mktsegment")
   }
 

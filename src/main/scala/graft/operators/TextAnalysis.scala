@@ -214,10 +214,23 @@ object TextAnalysis {
       .filter(length(col("token")) >= 4 &&
         !col("token").isin(graft.domain.Recall.Stopwords.toSeq: _*))
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    // two-phase top-k per lang (the zipfSlope/weightedSample idiom): a
+    // language's VOCABULARY grows with the corpus (Heaps), so a single
+    // row_number over partitionBy(lang) would rank a mega-language's whole
+    // vocabulary on one task; phase 1 keeps top-k per (lang, token-salt)
+    // on bounded groups, phase 2 re-ranks <= 64k survivors per lang.
+    // Exact: every global top-k row is in its own salt's top-k, and the
+    // (n desc, token asc) order is total within a lang.
+    val o1 = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("token")), lit(64L)))
+      .orderBy(desc("n"), asc("token"))
     val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("token"))
-    tokCounts.join(groups, Seq("lang"))
+    tokCounts
+      .withColumn("_r1", row_number().over(o1)).filter(col("_r1") <= k)
+      .join(groups, Seq("lang"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("_r1")
       .select(col("lang"), col("n_docs"), col("pattern_conf"),
         col("rank").cast("long").as("rank"), col("token"), col("n"))
       .orderBy("lang", "rank")
@@ -381,28 +394,43 @@ object TextAnalysis {
     * degenerates to one salt = the unsalted plan).
     */
   def shardPack(documents: DataFrame, budget: Double,
-      saltWidth: Long): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), col("source"),
-        tokenCount(col("text")).as("n_tok"))
-      .withColumn("_salt", expr(s"doc_id DIV ${saltWidth}L"))
-    val wSalt = Window.partitionBy(col("source"), col("_salt"))
-      .orderBy(col("doc_id"))
-    val wPrefix = Window.partitionBy(col("source")).orderBy(col("_salt"))
-    val offsets = toks.groupBy(col("source"), col("_salt"))
-      .agg(sum(col("n_tok")).as("_sub"))
-      .withColumn("_off", sum(col("_sub")).over(wPrefix) - col("_sub"))
-      .select(col("source"), col("_salt"), col("_off"))
-    toks
-      .withColumn("_cum_in", sum(col("n_tok")).over(wSalt))
-      .join(offsets, Seq("source", "_salt"))
+      saltWidth: Long): DataFrame =
+    saltedSourceCumsum(
+      documents.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tok")),
+      "n_tok", "_cum", saltWidth)
       .withColumn("shard",
-        floor((col("_off") + col("_cum_in") - col("n_tok")) / lit(budget)))
+        floor((col("_cum") - col("n_tok")) / lit(budget)))
       .groupBy(col("source"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tok"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("source", "shard")
+
+  /** Exact salted per-source running sum (the shardPack/sequenceChunks
+    * doctrine): adds `cumName` = the INCLUSIVE running sum of `v` per
+    * `source` in doc_id order, computed in two integer phases over
+    * contiguous doc_id ranges (`salt = doc_id DIV saltWidth`, monotone in
+    * doc_id): a within-(source, salt) window whose groups are bounded at
+    * saltWidth docs, plus a one-row-per-salt subtotal prefix joined back.
+    * Bitwise-identical to the single-window form at any width — a
+    * mega-source never serializes onto one task.
+    */
+  private def saltedSourceCumsum(df: DataFrame, v: String, cumName: String,
+      saltWidth: Long): DataFrame = {
+    val salted = df.withColumn("_salt", expr(s"doc_id DIV ${saltWidth}L"))
+    val wSalt = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("doc_id"))
+    val wPrefix = Window.partitionBy(col("source")).orderBy(col("_salt"))
+    val offsets = salted.groupBy(col("source"), col("_salt"))
+      .agg(sum(col(v)).as("_sub"))
+      .withColumn("_off", sum(col("_sub")).over(wPrefix) - col("_sub"))
+      .select(col("source"), col("_salt"), col("_off"))
+    salted
+      .withColumn("_cum_in", sum(col(v)).over(wSalt))
+      .join(offsets, Seq("source", "_salt"))
+      .withColumn(cumName, col("_off") + col("_cum_in"))
+      .drop("_salt", "_cum_in", "_off")
   }
 
   val shardPackSql: String =
@@ -740,14 +768,25 @@ object TextAnalysis {
     sequenceChunks(Tables.documents(spark, dir), ctx = 256L)
 
   /** DataFrame-parametric form — needs (doc_id, source, text). */
-  def sequenceChunks(documents: DataFrame, ctx: Long): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val base = documents
-      .select(col("doc_id"), col("source"),
-        tokenCount(col("text")).cast("long").as("n_tok"))
-      .filter(col("n_tok") > 0)
-      .withColumn("tok_start", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("tok_end", col("tok_start") + col("n_tok"))
+  def sequenceChunks(documents: DataFrame, ctx: Long): DataFrame =
+    sequenceChunks(documents, ctx, saltWidth = 4096L)
+
+  /** Salted form (r14: the same mega-source cumsum fix as [[shardPack]] —
+    * the per-source token running count rides [[saltedSourceCumsum]], so
+    * a 10^10-doc source never lands on one window task; chunk boundaries
+    * are bitwise-identical at any width).
+    */
+  def sequenceChunks(documents: DataFrame, ctx: Long,
+      saltWidth: Long): DataFrame = {
+    val base = saltedSourceCumsum(
+      documents
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0),
+      "n_tok", "_cum", saltWidth)
+      .withColumn("tok_start", col("_cum") - col("n_tok"))
+      .withColumn("tok_end", col("_cum"))
+      .drop("_cum")
     base
       .withColumn("seq", explode(sequence(
         expr(s"tok_start DIV $ctx"), expr(s"(tok_end - 1) DIV $ctx"))))

@@ -383,6 +383,39 @@ object PipelineScaleProbe {
       runAndReport(s"semdedup_salt1_aqeoff  n=$n")(semPairs(1))
       megaVecs.unpersist()
 
+      // --- mega-segment ranked-gap arm (r14 sweep) ------------------------
+      // largestGap over ONE market segment holding 2n customers: the old
+      // plan ranks/lags the whole segment on one window task; the shipped
+      // salted ranking stitches per-dollar-bucket ranks with a one-row-
+      // per-bucket prefix (bitwise-same output, q_r4_gap_floor).
+      val megaCust = spark.range(2 * n).select(
+        lit("BUILDING").as("c_mktsegment"), col("id").as("c_custkey"),
+        ((mix(col("id") * 7 + 3) % 1000000).cast("double") / 100.0)
+          .as("c_acctbal"))
+        .repartition(32).cache()
+      megaCust.count()
+      def gapRows(): Long = graft.operators.RecallShapes
+        .largestGap(megaCust).count()
+      def gapRowsWindow(): Long = {
+        import org.apache.spark.sql.expressions.Window
+        val rank = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        val seg = Window.partitionBy(col("c_mktsegment"))
+        val best = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(desc("gap"), asc("rn"))
+        megaCust
+          .withColumn("rn", row_number().over(rank))
+          .withColumn("n", count(lit(1)).over(seg))
+          .withColumn("gap", graft.functions.round4(
+            lag(col("c_acctbal"), 1).over(rank) - col("c_acctbal")))
+          .filter(col("rn") > 1 && col("rn") <= col("n") / 2)
+          .withColumn("pick", row_number().over(best))
+          .filter(col("pick") === 1).count()
+      }
+      runAndReport(s"rankgap_salted_aqeoff n=${2 * n}")(gapRows())
+      runAndReport(s"rankgap_window_aqeoff n=${2 * n}")(gapRowsWindow())
+      megaCust.unpersist()
+
       spark.sparkContext.removeSparkListener(skew)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       docs.unpersist()

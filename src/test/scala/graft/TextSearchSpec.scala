@@ -101,6 +101,15 @@ class TextSearchSpec extends AnyFunSuite {
         .shardPack(docs, 500.0, width).collect().toSeq
       assert(salted == unsalted, s"salted width=$width diverged")
     }
+    // sequenceChunks rides the same salted cumsum — same exactness claim
+    val chunksUnsalted = graft.operators.TextAnalysis
+      .sequenceChunks(docs, 256L, Long.MaxValue).collect().toSeq
+    assert(chunksUnsalted.nonEmpty)
+    for (width <- Seq(7L, 4096L)) {
+      val salted = graft.operators.TextAnalysis
+        .sequenceChunks(docs, 256L, width).collect().toSeq
+      assert(salted == chunksUnsalted, s"chunks width=$width diverged")
+    }
   }
 
   test("bm25 plan cuts with TakeOrderedAndProject and no cartesian corpus product") {
