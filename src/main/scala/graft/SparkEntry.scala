@@ -127,6 +127,8 @@ object SparkEntry {
     "q_dup_rate_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "q_gopher_rules" -> (TextPolicy.gopherRules _),
     "q_quality_classifier" -> ((s, d) => TextPolicy.qualityClassifier(s, d)),
+    "q_bigram_lm" -> (TextPolicy.bigramLmScore _),
+    "q_classifier_auc" -> ((s, d) => TextPolicy.classifierAuc(s, d)),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
     "q_lpa_communities" -> (GraphAnalytics.coPurchaseCommunities _),
     "q_cube" -> (Analytics.shipmodeCube _),
@@ -344,6 +346,8 @@ object SparkEntry {
     "q_dup_rate_source" -> Dedup.dupRateBySourceSql,
     "q_gopher_rules" -> TextPolicy.gopherRulesSql,
     "q_quality_classifier" -> TextPolicy.qualityClassifierSql,
+    "q_bigram_lm" -> TextPolicy.bigramLmScoreSql,
+    "q_classifier_auc" -> TextPolicy.classifierAucSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_lpa_communities" -> GraphAnalytics.coPurchaseCommunitiesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,

@@ -875,4 +875,220 @@ object TextPolicy {
          round(CAST(pareto_u AS DOUBLE) / 1e6 + 1e-9, 4) + 0.0 AS pareto,
          llr_u > -pareto_u * n_tokens AS keep
        FROM pu ORDER BY doc_id"""
+
+  /** A trained bigram language model's tables — the CCNet deployment
+    * shape (Wenzek et al. 2019 "CCNet": the crawl is filtered by the
+    * perplexity of an LM trained on a BOUNDED curated reference corpus —
+    * Wikipedia — so the model tables are reference-sized, never
+    * crawl-sized). `uni` is (w, c1), `bi` is (w1, w2, c12), `tv` is the
+    * one-row (t, v) totals relation kept in-plan for a broadcast cross
+    * join.
+    */
+  final case class BigramLm(uni: DataFrame, bi: DataFrame, tv: DataFrame)
+
+  /** TRAIN half of the bigram-perplexity filter: unigram/bigram counts
+    * over the reference corpus — two combiner aggregates off one
+    * position-explode. Needs (doc_id, text).
+    */
+  def bigramLmTrain(ref: DataFrame): BigramLm = {
+    val toks = ref.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tv = uni.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
+    BigramLm(uni, bi, tv)
+  }
+
+  /** APPLY half — per-document bigram negative log-likelihood under a
+    * FROZEN [[BigramLm]], the CCNet-style quality signal (low nll = fluent
+    * reference-like text; high = noise/serial numbers/boilerplate code).
+    * Each bigram scores `ln((c12 + a*pu(w2)) / (c1 + a))` — interpolated
+    * add-`a` smoothing with an add-one unigram backoff `pu(w2) =
+    * (c2+1)/(T+V)`; an OOV context (c1 = 0) degrades to ln(pu(w2)) + the
+    * smoothing constant, never a hole. Documents under two tokens emit
+    * n_bigrams 0 / nll 0.0 (neutral).
+    *
+    * Determinism: one `ln` per bigram quantized to micro-longs
+    * (`round(term*1e6 + 1e-3)`), per-doc accumulation exact integer, one
+    * final division + round4 — the qualityClassifier doctrine, mirrored
+    * token-for-token in the oracle.
+    *
+    * Scale shape: the CCNet premise makes `uni`/`bi` reference-bounded,
+    * so apply is ONE corpus explode + three linear joins on token keys
+    * (broadcast when the reference is small; shuffle joins — still
+    * linear, AQE-skew-splittable — when not) + a combiner per-doc
+    * aggregate. No window touches a corpus-scale group (the per-doc lead
+    * window is bounded by document length).
+    */
+  def bigramPerplexity(docs: DataFrame, lm: BigramLm,
+      a: Double = 1.0): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val db = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val terms = db
+      .join(lm.bi, Seq("w1", "w2"), "left")
+      .join(lm.uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .join(lm.uni.select(col("w").as("w2"), col("c1").as("c2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(lm.tv))
+      .select(col("doc_id"),
+        round(log(
+          (coalesce(col("c12"), lit(0L)) +
+            lit(a) * (coalesce(col("c2"), lit(0L)) + 1.0) /
+              (col("t") + col("v"))) /
+            (coalesce(col("c1"), lit(0L)) + lit(a)))
+          * 1e6 + 1e-3).cast("long").as("term_u"))
+    val perDoc = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_u")).as("s_u"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(round4(-(col("s_u") / 1e6) / col("n_bigrams")))
+          .as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle composition: train on the corpus's `lang = 'en'` slice (the
+    * bounded curated-reference stand-in), score every document.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bigramPerplexity(docs, bigramLmTrain(docs.filter(col("lang") === "en")))
+  }
+
+  /** DuckDB mirror of [[bigramLmScore]] (a = 1.0). */
+  val bigramLmScoreSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    raw"""WITH ref AS (SELECT doc_id, $toks AS tk FROM documents
+           WHERE lang = 'en'),
+       runi AS (SELECT unnest(tk) AS w FROM ref),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM runi
+         GROUP BY 1),
+       tv AS (SELECT CAST(sum(c1) AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS v FROM uni),
+       rbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref,
+           unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2),
+       bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rbi
+         GROUP BY 1, 2),
+       d AS (SELECT doc_id, $toks AS tk FROM documents),
+       db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM d,
+           unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2),
+       terms AS (SELECT db.doc_id, CAST(round(ln(
+             (coalesce(bi.c12, 0) + 1.0 * (coalesce(u2.c1, 0) + 1.0)
+               / (tv.t + tv.v)) / (coalesce(u1.c1, 0) + 1.0))
+           * 1e6 + 1e-3) AS BIGINT) AS term_u
+         FROM db
+         LEFT JOIN bi ON bi.w1 = db.w1 AND bi.w2 = db.w2
+         LEFT JOIN uni u1 ON u1.w = db.w1
+         LEFT JOIN uni u2 ON u2.w = db.w2
+         CROSS JOIN tv),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(term_u) AS BIGINT) AS s_u FROM terms GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         CASE WHEN pd.n_bigrams IS NULL THEN 0.0
+           ELSE round(-(CAST(s_u AS DOUBLE) / 1e6) / pd.n_bigrams
+             + 1e-9, 4) + 0.0 END AS nll
+       FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
+  /** Rank-based ROC AUC of the quality classifier's score against its
+    * curated-vs-crawl labels — the evaluation number a filter deployment
+    * reads before trusting a threshold (Mann-Whitney U form with exact
+    * average-rank tie handling, so massed identical scores are graded
+    * fairly rather than by arrival order).
+    *
+    * Exact integer arithmetic throughout: ranks are accumulated in
+    * HALF-units (avgRank*2 = 2*count_below + n + 1 — always integral), so
+    * AUC = (S2 - P*(P+1)) / (2*P*N) has an all-long numerator and one
+    * final division. All-tied scores give exactly 0.5 by construction.
+    *
+    * Scale shape: one combiner aggregate per distinct score, then a
+    * prefix window over the DISTINCT-SCORE relation — whose size is
+    * bounded by the round4 quantization domain (score range / 1e-4, e.g.
+    * ~2*10^5 rows for mean-log-odds in [-10, 10]), independent of corpus
+    * size; the same bounded-value-domain argument as the per-bucket
+    * prefixes in largestGap/saltedSourceCumsum. Final AUC is a one-row
+    * aggregate.
+    */
+  def classifierAuc(spark: SparkSession, dir: String,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2"),
+      alpha: Double = 9.0): DataFrame =
+    classifierAuc(Tables.documents(spark, dir), positiveSources, alpha)
+
+  /** DataFrame-parametric form — needs (doc_id, source, text). */
+  def classifierAuc(documents: DataFrame, positiveSources: Seq[String],
+      alpha: Double): DataFrame = {
+    val scored = qualityClassifier(documents, positiveSources, alpha)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("score"),
+        col("source").isin(positiveSources: _*).cast("long").as("pos"))
+    val g = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+      // 2*avgRank of the tied group = 2*below + n + 1 (integral)
+      .select((col("npos") * (lit(2L) * col("below") + col("n") + 1L))
+          .as("s2"),
+        col("n"), col("npos"))
+      .agg(sum(col("s2")).as("s2"), sum(col("npos")).as("p"),
+        sum(col("n") - col("npos")).as("ng"))
+      .select(col("p").as("n_pos"), col("ng").as("n_neg"),
+        round4((col("s2") - col("p") * (col("p") + 1L)).cast("double") /
+          (lit(2.0) * col("p") * col("ng"))).as("auc"))
+  }
+
+  /** DuckDB mirror of [[classifierAuc]] at the default knobs — the score
+    * CTE chain is [[qualityClassifierSql]]'s verbatim.
+    */
+  val classifierAucSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    raw"""WITH t AS (SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END
+           AS pos, $toks AS ws FROM documents),
+       dtc AS (SELECT doc_id, pos, unnest(ws) AS w FROM t),
+       dc AS (SELECT doc_id, pos, w, count(*) AS cnt FROM dtc
+         GROUP BY 1, 2, 3),
+       voc AS (SELECT w,
+           sum(CASE WHEN pos = 1 THEN cnt ELSE 0 END) AS p_cnt,
+           sum(CASE WHEN pos = 0 THEN cnt ELSE 0 END) AS n_cnt
+         FROM dc GROUP BY 1),
+       tot AS (SELECT sum(p_cnt) AS pt, sum(n_cnt) AS nt, count(*) AS v
+         FROM voc),
+       wt AS (SELECT w, CAST(round(
+           (ln((p_cnt + 1.0) / (pt + v)) - ln((n_cnt + 1.0) / (nt + v)))
+           * 1e6 + 1e-3) AS BIGINT) AS w_u FROM voc, tot),
+       sc AS (SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(d.cnt * w.w_u) AS BIGINT) AS llr_u
+         FROM dc d JOIN wt w ON w.w = d.w GROUP BY 1),
+       scored AS (SELECT
+           round(CAST(llr_u AS DOUBLE) / 1e6 / n_tokens + 1e-9, 4) + 0.0
+             AS score,
+           t.pos
+         FROM sc JOIN t ON t.doc_id = sc.doc_id),
+       g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS npos FROM scored GROUP BY 1),
+       r AS (SELECT npos, n,
+           CAST(coalesce(sum(n) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS below FROM g),
+       acc AS (SELECT CAST(sum(npos * (2 * below + n + 1)) AS BIGINT) AS s2,
+           CAST(sum(npos) AS BIGINT) AS p,
+           CAST(sum(n - npos) AS BIGINT) AS ng FROM r)
+       SELECT p AS n_pos, ng AS n_neg,
+         round(CAST(s2 - p * (p + 1) AS DOUBLE) / (2.0 * p * ng)
+           + 1e-9, 4) + 0.0 AS auc
+       FROM acc"""
+  }
 }

@@ -163,6 +163,18 @@ object PipelineScaleProbe {
           .unimaxMix(srcDocs, budgetTokens = n, maxEpochsMicro = 800000L)
           .count()
       }
+      // r14: CCNet-shaped bigram-LM apply (train on a bounded 10% slice,
+      // score the whole corpus) and rank-based classifier AUC — both must
+      // stay linear in corpus
+      time(s"bigram_lm   n=$n") {
+        val lm = graft.operators.TextPolicy
+          .bigramLmTrain(docs.filter(col("doc_id") % 10 === 0))
+        graft.operators.TextPolicy.bigramPerplexity(docs, lm).count()
+      }
+      time(s"clf_auc     n=$n") {
+        graft.operators.TextPolicy
+          .classifierAuc(srcDocs, Seq("s0", "s1"), 9.0).count()
+      }
       // r13 additions: overlap matrix / KL grid / novelty / weighted
       // sample / zipf head-fit — all must stay linear in corpus
       time(s"src_overlap n=$n") {

@@ -270,6 +270,52 @@ class TextPolicySpec extends AnyFunSuite {
     assert(out.count(_.getAs[Boolean]("is_keeper")) == 1)
   }
 
+  test("bigram LM perplexity: hand-computed NLL, OOV degradation, short-doc " +
+    "neutrality, fluency ordering (CCNet shape, r14)") {
+    import spark.implicits._
+    // reference "a b a b a": uni a=3 b=2 (T=5, V=2); bi (a,b)=2 (b,a)=2
+    val ref = Seq((100L, "a b a b a")).toDF("doc_id", "text")
+    val lm = graft.operators.TextPolicy.bigramLmTrain(ref)
+    val docs = Seq(
+      (1L, "a b"), // seen bigram: ln((2 + (2+1)/7) / (3+1))
+      (2L, "z z"), // fully OOV:   ln((0 + (0+1)/7) / (0+1)) = ln(1/7)
+      (3L, "a")) // no bigrams -> neutral
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPolicy.bigramPerplexity(docs, lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def q(term: Double): Double = // the op's micro-quantization + round4
+      BigDecimal(-math.round(term * 1e6 + 1e-3) / 1e6 + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 1L)
+    assert(out(1L)._2 == q(math.log((2.0 + 3.0 / 7.0) / 4.0)), s"$out")
+    assert(out(2L)._1 == 1L)
+    assert(out(2L)._2 == q(math.log(1.0 / 7.0)), s"$out")
+    assert(out(3L) == (0L, 0.0), s"$out")
+    // fluency ordering: the reference-like doc beats the OOV doc
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("classifier AUC: separable corpus scores 1.0, all-tied scores " +
+    "exactly 0.5 by average-rank construction (r14)") {
+    import spark.implicits._
+    val separable = (
+      (1 to 6).map(i => (i.toLong, "cur", "insight wisdom clarity depth")) ++
+        (7 to 12).map(i => (i.toLong, "raw", "spam junk noise clickbait")))
+      .toDF("doc_id", "source", "text")
+    val a = graft.operators.TextPolicy
+      .classifierAuc(separable, Seq("cur"), 9.0).collect().head
+    assert(a.getAs[Long]("n_pos") == 6 && a.getAs[Long]("n_neg") == 6)
+    assert(a.getAs[Double]("auc") == 1.0, s"$a")
+    // identical text everywhere -> one tied score group -> AUC 0.5 exactly
+    val tied = (1 to 10).map(i =>
+      (i.toLong, if (i <= 4) "cur" else "raw", "same words every time"))
+      .toDF("doc_id", "source", "text")
+    val t = graft.operators.TextPolicy
+      .classifierAuc(tied, Seq("cur"), 9.0).collect().head
+    assert(t.getAs[Double]("auc") == 0.5, s"$t")
+  }
+
   test("gopher rules: each rule trips on its crafted violator, attribution " +
     "follows canonical order, a clean document keeps") {
     import spark.implicits._
