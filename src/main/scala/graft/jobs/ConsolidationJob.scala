@@ -48,10 +48,13 @@ object ConsolidationJob {
     val now = args.lift(4)
       .map(s => Timestamp.valueOf(java.time.LocalDateTime.parse(s)))
       .getOrElse(new Timestamp(System.currentTimeMillis()))
-    val spark = SparkSession.builder()
+    // spark-submit supplies the master in production; GRAFT_MASTER lets
+    // the CLI smoke-run standalone (e.g. GRAFT_MASTER=local[32] sbt run)
+    val builder = SparkSession.builder()
       .appName(s"graft-consolidation-$mode")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = sys.env.get("GRAFT_MASTER")
+      .fold(builder)(builder.master).getOrCreate()
     try {
       val memories = spark.read.parquet(memPath)
       val edges = spark.read.parquet(edgePath)

@@ -166,10 +166,13 @@ object CorpusPipelineJob {
     // or notebook harness getOrCreate returns the caller's shared session
     val preExisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
+    // spark-submit supplies the master in production; GRAFT_MASTER lets
+    // the CLI smoke-run standalone (e.g. GRAFT_MASTER=local[32] sbt run)
+    val builder = SparkSession.builder()
       .appName("graft-corpus-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = sys.env.get("GRAFT_MASTER")
+      .fold(builder)(builder.master).getOrCreate()
     try {
       val docs = spark.read.parquet(docsPath)
       positives match {

@@ -78,10 +78,13 @@ object CorpusReportJob {
     val topN = args.lift(2).map(_.toInt).getOrElse(50)
     val preExisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
+    // spark-submit supplies the master in production; GRAFT_MASTER lets
+    // the CLI smoke-run standalone (e.g. GRAFT_MASTER=local[32] sbt run)
+    val builder = SparkSession.builder()
       .appName("graft-corpus-report")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = sys.env.get("GRAFT_MASTER")
+      .fold(builder)(builder.master).getOrCreate()
     try {
       val report = run(spark.read.parquet(docsPath), topN)
       try {
