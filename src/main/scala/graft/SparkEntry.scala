@@ -129,6 +129,7 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, d) => TextPolicy.qualityClassifier(s, d)),
     "q_bigram_lm" -> (TextPolicy.bigramLmScore _),
     "q_classifier_auc" -> ((s, d) => TextPolicy.classifierAuc(s, d)),
+    "q_decontam_apply" -> (TextPolicy.decontaminateScore _),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
     "q_lpa_communities" -> (GraphAnalytics.coPurchaseCommunities _),
     "q_cube" -> (Analytics.shipmodeCube _),
@@ -348,6 +349,7 @@ object SparkEntry {
     "q_quality_classifier" -> TextPolicy.qualityClassifierSql,
     "q_bigram_lm" -> TextPolicy.bigramLmScoreSql,
     "q_classifier_auc" -> TextPolicy.classifierAucSql,
+    "q_decontam_apply" -> TextPolicy.decontaminateSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_lpa_communities" -> GraphAnalytics.coPurchaseCommunitiesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,

@@ -87,17 +87,7 @@ object TextPolicy {
     */
   def contamination(spark: SparkSession, dir: String, n: Int = 5,
       benchCut: Int = 20, minShared: Int = 1): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
-    val shingleCols = col("tok") +: (1 until n).map(i => col(s"t$i"))
-    val sh = toks
-      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", shingleCols: _*)).as("shk"))
-      .distinct()
+    val sh = docShingleKeys(Tables.documents(spark, dir), n)
     val bench = sh.filter(col("doc_id") < benchCut)
       .select(col("shk"), col("doc_id").as("bench_id"))
     val train = sh.filter(col("doc_id") >= benchCut)
@@ -107,6 +97,81 @@ object TextPolicy {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("train_id", "bench_id")
+  }
+
+  /** Distinct (doc_id, 64-bit shingle key) rows — the shared front of the
+    * contamination detector and [[decontaminate]].
+    */
+  private def docShingleKeys(documents: DataFrame, n: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val shingleCols = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    toks
+      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", shingleCols: _*)).as("shk"))
+      .distinct()
+  }
+
+  /** Decontamination APPLY (Brown et al. 2020 Appendix C / Rae et al. 2021
+    * §A.2 — the step the reference pipelines RUN, where [[contamination]]
+    * is the per-pair report): mark every training document sharing at
+    * least `minShared` distinct word-`n`-grams with the BENCHMARK SET
+    * (the union of all benchmark docs' shingles — any collision marks the
+    * doc, the GPT-3 rule at minShared = 1; the pairwise attribution lives
+    * in [[contamination]]). Emits (doc_id, n_shared, contaminated) for
+    * every training doc, so the caller filters or funnels.
+    *
+    * Scale shape: evaluation benchmarks are BOUNDED (thousands of items,
+    * never corpus-scale), so the benchmark shingle set broadcasts and the
+    * train side is one distinct + one broadcast semi-shaped join + a
+    * combiner per-doc count — linear in corpus; a corpus-scale benchmark
+    * degrades to a shuffle join on the 8-byte shingle key, still linear.
+    */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame, n: Int = 5,
+      minShared: Int = 1): DataFrame = {
+    val benchSh = docShingleKeys(benchmark, n).select(col("shk")).distinct()
+    val hits = docShingleKeys(documents, n)
+      .join(broadcast(benchSh), Seq("shk"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    documents.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle composition mirroring [[contamination]]'s convention:
+    * doc_id < 20 is the benchmark stand-in, the rest is the training
+    * corpus.
+    */
+  def decontaminateScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20))
+  }
+
+  /** DuckDB mirror of [[decontaminateScore]] (n = 5, minShared = 1). */
+  val decontaminateSql: String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+         FROM t WHERE len(tk) >= 5),
+       sh AS (SELECT DISTINCT doc_id,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+         FROM pos),
+       bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+       hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM sh s JOIN bsh USING (sh) WHERE s.doc_id >= 20 GROUP BY 1)
+       SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+         coalesce(h.n_shared, 0) >= 1 AS contaminated
+       FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+       LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"""
   }
 
   val contaminationSql: String = {

@@ -316,6 +316,33 @@ class TextPolicySpec extends AnyFunSuite {
     assert(t.getAs[Double]("auc") == 0.5, s"$t")
   }
 
+  test("decontamination apply: a verbatim benchmark 5-gram marks the doc, " +
+    "clean docs keep, minShared thresholds (r14)") {
+    import spark.implicits._
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // copies one benchmark 5-gram run ("quick brown fox jumps over")
+      (1L, "story begins and quick brown fox jumps over everything else entirely"),
+      // shares words but never five in a row
+      (2L, "the brown quick fox never jumps while the dog stays lazy"),
+      // copies a LONG run -> many shared 5-grams
+      (3L, "prefix words the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPolicy.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1, s"$out")
+    assert(!out(2L)._2 && out(2L)._1 == 0, s"$out")
+    assert(out(3L)._2 && out(3L)._1 > out(1L)._1, s"$out")
+    // a higher minShared keeps the single-collision doc
+    val strict = graft.operators.TextPolicy
+      .decontaminate(train, bench, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!strict(1L) && strict(3L), s"$strict")
+  }
+
   test("gopher rules: each rule trips on its crafted violator, attribution " +
     "follows canonical order, a clean document keeps") {
     import spark.implicits._
