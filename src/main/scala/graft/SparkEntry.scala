@@ -130,6 +130,7 @@ object SparkEntry {
     "q_bigram_lm" -> (TextPolicy.bigramLmScore _),
     "q_classifier_auc" -> ((s, d) => TextPolicy.classifierAuc(s, d)),
     "q_decontam_apply" -> (TextPolicy.decontaminateScore _),
+    "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "q_triangles" -> (GraphAnalytics.coPurchaseTriangles _),
     "q_lpa_communities" -> (GraphAnalytics.coPurchaseCommunities _),
     "q_cube" -> (Analytics.shipmodeCube _),
@@ -350,6 +351,7 @@ object SparkEntry {
     "q_bigram_lm" -> TextPolicy.bigramLmScoreSql,
     "q_classifier_auc" -> TextPolicy.classifierAucSql,
     "q_decontam_apply" -> TextPolicy.decontaminateSql,
+    "q_epoch_shuffle" -> TextAnalysis.epochShuffleSql,
     "q_triangles" -> GraphAnalytics.coPurchaseTrianglesSql,
     "q_lpa_communities" -> GraphAnalytics.coPurchaseCommunitiesSql,
     "q_cube" -> Analytics.shipmodeCubeSql,

@@ -96,6 +96,56 @@ object TextAnalysis {
            FROM documents) t) s
        GROUP BY 1 ORDER BY 1"""
 
+  /** Deterministic epoch shuffle — the data-ORDER operator of a training
+    * run: every document gets a pseudo-random permutation position and a
+    * balanced shard from the salted md5 coin ([[trainSplit]]'s portable
+    * idiom, so the order is replayable per epoch seed and identical in
+    * both engines), never from `rand()`. Reading shards in epoch_pos
+    * order IS the epoch's global shuffle; changing the seed reshuffles.
+    *
+    * Scale shape: the global permutation index is NOT one row_number over
+    * an unpartitioned window (the whole corpus on one task) — the r14
+    * ranking doctrine: ranks stitch exactly from per-(key-range bucket)
+    * windows (the md5 key is uniform, so 2^16 contiguous key ranges hold
+    * ~corpus/65536 rows each) plus a one-row-per-bucket count prefix.
+    * Key collisions tie-break on doc_id, so the order stays total and
+    * deterministic at any scale.
+    */
+  def epochShuffle(spark: SparkSession, dir: String,
+      seed: String = "ep0", shards: Int = 8): DataFrame =
+    epochShuffle(Tables.documents(spark, dir), seed, shards)
+
+  /** DataFrame-parametric form — needs (doc_id). */
+  def epochShuffle(documents: DataFrame, seed: String,
+      shards: Int): DataFrame = {
+    val keyed = documents.select(col("doc_id"))
+      .withColumn("_k", graft.functions.TextFunctions
+        .md5Bucket(seed, col("doc_id"), 1000000000))
+      .withColumn("_b", expr("_k DIV 15259"))
+    val wb = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(sum(col("_bn")).over(wb), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val win = Window.partitionBy(col("_b"))
+      .orderBy(col("_k"), col("doc_id"))
+    keyed.join(off, Seq("_b"))
+      .select(col("doc_id"),
+        pmod(col("_k"), lit(shards.toLong)).as("shard"),
+        (col("_off") + row_number().over(win)).as("epoch_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[epochShuffle]] (seed ep0, 8 shards). */
+  val epochShuffleSql: String =
+    """WITH k AS (SELECT doc_id,
+         ('0x' || substr(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000000 AS k
+         FROM documents)
+       SELECT doc_id, k % 8 AS shard,
+         CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS epoch_pos
+       FROM k ORDER BY doc_id"""
+
   /** Training-mixture sampling (domain mixing): downsample each source to
     * its recipe rate with a deterministic per-document coin — the standard
     * mixture-weighting stage of a pre-training pipeline (The Pile / Gopher

@@ -674,4 +674,25 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(wAvgC <= wC + 1e-9 && wAvgC >= 1.0 / 3 - 1e-9,
       s"average must interpolate toward uniform: $bySrc")
   }
+
+  test("epoch shuffle: positions are an exact permutation, shards balance, " +
+    "seeds reshuffle, replay is identical (r14)") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    def run(seed: String) = graft.operators.TextAnalysis
+      .epochShuffle(docs, seed, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run("ep0")
+    // a total permutation: every position 1..n exactly once
+    assert(a.map(_._3).sorted.toSeq == (1L to 2000L), "not a permutation")
+    // the md5 key is uniform: every shard within 2x of fair share
+    val byShard = a.groupBy(_._2).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.forall(n => n > 125 && n < 500),
+      s"unbalanced shards: ${byShard.toMap}")
+    // deterministic replay, seed-sensitive order
+    assert(run("ep0").toSeq == a.toSeq, "replay must be identical")
+    val b = run("ep1")
+    assert(b.map(_._3).sorted.toSeq == (1L to 2000L))
+    assert(a.toSeq != b.toSeq, "a new seed must reshuffle")
+  }
 }
