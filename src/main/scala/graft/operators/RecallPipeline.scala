@@ -4,7 +4,6 @@ import graft.Tables
 import graft.domain.Scoring
 import graft.functions.TextFunctions
 import graft.functions.round4
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
