@@ -43,7 +43,8 @@ object CorpusPipelineJob {
     * column. Call `.release()` on the result after the last action.
     */
   def run(documents: DataFrame, tokenBudget: Double = 500.0,
-      priorFingerprints: Option[DataFrame] = None): PipelineOutputs = {
+      priorFingerprints: Option[DataFrame] = None,
+      benchmark: Option[DataFrame] = None): PipelineOutputs = {
     val spark = documents.sparkSession
     // the staged frame feeds THREE outputs (kept, funnel, shards-of-kept):
     // checkpoint it once so the corpus scan + fingerprint window don't
@@ -51,8 +52,26 @@ object CorpusPipelineJob {
     // and read it back — same trade, fault-tolerant). The cross-batch
     // dedup join (when priorFingerprints is given) happens BEFORE the
     // checkpoint so it too runs once.
-    val staged = TextPolicy.hygieneStaged(documents, priorFingerprints)
-      .localCheckpoint()
+    val stagedBase = TextPolicy.hygieneStaged(documents, priorFingerprints)
+    // opt-in benchmark decontamination (r14): a row that survived every
+    // hygiene stage but shares word-5-grams with the eval benchmark drops
+    // as `f_decontaminated` — attribution doctrine preserved (only `kept`
+    // rows re-attribute; counts still sum to the corpus). The shingle
+    // pass runs over the RAW input (linear; wasted work on pre-dropped
+    // rows, but it avoids re-deriving the hygiene frame pre-checkpoint).
+    val stagedAll = benchmark match {
+      case None => stagedBase
+      case Some(bench) =>
+        val contaminated = TextPolicy.decontaminate(documents, bench)
+          .filter(col("contaminated"))
+          .select(col("doc_id"), lit(true).as("_cont"))
+        stagedBase.join(contaminated, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("stage") === "kept" && col("_cont"),
+              "f_decontaminated").otherwise(col("stage")))
+          .drop("_cont")
+    }
+    val staged = stagedAll.localCheckpoint()
     val funnel = TextPolicy.funnelOf(staged)
     val keptBase = staged.filter(col("stage") === "kept").drop("stage")
       .withColumn("text", TextPolicy.redactPii(col("text")))
@@ -111,8 +130,9 @@ object CorpusPipelineJob {
     */
   def runWithSelection(documents: DataFrame, sel: SelectionConfig,
       tokenBudget: Double = 500.0,
-      priorFingerprints: Option[DataFrame] = None): SelectionOutputs = {
-    val base = run(documents, tokenBudget, priorFingerprints)
+      priorFingerprints: Option[DataFrame] = None,
+      benchmark: Option[DataFrame] = None): SelectionOutputs = {
+    val base = run(documents, tokenBudget, priorFingerprints, benchmark)
     // classify on the ORIGINAL kept text semantics: kept carries redacted
     // text, which is what ships downstream — score what ships
     val verdicts = graft.operators.TextPolicy
@@ -147,19 +167,26 @@ object CorpusPipelineJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusPipelineJob <documentsPath> <outRoot> [tokenBudget] " +
-        "[--select src0,src1,...]  (the sources the classifier treats as " +
-        "curated positives; enables the selection stage)")
+        "[--select src0,src1,...] [--decontam <benchmarkParquet>]  " +
+        "(--select: the sources the classifier treats as curated " +
+        "positives, enables the selection stage; --decontam: drop kept " +
+        "docs sharing 5-grams with the benchmark)")
     val Array(docsPath, outRoot) = args.take(2)
     val rest = args.drop(2)
-    val selIdx = rest.indexOf("--select")
-    require(selIdx < 0 || selIdx + 1 < rest.length,
-      "--select requires a comma-separated source list")
-    val positives =
-      if (selIdx >= 0) Some(rest(selIdx + 1).split(",").toSeq) else None
-    // drop the --select pair POSITIONALLY (value equality would also drop
-    // an unrelated arg that happens to repeat the sources string)
+    def flagValue(flag: String): Option[String] = {
+      val i = rest.indexOf(flag)
+      require(i < 0 || i + 1 < rest.length, s"$flag requires a value")
+      if (i >= 0) Some(rest(i + 1)) else None
+    }
+    val positives = flagValue("--select").map(_.split(",").toSeq)
+    val decontamPath = flagValue("--decontam")
+    // drop flag pairs POSITIONALLY (value equality would also drop an
+    // unrelated arg that happens to repeat a flag's value)
+    val flagPos = Seq("--select", "--decontam")
+      .flatMap { f => val i = rest.indexOf(f)
+        if (i >= 0) Seq(i, i + 1) else Nil }.toSet
     val budget = rest.zipWithIndex
-      .filterNot { case (_, i) => i == selIdx || i == selIdx + 1 }
+      .filterNot { case (_, i) => flagPos(i) }
       .map(_._1).filterNot(_.startsWith("--"))
       .headOption.map(_.toDouble).getOrElse(500.0)
     // only stop the session on exit if this main created it — under a test
@@ -175,9 +202,11 @@ object CorpusPipelineJob {
       .fold(builder)(builder.master).getOrCreate()
     try {
       val docs = spark.read.parquet(docsPath)
+      val bench = decontamPath.map(spark.read.parquet(_))
       positives match {
         case Some(pos) =>
-          val out = runWithSelection(docs, SelectionConfig(pos), budget)
+          val out = runWithSelection(docs, SelectionConfig(pos), budget,
+            None, bench)
           try {
             out.base.kept.write.mode("overwrite").parquet(s"$outRoot/kept")
             out.funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")
@@ -192,7 +221,7 @@ object CorpusPipelineJob {
                 .parquet(s"$outRoot/shards")
           } finally out.release()
         case None =>
-          val out = run(docs, budget)
+          val out = run(docs, budget, None, bench)
           try {
             out.kept.write.mode("overwrite").parquet(s"$outRoot/kept")
             out.funnel.write.mode("overwrite").parquet(s"$outRoot/funnel")

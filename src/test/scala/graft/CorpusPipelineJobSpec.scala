@@ -42,6 +42,33 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     out.release()
   }
 
+  test("benchmark decontamination stage: a kept doc copying a benchmark " +
+    "5-gram drops as f_decontaminated, funnel conserves (r14)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // benchmark = a verbatim copy of one real kept document's text, so
+    // exactly that doc (and any true twins) trips the 5-gram overlap
+    val plain = CorpusPipelineJob.run(docs)
+    val victim = plain.kept.orderBy("doc_id").select("doc_id", "text")
+      .head()
+    plain.release()
+    val bench = Seq((9999999L, victim.getString(1)))
+      .toDF("doc_id", "text")
+    val out = CorpusPipelineJob.run(docs, benchmark = Some(bench))
+    try {
+      val funnelRows = out.funnel.collect()
+      assert(funnelRows.map(_.getLong(1)).sum == docs.count(),
+        s"funnel must conserve: ${funnelRows.mkString(", ")}")
+      val decon = funnelRows.find(_.getString(0) == "f_decontaminated")
+      assert(decon.exists(_.getLong(1) >= 1),
+        s"the planted benchmark copy must drop: ${funnelRows.mkString(", ")}")
+      assert(out.kept.filter(col("doc_id") === victim.getLong(0)).count()
+        == 0, "the contaminated doc must not ship")
+      // only kept rows re-attribute: exactly one kept row remains
+      assert(funnelRows.map(_.getString(0)).count(_ == "kept") == 1)
+    } finally out.release()
+  }
+
   test("selection stage composes classifier keep -> soft-dedup weight -> " +
     "UniMax mixture over survivors with a conserving funnel (r13)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
