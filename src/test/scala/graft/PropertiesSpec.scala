@@ -299,4 +299,35 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got == expected, s"corpus $texts: got $got expected $expected")
     }
   }
+
+  test("salted cumsum stitch: shardPack is width-invariant on random " +
+    "corpora with NEGATIVE and sparse doc_ids (r14)") {
+    import spark.implicits._
+    // the stitch relies on `doc_id DIV width` being monotone and
+    // contiguous; DIV truncates toward ZERO, so salt 0 spans
+    // (-width, width) — still one contiguous range, which this property
+    // pins for ids on both sides of zero and adversarial widths
+    val corpusGen = for {
+      n <- Gen.choose(5, 40)
+      ids <- Gen.listOfN(n, Gen.choose(-5000L, 5000L)).map(_.distinct)
+      lens <- Gen.listOfN(ids.length, Gen.choose(1, 30))
+    } yield ids.zip(lens)
+    val widthGen = Gen.oneOf(1L, 2L, 3L, 7L, 100L, 4999L, 5000L, 5001L,
+      Long.MaxValue)
+    forSamples(Gen.zip(corpusGen, widthGen), n = 12) {
+      case (corpus, width) =>
+        if (corpus.nonEmpty) {
+          val docs = corpus.map { case (id, len) =>
+            (id, if (id % 2 == 0) "web" else "books",
+              Seq.fill(len)("tok").mkString(" "))
+          }.toDF("doc_id", "source", "text")
+          val unsalted = operators.TextAnalysis
+            .shardPack(docs, 17.0, Long.MaxValue).collect().toSeq
+          val salted = operators.TextAnalysis
+            .shardPack(docs, 17.0, width).collect().toSeq
+          assert(salted == unsalted,
+            s"width=$width diverged on ids=${corpus.map(_._1)}")
+        }
+    }
+  }
 }
