@@ -186,7 +186,9 @@ object StreamingIngest {
     * stages (boilerplate, DSIR, perplexity) stay batch jobs by nature.
     */
   def pipelineStream(spark: SparkSession, sourceDir: String, outRoot: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String,
+      benchmark: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("doc_id", LongType),
@@ -197,7 +199,7 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        pipelineBatch(batch, batchId, outRoot)
+        pipelineBatch(batch, batchId, outRoot, benchmark = benchmark)
       }
       .start()
   }
@@ -213,7 +215,8 @@ object StreamingIngest {
     * batch partitions only (`batch_id < batchId`, partition-pruned).
     */
   def pipelineBatch(batch: DataFrame, batchId: Long, outRoot: String,
-      maxStorePartitions: Int = 16): Unit = {
+      maxStorePartitions: Int = 16,
+      benchmark: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val storeDir = s"$outRoot/fpstore"
     // Only path-ABSENCE means "no store yet" (the first batch). Any other
@@ -234,7 +237,12 @@ object StreamingIngest {
         Some(spark.read.parquet(storeDir).filter(col("batch_id") < batchId)
           .select("fp"))
       }
-    val out = graft.jobs.CorpusPipelineJob.run(batch, priorFingerprints = prior)
+    // the optional benchmark (decontamination, r14) is a STATIC frame —
+    // eval sets don't change per micro-batch — so the flag applies per
+    // batch exactly as in batch mode; parity is by construction (same
+    // CorpusPipelineJob.run call)
+    val out = graft.jobs.CorpusPipelineJob.run(batch,
+      priorFingerprints = prior, benchmark = benchmark)
     try {
       out.kept.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")

@@ -69,6 +69,32 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     } finally out.release()
   }
 
+  test("streaming twin honors the decontamination benchmark per " +
+    "micro-batch (r14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdecon")
+      .toString
+    val clean = "the quick morning walk through the park with the dog " +
+      "was long and the weather was mild and the air was fresh"
+    val dirty = "prefix words then the quick morning walk through the " +
+      "park with the dog appears copied here verbatim"
+    val bench = Seq((77L, clean)).toDF("doc_id", "text")
+    val b0 = Seq((1L, dirty, "web"),
+      (2L, "a wholly original account of the harbor and the boats and " +
+        "the tide tables of the little town", "web"))
+      .toDF("doc_id", "text", "source")
+    graft.streaming.StreamingIngest.pipelineBatch(
+      b0, 0L, s"$tmp/out", benchmark = Some(bench))
+    val funnel = spark.read.parquet(s"$tmp/out/funnel")
+    assert(funnel.agg(sum("n")).head.getLong(0) == 2L)
+    assert(funnel.filter($"stage" === "f_decontaminated").count() == 1L,
+      funnel.collect().mkString(", "))
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"contaminated doc must not ship: $kept")
+  }
+
   test("selection stage composes classifier keep -> soft-dedup weight -> " +
     "UniMax mixture over survivors with a conserving funnel (r13)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
