@@ -343,6 +343,21 @@ class TextPolicySpec extends AnyFunSuite {
     assert(!strict(1L) && strict(3L), s"$strict")
   }
 
+  test("decontamination agrees with the pairwise contamination report at " +
+    "minShared=1 on the driver corpus (r14 cross-op consistency)") {
+    // any-shared-shingle marking == appearing in ANY (train, bench) pair:
+    // the apply op and the report must never disagree about WHO is dirty
+    val sf = "/root/testdata/sf0.001"
+    val marked = graft.operators.TextPolicy.decontaminateScore(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("contaminated"))
+      .collect().map(_.getLong(0)).toSet
+    val reported = graft.operators.TextPolicy.contamination(spark, sf)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(marked == reported,
+      s"apply/report disagree: only-marked=${marked -- reported} " +
+        s"only-reported=${reported -- marked}")
+  }
+
   test("gopher rules: each rule trips on its crafted violator, attribution " +
     "follows canonical order, a clean document keeps") {
     import spark.implicits._
