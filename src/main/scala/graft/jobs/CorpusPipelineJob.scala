@@ -52,7 +52,12 @@ object CorpusPipelineJob {
     // and read it back — same trade, fault-tolerant). The cross-batch
     // dedup join (when priorFingerprints is given) happens BEFORE the
     // checkpoint so it too runs once.
-    val stagedBase = TextPolicy.hygieneStaged(documents, priorFingerprints)
+    // r15: the signal frame (langId/quality/repetition/fingerprint per
+    // row) is checkpointed so the keeper aggregate and the survivor join
+    // both read materialized rows — the expression evaluation happens
+    // once; the blocks release as soon as `staged` below is materialized.
+    val (stagedBase, signalCk) =
+      TextPolicy.hygieneStagedCheckpointed(documents, priorFingerprints)
     // opt-in benchmark decontamination (r14): a row that survived every
     // hygiene stage but shares word-5-grams with the eval benchmark drops
     // as `f_decontaminated` — attribution doctrine preserved (only `kept`
@@ -72,6 +77,9 @@ object CorpusPipelineJob {
           .drop("_cont")
     }
     val staged = stagedAll.localCheckpoint()
+    // the eager checkpoint above fully materialized staged; the per-row
+    // signal blocks are dead weight from here on
+    graft.functions.releaseCheckpoint(signalCk)
     val funnel = TextPolicy.funnelOf(staged)
     val keptBase = staged.filter(col("stage") === "kept").drop("stage")
       .withColumn("text", TextPolicy.redactPii(col("text")))

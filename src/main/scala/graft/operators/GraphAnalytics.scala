@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.round4
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -301,9 +300,17 @@ object GraphAnalytics {
     *
     * Scale shape per round: one join of the label table onto the
     * symmetrized edge list (bucketable on the node key), one
-    * combiner-friendly (node, label) count, one per-node top-1 window.
-    * Labels localCheckpoint per round so lineage never compounds (the
-    * PageRank loop's doctrine); edge+node invariants cache across rounds.
+    * combiner-friendly (node, label) count, then a per-node keep-best
+    * as a `min_by` AGGREGATE — never `row_number() over (partition by
+    * node)`: real-graph degree is power-law, so a hub node's whole
+    * neighbor-label set would land on one window task, while the
+    * aggregate pre-combines map-side and its shuffle is AQE-splittable.
+    * `min_by(nlabel, struct(-cnt, nlabel))` is the exact window
+    * equivalent of `desc(cnt), asc(nlabel)` for ANY orderable label
+    * type (string node ids included, where a negated-label max_by
+    * would not typecheck). Labels localCheckpoint per round so lineage
+    * never compounds (the PageRank loop's doctrine); edge+node
+    * invariants cache across rounds.
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val e0 = edges.select(col("u"), col("v")).filter(col("u") =!= col("v"))
@@ -312,15 +319,13 @@ object GraphAnalytics {
     val nodes = sym.select(col("u").as("node")).distinct().cache()
     var labels = nodes.withColumn("label", col("node"))
     var prev: Option[DataFrame] = None
-    val byCount = Window.partitionBy(col("nu"))
-      .orderBy(desc("cnt"), asc("nlabel"))
     for (_ <- 1 to iters) {
       val best = sym.join(labels, sym("v") === labels("node"))
         .groupBy(col("u").as("nu"), col("label").as("nlabel"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("_rn", row_number().over(byCount))
-        .filter(col("_rn") === 1)
-        .select(col("nu"), col("nlabel"))
+        .groupBy(col("nu"))
+        .agg(min_by(col("nlabel"),
+          struct(negate(col("cnt")), col("nlabel"))).as("nlabel"))
       labels = labels.join(best, labels("node") === best("nu"), "left")
         .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
         .localCheckpoint()

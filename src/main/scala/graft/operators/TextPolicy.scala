@@ -414,26 +414,23 @@ object TextPolicy {
     * distinct-projected to one narrow column.
     */
   def hygieneStaged(documents: DataFrame,
-      priorFingerprints: Option[DataFrame]): DataFrame = {
+      priorFingerprints: Option[DataFrame]): DataFrame =
+    stagedFromSignals(hygieneSignals(documents), priorFingerprints)
+
+  /** The per-row hygiene signal frame: input columns plus `_pre` (first
+    * failing pre-dedup stage or null) and `_fpk` (the dedup key). All the
+    * EXPENSIVE per-row work — langId, qualityScore, repetition fraction,
+    * fingerprint — lives here, factored out so callers can materialize it
+    * ONCE ([[hygieneStagedCheckpointed]]) instead of paying the expression
+    * evaluation on both sides of the keeper join.
+    */
+  def hygieneSignals(documents: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{fingerprint, langId, qualityScore}
     val ws = tokens(col("text"))
     val dupfrac = when(size(ws) >= 2,
       round4((size(ws) - size(array_distinct(ws))).cast("double") / size(ws)))
       .otherwise(lit(0.0))
-    // the dedup keeper considers only SURVIVORS of the earlier stages:
-    // ranking the whole corpus would let a dropped twin (same 320-char
-    // fingerprint, junk tail) claim keep-first and eliminate BOTH copies
-    // of the content.
-    //
-    // Keep-first is the aggregate+join idiom, NEVER a window partitioned
-    // by the fingerprint: one boilerplate page duplicated 10^7-10^8x is a
-    // single fingerprint key, and a running-sum window would funnel every
-    // copy through ONE task (windows have no AQE skew remedy; the
-    // Consolidation.connectedComponents doctrine). keeper = min(doc_id)
-    // over survivor rows per fingerprint — a combiner-friendly hash
-    // aggregate — joined back on the same shuffle key the window would
-    // have used; the join side IS AQE-skew-splittable.
-    val keyed = documents
+    documents
       .withColumn("_pre",
         when(langId(col("text")) =!= "en", "a_lang")
           .when(qualityScore(col("text")) < 0.5, "b_quality")
@@ -445,6 +442,46 @@ object TextPolicy {
       .withColumn("_fpk", coalesce(
         nullif(fingerprint(col("text")), lit("")),
         concat(lit("doc#"), col("doc_id"))))
+  }
+
+  /** [[hygieneStaged]] with the signal frame materialized ONCE (r15,
+    * VERDICT r14 item 2): the keyed frame feeds BOTH the keeper aggregate
+    * and the survivor join, so the lazy form evaluates every per-row
+    * signal expression twice — one extra corpus scan, the pinned price of
+    * the r14 keep-first skew fix. `localCheckpoint` on the signal frame
+    * (the TextAnalysis shingle-table idiom) makes both consumers read the
+    * materialized rows instead. Returns (staged, signalCheckpoint); the
+    * caller MUST `graft.functions.releaseCheckpoint` the second frame
+    * after its last action on the first (or after re-checkpointing a
+    * derived frame, as CorpusPipelineJob does). On a real cluster the
+    * same trade is parquet-out/parquet-back — fault-tolerant where a
+    * local checkpoint is not.
+    */
+  def hygieneStagedCheckpointed(documents: DataFrame,
+      priorFingerprints: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val signals = hygieneSignals(documents).localCheckpoint()
+    (stagedFromSignals(signals, priorFingerprints), signals)
+  }
+
+  /** Keeper election + stage attribution over a [[hygieneSignals]] frame.
+    *
+    * The dedup keeper considers only SURVIVORS of the earlier stages:
+    * ranking the whole corpus would let a dropped twin (same 320-char
+    * fingerprint, junk tail) claim keep-first and eliminate BOTH copies
+    * of the content.
+    *
+    * Keep-first is the aggregate+join idiom, NEVER a window partitioned
+    * by the fingerprint: one boilerplate page duplicated 10^7-10^8x is a
+    * single fingerprint key, and a running-sum window would funnel every
+    * copy through ONE task (windows have no AQE skew remedy; the
+    * Consolidation.connectedComponents doctrine). keeper = min(doc_id)
+    * over survivor rows per fingerprint — a combiner-friendly hash
+    * aggregate — joined back on the same shuffle key the window would
+    * have used; the join side IS AQE-skew-splittable.
+    */
+  private def stagedFromSignals(keyed: DataFrame,
+      priorFingerprints: Option[DataFrame]): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
     val keepers = keyed.filter(col("_pre").isNull)
       .groupBy(col("_fpk")).agg(min(col("doc_id")).as("_keep_id"))
     // a survivor row always finds its keeper (its group contains itself);
@@ -480,9 +517,18 @@ object TextPolicy {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy("stage")
 
-  /** DataFrame-parametric form — needs (doc_id, text). */
-  def hygieneFunnel(documents: DataFrame): DataFrame =
-    funnelOf(hygieneStaged(documents))
+  /** DataFrame-parametric form — needs (doc_id, text). Uses the
+    * checkpointed signal frame so the funnel pays ONE evaluation of the
+    * per-row signals (r15); the funnel itself is tiny (one row per stage)
+    * so it eager-checkpoints and the corpus-size signal blocks release
+    * before this returns.
+    */
+  def hygieneFunnel(documents: DataFrame): DataFrame = {
+    val (staged, signals) = hygieneStagedCheckpointed(documents, None)
+    val funnel = funnelOf(staged).localCheckpoint()
+    graft.functions.releaseCheckpoint(signals)
+    funnel
+  }
 
   val hygieneFunnelSql: String = {
     val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"

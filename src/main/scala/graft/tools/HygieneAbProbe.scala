@@ -57,18 +57,34 @@ object HygieneAbProbe {
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // equality first: both forms produce the identical funnel
+    // the r15 shipped form: signal frame checkpointed once, keeper
+    // aggregate + survivor join both read the materialized rows, blocks
+    // released before returning (the hygieneFunnel/CorpusPipelineJob path)
+    def funnelCountCkpt(): Long = {
+      val (staged, ck) = graft.operators.TextPolicy
+        .hygieneStagedCheckpointed(docs, None)
+      val n = graft.operators.TextPolicy.funnelOf(staged)
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      graft.functions.releaseCheckpoint(ck)
+      n
+    }
+    // equality first: all forms produce the identical funnel
     val a = graft.operators.TextPolicy.hygieneFunnel(docs).collect().toSeq
     val b = graft.operators.TextPolicy.funnelOf(windowForm(docs))
       .collect().toSeq
-    println(s"[hygieneab] funnel_equal=${a == b} rows=${a.map(_.getLong(1)).sum}")
-    // warm both, then interleave
+    val c = graft.operators.TextPolicy
+      .funnelOf(graft.operators.TextPolicy.hygieneStaged(docs))
+      .collect().toSeq
+    println(s"[hygieneab] funnel_equal=${a == b && b == c} rows=${a.map(_.getLong(1)).sum}")
+    // warm all three, then interleave
     funnelCount(graft.operators.TextPolicy.hygieneStaged(docs))
+    funnelCountCkpt()
     funnelCount(windowForm(docs))
     for (_ <- 1 to 3) {
       val tAgg = time(funnelCount(graft.operators.TextPolicy.hygieneStaged(docs)))
+      val tCk = time(funnelCountCkpt())
       val tWin = time(funnelCount(windowForm(docs)))
-      println(f"[hygieneab] aggjoin=$tAgg%.2f s  window=$tWin%.2f s  dir=$dir")
+      println(f"[hygieneab] agg2scan=$tAgg%.2f s  aggckpt=$tCk%.2f s  window=$tWin%.2f s  dir=$dir")
     }
     spark.stop()
   }

@@ -428,6 +428,68 @@ object PipelineScaleProbe {
       runAndReport(s"rankgap_window_aqeoff n=${2 * n}")(gapRowsWindow())
       megaCust.unpersist()
 
+      // --- LPA mega-hub arm (r15 VERDICT item 1) --------------------------
+      // Star graph: one hub with n leaf neighbors, each carrying a DISTINCT
+      // initial label — the power-law-degree worst case for LPA's per-node
+      // keep-best (a web-graph hub sees 10^5-10^6 neighbor labels). The
+      // pre-r15 plan ranked (hub, label) counts with row_number() over
+      // (partition by node): the hub's whole neighbor-label set reads on
+      // ONE window task every round. The shipped form keeps best via
+      // min_by(label, struct(-cnt, label)) — a combiner aggregate that
+      // pre-reduces each map partition to one row per node, so the hub's
+      // reducer reads <= numPartitions rows.
+      val hubEdges = spark.range(1L, n + 1)
+        .select(lit(0L).as("u"), col("id").as("v"))
+        .repartition(32).cache()
+      hubEdges.count()
+      def lpaAggForm(): Long = graft.operators.GraphAnalytics
+        .labelPropagation(hubEdges, iters = 2).count()
+      def lpaWindowForm(): Long = {
+        // the pre-r15 shape, kept here ONLY as the skew baseline
+        import org.apache.spark.sql.expressions.Window
+        val e0 = hubEdges.filter(col("u") =!= col("v"))
+        val sym2 = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+          .distinct().cache()
+        var labels = sym2.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node"))
+        val byCount = Window.partitionBy(col("nu"))
+          .orderBy(desc("cnt"), asc("nlabel"))
+        for (_ <- 1 to 2) {
+          val best = sym2.join(labels, sym2("v") === labels("node"))
+            .groupBy(col("u").as("nu"), col("label").as("nlabel"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("_rn", row_number().over(byCount))
+            .filter(col("_rn") === 1)
+            .select(col("nu"), col("nlabel"))
+          labels = labels.join(best, labels("node") === best("nu"), "left")
+            .select(col("node"),
+              coalesce(col("nlabel"), col("label")).as("label"))
+            .localCheckpoint()
+        }
+        val out = labels.count(); sym2.unpersist(); out
+      }
+      runAndReport(s"lpa_hub_minby_aqeoff  n=$n")(lpaAggForm())
+      runAndReport(s"lpa_hub_window_aqeoff n=$n")(lpaWindowForm())
+      // honest caveat on the A/B: Spark 4's InferWindowGroupLimit rewrites
+      // a `row_number() over (...) = 1` filter into a map-side partial
+      // group-limit, so THIS window shape (unlike the running-sum/count
+      // windows the r14 sweep closed) is already bounded per task — print
+      // whether the rewrite fired so the probe records WHY the window arm
+      // shows no straggler on this Spark version
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val byCount = Window.partitionBy(col("nu"))
+          .orderBy(desc("cnt"), asc("nlabel"))
+        val plan = hubEdges.select(col("u").as("nu"), col("v").as("nlabel"))
+          .groupBy(col("nu"), col("nlabel")).agg(count(lit(1)).as("cnt"))
+          .withColumn("_rn", row_number().over(byCount))
+          .filter(col("_rn") === 1)
+          .queryExecution.executedPlan.toString
+        println(s"[pipescale]   lpa_hub window plan has WindowGroupLimit=" +
+          plan.contains("WindowGroupLimit"))
+      }
+      hubEdges.unpersist()
+
       spark.sparkContext.removeSparkListener(skew)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       docs.unpersist()
