@@ -44,7 +44,8 @@ object CorpusPipelineJob {
     */
   def run(documents: DataFrame, tokenBudget: Double = 500.0,
       priorFingerprints: Option[DataFrame] = None,
-      benchmark: Option[DataFrame] = None): PipelineOutputs = {
+      benchmark: Option[DataFrame] = None,
+      benchmarkKeys: Option[DataFrame] = None): PipelineOutputs = {
     val spark = documents.sparkSession
     // the staged frame feeds THREE outputs (kept, funnel, shards-of-kept):
     // checkpoint it once so the corpus scan + fingerprint window don't
@@ -64,10 +65,15 @@ object CorpusPipelineJob {
     // rows re-attribute; counts still sum to the corpus). The shingle
     // pass runs over the RAW input (linear; wasted work on pre-dropped
     // rows, but it avoids re-deriving the hygiene frame pre-checkpoint).
-    val stagedAll = benchmark match {
+    // `benchmarkKeys` (r15) is the pre-shingled form: a stream computes
+    // the static eval set's shingles ONCE and passes them through every
+    // micro-batch instead of re-shingling per batch; when both are given
+    // the keys win.
+    val stagedAll = benchmarkKeys
+      .orElse(benchmark.map(TextPolicy.benchmarkShingles(_))) match {
       case None => stagedBase
-      case Some(bench) =>
-        val contaminated = TextPolicy.decontaminate(documents, bench)
+      case Some(keys) =>
+        val contaminated = TextPolicy.decontaminateKeys(documents, keys)
           .filter(col("contaminated"))
           .select(col("doc_id"), lit(true).as("_cont"))
         stagedBase.join(contaminated, Seq("doc_id"), "left")
@@ -139,8 +145,10 @@ object CorpusPipelineJob {
   def runWithSelection(documents: DataFrame, sel: SelectionConfig,
       tokenBudget: Double = 500.0,
       priorFingerprints: Option[DataFrame] = None,
-      benchmark: Option[DataFrame] = None): SelectionOutputs = {
-    val base = run(documents, tokenBudget, priorFingerprints, benchmark)
+      benchmark: Option[DataFrame] = None,
+      benchmarkKeys: Option[DataFrame] = None): SelectionOutputs = {
+    val base = run(documents, tokenBudget, priorFingerprints, benchmark,
+      benchmarkKeys)
     // classify on the ORIGINAL kept text semantics: kept carries redacted
     // text, which is what ships downstream — score what ships
     val verdicts = graft.operators.TextPolicy

@@ -126,16 +126,38 @@ object TextPolicy {
     * every training doc, so the caller filters or funnels.
     *
     * Scale shape: evaluation benchmarks are BOUNDED (thousands of items,
-    * never corpus-scale), so the benchmark shingle set broadcasts and the
+    * never corpus-scale), so the benchmark shingle set is small and the
     * train side is one distinct + one broadcast semi-shaped join + a
-    * combiner per-doc count — linear in corpus; a corpus-scale benchmark
-    * degrades to a shuffle join on the 8-byte shingle key, still linear.
+    * combiner per-doc count — linear in corpus. No broadcast() HINT is
+    * forced (r15, ADVICE r14): the hint would override Spark's size
+    * threshold, so an unexpectedly large benchmark would drive a driver
+    * OOM instead of degrading; without it, AQE sees the distinct's
+    * runtime size and picks broadcast for every real benchmark while a
+    * corpus-scale one genuinely degrades to a shuffle join on the 8-byte
+    * shingle key, still linear.
     */
   def decontaminate(documents: DataFrame, benchmark: DataFrame, n: Int = 5,
-      minShared: Int = 1): DataFrame = {
-    val benchSh = docShingleKeys(benchmark, n).select(col("shk")).distinct()
+      minShared: Int = 1): DataFrame =
+    decontaminateKeys(documents, benchmarkShingles(benchmark, n), n,
+      minShared)
+
+  /** The benchmark side of [[decontaminate]], precomputed: the distinct
+    * 64-bit shingle-key set of the benchmark corpus. Callers that apply
+    * one benchmark against MANY corpora (every micro-batch of a stream)
+    * compute this once, `cache()` it, and pass it to
+    * [[decontaminateKeys]] — re-shingling a static eval set per batch is
+    * pure waste (r15, VERDICT r14 item 3).
+    */
+  def benchmarkShingles(benchmark: DataFrame, n: Int = 5): DataFrame =
+    docShingleKeys(benchmark, n).select(col("shk")).distinct()
+
+  /** [[decontaminate]] against a pre-shingled benchmark key set (one
+    * `shk` column, as produced by [[benchmarkShingles]]).
+    */
+  def decontaminateKeys(documents: DataFrame, benchShingles: DataFrame,
+      n: Int = 5, minShared: Int = 1): DataFrame = {
     val hits = docShingleKeys(documents, n)
-      .join(broadcast(benchSh), Seq("shk"))
+      .join(benchShingles.select(col("shk")), Seq("shk"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     documents.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")

@@ -195,11 +195,18 @@ object StreamingIngest {
         StructField("text", StringType),
         StructField("source", StringType))))
       .json(sourceDir)
+    // the eval benchmark is STATIC across the stream's life, so its
+    // shingle-key set is computed ONCE here and cached; every micro-batch
+    // probes the cached keys instead of re-tokenizing + re-shingling the
+    // benchmark per batch (r15, VERDICT r14 item 3). First materialization
+    // happens inside batch 0's job; batches 1..N read the cached blocks.
+    val benchKeys = benchmark.map(b =>
+      graft.operators.TextPolicy.benchmarkShingles(b).cache())
     raw.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        pipelineBatch(batch, batchId, outRoot, benchmark = benchmark)
+        pipelineBatch(batch, batchId, outRoot, benchmarkKeys = benchKeys)
       }
       .start()
   }
@@ -216,7 +223,8 @@ object StreamingIngest {
     */
   def pipelineBatch(batch: DataFrame, batchId: Long, outRoot: String,
       maxStorePartitions: Int = 16,
-      benchmark: Option[DataFrame] = None): Unit = {
+      benchmark: Option[DataFrame] = None,
+      benchmarkKeys: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val storeDir = s"$outRoot/fpstore"
     // Only path-ABSENCE means "no store yet" (the first batch). Any other
@@ -240,9 +248,11 @@ object StreamingIngest {
     // the optional benchmark (decontamination, r14) is a STATIC frame —
     // eval sets don't change per micro-batch — so the flag applies per
     // batch exactly as in batch mode; parity is by construction (same
-    // CorpusPipelineJob.run call)
+    // CorpusPipelineJob.run call). `benchmarkKeys` is the stream path:
+    // pipelineStream pre-shingles + caches the set once.
     val out = graft.jobs.CorpusPipelineJob.run(batch,
-      priorFingerprints = prior, benchmark = benchmark)
+      priorFingerprints = prior, benchmark = benchmark,
+      benchmarkKeys = benchmarkKeys)
     try {
       out.kept.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")

@@ -95,6 +95,53 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     assert(kept == Set(2L), s"contaminated doc must not ship: $kept")
   }
 
+  test("streaming decontam shingles the benchmark ONCE per stream, not " +
+    "per batch (r15)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dkeys")
+      .toString
+    // an accumulator-probed benchmark source: every evaluation of a
+    // benchmark row bumps the counter, so a per-batch re-shingle would
+    // show up as a growing value across micro-batches
+    val acc = spark.sparkContext.longAccumulator("benchScanRows")
+    val probe = udf((s: String) => { acc.add(1L); s })
+    val evalText = "the quick morning walk through the park with the dog " +
+      "was long and the weather was mild and the air was fresh"
+    val bench = Seq((77L, evalText)).toDF("doc_id", "text")
+      .withColumn("text", probe($"text"))
+    val dirty0 = "prefix words then the quick morning walk through the " +
+      "park with the dog appears copied here verbatim"
+    val dirty2 = "other filler first but the quick morning walk through " +
+      "the park with the dog shows up again in this one"
+    def writeWave(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("append").json(s"$tmp/in")
+    writeWave(Seq((1L, dirty0, "web"),
+      (2L, "a wholly original account of the harbor and the boats and " +
+        "the tide tables of the little town", "web")))
+    val q = graft.streaming.StreamingIngest.pipelineStream(
+      spark, s"$tmp/in", s"$tmp/out", s"$tmp/cp", benchmark = Some(bench))
+    q.processAllAvailable()
+    val afterB0 = acc.value
+    assert(afterB0 > 0, "batch 0 must materialize the benchmark shingles")
+    writeWave(Seq((10L, "an unrelated letter about the garden and the " +
+      "rain and the seeds that must be planted before the frost", "web")))
+    q.processAllAvailable()
+    writeWave(Seq((20L, dirty2, "web")))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.value == afterB0,
+      s"benchmark re-scanned after batch 0: $afterB0 -> ${acc.value}")
+    val funnel = spark.read.parquet(s"$tmp/out/funnel")
+    // three micro-batches ran, and the CACHED keys still decontaminate
+    // later batches: the planted copies drop in batch 0 AND batch 2
+    assert(funnel.select("batch_id").distinct().count() == 3)
+    val decon = funnel.filter($"stage" === "f_decontaminated")
+      .select("batch_id").as[Long].collect().toSet
+    assert(decon == Set(0L, 2L),
+      s"cached keys must decontaminate every batch: $decon")
+  }
+
   test("selection stage composes classifier keep -> soft-dedup weight -> " +
     "UniMax mixture over survivors with a conserving funnel (r13)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
