@@ -1,20 +1,25 @@
 package graft.jobs
 
 import graft.functions.TextFunctions.tokens
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, TextAnalysis, TextPolicy}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The corpus-profile REPORT as one job (r13 VERDICT item 6): the five
-  * per-source profiling relations a mixture recipe reads together —
+/** The corpus-profile REPORT as one job (r13 VERDICT item 6; extended
+  * r15): the per-source profiling relations a mixture recipe reads
+  * together, PLUS the contamination and filter-quality relations the same
+  * review actually covers —
   *
   *   zipf/        per-source Zipf head slope       [[TextAnalysis.zipfSlope]]
   *   heaps/       Heaps' vocabulary-growth beta    [[TextAnalysis.heapsLaw]]
   *   divergence/  pairwise source KL               [[TextAnalysis.sourceDivergence]]
   *   overlap/     cross-source shingle Jaccard     [[TextAnalysis.sourceOverlap]]
   *   duprate/     per-source duplication rate      [[Dedup.dupRateBySource]]
+  *   contamination/ per-(train, bench) shared 5-grams [[TextPolicy.contamination]]
+  *   decontam/    per-train-doc apply verdict      [[TextPolicy.decontaminate]]
+  *   auc/         classifier Mann-Whitney ROC AUC  [[TextPolicy.classifierAuc]]
   *
-  * Run standalone, each op rescans and RE-TOKENIZES the corpus — five
+  * Run standalone, each op rescans and RE-TOKENIZES the corpus — eight
   * full text passes for one report. This job tokenizes ONCE: a single
   * position-explode is checkpointed (the sourceOverlap pattern; at 100 TB
   * write it to parquet and read back — the containmentPairs
@@ -24,26 +29,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * produces (equality spec in CorpusReportJobSpec; shared-scan win
   * measured in tools.CorpusReportProbe). The per-(source, token) count
   * table is additionally checkpointed once and feeds BOTH the Zipf head
-  * fit and the KL grid.
+  * fit and the KL grid; the per-doc shingle-key table is checkpointed
+  * once and feeds BOTH contamination fronts.
   *
   * Usage: CorpusReportJob <documentsPath> <outRoot> [topN]
   */
 object CorpusReportJob {
 
-  /** The five report frames plus the checkpoint-release hook: all five
-    * read the internally checkpointed token/count tables, so callers MUST
-    * call [[release]] after their last action on them.
+  /** The eight report frames plus the checkpoint-release hook: all eight
+    * read the internally checkpointed token/count/shingle tables, so
+    * callers MUST call [[release]] after their last action on them.
     */
   final case class Report(zipf: DataFrame, heaps: DataFrame,
       divergence: DataFrame, overlap: DataFrame, dupRate: DataFrame,
+      contamination: DataFrame, decontam: DataFrame, auc: DataFrame,
       private val pinned: Seq[DataFrame]) {
     def release(): Unit = pinned.foreach(graft.functions.releaseCheckpoint)
   }
 
-  /** Build all five relations from one tokenize pass. `documents` needs
+  /** Build all eight relations from one tokenize pass. `documents` needs
     * (doc_id, source, text). Call `.release()` after the last action.
+    * `benchCut`/`positiveSources`/`alpha` default to the oracle-gated
+    * stand-in conventions (doc_id < 20 is the benchmark; src0-2 are the
+    * curated positives); production passes its real eval-set cut and
+    * curated sources.
     */
-  def run(documents: DataFrame, topN: Int = 50, dupN: Int = 8): Report = {
+  def run(documents: DataFrame, topN: Int = 50, dupN: Int = 8,
+      shingleN: Int = 5, benchCut: Int = 20, minShared: Int = 1,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2"),
+      alpha: Double = 9.0): Report = {
     // THE tokenize pass: every relation below derives from this explode
     val docToks = documents.select(col("doc_id"), col("source"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -52,6 +66,11 @@ object CorpusReportJob {
     val counts = docToks
       .select(col("source"), col("tok").as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // per-doc 5-gram shingle keys: shared by the contamination REPORT
+    // (per-pair attribution) and the decontamination APPLY verdict
+    val shingles = TextPolicy.docShingleKeysFromTokens(
+        docToks.select(col("doc_id"), col("pos"), col("tok")), shingleN)
       .localCheckpoint()
     // per-doc token counts reproduce size(tokens(text)) exactly: tokens()
     // of empty/whitespace text is a one-element array (one explode row),
@@ -68,7 +87,19 @@ object CorpusReportJob {
       divergence = TextAnalysis.sourceDivergenceFromCounts(counts),
       overlap = TextAnalysis.sourceOverlapFromTokens(docToks),
       dupRate = Dedup.dupRateBySource(spans, documents),
-      pinned = Seq(docToks, counts))
+      contamination = TextPolicy.contaminationFromShingles(
+        shingles, benchCut, minShared),
+      decontam = TextPolicy.decontaminateFromShingles(
+        documents.filter(col("doc_id") >= benchCut).select(col("doc_id")),
+        shingles.filter(col("doc_id") >= benchCut),
+        shingles.filter(col("doc_id") < benchCut)
+          .select(col("shk")).distinct(),
+        minShared),
+      auc = TextPolicy.classifierAucFromTokens(
+        docToks.select(col("doc_id"),
+          col("source").isInCollection(positiveSources).as("pos"),
+          col("tok")), alpha),
+      pinned = Seq(docToks, counts, shingles))
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,6 +125,11 @@ object CorpusReportJob {
           .parquet(s"$outRoot/divergence")
         report.overlap.write.mode("overwrite").parquet(s"$outRoot/overlap")
         report.dupRate.write.mode("overwrite").parquet(s"$outRoot/duprate")
+        report.contamination.write.mode("overwrite")
+          .parquet(s"$outRoot/contamination")
+        report.decontam.write.mode("overwrite")
+          .parquet(s"$outRoot/decontam")
+        report.auc.write.mode("overwrite").parquet(s"$outRoot/auc")
       } finally report.release()
     } finally if (!preExisting) spark.stop()
   }

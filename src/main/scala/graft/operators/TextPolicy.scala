@@ -86,8 +86,21 @@ object TextPolicy {
     * map-side, no shuffle of the training side at all.
     */
   def contamination(spark: SparkSession, dir: String, n: Int = 5,
-      benchCut: Int = 20, minShared: Int = 1): DataFrame = {
-    val sh = docShingleKeys(Tables.documents(spark, dir), n)
+      benchCut: Int = 20, minShared: Int = 1): DataFrame =
+    contamination(Tables.documents(spark, dir), n, benchCut, minShared)
+
+  /** DataFrame-parametric form — needs (doc_id, text). */
+  def contamination(documents: DataFrame, n: Int, benchCut: Int,
+      minShared: Int): DataFrame =
+    contaminationFromShingles(docShingleKeys(documents, n), benchCut,
+      minShared)
+
+  /** [[contamination]] over a precomputed [[docShingleKeys]] frame — the
+    * composition point CorpusReportJob uses so the report's contamination
+    * relation derives from the job's single tokenize pass (r15).
+    */
+  def contaminationFromShingles(sh: DataFrame, benchCut: Int = 20,
+      minShared: Int = 1): DataFrame = {
     val bench = sh.filter(col("doc_id") < benchCut)
       .select(col("shk"), col("doc_id").as("bench_id"))
     val train = sh.filter(col("doc_id") >= benchCut)
@@ -102,9 +115,17 @@ object TextPolicy {
   /** Distinct (doc_id, 64-bit shingle key) rows — the shared front of the
     * contamination detector and [[decontaminate]].
     */
-  private def docShingleKeys(documents: DataFrame, n: Int): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+  private def docShingleKeys(documents: DataFrame, n: Int): DataFrame =
+    docShingleKeysFromTokens(documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok"))), n)
+
+  /** [[docShingleKeys]] from an existing (doc_id, pos, tok) explode — the
+    * `FromTokens` composition point (r15): CorpusReportJob shingles off
+    * its one tokenize pass instead of re-exploding the corpus. The lead
+    * window is per-doc (bounded partitions by construction).
+    */
+  def docShingleKeysFromTokens(toks: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
     val shingleCols = col("tok") +: (1 until n).map(i => col(s"t$i"))
@@ -155,11 +176,22 @@ object TextPolicy {
     * `shk` column, as produced by [[benchmarkShingles]]).
     */
   def decontaminateKeys(documents: DataFrame, benchShingles: DataFrame,
-      n: Int = 5, minShared: Int = 1): DataFrame = {
-    val hits = docShingleKeys(documents, n)
+      n: Int = 5, minShared: Int = 1): DataFrame =
+    decontaminateFromShingles(documents.select(col("doc_id")),
+      docShingleKeys(documents, n), benchShingles, minShared)
+
+  /** [[decontaminate]] from precomputed pieces (r15 composition point):
+    * `docIds` is the full training-doc universe (docs with < n tokens
+    * have no shingles but still must emit an n_shared = 0 row),
+    * `docShingles` their [[docShingleKeys]] frame, `benchShingles` the
+    * benchmark key set.
+    */
+  def decontaminateFromShingles(docIds: DataFrame, docShingles: DataFrame,
+      benchShingles: DataFrame, minShared: Int = 1): DataFrame = {
+    val hits = docShingles
       .join(benchShingles.select(col("shk")), Seq("shk"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    documents.select(col("doc_id"))
+    docIds.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -1161,11 +1193,30 @@ object TextPolicy {
 
   /** DataFrame-parametric form — needs (doc_id, source, text). */
   def classifierAuc(documents: DataFrame, positiveSources: Seq[String],
-      alpha: Double): DataFrame = {
-    val scored = qualityClassifier(documents, positiveSources, alpha)
-      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("score"),
-        col("source").isin(positiveSources: _*).cast("long").as("pos"))
+      alpha: Double): DataFrame =
+    classifierAucFromTokens(documents.select(col("doc_id"),
+      col("source").isInCollection(positiveSources).as("pos"),
+      explode(tokens(col("text"))).as("tok")), alpha)
+
+  /** [[classifierAuc]] from an existing (doc_id, pos, tok) explode — the
+    * `FromTokens` composition point (r15): CorpusReportJob scores and
+    * grades the classifier off its one tokenize pass.
+    *
+    * Contract (r15, ADVICE r14): a single-class corpus — every doc
+    * positive or every doc negative — emits `auc = null` with the class
+    * counts still populated; Mann-Whitney AUC is undefined without both
+    * classes, and the previous 0/0 division surfaced as an
+    * indistinguishable NaN/null with no documented meaning.
+    */
+  def classifierAucFromTokens(docToks: DataFrame, alpha: Double)
+      : DataFrame = {
+    val dtc = docToks.select(col("doc_id"), col("pos"), col("tok").as("w"))
+      .groupBy(col("doc_id"), col("pos"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = scoreFromDtc(dtc, weightsFromDtc(dtc), alpha)
+      .join(docToks.select(col("doc_id"), col("pos")).distinct(),
+        Seq("doc_id"))
+      .select(col("score"), col("pos").cast("long").as("pos"))
     val g = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
     val w = Window.orderBy(col("score"))
@@ -1178,8 +1229,11 @@ object TextPolicy {
       .agg(sum(col("s2")).as("s2"), sum(col("npos")).as("p"),
         sum(col("n") - col("npos")).as("ng"))
       .select(col("p").as("n_pos"), col("ng").as("n_neg"),
-        round4((col("s2") - col("p") * (col("p") + 1L)).cast("double") /
-          (lit(2.0) * col("p") * col("ng"))).as("auc"))
+        when(col("p") === 0L || col("ng") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            round4((col("s2") - col("p") * (col("p") + 1L)).cast("double") /
+              (lit(2.0) * col("p") * col("ng")))).as("auc"))
   }
 
   /** DuckDB mirror of [[classifierAuc]] at the default knobs — the score
@@ -1220,8 +1274,9 @@ object TextPolicy {
            CAST(sum(npos) AS BIGINT) AS p,
            CAST(sum(n - npos) AS BIGINT) AS ng FROM r)
        SELECT p AS n_pos, ng AS n_neg,
-         round(CAST(s2 - p * (p + 1) AS DOUBLE) / (2.0 * p * ng)
-           + 1e-9, 4) + 0.0 AS auc
+         CASE WHEN p = 0 OR ng = 0 THEN NULL
+           ELSE round(CAST(s2 - p * (p + 1) AS DOUBLE) / (2.0 * p * ng)
+             + 1e-9, 4) + 0.0 END AS auc
        FROM acc"""
   }
 }

@@ -32,6 +32,7 @@ object CorpusReportProbe {
           concat(lit("s"), (col("doc_id") % 5).cast("string")))
         .repartition(32).cache()
       docs.count()
+      val positives = Seq("s0", "s1")
       def standaloneAll(): Unit = {
         graft.operators.TextAnalysis.zipfSlope(docs, 50).count()
         graft.operators.TextAnalysis.heapsLaw(docs).count()
@@ -40,12 +41,22 @@ object CorpusReportProbe {
         graft.operators.Dedup.dupRateBySource(
           graft.operators.Dedup.substringDupSpansDf(docs, 8, hashed = false),
           docs).count()
+        // r15 additions: contamination report + decontam apply + AUC,
+        // each re-tokenizing standalone
+        graft.operators.TextPolicy.contamination(docs, 5, 20, 1).count()
+        graft.operators.TextPolicy.decontaminate(
+          docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20)).count()
+        graft.operators.TextPolicy.classifierAuc(docs, positives, 9.0)
+          .count()
       }
       def reportAll(): Unit = {
-        val r = graft.jobs.CorpusReportJob.run(docs)
+        val r = graft.jobs.CorpusReportJob.run(docs,
+          positiveSources = positives)
         try {
           r.zipf.count(); r.heaps.count(); r.divergence.count()
           r.overlap.count(); r.dupRate.count()
+          r.contamination.count(); r.decontam.count(); r.auc.count()
         } finally r.release()
       }
       // warm both arms once (codegen), then measure interleaved
