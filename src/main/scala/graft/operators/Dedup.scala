@@ -634,9 +634,13 @@ object Dedup {
       .mkString("\n         UNION ALL\n         ")
     // mirrors boundedBandedPairs: per (band, bucket, vec_id % 64 salt) the
     // chain (id-order neighbor) + star (salt min anchor) candidates, plus
-    // the per-salt anchor chain across the bucket, cosine-verified
+    // the per-salt anchor chain across the bucket, cosine-verified.
+    // The salt mirrors Spark's pmod NON-NEGATIVELY (r15, ADVICE r14):
+    // SQL % is sign-following, so a negative vec_id would otherwise land
+    // the two engines in different salt partitions and diverge.
     s"""WITH keyed0 AS ($bands),
-       keyed AS (SELECT vec_id, embedding, bucket, vec_id % 64 AS salt
+       keyed AS (SELECT vec_id, embedding, bucket,
+           ((vec_id % 64) + 64) % 64 AS salt
          FROM keyed0),
        nbr AS (SELECT bucket, salt, vec_id, embedding,
            lag(vec_id) OVER w AS prev_id, lag(embedding) OVER w AS prev_emb,

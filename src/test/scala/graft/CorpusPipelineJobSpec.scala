@@ -371,6 +371,34 @@ class CorpusPipelineJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out/selected").count() >= 1)
   }
 
+  test("streaming selection: committed pre-marker weights are adopted " +
+    "and the marker backfilled instead of retraining (r15, ADVICE " +
+    "upgrade path)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-selup")
+      .toString
+    // simulate a pre-r14 stream: weights parquet committed, NO marker
+    val trainSet = Seq(
+      (1L, "cur", "insight wisdom clarity insight depth"),
+      (2L, "raw", "spam junk noise spam clickbait"))
+      .toDF("doc_id", "source", "text")
+    graft.operators.TextPolicy.qualityClassifierWeights(trainSet, Seq("cur"))
+      .write.mode("overwrite").parquet(s"$tmp/out/clfweights")
+    val wBefore = spark.read.parquet(s"$tmp/out/clfweights").collect()
+      .map(_.toString).sorted.toSeq
+    // the first post-upgrade batch has DIFFERENT content: a retrain would
+    // replace the vocabulary wholesale
+    val b = Seq((10L, "cur", "entirely different vocabulary here today"))
+      .toDF("doc_id", "source", "text")
+    graft.streaming.StreamingIngest.selectionBatch(
+      b, 7L, s"$tmp/out", Seq("cur"))
+    assert(new java.io.File(s"$tmp/out/clfweights._TRAINED").exists(),
+      "adoption must backfill the marker")
+    assert(spark.read.parquet(s"$tmp/out/clfweights").collect()
+      .map(_.toString).sorted.toSeq == wBefore,
+      "pre-marker committed weights must survive the upgrade unchanged")
+  }
+
   test("fpstore read failure fails the micro-batch instead of silently " +
     "skipping cross-batch dedup (r13, ADVICE)") {
     import spark.implicits._

@@ -367,6 +367,66 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(coherent < 10.0, s"in-distribution append must rate ~1: $coherent")
   }
 
+  test("drift rebuild policy: three consecutive drifted batches trip " +
+    "REBUILD_ADVISED, a coherent stream never trips, rebuildIndex " +
+    "restores fit and clears the advisory, replay after the swap is a " +
+    "no-op (r15, VERDICT item 5)") {
+    import graft.streaming.StreamingIngest
+    import spark.implicits._
+    def cluster(from: Int, until: Int, base: Double) =
+      (from until until).map { i =>
+        (i.toLong, Seq.tabulate(8)(d =>
+          (base + (i % 5) * 0.01 + d * 0.001).toFloat))
+      }.toDF("vec_id", "embedding")
+    def build(tmp: String): Unit = assert(StreamingIngest.ivfBatch(
+      cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0)),
+      0L, tmp, kMeansK = Some(2)))
+    // COHERENT stream: every append in-distribution -> never advised
+    val tmpC = java.nio.file.Files.createTempDirectory("graft-ivf-polc")
+      .toString
+    build(tmpC)
+    (1 to 3).foreach { b =>
+      assert(StreamingIngest.ivfBatch(
+        cluster(100 + 100 * b, 200 + 100 * b, (b % 2).toDouble),
+        b.toLong, tmpC))
+    }
+    assert(!IvfIndex.rebuildAdvised(tmpC),
+      "a coherent stream must never advise a rebuild")
+    // DRIFTED stream: the marker appears exactly at the 3rd consecutive
+    // over-threshold batch, not before
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-pol")
+      .toString
+    build(tmp)
+    assert(StreamingIngest.ivfBatch(cluster(200, 300, 1.0), 1L, tmp))
+    assert(StreamingIngest.ivfBatch(cluster(300, 400, 25.0), 2L, tmp))
+    assert(StreamingIngest.ivfBatch(cluster(400, 500, 25.0), 3L, tmp))
+    assert(!IvfIndex.rebuildAdvised(tmp),
+      "two drifted batches must not trip a K=3 rule")
+    assert(StreamingIngest.ivfBatch(cluster(500, 600, 25.0), 4L, tmp))
+    assert(IvfIndex.rebuildAdvised(tmp),
+      "three consecutive drifted batches must advise")
+    // offline rebuild: clears advisory state, preserves commit markers
+    IvfIndex.rebuildIndex(spark, tmp, k = 3)
+    assert(!IvfIndex.rebuildAdvised(tmp), "rebuild must clear the advisory")
+    assert(IvfIndex.fitHistory(spark, tmp).isEmpty,
+      "fit history rated the RETIRED quantizer — must clear")
+    def nRows = spark.read.parquet(s"$tmp/assignments").count()
+    val before = nRows
+    assert(before == 600L)
+    // replay of an already-committed batch after the swap stays a no-op
+    assert(!StreamingIngest.ivfBatch(cluster(500, 600, 25.0), 4L, tmp),
+      "commit markers survive the swap — replay must skip")
+    assert(nRows == before)
+    // the rebuilt quantizer FITS the formerly-drifted distribution: a new
+    // batch from it rates ~baseline and does not re-advise
+    assert(StreamingIngest.ivfBatch(cluster(600, 700, 25.0), 5L, tmp))
+    val hist = IvfIndex.fitHistory(spark, tmp)
+    assert(hist.map(_._1) == Seq(5L), s"got $hist")
+    assert(hist.head._2 < IvfIndex.DefaultFitRatioThreshold,
+      s"rebuilt index must fit the drifted cluster: $hist")
+    assert(!IvfIndex.rebuildAdvised(tmp))
+  }
+
   test("streaming ivf end-to-end: a file-source stream builds then appends " +
     "across micro-batches") {
     import graft.streaming.StreamingIngest
