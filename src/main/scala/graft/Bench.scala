@@ -457,6 +457,73 @@ object Bench {
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
     println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    // LoCoMo-mini retrieval-quality anchor (r15, VERDICT r14 item 7): the
+    // per-category recall@5/MRR of the 174-question fixture plus the
+    // adversarial abstention ceiling / answerable floor, restated in the
+    // reference's own category-table form (EXPERIMENT_LOG.md:122 pins its
+    // LoCoMo-mini at 85.20% = 259/304 answer accuracy). The deterministic
+    // analogue here: an answerable question is correct when every evidence
+    // id is retrieved; an adversarial one when its top-1 score stays under
+    // the measured answerable floor. Fixture-corpus cost (~130 rows, its
+    // own session tuning inside rankings()); failures degrade to an error
+    // field rather than sinking the bench.
+    val locomoJson = try {
+      val qs = graft.tools.LocomoMini.questions
+      val ranked = graft.tools.LocomoMini.rankings(spark)
+      val answerableCats = Seq("single", "temporal", "multihop", "update",
+        "open")
+      def catMean(cat: String,
+          f: (Seq[String], Seq[String]) => Double): Double = {
+        val sel = qs.zipWithIndex.filter(_._1.category == cat)
+        sel.map { case (q, i) => f(ranked(i), q.evidence) }.sum / sel.size
+      }
+      def catJson(f: (Seq[String], Seq[String]) => Double): String =
+        answerableCats.map(c => s""""$c":${catMean(c, f)}""")
+          .mkString("{", ",", "}")
+      val r5 = catJson(graft.tools.RetrievalMetrics.recallAtK(_, _, 5))
+      val mrrJ = catJson(graft.tools.RetrievalMetrics.mrr)
+      // abstention probe, the LocomoMiniSpec construction verbatim
+      import spark.implicits._
+      val mem = graft.tools.LocomoMini.memories(spark).cache()
+      val noEdges = Seq.empty[graft.domain.Edge].toDF()
+      def top1(conv: Int, question: String): Double =
+        graft.domain.Recall.recall(mem, noEdges, graft.domain.RecallRequest(
+          query = Some(question), limit = 5,
+          tags = Seq(s"conversation:conv-$conv"),
+          relevanceGate = Some(0.6),
+          queryEmbedder = Some(graft.domain.LexicalEmbedding.embed(_)),
+          now = graft.tools.LocomoMini.Now))
+          .select("final_score").collect().headOption
+          .map(_.getDouble(0)).getOrElse(0.0)
+      val adversarialTop1 = qs.filter(_.category == "adversarial")
+        .map(q => top1(q.conv, q.question))
+      val answerableTop1 = qs.filter(_.category == "single")
+        .map(q => top1(q.conv, q.question))
+      mem.unpersist()
+      val ceiling = adversarialTop1.max
+      val floor = answerableTop1.min
+      // the deterministic analogue of the reference's judged answer
+      // accuracy (85.20% on ITS mini tier): an answerable question counts
+      // when ALL its evidence ids sit in the top 10 (presence-at-any-rank
+      // saturates at 100% under the category limits and would read
+      // inflated); an adversarial one when its top-1 stays under the
+      // answerable floor
+      val answerableOk = qs.zipWithIndex
+        .filter(x => answerableCats.contains(x._1.category))
+        .count { case (q, i) =>
+          q.evidence.forall(ranked(i).take(10).contains) }
+      val adversarialOk = adversarialTop1.count(_ < floor)
+      val accuracyPct =
+        100.0 * (answerableOk + adversarialOk) / qs.size
+      s""""locomo_mini":{"n_questions":${qs.size},""" +
+        s""""evidence_at10_pct":$accuracyPct,"recall5":$r5,"mrr":$mrrJ,""" +
+        s""""abstention_ceiling":$ceiling,"answerable_floor":$floor,""" +
+        s""""abstention_separated":${ceiling < floor},""" +
+        s""""reference_mini_pct":85.20}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        s""""locomo_mini":{"error":${jsonStr(e.toString.take(120))}}"""
+    }
     // Compact headline record, printed LAST (VERDICT r12 item 2): the
     // driver's bench artifact keeps only the tail of stdout, and the full
     // record above is one ~8 KB line whose leading headline fields
@@ -468,7 +535,7 @@ object Bench {
     val top5Slowest = jsonMap(timed
       .collect { case (k, (_, Right(w))) => k -> w }
       .toSeq.sortBy(-_._2).take(5))
-    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},$locomoJson,"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
