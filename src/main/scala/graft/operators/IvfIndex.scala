@@ -153,19 +153,26 @@ object IvfIndex {
     writeSmallFile(spark, s"$path/_fit/$batchId.json",
       f"""{"batch_id":$batchId,"fit":$fit,"baseline":$base,"ratio":$ratio}""")
 
-  /** The (batchId, ratio) history the stream has written, batch-ordered. */
-  def fitHistory(spark: SparkSession, path: String): Seq[(Long, Double)] = {
+  /** The (batchId, ratio) history the stream has written, batch-ordered.
+    * `lastK` bounds the file READS: the directory listing is one RPC, but
+    * reading every sidecar would make the per-batch threshold check
+    * O(stream-length) — the rule only ever needs the most recent K rows.
+    */
+  def fitHistory(spark: SparkSession, path: String,
+      lastK: Int = Int.MaxValue): Seq[(Long, Double)] = {
     val (fs, hp) = fsAndPath(spark, s"$path/_fit")
     if (!fs.exists(hp)) return Seq.empty
-    fs.listStatus(hp).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (!name.endsWith(".json")) None
-      else readSmallFile(spark, st.getPath.toString).flatMap { txt =>
-        name.stripSuffix(".json").toLongOption.zip(
+    fs.listStatus(hp).toSeq
+      .flatMap(st => Option(st.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .flatMap(_.stripSuffix(".json").toLongOption)
+        .map(_ -> st.getPath))
+      .sortBy(_._1).takeRight(lastK)
+      .flatMap { case (id, p) =>
+        readSmallFile(spark, p.toString).flatMap(txt =>
           "\"ratio\":([-0-9.eE+]+)".r.findFirstMatchIn(txt)
-            .map(_.group(1).toDouble))
+            .map(m => id -> m.group(1).toDouble))
       }
-    }.sortBy(_._1)
   }
 
   /** The threshold RULE: true iff at least `consecutive` fit rows exist
@@ -174,7 +181,7 @@ object IvfIndex {
   def fitTripped(spark: SparkSession, path: String,
       threshold: Double = DefaultFitRatioThreshold,
       consecutive: Int = DefaultFitConsecutive): Boolean = {
-    val recent = fitHistory(spark, path).takeRight(consecutive)
+    val recent = fitHistory(spark, path, lastK = consecutive)
     recent.size >= consecutive && recent.forall(_._2 > threshold)
   }
 
