@@ -328,11 +328,16 @@ object PipelineScaleProbe {
           println(f"[pipescale]   $label stage=$sid [$name] tasks=$nT maxReadRec=$maxR meanReadRec=$meanR%.0f skew=${maxR / math.max(meanR, 1.0)}%.1fx")
         }
       }
-      // shipped flagship path: aggregate+join keep-first
-      def aggregateForm(): Long = graft.operators.TextPolicy
-        .hygieneStaged(docs)
-        .groupBy("stage").count()
-        .select(sum(col("count"))).collect().head.getLong(0)
+      // shipped flagship path: signal frame checkpointed once (r15),
+      // keeper aggregate + survivor join over the materialized rows
+      def aggregateForm(): Long = {
+        val (staged, ck) = graft.operators.TextPolicy
+          .hygieneStagedCheckpointed(docs, None)
+        val n = staged.groupBy("stage").count()
+          .select(sum(col("count"))).collect().head.getLong(0)
+        graft.functions.releaseCheckpoint(ck)
+        n
+      }
       // the pre-r14 shape, kept here ONLY as the skew baseline: keep-first
       // rank via a running-sum window partitioned by the fingerprint
       def windowForm(): Long = docs
