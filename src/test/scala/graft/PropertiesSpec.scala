@@ -226,6 +226,46 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side sync LPA: each round every node adopts its neighbors'
+    * most frequent label, ties to the SMALLEST label; isolated keep their
+    * own — the contract labelPropagation's min_by aggregate implements.
+    */
+  private def bruteLpa(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val nodes = sym.map(_._1).distinct
+    var labels = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      val best = sym.groupBy(_._1).view.mapValues { es =>
+        es.groupBy(e => labels(e._2)).view.mapValues(_.size).toSeq
+          .minBy { case (lbl, cnt) => (-cnt, lbl) }._1
+      }.toMap
+      labels = nodes.map(v => v -> best.getOrElse(v, labels(v))).toMap
+    }
+    labels
+  }
+
+  test("label propagation (min_by aggregate, r15) matches a driver-side " +
+    "reference on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(3, 14)
+      m <- Gen.choose(1, 28)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      iters <- Gen.choose(1, 3)
+    } yield (es.filter(e => e._1 != e._2), iters)
+    forSamples(graphGen, n = 8) { case (edges, iters) =>
+      if (edges.nonEmpty) {
+        val got = operators.GraphAnalytics
+          .labelPropagation(edges.toDF("u", "v"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == bruteLpa(edges, iters),
+          s"mismatch on edges $edges iters $iters")
+      }
+    }
+  }
+
   test("winnowing pairs match a driver-side reference on random corpora") {
     import spark.implicits._
     def md5hex(s: String): String =
