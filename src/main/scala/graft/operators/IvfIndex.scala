@@ -283,20 +283,16 @@ object IvfIndex {
       .join(counts, Seq("cell"), "left")
       .na.fill(0L, Seq("n"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "QUANTIZER"), "kmeans")
+    writeSmallFile(spark, s"$path/QUANTIZER", "kmeans")
     pinBaselineFit(vectors, path)
   }
 
   /** The index's quantizer kind: "kmeans" when the marker exists, else
     * "sign" (every pre-marker index is sign-bucket).
     */
-  def quantizerOf(path: String): String = {
-    val p = java.nio.file.Paths.get(path, "QUANTIZER")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim
-    else "sign"
-  }
+  def quantizerOf(path: String): String =
+    readSmallFile(SparkSession.active, s"$path/QUANTIZER")
+      .map(_.trim).getOrElse("sign")
 
   /** Stored centroids as the k×dim double set [[KMeans.assign]] takes. */
   private def storedCentroids(spark: SparkSession, path: String)
@@ -443,24 +439,16 @@ object IvfIndex {
   /** Mean data files per cell partition — the append-induced small-file
     * pressure gauge that decides when [[compact]] is worth running.
     */
-  /** List a directory with the stream CLOSED (Files.list leaks a directory
-    * file descriptor until GC if the stream is abandoned — its javadoc
-    * requires try-with-resources).
-    */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.list(p)
-    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-    finally s.close()
-  }
-
   def filesPerCell(path: String): Double = {
-    val root = java.nio.file.Paths.get(path, "assignments")
-    if (!java.nio.file.Files.isDirectory(root)) return 0.0
-    val cellDirs = listDir(root)
-      .filter(p => p.getFileName.toString.startsWith("cell="))
+    // Hadoop FS, not java.nio (r15 sweep): a non-local index path would
+    // read as "no cells" and silently disable compaction pressure
+    val (fs, root) = fsAndPath(SparkSession.active, s"$path/assignments")
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return 0.0
+    val cellDirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
     if (cellDirs.isEmpty) return 0.0
-    val files = cellDirs.map(d => listDir(d)
-      .count(_.getFileName.toString.endsWith(".parquet")))
+    val files = cellDirs.map(d => fs.listStatus(d.getPath)
+      .count(_.getPath.getName.endsWith(".parquet")))
     files.sum.toDouble / cellDirs.length
   }
 
@@ -530,11 +518,16 @@ object IvfIndex {
   }
 
   /** True when `path` already holds a completed index (both relations have
-    * their _SUCCESS markers).
+    * their _SUCCESS markers). Hadoop FS, not java.nio (r15 sweep): on an
+    * hdfs:// or s3a:// index a local-FS check would answer false and the
+    * streaming ingest would re-BUILD (and re-freeze a new quantizer) on
+    * every micro-batch — the worst possible failure of this predicate.
     */
-  def exists(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "assignments", "_SUCCESS")) &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centroids", "_SUCCESS"))
+  def exists(path: String): Boolean = {
+    val (fs, _) = fsAndPath(SparkSession.active, path)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS"))
+  }
 
   /** The cells a query would probe: score the persisted centroids (tiny
     * scan), keep the top `nprobe`. Collected to literals — this is a

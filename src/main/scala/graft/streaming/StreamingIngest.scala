@@ -491,9 +491,14 @@ object StreamingIngest {
       : Boolean = {
     import graft.operators.IvfIndex
     val spark = batch.sparkSession
-    val marker = java.nio.file.Paths.get(indexPath, "_stream_commits",
-      batchId.toString)
-    if (java.nio.file.Files.exists(marker)) return false
+    // commit markers via Hadoop FS (r15 sweep): a non-local index path
+    // with java.nio markers would never see a prior commit and re-append
+    // every replayed batch
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_stream_commits/$batchId")
+    val markerFs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (markerFs.exists(markerPath)) return false
     if (!IvfIndex.exists(indexPath)) {
       if (batch.isEmpty) return false // leave the build to a non-empty batch
       kMeansK match {
@@ -525,8 +530,8 @@ object StreamingIngest {
             fitRatioThreshold, fitConsecutive)
       }
     }
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.createFile(marker)
+    markerFs.mkdirs(markerPath.getParent)
+    markerFs.create(markerPath, true).close()
     true
   }
 

@@ -447,8 +447,16 @@ class IvfIndexSpec extends AnyFunSuite {
       root.resolve("ckpt").toString)
     try q.processAllAvailable() finally q.stop()
     assert(spark.read.parquet(s"$idx/assignments").count() == 300)
-    val markers = java.nio.file.Files.list(
-      java.nio.file.Paths.get(idx, "_stream_commits")).count()
+    // count visible markers only: Hadoop's checksummed local FS writes a
+    // hidden .<name>.crc sidecar per marker (r15: markers go through the
+    // Hadoop FS API so non-local index paths commit correctly)
+    val s = java.nio.file.Files.list(
+      java.nio.file.Paths.get(idx, "_stream_commits"))
+    val markers =
+      try s.toArray.toSeq
+        .count(!_.asInstanceOf[java.nio.file.Path]
+          .getFileName.toString.startsWith("."))
+      finally s.close()
     assert(markers == 2, s"one marker per micro-batch: $markers")
     val qvec = PlaceholderEmbedding.embed("doc 222")
     val top = IvfIndex.topK(spark, idx, qvec, k = 1, nprobe = 64).collect()
