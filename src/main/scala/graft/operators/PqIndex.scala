@@ -230,13 +230,19 @@ object PqIndex {
       .limit(k)
   }
 
-  /** Bytes of the stored code table (the compression numerator). */
+  /** Bytes of the stored code table (the compression numerator). Hadoop
+    * FS (r15 sweep) so the gauge also reads non-local index paths.
+    */
   def assignBytes(path: String): Long = {
-    val root = java.nio.file.Paths.get(path, "assignments")
-    val s = java.nio.file.Files.walk(root)
-    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(java.nio.file.Files.size).sum
-    finally s.close()
+    val root = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val fs = root.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) total += st.getLen
+    }
+    total
   }
 }
