@@ -427,6 +427,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!IvfIndex.rebuildAdvised(tmp))
   }
 
+  test("rebuildIndex recovery: a crash mid-swap (stale _REBUILD_INPROGRESS) " +
+    "is repaired by re-running rebuildIndex, and the rebuilt index still " +
+    "serves (r15)") {
+    import graft.streaming.StreamingIngest
+    import spark.implicits._
+    def cluster(from: Int, until: Int, base: Double) =
+      (from until until).map { i =>
+        (i.toLong, Seq.tabulate(8)(d =>
+          (base + (i % 5) * 0.01 + d * 0.001).toFloat))
+      }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-rec")
+      .toString
+    assert(StreamingIngest.ivfBatch(
+      cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0)),
+      0L, tmp, kMeansK = Some(2)))
+    assert(StreamingIngest.ivfBatch(cluster(200, 300, 25.0), 1L, tmp))
+    // simulate the documented residual window: the INPROGRESS bracket was
+    // written but the process died before the swap completed
+    IvfIndex.writeSmallFile(spark, s"$tmp/_REBUILD_INPROGRESS", "0")
+    IvfIndex.rebuildIndex(spark, tmp, k = 3)
+    assert(!new java.io.File(s"$tmp/_REBUILD_INPROGRESS").exists(),
+      "recovery must clear the in-progress bracket")
+    assert(spark.read.parquet(s"$tmp/assignments").count() == 300)
+    // the recovered index serves: full-probe top-1 of a stored vector is
+    // an exact-cosine hit (these fixture vectors are near-parallel across
+    // clusters, so the WHICH-id is a tie — the sim value is the contract)
+    val q = cluster(250, 251, 25.0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = IvfIndex.topK(spark, tmp, q, k = 1, nprobe = 64).collect()
+    assert(top.nonEmpty && top.head.getAs[Double]("sim") > 0.999,
+      s"${top.toSeq}")
+    // and a second rebuild is a fixed point (idempotent recovery story)
+    IvfIndex.rebuildIndex(spark, tmp, k = 3)
+    assert(spark.read.parquet(s"$tmp/assignments").count() == 300)
+  }
+
   test("streaming ivf end-to-end: a file-source stream builds then appends " +
     "across micro-batches") {
     import graft.streaming.StreamingIngest
