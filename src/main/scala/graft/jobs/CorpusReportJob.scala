@@ -104,9 +104,26 @@ object CorpusReportJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusReportJob <documentsPath> <outRoot> [topN]")
+      "usage: CorpusReportJob <documentsPath> <outRoot> [topN] " +
+        "[--bench-cut <id>] [--positives src0,src1,...] [--alpha <a>]")
     val Array(docsPath, outRoot) = args.take(2)
-    val topN = args.lift(2).map(_.toInt).getOrElse(50)
+    val rest = args.drop(2)
+    def flagValue(flag: String): Option[String] = {
+      val i = rest.indexOf(flag)
+      require(i < 0 || i + 1 < rest.length, s"$flag requires a value")
+      if (i >= 0) Some(rest(i + 1)) else None
+    }
+    val flagPos = Seq("--bench-cut", "--positives", "--alpha")
+      .flatMap { f => val i = rest.indexOf(f)
+        if (i >= 0) Seq(i, i + 1) else Nil }.toSet
+    val topN = rest.zipWithIndex
+      .filterNot { case (_, i) => flagPos(i) }
+      .map(_._1).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(50)
+    val benchCut = flagValue("--bench-cut").map(_.toInt).getOrElse(20)
+    val positives = flagValue("--positives").map(_.split(",").toSeq)
+      .getOrElse(Seq("src0", "src1", "src2"))
+    val alpha = flagValue("--alpha").map(_.toDouble).getOrElse(9.0)
     val preExisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
     // spark-submit supplies the master in production; GRAFT_MASTER lets
@@ -117,7 +134,8 @@ object CorpusReportJob {
     val spark = sys.env.get("GRAFT_MASTER")
       .fold(builder)(builder.master).getOrCreate()
     try {
-      val report = run(spark.read.parquet(docsPath), topN)
+      val report = run(spark.read.parquet(docsPath), topN,
+        benchCut = benchCut, positiveSources = positives, alpha = alpha)
       try {
         report.zipf.write.mode("overwrite").parquet(s"$outRoot/zipf")
         report.heaps.write.mode("overwrite").parquet(s"$outRoot/heaps")

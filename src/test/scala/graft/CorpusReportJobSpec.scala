@@ -41,6 +41,34 @@ class CorpusReportJobSpec extends AnyFunSuite {
     } finally report.release()
   }
 
+  test("report job main writes all eight relations and honors the " +
+    "selection flags (r15)") {
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-report")
+      .toString
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(s"$root/docs")
+    graft.jobs.CorpusReportJob.main(Array(s"$root/docs", s"$root/out",
+      "25", "--positives", "src0,src3", "--alpha", "4.0"))
+    val rels = Seq("zipf", "heaps", "divergence", "overlap", "duprate",
+      "contamination", "decontam", "auc")
+    rels.foreach { r =>
+      assert(spark.read.parquet(s"$root/out/$r").count() > 0,
+        s"relation $r must be non-empty")
+    }
+    // the CLI's positives reached the AUC stage: it must equal the
+    // standalone form at the SAME knobs, and differ from the defaults
+    val docs = Tables.documents(spark, sf)
+    val custom = graft.operators.TextPolicy
+      .classifierAuc(docs, Seq("src0", "src3"), 4.0).collect().head
+    val got = spark.read.parquet(s"$root/out/auc").collect().head
+    assert(got.toString == custom.toString, s"$got vs $custom")
+    val default = graft.operators.TextPolicy
+      .classifierAuc(docs, Seq("src0", "src1", "src2"), 9.0).collect().head
+    assert(got.toString != default.toString,
+      "flag plumbing must actually change the relation")
+  }
+
   test("classifier AUC contract: a single-class corpus emits null auc " +
     "with counts populated (r15 ADVICE)") {
     import spark.implicits._
