@@ -226,6 +226,37 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hygiene: the checkpointed signal form equals the lazy form " +
+    "row-for-row on random corpora (r15)") {
+    import spark.implicits._
+    val word = Gen.oneOf("the", "and", "of", "is", "walk", "dog", "park",
+      "el", "la", "de", "que", "spam", "x1")
+    val docGen = for {
+      n <- Gen.choose(2, 18)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, docGen)
+      twin <- Gen.choose(0, 3) // planted duplicates incl. cross-id twins
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      docs.take(twin).zipWithIndex.map { case (t, i) =>
+        ((100 + i).toLong, t) } ++
+      Seq((990L, ""), (991L, "   ")) // empty-fingerprint rows never dedup
+    forSamples(corpusGen, n = 8) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      def staged(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val lazyForm = staged(operators.TextPolicy.hygieneStaged(docs))
+      val (ckForm, ck) =
+        operators.TextPolicy.hygieneStagedCheckpointed(docs, None)
+      val got = staged(ckForm)
+      graft.functions.releaseCheckpoint(ck)
+      assert(got == lazyForm, s"forms diverged on $rows")
+    }
+  }
+
   /** Driver-side sync LPA: each round every node adopts its neighbors'
     * most frequent label, ties to the SMALLEST label; isolated keep their
     * own — the contract labelPropagation's min_by aggregate implements.
