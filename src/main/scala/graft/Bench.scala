@@ -472,10 +472,15 @@ object Bench {
       val ranked = graft.tools.LocomoMini.rankings(spark)
       val answerableCats = Seq("single", "temporal", "multihop", "update",
         "open")
+      // an empty category emits JSON null, never NaN: 0.0/0 = NaN would
+      // print bare inside the record and break the whole JSON line (the
+      // try/catch only intercepts exceptions)
       def catMean(cat: String,
-          f: (Seq[String], Seq[String]) => Double): Double = {
+          f: (Seq[String], Seq[String]) => Double): String = {
         val sel = qs.zipWithIndex.filter(_._1.category == cat)
-        sel.map { case (q, i) => f(ranked(i), q.evidence) }.sum / sel.size
+        if (sel.isEmpty) "null"
+        else (sel.map { case (q, i) => f(ranked(i), q.evidence) }.sum /
+          sel.size).toString
       }
       def catJson(f: (Seq[String], Seq[String]) => Double): String =
         answerableCats.map(c => s""""$c":${catMean(c, f)}""")

@@ -113,9 +113,19 @@ object CorpusReportJob {
       require(i < 0 || i + 1 < rest.length, s"$flag requires a value")
       if (i >= 0) Some(rest(i + 1)) else None
     }
-    val flagPos = Seq("--bench-cut", "--positives", "--alpha")
+    val knownFlags = Seq("--bench-cut", "--positives", "--alpha")
+    val flagPos = knownFlags
       .flatMap { f => val i = rest.indexOf(f)
         if (i >= 0) Seq(i, i + 1) else Nil }.toSet
+    // reject unknown --flags BEFORE positional extraction (ADVICE r15):
+    // a typo'd flag's value would otherwise be consumed as the positional
+    // topN (or crash on toInt) with no diagnostic
+    val unknown = rest.zipWithIndex
+      .filterNot { case (_, i) => flagPos(i) }
+      .map(_._1).filter(_.startsWith("--"))
+    require(unknown.isEmpty,
+      s"unknown flag(s) ${unknown.mkString(", ")}; known: " +
+        knownFlags.mkString(", "))
     val topN = rest.zipWithIndex
       .filterNot { case (_, i) => flagPos(i) }
       .map(_._1).filterNot(_.startsWith("--"))

@@ -50,12 +50,15 @@ object MaintenanceJob {
     */
   def dedupPlan(memories: DataFrame, embeddings: Option[DataFrame],
       threshold: Double = 0.9): DataFrame = {
-    // the script's identity key, verbatim: content|timestamp (timestamp
-    // optional in the twin — schema without one keys on content alone)
+    // the script's identity: (content, timestamp) — but keyed as a STRUCT,
+    // not its concat_ws("|") string (ADVICE r15): the delimited key is
+    // collision-prone (content "a|b" + ts "c" == content "a" + ts "b|c"
+    // for string timestamps) and the relational form never needed it;
+    // timestamp stays optional in the twin — schema without one keys on
+    // content alone
     val key =
       if (memories.columns.contains("timestamp"))
-        concat_ws("|", col("content"),
-          coalesce(col("timestamp").cast("string"), lit("")))
+        struct(col("content"), col("timestamp"))
       else col("content")
     val keepers = memories.withColumn("_k", key)
       .groupBy(col("_k")).agg(min(col("id")).as("_keep"))

@@ -121,7 +121,10 @@ object IvfIndex {
     * existed.
     */
   def baselineFit(path: String): Option[Double] =
-    readSmallFile(SparkSession.active, s"$path/BASELINE_FIT")
+    baselineFit(SparkSession.active, path)
+
+  def baselineFit(spark: SparkSession, path: String): Option[Double] =
+    readSmallFile(spark, s"$path/BASELINE_FIT")
       .map(_.trim.toDouble)
 
   private def pinBaselineFit(vectors: DataFrame, path: String): Unit =
@@ -191,8 +194,11 @@ object IvfIndex {
     * span the frozen quantizer routes badly — until [[rebuildIndex]]
     * clears it.
     */
-  def rebuildAdvised(path: String): Boolean = {
-    val (fs, hp) = fsAndPath(SparkSession.active, s"$path/REBUILD_ADVISED")
+  def rebuildAdvised(path: String): Boolean =
+    rebuildAdvised(SparkSession.active, path)
+
+  def rebuildAdvised(spark: SparkSession, path: String): Boolean = {
+    val (fs, hp) = fsAndPath(spark, s"$path/REBUILD_ADVISED")
     fs.exists(hp)
   }
 
@@ -225,9 +231,16 @@ object IvfIndex {
     * parquet instead of localCheckpoint (same fault-tolerance trade the
     * pipeline job documents).
     */
-  def rebuildIndex(spark: SparkSession, path: String, k: Int = 64,
+  def rebuildIndex(spark: SparkSession, path: String, k: Int = 0,
       iters: Int = 5): Unit = {
-    require(exists(path), s"no completed index at $path")
+    require(exists(spark, path), s"no completed index at $path")
+    // k <= 0 → keep the original build's quantizer geometry (ADVICE r15):
+    // the stored centroid table IS the persisted record of build-time k,
+    // so an operator answering REBUILD_ADVISED without remembering it
+    // cannot silently shrink a 256-cell index to a fixed default.
+    val kk =
+      if (k > 0) k
+      else spark.read.parquet(s"$path/centroids").count().toInt
     val current = spark.read.parquet(s"$path/assignments")
       .drop("cell").localCheckpoint()
     require(current.columns.contains("embedding"),
@@ -235,7 +248,7 @@ object IvfIndex {
         "quantized index from its source embedding relation instead")
     writeSmallFile(spark, s"$path/_REBUILD_INPROGRESS",
       System.nanoTime().toString)
-    buildKMeans(current, path, k, iters)
+    buildKMeans(current, path, kk, iters)
     graft.functions.releaseCheckpoint(current)
     val (fs, _) = fsAndPath(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_fit"), true)
@@ -289,9 +302,21 @@ object IvfIndex {
 
   /** The index's quantizer kind: "kmeans" when the marker exists, else
     * "sign" (every pre-marker index is sign-bucket).
+    *
+    * The path-only overloads of the marker readers ([[quantizerOf]],
+    * [[baselineFit]], [[rebuildAdvised]], [[filesPerCell]], [[exists]])
+    * resolve the Hadoop filesystem through `SparkSession.active` and
+    * REQUIRE an active or default session (ADVICE r15: the pre-r15
+    * java.nio forms worked sessionless — that contract changed when the
+    * sweep moved them onto the index's own filesystem, which only a
+    * session's hadoopConfiguration can resolve for hdfs://s3a:// paths).
+    * Sessionless callers use the explicit-SparkSession overloads.
     */
   def quantizerOf(path: String): String =
-    readSmallFile(SparkSession.active, s"$path/QUANTIZER")
+    quantizerOf(SparkSession.active, path)
+
+  def quantizerOf(spark: SparkSession, path: String): String =
+    readSmallFile(spark, s"$path/QUANTIZER")
       .map(_.trim).getOrElse("sign")
 
   /** Stored centroids as the k×dim double set [[KMeans.assign]] takes. */
@@ -439,10 +464,13 @@ object IvfIndex {
   /** Mean data files per cell partition — the append-induced small-file
     * pressure gauge that decides when [[compact]] is worth running.
     */
-  def filesPerCell(path: String): Double = {
+  def filesPerCell(path: String): Double =
+    filesPerCell(SparkSession.active, path)
+
+  def filesPerCell(spark: SparkSession, path: String): Double = {
     // Hadoop FS, not java.nio (r15 sweep): a non-local index path would
     // read as "no cells" and silently disable compaction pressure
-    val (fs, root) = fsAndPath(SparkSession.active, s"$path/assignments")
+    val (fs, root) = fsAndPath(spark, s"$path/assignments")
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return 0.0
     val cellDirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -523,8 +551,11 @@ object IvfIndex {
     * streaming ingest would re-BUILD (and re-freeze a new quantizer) on
     * every micro-batch — the worst possible failure of this predicate.
     */
-  def exists(path: String): Boolean = {
-    val (fs, _) = fsAndPath(SparkSession.active, path)
+  def exists(path: String): Boolean =
+    exists(SparkSession.active, path)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, _) = fsAndPath(spark, path)
     fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")) &&
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS"))
   }
