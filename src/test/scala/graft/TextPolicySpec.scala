@@ -234,6 +234,40 @@ class TextPolicySpec extends AnyFunSuite {
     assert(staged(3L) == "kept", s"got $staged")
   }
 
+  test("cross-batch dedup reads the checkpointed fingerprint — zero " +
+    "re-evaluations in the batch plan (r16)") {
+    import spark.implicits._
+    val base = "the cat and dog of the house is happy with all the good " +
+      "things around here today"
+    val docs = Seq(
+      (1L, base),                          // fp already in the prior store
+      (2L, base + " plus fresh tail here"), // new content, keeps
+      (3L, "!!! ??? ..."))                  // empty fingerprint: never x-batch
+      .toDF("doc_id", "text")
+    val prior = Seq(
+      base.toLowerCase.replaceAll("[^a-z0-9]", "").take(320))
+      .toDF("fp")
+    val (staged, signals) =
+      TextPolicy.hygieneStagedCheckpointed(docs, Some(prior))
+    // the prior-store join must read _fp_raw OFF the checkpointed signal
+    // frame — a recomputed fingerprint would surface as a regexp_replace
+    // in the post-checkpoint plan (the r15 double-eval this closes)
+    val plan = staged.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("regexp_replace"),
+      s"fingerprint re-evaluated downstream of the signal checkpoint:\n$plan")
+    val got = staged.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    // semantics unchanged vs the lazy form
+    val lazyGot = TextPolicy.hygieneStaged(docs, Some(prior)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    assert(got == lazyGot, s"checkpointed $got != lazy $lazyGot")
+    assert(got(1L) == "e_cross_batch_dup", s"got $got")
+    assert(got(2L) == "kept", s"got $got")
+    assert(got(3L) != "e_cross_batch_dup",
+      s"empty fingerprint must not cross-batch dedup: $got")
+    graft.functions.releaseCheckpoint(signals)
+  }
+
   test("semantic dedup: keepers are the min-id member of each near-dup cluster") {
     val rows = graft.operators.Dedup
       .semanticDedup(spark, "/root/testdata/sf0.001", threshold = 0.35)
