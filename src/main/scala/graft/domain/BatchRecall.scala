@@ -206,12 +206,90 @@ object BatchRecall {
     RecallIndex(base, postings, vocab, baseKw, baseHydrate)
   }
 
+  /** IVF pre-filter option for [[batchRecall]]'s vector channel (r16,
+    * VERDICT r15 item 1 — the at-scale serving path the r10 scaladoc
+    * promised): the persisted [[graft.operators.IvfIndex]] at `path`
+    * replaces the corpus x queries cosine scan. Per query the quantizer
+    * ranks `nprobe` cells DRIVER-side against the collected centroid table
+    * (a parameter read), and the candidate scan reads ONLY the probed
+    * cells' parquet partitions — `PartitionFilters: cell IN (...)` static
+    * pruning — so vector-channel I/O shrinks by ~nprobe/2^cellBits at any
+    * corpus size while the overfetch/scoring tail is structurally
+    * unchanged. At nprobe = cell count the candidate set is the full
+    * corpus and results are bitwise the brute-force channel's
+    * (BatchRecallIvfSpec pins this, the q_sim_ivf_topk doctrine).
+    *
+    * Contract: build the index over the SAME filtered corpus the recall
+    * base scans ([[buildVectorIndex]]). Rows that left the corpus after
+    * the last index build waste overfetch slots but cannot surface —
+    * hydration inner-joins the live base (the standard ANN staleness
+    * trade; Qdrant-side deletes behave the same way in the reference).
+    */
+  final case class IvfChannel(path: String, nprobe: Int)
+
+  /** Build/refresh the vector-channel index for [[IvfChannel]]: the
+    * recall BASE (archived/invalidated rows excluded, matching
+    * [[buildIndex]]'s corpus) projected to (id, embedding). `kmeansK > 0`
+    * trains a k-means coarse quantizer (the clustered-corpus choice);
+    * otherwise the data-independent sign-bucket split.
+    */
+  def buildVectorIndex(memories: DataFrame, path: String, kmeansK: Int = 0,
+      cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
+      iters: Int = 5): Unit = {
+    val base = Recall.baseFilter(memories, RecallRequest())
+      .select(col("id"), col("embedding"))
+    if (kmeansK > 0)
+      // KMeans.fitCentroids seeds from the k lowest vec_id rows; memories
+      // key on string ids, so derive a deterministic numeric surrogate
+      // (hash order is as good as any for seeding). It rides into the
+      // stored assignments — 8 bytes/row next to the embedding, noise
+      graft.operators.IvfIndex.buildKMeans(
+        base.withColumn("vec_id", xxhash64(col("id"))), path, kmeansK, iters)
+    else graft.operators.IvfIndex.build(base, path, cellBits)
+  }
+
+  /** Column contract of a PLANTED vector-candidate relation — the
+    * [[PreparedRecall]] IVF serving shape. The prepared template must stay
+    * request-value-independent, so the probed cells cannot be baked into
+    * its scan as literals; instead the handle runs the partition-pruned
+    * candidate scan per call ([[ivfCandidateRows]], a bounded top-overfetch
+    * job) and swaps the rows into this relation, exactly as it swaps the
+    * request relation.
+    */
+  val VectorCandCols: Seq[String] = Seq("qid", "id", "channel_score")
+
+  /** One request's IVF vector-channel candidates, computed eagerly: probe
+    * cells driver-side against the collected quantizer, scan ONLY those
+    * cells (static partition pruning), keep the top `overfetch` by the
+    * channel's exact cut key (score desc, id asc — TakeOrderedAndProject,
+    * no shuffle). Returns plantable (qid, id, channel_score) rows.
+    */
+  def ivfCandidateRows(spark: org.apache.spark.sql.SparkSession,
+      iv: IvfChannel, qz: graft.operators.IvfIndex.Quantizer, qid: Any,
+      qvec: Array[Float], overfetch: Int, roundScores: Boolean)
+      : Seq[org.apache.spark.sql.Row] = {
+    val cells = graft.operators.IvfIndex.probeCellsLocal(qz, qvec, iv.nprobe)
+    val score = cosineSim(col("embedding"), typedlit(qvec))
+    spark.read.parquet(s"${iv.path}/assignments")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id"),
+        (if (roundScores) graft.functions.round4(score) else score)
+          .as("channel_score"))
+      .orderBy(desc("channel_score"), asc("id"))
+      .limit(overfetch)
+      .collect()
+      .map(r => org.apache.spark.sql.Row(qid, r.get(0), r.getDouble(1)))
+      .toSeq
+  }
+
   def batchRecall(memories: DataFrame, edges: DataFrame, queries: DataFrame,
       limit: Int = 10, weights: Scoring.Weights = Scoring.Weights(),
       now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"),
       roundScores: Boolean = false,
       index: Option[RecallIndex] = None,
-      singleRequest: Boolean = false): DataFrame = {
+      singleRequest: Boolean = false,
+      ivf: Option[IvfChannel] = None,
+      vectorCandidates: Option[DataFrame] = None): DataFrame = {
     val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
     val spark = memories.sparkSession
     val q = requestRelation(queries)
@@ -239,10 +317,54 @@ object BatchRecall {
         df.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= n).drop("_rn")
       }
-    val vec = cutPerQid(
-      base.crossJoin(broadcast(q))
-        .select(col("qid"), col("id"),
-          rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score")),
+    // candidate generation: brute corpus x queries scan by default; the
+    // IVF-prefiltered scan when an index is supplied (see [[IvfChannel]]).
+    // Everything downstream of (qid, id, channel_score) is IDENTICAL —
+    // same rounding, same cut keys — so the index changes I/O, not
+    // semantics, and nprobe=all is bitwise the brute channel.
+    val vecScored = (vectorCandidates, ivf) match {
+      case (Some(cand), _) =>
+        // pre-computed (planted) candidates — already scored, rounded, and
+        // generated under partition pruning by ivfCandidateRows; the
+        // cut/select tail below re-applies the same keys idempotently
+        cand.select(col("qid"), col("id"), col("channel_score"))
+      case (None, None) =>
+        base.crossJoin(broadcast(q))
+          .select(col("qid"), col("id"),
+            rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score"))
+      case (None, Some(iv)) =>
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val qz = graft.operators.IvfIndex.loadQuantizer(spark, iv.path)
+        // probe per query against the driver-held quantizer; plant the
+        // (qid, cell, qvec) relation — nprobe rows per query — so ONE
+        // broadcast equi-join on cell pairs each candidate with its
+        // query's vector (a doc lives in exactly one cell, so (qid, id)
+        // stays unique)
+        val probeRows = q.select(col("qid"), col("qvec")).collect().flatMap { r =>
+          val qv = r.getSeq[Float](1)
+          graft.operators.IvfIndex.probeCellsLocal(qz, qv.toArray, iv.nprobe)
+            .map(c => Row(r.get(0), c, qv))
+        }
+        val qcells = spark.createDataFrame(probeRows.toSeq.asJava,
+          StructType(Seq(
+            StructField("qid", q.schema("qid").dataType),
+            StructField("cell", LongType),
+            StructField("qvec", ArrayType(FloatType, containsNull = false)))))
+        val allCells = probeRows.map(_.getLong(1)).distinct.toSeq
+        spark.read.parquet(s"${iv.path}/assignments")
+          // literal IN over the union of probed cells BEFORE any cast:
+          // STATIC partition pruning — unprobed cell partitions are never
+          // read (the cast below would otherwise wrap the partition column
+          // and depend on UnwrapCastInBinaryComparison to recover it)
+          .filter(col("cell").isin(allCells: _*))
+          .select(col("cell").cast("long").as("cell"), col("id"), col("embedding"))
+          .join(broadcast(qcells), Seq("cell"))
+          .select(col("qid"), col("id"),
+            rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score"))
+    }
+    val vec = cutPerQid(vecScored,
       Seq(desc("channel_score"), asc("id")), overfetch)
       .select(col("qid"), col("id"), lit("vector").as("match_type"),
         col("channel_score"))

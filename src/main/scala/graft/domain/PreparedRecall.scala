@@ -42,12 +42,56 @@ class PreparedRecall(
     now: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00"),
     roundScores: Boolean = false,
     vocabParallelism: Int = 0,
-    prebuildClasses: Boolean = true) {
+    prebuildClasses: Boolean = true,
+    ivf: Option[BatchRecall.IvfChannel] = None) {
 
   private val spark = memories.sparkSession
 
   private def isRequestRelation(lr: LocalRelation): Boolean =
     lr.output.map(_.name) == BatchRecall.RequestCols
+
+  // ---------------------------------------------------------------------
+  // IVF vector channel (r16, VERDICT r15 item 1): when an index is
+  // supplied, the template's vector channel consumes a PLANTED candidate
+  // relation instead of the corpus x query cosine scan, and each call
+  // (a) probes cells driver-side against the quantizer collected here
+  // once, (b) runs the partition-pruned top-overfetch candidate scan
+  // (BatchRecall.ivfCandidateRows — one bounded job reading
+  // ~nprobe/cells of the corpus), and (c) swaps the rows into the
+  // template next to the request relation. Serving is REPLANNED-only in
+  // this mode: the cached-physical fast path's evidence machinery derives
+  // every swappable scan from the request relation, which candidates are
+  // not — and at the index scale that justifies an IVF channel, the
+  // candidate scan it eliminates dominates the ~100 ms replan constant.
+  // ---------------------------------------------------------------------
+  private val ivfState: Option[
+      (BatchRecall.IvfChannel, graft.operators.IvfIndex.Quantizer)] =
+    ivf.map(iv => (iv, graft.operators.IvfIndex.loadQuantizer(spark, iv.path)))
+
+  private val overfetch =
+    math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
+
+  private def isCandidateRelation(lr: LocalRelation): Boolean =
+    lr.output.map(_.name) == BatchRecall.VectorCandCols
+
+  private def candidateFrame(query: String, qvec: Option[Array[Float]])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val (iv, qz) = ivfState.get
+    val qv = qvec.getOrElse(PlaceholderEmbedding.embed(query))
+    val rows = BatchRecall.ivfCandidateRows(spark, iv, qz, 0, qv,
+      overfetch, roundScores)
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("qid", IntegerType),
+      StructField("id", memories.schema("id").dataType),
+      StructField("channel_score", DoubleType))))
+  }
+
+  private def candidateData(query: String, qvec: Option[Array[Float]])
+      : Seq[InternalRow] =
+    GraftShim.analyzed(candidateFrame(query, qvec))
+      .collect { case lr: LocalRelation => lr.data }.head
 
   /** Cached query-independent corpus index (postings + vocabularies),
     * materialized up front so no serving call pays the build.
@@ -68,7 +112,13 @@ class PreparedRecall(
     val marker = Seq((0, markerQuery)).toDF("qid", "query")
     val plan = GraftShim.analyzed(BatchRecall.batchRecall(
       memories, edges, marker, limit, weights, now, roundScores,
-      index = Some(index), singleRequest = true))
+      index = Some(index), singleRequest = true,
+      vectorCandidates =
+        ivfState.map(_ => candidateFrame(markerQuery, None))))
+    if (ivfState.isDefined)
+      require(plan.collectFirst {
+        case lr: LocalRelation if isCandidateRelation(lr) => lr }.nonEmpty,
+        "no vector-candidate relation found in the IVF template plan")
     // the request relation appears once per join branch (analysis
     // deduplicates each occurrence with fresh expr ids); the swap below
     // rewrites every occurrence, so only existence is asserted here. The
@@ -120,10 +170,21 @@ class PreparedRecall(
   def recallReplanned(query: String, qvec: Option[Array[Float]] = None)
       : DataFrame = {
     val qData = relationData(query, qvec)
-    val swapped = template.transform {
+    val swapped0 = template.transform {
       // keep the template's output attributes (expr ids are wired through
       // the whole plan); only the rows change
       case lr: LocalRelation if isRequestRelation(lr) => lr.copy(data = qData)
+    }
+    // IVF mode: the vector-candidate relation swaps the same way — its
+    // rows come from this call's partition-pruned candidate scan
+    val swapped = ivfState match {
+      case None => swapped0
+      case Some(_) =>
+        val cData = candidateData(query, qvec)
+        swapped0.transform {
+          case lr: LocalRelation if isCandidateRelation(lr) =>
+            lr.copy(data = cData)
+        }
     }
     GraftShim.ofRows(spark, swapped).drop("qid")
   }
@@ -448,6 +509,12 @@ class PreparedRecall(
     def fail(reason: String): Option[FastState] = {
       fastGates.put(cls, reason); None
     }
+    // IVF mode serves replanned-only (see ivfState's comment): the
+    // candidate relation is not request-derived, so the fast path's
+    // fold-and-swap evidence machinery cannot feed it — validation would
+    // reject every class with frozen marker candidates. Decline up front.
+    if (ivfState.isDefined)
+      return fail("ivf channel: candidates are planted per call — replanned serving")
     // degenerate markers ("", "*") would make the contains-based leak
     // checks vacuous or always-firing — skip those two checks for them
     // (feeds resolution + end-to-end validation still gate)

@@ -604,6 +604,56 @@ object IvfIndex {
       .collect().map(_.getLong(0)).toSeq
   }
 
+  /** Driver-side snapshot of the coarse quantizer: the (cell, centroid)
+    * table collected once (a parameter read — <= 2^cellBits rows) plus the
+    * cell-ranking metric matching the quantizer kind ([[probeCells]]'s
+    * dispatch). A batch/serving path ranks probe cells for MANY query
+    * vectors in pure Scala against this snapshot instead of paying one
+    * tiny centroid Spark job per query.
+    */
+  final case class Quantizer(cells: Array[Long],
+      centroids: Array[Array[Double]], metric: String)
+
+  def loadQuantizer(spark: SparkSession, path: String): Quantizer = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+    Quantizer(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray),
+      if (quantizerOf(spark, path) == "kmeans") "l2" else "cosine")
+  }
+
+  /** The cells one query vector probes, ranked exactly like
+    * [[probeCellsWith]] (score desc, cell asc) in driver-local arithmetic:
+    * negative squared-L2 for a k-means quantizer, cosine (zero-norm -> 0,
+    * the [[graft.functions.VectorFunctions.cosineSim]] convention) for
+    * sign buckets.
+    */
+  def probeCellsLocal(qz: Quantizer, qvec: Array[Float], nprobe: Int)
+      : Seq[Long] = {
+    val scored = qz.cells.indices.map { i =>
+      val c = qz.centroids(i)
+      val n = math.min(c.length, qvec.length)
+      val s = qz.metric match {
+        case "l2" =>
+          var acc = 0.0; var j = 0
+          while (j < n) { val d = c(j) - qvec(j); acc += d * d; j += 1 }
+          -acc
+        case _ =>
+          var dot = 0.0; var nx = 0.0; var ny = 0.0; var j = 0
+          while (j < n) {
+            dot += c(j) * qvec(j); nx += c(j) * c(j)
+            ny += qvec(j).toDouble * qvec(j); j += 1
+          }
+          if (nx == 0.0 || ny == 0.0) 0.0
+          else dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      (qz.cells(i), s)
+    }
+    scored.sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe).map(_._1)
+  }
+
   /** Query the persisted index: centroid lookup + partition-pruned exact
     * search over probed cells only. Same TakeOrderedAndProject tail as
     * brute force; `round4` before ranking keeps ordering engine-stable.

@@ -82,8 +82,13 @@ object RecallPipeline {
     * hash), not rows-only. `roundScores` quantizes scores to 4 decimals
     * before ranking so rank order is reproducible across engines.
     */
-  def batchRecall100(spark: SparkSession, dir: String): DataFrame = {
-    import graft.domain.BatchRecall
+  /** The (memories, queries) inputs of [[batchRecall100]], factored out so
+    * the IVF A/B probe (`tools.BatchRecallIvfProbe`) drives the IDENTICAL
+    * corpus and request mix the oracle-gated query runs. Memories come back
+    * cached (caller unpersists).
+    */
+  def batchRecall100Inputs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val mems = Tables.documents(spark, dir)
@@ -124,6 +129,12 @@ object RecallPipeline {
         concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3))
           .as("query"),
         col("embedding").as("qvec"))
+    (mems, queries)
+  }
+
+  def batchRecall100(spark: SparkSession, dir: String): DataFrame = {
+    import graft.domain.BatchRecall
+    val (mems, queries) = batchRecall100Inputs(spark, dir)
     BatchRecall.batchRecall(mems, spark.emptyDataFrame, queries, limit = 5,
       now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
       roundScores = true)
