@@ -136,6 +136,8 @@ object SparkEntry {
     "q_cube" -> (Analytics.shipmodeCube _),
     "q_skew_salted" -> (Skew.saltedBrandRevenue _),
     "q_conversion_funnel" -> (Relational.conversionFunnel _),
+    "q_s1b_patch" -> (TextAnalysis.patchApply _),
+    "q_startup_recall" -> (RecallShapes.startupRecall _),
   )
 
   private val centsSum: String => String = e =>
@@ -410,5 +412,7 @@ object SparkEntry {
     "q_u7_lev_pairs" -> Dedup.levenshteinPairsSql(),
     "q_sim_band_pairs" -> Similarity.bandedNearDupPairsSql(threshold = 0.3),
     "q_fp_rolling" -> TextAnalysis.rollingFingerprintsSql,
+    "q_s1b_patch" -> TextAnalysis.patchApplySql,
+    "q_startup_recall" -> RecallShapes.startupRecallSql,
   )
 }

@@ -426,6 +426,56 @@ object RecallShapes {
        FROM documents) t
        WHERE (any_match OR prefix_match) AND NOT excluded ORDER BY doc_id"""
 
+  /** `/startup-recall` preset (r16; `automem/api/recall.py:2683-2740`):
+    * two canned tag-membership scans served as one frame — the
+    * critical/lesson/ai-assistant top-10 by importance (desc, id-asc
+    * tie-break; the reference orders by importance only, so the explicit
+    * tie-break is the engine-stability addition) and the
+    * system/memory-recall 5-row scan (the reference leaves it unordered;
+    * asc id is the deterministic stand-in). Tag vocabularies map onto the
+    * documents table's [lang, source] pair; the reference's
+    * lesson_count/has_critical/summary fields are response formatting over
+    * these rows, not query shape. Each arm is a pushed-down tag filter +
+    * TakeOrderedAndProject — no shuffle, no window.
+    */
+  def startupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val tags = array(col("lang"), col("source"))
+    val docs = Tables.documents(spark, dir)
+    val lessons = docs
+      .filter(arrays_overlap(tags, array(lit("de"), lit("es"), lit("src1"))))
+      .select(lit("critical_lesson").as("section"), col("doc_id"),
+        col("text").as("content"),
+        array_join(array_sort(tags), ",").as("tags"),
+        docImportance.as("importance"))
+      .orderBy(desc("importance"), asc("doc_id")).limit(10)
+    val system = docs
+      .filter(arrays_overlap(tags, array(lit("fr"), lit("src2"))))
+      .select(lit("system_rule").as("section"), col("doc_id"),
+        col("text").as("content"),
+        array_join(array_sort(tags), ",").as("tags"),
+        lit(null).cast("double").as("importance"))
+      .orderBy(asc("doc_id")).limit(5)
+    lessons.unionByName(system).orderBy("section", "doc_id")
+  }
+
+  val startupRecallSql: String =
+    """WITH l AS (
+         SELECT 'critical_lesson' AS section, doc_id, text AS content,
+           array_to_string(list_sort([lang, source]), ',') AS tags,
+           round(least(1.0, n_chars / 500.0) + 1e-9, 4) + 0.0 AS importance
+         FROM documents
+         WHERE list_has_any([lang, source], ['de', 'es', 'src1'])
+         ORDER BY importance DESC, doc_id LIMIT 10),
+       s AS (
+         SELECT 'system_rule' AS section, doc_id, text AS content,
+           array_to_string(list_sort([lang, source]), ',') AS tags,
+           CAST(NULL AS DOUBLE) AS importance
+         FROM documents
+         WHERE list_has_any([lang, source], ['fr', 'src2'])
+         ORDER BY doc_id LIMIT 5)
+       SELECT * FROM (SELECT * FROM l UNION ALL SELECT * FROM s)
+       ORDER BY section, doc_id"""
+
   /** Set intersect: ids present in both arms (`automem/api/entity.py:97-124`). */
   def setIntersect(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -362,6 +362,105 @@ object TextAnalysis {
        FROM m ORDER BY doc_id"""
   }
 
+  /** S1b PATCH /memory batch twin (r16; `automem/api/memory.py:789-886`
+    * via [[graft.domain.Ingest.applyPatches]]): a store twin built from
+    * the documents table is merge-updated by a deterministic patch mix —
+    * content rewrites (%3 of the %7 patched rows), raw mixed-case tag
+    * payloads (%2, exercising normalize + prefix recompute), importance
+    * (%5), metadata (%4) and explicit updated_at (%11) — and the merged
+    * scalar fields are oracle-compared field-for-field. The re-embed gate
+    * (only changed content re-embeds) is spec-gated in DomainSpec: the
+    * embedding column is engine-internal and has no SQL mirror.
+    */
+  def patchApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.domain.Ingest
+    val d = Tables.documents(spark, dir)
+    val t0 = to_timestamp(lit("2024-01-01 00:00:00")) +
+      make_dt_interval(lit(0), lit(0), col("doc_id").cast("int"), lit(0))
+    val storeTags = array(col("lang"), col("source"))
+    val store = d.select(
+      col("doc_id").cast("string").as("id"),
+      col("text").as("content"),
+      t0.as("timestamp"), t0.as("t_valid"),
+      lit(null).cast("timestamp").as("t_invalid"),
+      t0.as("updated_at"), t0.as("last_accessed"),
+      least(lit(1.0), col("n_chars") / 500.0).as("importance"),
+      lit(0.7).as("confidence"),
+      lit("Context").as("type"),
+      storeTags.as("tags"),
+      tagPrefixes(storeTags).as("tag_prefixes"),
+      lit("{}").as("metadata"),
+      graft.domain.PlaceholderEmbedding.embedColumn(8)(col("text"))
+        .as("embedding"))
+    val patches = d.filter(col("doc_id") % 7 === 0).select(
+      col("doc_id").cast("string").as("id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("patched content "), col("doc_id").cast("string")))
+        .as("content"),
+      when(col("doc_id") % 2 === 0,
+        array(lit(" QA:Sub "), lit("Patched"), col("lang"), lit("")))
+        .as("tags"),
+      when(col("doc_id") % 5 === 0, lit(0.95)).as("importance"),
+      when(col("doc_id") % 11 === 0,
+        to_timestamp(lit("2026-02-02 00:00:00"))).as("updated_at"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("{\"k\": "), col("doc_id").cast("string"), lit("}")))
+        .as("metadata"))
+    Ingest.applyPatches(store, patches,
+        now = to_timestamp(lit("2026-03-01 00:00:00")), dim = 8)
+      .select(col("id").cast("int").as("doc_id"),
+        col("content"),
+        array_join(array_sort(col("tags")), ",").as("tags"),
+        array_join(array_sort(col("tag_prefixes")), ",").as("tag_prefixes"),
+        round4(col("importance")).as("importance"),
+        col("metadata"),
+        col("updated_at").cast("string").as("updated_at"))
+      .orderBy("doc_id")
+  }
+
+  val patchApplySql: String =
+    """WITH store AS (
+         SELECT doc_id, text AS content,
+           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+           least(1.0, n_chars / 500.0) AS importance,
+           [lang, source] AS tags, lang
+         FROM documents),
+       p AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'patched content ' || doc_id END AS p_content,
+           CASE WHEN doc_id % 2 = 0 THEN [' QA:Sub ', 'Patched', lang, ''] END AS p_tags,
+           CASE WHEN doc_id % 5 = 0 THEN 0.95 END AS p_importance,
+           CASE WHEN doc_id % 11 = 0 THEN TIMESTAMP '2026-02-02 00:00:00' END AS p_updated_at,
+           CASE WHEN doc_id % 4 = 0 THEN '{"k": ' || doc_id || '}' END AS p_metadata,
+           TRUE AS patched
+         FROM documents WHERE doc_id % 7 = 0),
+       m AS (
+         SELECT s.doc_id,
+           coalesce(p.p_content, s.content) AS content,
+           CASE WHEN p.patched THEN list_distinct(list_filter(
+               list_transform(coalesce(p.p_tags, s.tags), t -> lower(trim(t))),
+               t -> length(t) > 0))
+             ELSE s.tags END AS tags,
+           CASE WHEN p.patched THEN coalesce(p.p_importance, s.importance)
+             ELSE s.importance END AS importance,
+           CASE WHEN p.patched THEN coalesce(p.p_metadata, '{}')
+             ELSE '{}' END AS metadata,
+           CASE WHEN p.patched THEN coalesce(p.p_updated_at, s.ts)
+             ELSE s.ts END AS updated_at
+         FROM store s LEFT JOIN p USING (doc_id)),
+       pref AS (
+         SELECT doc_id, flatten(list_transform(tags, t ->
+           list_transform(range(1, len(string_split(t, ':')) + 1), i ->
+             array_to_string(string_split(t, ':')[1:i], ':')))) AS prefixes0
+         FROM m)
+       SELECT CAST(m.doc_id AS INT) AS doc_id, m.content,
+         array_to_string(list_sort(m.tags), ',') AS tags,
+         array_to_string(list_sort(list_distinct(pref.prefixes0)), ',') AS tag_prefixes,
+         round(m.importance + 1e-9, 4) + 0.0 AS importance,
+         m.metadata,
+         CAST(m.updated_at AS VARCHAR) AS updated_at
+       FROM m JOIN pref USING (doc_id) ORDER BY m.doc_id"""
+
   /** S1 write-path tag derivation (`automem/utils/tags.py:7-48` via
     * [[graft.domain.Ingest.normalizeTags]] + `TextFunctions.tagPrefixes`):
     * raw tags (mixed case, padded, duplicated, empty) normalize to

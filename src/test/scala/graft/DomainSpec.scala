@@ -932,4 +932,61 @@ class DomainSpec extends AnyFunSuite {
     // m4 is stamped exactly at the end bound -> excluded; m2/m3 inside
     assert(ids == Set("m2", "m3"), s"got $ids")
   }
+
+  test("applyPatches: field-wise merge, tag recompute, re-embed only on " +
+    "content change (S1b, memory.py:789-886)") {
+    import spark.implicits._
+    val store = Seq(
+      mem("p1", "original content one", "2026-01-01 10:00:00",
+        Seq("database", "project:alpha")),
+      mem("p2", "original content two", "2026-01-02 10:00:00", Seq("keep")),
+      mem("p3", "untouched row", "2026-01-03 10:00:00", Seq("keep"))).toDF()
+    val patches = Seq(
+      // content + importance + explicit updated_at
+      ("p1", Some("new content one"), None: Option[Seq[String]], Some(0.9),
+        Some(ts("2026-05-05 00:00:00"))),
+      // tags-only payload, raw mixed case — exercises normalize + prefixes
+      ("p2", None, Some(Seq(" New:Tag ", "UPPER", "")), None, None),
+      // id not in the store: the reference 404s -> dropped
+      ("px", Some("ghost"), None, None, None))
+      .toDF("id", "content", "tags", "importance", "updated_at")
+    val out = Ingest.applyPatches(store, patches,
+        now = to_timestamp(lit("2026-06-01 00:00:00")))
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+
+    assert(out.keySet == Set("p1", "p2", "p3"),
+      s"store rows pass through, ghost patch drops: ${out.keySet}")
+    val p1 = out("p1")
+    assert(p1.getAs[String]("content") == "new content one")
+    assert(p1.getAs[Double]("importance") == 0.9)
+    assert(p1.getAs[Timestamp]("updated_at") == ts("2026-05-05 00:00:00"),
+      "explicit updated_at in the payload wins")
+    // changed content -> re-embedded from the NEW content
+    assert(p1.getSeq[Float](p1.fieldIndex("embedding")) ==
+      PlaceholderEmbedding.embed("new content one").toSeq)
+    // tags not in payload: normalize+prefix recompute still runs (handler
+    // behavior) but values are unchanged for already-normalized tags
+    assert(p1.getSeq[String](p1.fieldIndex("tags")) == Seq("database", "project:alpha"))
+    assert(p1.getSeq[String](p1.fieldIndex("tag_prefixes")).sorted ==
+      Seq("database", "project", "project:alpha"))
+
+    val p2 = out("p2")
+    assert(p2.getAs[String]("content") == "original content two")
+    // unchanged content keeps the stored vector BIT-FOR-BIT (no re-embed)
+    assert(p2.getSeq[Float](p2.fieldIndex("embedding")) ==
+      PlaceholderEmbedding.embed("original content two").toSeq)
+    assert(p2.getSeq[String](p2.fieldIndex("tags")) == Seq("new:tag", "upper"),
+      s"raw payload tags must trim/lower/drop-empties: ${p2.getSeq[String](p2.fieldIndex("tags"))}")
+    assert(p2.getSeq[String](p2.fieldIndex("tag_prefixes")).sorted ==
+      Seq("new", "new:tag", "upper"))
+    assert(p2.getAs[Timestamp]("updated_at") == ts("2026-01-02 10:00:00"),
+      "no payload updated_at -> the CURRENT row's survives (memory.py:817)")
+    assert(p2.getAs[Double]("importance") == 0.5, "absent fields keep current")
+
+    val p3 = out("p3")
+    assert(p3.getAs[String]("content") == "untouched row")
+    assert(p3.getSeq[String](p3.fieldIndex("tag_prefixes")).isEmpty,
+      "unpatched rows are byte-identical — no prefix recompute")
+    assert(p3.getAs[Double]("importance") == 0.5)
+  }
 }
