@@ -81,6 +81,15 @@ object PqIndex {
     cells.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
+    // geometry + baseline markers for the frozen-codebook lifecycle (r16):
+    // CELLBITS makes rebuild/append geometry-preserving (the IVF rebuild's
+    // ADVICE-r15 doctrine), BASELINE_FIT pins the build-time
+    // reconstruction error the per-append drift ratio rates against.
+    // `vectors` here is already in index space (buildRotated pre-rotates),
+    // so the fit is computed directly, never re-projected.
+    IvfIndex.writeSmallFile(spark, s"$path/CELLBITS", cellBits.toString)
+    IvfIndex.writeSmallFile(spark, s"$path/BASELINE_FIT",
+      fitInIndexSpace(vectors, codebooks).toString)
     // cell routing centroids from the ORIGINAL vectors (same as the other
     // variants: quantization error stays out of the routing structure)
     val routed = vectors.withColumn("cell",
@@ -228,6 +237,144 @@ object PqIndex {
       .select(passThrough :+ col("sim"): _*)
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  // --- frozen-codebook lifecycle (r16, VERDICT r15 item 7): the SAME
+  // drift->rebuild policy the IVF index ships (IvfIndex.scala:134-258) —
+  // codebooks are frozen at build time, a drifted stream's codes land far
+  // from every sub-centroid and ADC recall silently degrades; the
+  // per-append reconstruction-error ratio against the pinned baseline is
+  // the ground-truth-free signal, and the threshold rule / advisory
+  // marker / rebuild bracket are IvfIndex's own (they are path-generic).
+
+  /** Stored codebooks as codebooks(j)(c) — a bounded parameter read
+    * (m x ksub x dsub doubles).
+    */
+  private[graft] def readCodebooks(spark: SparkSession, path: String)
+      : Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "centroid_id").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+
+  /** True when `path` holds a completed PQ index (codes + codebooks). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebooks/_SUCCESS"))
+  }
+
+  private def hasRotation(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation/_SUCCESS"))
+  }
+
+  private def storedCellBits(spark: SparkSession, path: String): Int =
+    IvfIndex.readSmallFile(spark, s"$path/CELLBITS")
+      .map(_.trim.toInt).getOrElse(6)
+
+  /** Vectors mapped into the index's own space: identity for a plain PQ
+    * index, the stored OPQ rotation for a [[buildRotated]] one — appends
+    * and fit ratings must encode in the space the codebooks were trained
+    * in.
+    */
+  private def inIndexSpace(vectors: DataFrame, path: String): DataFrame = {
+    val spark = vectors.sparkSession
+    if (!hasRotation(spark, path)) vectors
+    else {
+      val rotation = spark.read.parquet(s"$path/rotation")
+        .orderBy("component").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      Pca.project(vectors, rotation)
+        .drop("embedding")
+        .withColumnRenamed("projected", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
+
+  /** Mean PQ reconstruction error of `vs` (already in index space) against
+    * `codebooks`: per row, the sum over subspaces of the squared distance
+    * to the NEAREST sub-centroid — exactly the quantity k-means training
+    * minimized, so the build-time pin is the "codebooks fit this data"
+    * floor and a drifted batch rates a large multiple of it.
+    */
+  private def fitInIndexSpace(vs: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): Double = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.size
+    val cb = typedlit(codebooks)
+    val fit = (0 until m).map { j =>
+      val sub = slice(col("_e"), j * dsub + 1, dsub)
+      array_min(transform(element_at(cb, j + 1), c =>
+        round(aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6)))
+    }.reduce(_ + _)
+    vs.withColumn("_e", col("embedding").cast("array<double>"))
+      .agg(avg(fit)).head.getDouble(0)
+  }
+
+  /** One batch's reconstruction fit against the FROZEN codebooks — the
+    * drift signal ([[graft.streaming.StreamingIngest.pqBatch]] rates each
+    * applied append's `assignmentFit / baselineFit` through
+    * `IvfIndex.writeFitRow`/`fitTripped`).
+    */
+  def assignmentFit(vectors: DataFrame, path: String): Double = {
+    val spark = vectors.sparkSession
+    fitInIndexSpace(inIndexSpace(vectors, path), readCodebooks(spark, path))
+  }
+
+  /** Append vectors WITHOUT retraining: encode against the stored (frozen)
+    * codebooks in index space, route cells by the same data-independent
+    * sign-bucket split, append only the touched cell partitions. Routing
+    * centroids stay frozen (they rank probe order only; [[rebuildIndex]]
+    * refreshes them). Cost O(batch), the IVF append contract.
+    */
+  def append(vectors: DataFrame, path: String): Unit = {
+    val spark = vectors.sparkSession
+    require(exists(spark, path), s"no completed PQ index at $path — build()")
+    val cellBits = storedCellBits(spark, path)
+    val codebooks = readCodebooks(spark, path)
+    encode(inIndexSpace(vectors, path), codebooks)
+      .withColumn("cell", signBucket(col("embedding"), cellBits))
+      .drop("embedding")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
+  /** OFFLINE rebuild of a drift-tripped PQ index: re-train codebooks (and
+    * the OPQ rotation, when the index has one) on `source` — the fp32
+    * sibling relation the refine step already requires, which holds every
+    * committed vector — then swap, re-pin BASELINE_FIT, and clear the
+    * advisory/fit state that rated the RETIRED codebooks.
+    * `_stream_commits/` is untouched, so a post-swap replay of a committed
+    * batch still no-ops. Geometry (m, ksub, cellBits) defaults to the
+    * stored codebooks' own — an operator answering REBUILD_ADVISED cannot
+    * silently change the code layout. `_REBUILD_INPROGRESS` brackets the
+    * swap; recovery from a stale bracket is re-running rebuildIndex
+    * (idempotent — it reads only `source` and markers, never the
+    * mid-swap relations).
+    */
+  def rebuildIndex(spark: SparkSession, path: String, source: DataFrame,
+      m: Int = 0, ksub: Int = 0, iters: Int = 4): Unit = {
+    require(exists(spark, path), s"no completed PQ index at $path")
+    val stored = readCodebooks(spark, path)
+    val mm = if (m > 0) m else stored.size
+    val kk = if (ksub > 0) ksub else stored.head.size
+    val cellBits = storedCellBits(spark, path)
+    IvfIndex.writeSmallFile(spark, s"$path/_REBUILD_INPROGRESS",
+      System.nanoTime().toString)
+    if (hasRotation(spark, path))
+      buildRotated(source, path, cellBits, mm, kk, iters)
+    else build(source, path, cellBits, mm, kk, iters)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_fit"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/REBUILD_ADVISED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_REBUILD_INPROGRESS"),
+      false)
   }
 
   /** Bytes of the stored code table (the compression numerator). Hadoop

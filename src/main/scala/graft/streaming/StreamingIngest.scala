@@ -535,6 +535,54 @@ object StreamingIngest {
     true
   }
 
+  /** [[ivfBatch]]'s PQ sibling (r16, VERDICT r15 item 7): one micro-batch
+    * against a product-quantized index — first non-empty batch trains and
+    * freezes the codebooks, later batches append frozen-encoded codes and
+    * rate their RECONSTRUCTION fit against the pinned baseline; three
+    * consecutive over-threshold batches advise an offline
+    * `PqIndex.rebuildIndex` (which needs the fp32 source relation — codes
+    * alone cannot retrain). Commit markers, fit sidecars, the threshold
+    * rule and the advisory marker are the IvfIndex policy verbatim (they
+    * are path-generic), so the two index families drift-manage
+    * identically.
+    */
+  def pqBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      cellBits: Int = 6, m: Int = 8, ksub: Int = 16,
+      rotated: Boolean = false,
+      fitRatioThreshold: Double =
+        graft.operators.IvfIndex.DefaultFitRatioThreshold,
+      fitConsecutive: Int = graft.operators.IvfIndex.DefaultFitConsecutive)
+      : Boolean = {
+    import graft.operators.{IvfIndex, PqIndex}
+    val spark = batch.sparkSession
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_stream_commits/$batchId")
+    val markerFs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (markerFs.exists(markerPath)) return false
+    if (!PqIndex.exists(spark, indexPath)) {
+      if (batch.isEmpty) return false // codebooks train on a real batch
+      if (rotated) PqIndex.buildRotated(batch, indexPath, cellBits, m, ksub)
+      else PqIndex.build(batch, indexPath, cellBits, m, ksub)
+    } else {
+      PqIndex.append(batch, indexPath)
+      if (!batch.isEmpty) IvfIndex.baselineFit(spark, indexPath).foreach {
+        base =>
+          val fit = PqIndex.assignmentFit(batch, indexPath)
+          val ratio = fit / math.max(base, 1e-12)
+          IvfIndex.writeFitRow(spark, indexPath, batchId, fit, base, ratio)
+          if (!IvfIndex.rebuildAdvised(spark, indexPath) &&
+              IvfIndex.fitTripped(spark, indexPath, fitRatioThreshold,
+                fitConsecutive))
+            IvfIndex.adviseRebuild(spark, indexPath, batchId, ratio,
+              fitRatioThreshold, fitConsecutive)
+      }
+    }
+    markerFs.mkdirs(markerPath.getParent)
+    markerFs.create(markerPath, true).close()
+    true
+  }
+
   /** Micro-batch ingest into the memories table: the streaming counterpart
     * of `graft.domain.Ingest.prepare`, applied per micro-batch via
     * foreachBatch (each batch is a plain DataFrame -> full batch enrichment

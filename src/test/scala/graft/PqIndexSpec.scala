@@ -149,4 +149,111 @@ class PqIndexSpec extends AnyFunSuite {
     assert(books(t1) == books(t2), "codebooks must not depend on partitioning")
     assert(codes(t1) == codes(t2), "codes must not depend on partitioning")
   }
+
+  // --- frozen-codebook drift lifecycle (r16, VERDICT r15 item 7): the
+  // IvfIndexSpec policy matrix, mirrored — coherent never advises /
+  // 3 drifted batches trip / rebuild restores fit and clears state /
+  // replay stays a no-op / a stale crash bracket recovers.
+
+  private def cluster(from: Int, until: Int, base: Double) = {
+    import spark.implicits._
+    (from until until).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        (base + (i % 5) * 0.01 + d * 0.001).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pq drift policy: three consecutive drifted batches trip " +
+    "REBUILD_ADVISED, a coherent stream never trips, rebuildIndex " +
+    "re-trains codebooks, restores fit, and preserves replay (r16)") {
+    import graft.streaming.StreamingIngest
+    def build(tmp: String): Unit = assert(StreamingIngest.pqBatch(
+      cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0)),
+      0L, tmp, m = 8, ksub = 4))
+    // COHERENT stream: in-distribution appends never advise
+    val tmpC = java.nio.file.Files.createTempDirectory("graft-pq-polc")
+      .toString
+    build(tmpC)
+    (1 to 3).foreach { b =>
+      assert(StreamingIngest.pqBatch(
+        cluster(100 + 100 * b, 200 + 100 * b, (b % 2).toDouble),
+        b.toLong, tmpC, m = 8, ksub = 4))
+    }
+    assert(!IvfIndex.rebuildAdvised(spark, tmpC),
+      "a coherent stream must never advise a PQ rebuild")
+    // DRIFTED stream: advisory appears exactly at the 3rd consecutive
+    // over-threshold batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-pol")
+      .toString
+    build(tmp)
+    assert(StreamingIngest.pqBatch(cluster(200, 300, 1.0), 1L, tmp))
+    assert(StreamingIngest.pqBatch(cluster(300, 400, 25.0), 2L, tmp))
+    assert(StreamingIngest.pqBatch(cluster(400, 500, 25.0), 3L, tmp))
+    assert(!IvfIndex.rebuildAdvised(spark, tmp),
+      "two drifted batches must not trip a K=3 rule")
+    assert(StreamingIngest.pqBatch(cluster(500, 600, 25.0), 4L, tmp))
+    assert(IvfIndex.rebuildAdvised(spark, tmp),
+      "three consecutive drifted batches must advise")
+    // offline rebuild against the fp32 source (all committed vectors):
+    // codebooks retrain, advisory + stale fit history clear, commit
+    // markers survive
+    val source = cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0))
+      .unionByName(cluster(200, 300, 1.0))
+      .unionByName(cluster(300, 400, 25.0))
+      .unionByName(cluster(400, 500, 25.0))
+      .unionByName(cluster(500, 600, 25.0))
+    PqIndex.rebuildIndex(spark, tmp, source)
+    assert(!IvfIndex.rebuildAdvised(spark, tmp),
+      "rebuild must clear the advisory")
+    assert(IvfIndex.fitHistory(spark, tmp).isEmpty,
+      "fit history rated the RETIRED codebooks — must clear")
+    def nRows = spark.read.parquet(s"$tmp/assignments").count()
+    assert(nRows == 600L)
+    // replay of a committed batch after the swap stays a no-op
+    assert(!StreamingIngest.pqBatch(cluster(500, 600, 25.0), 4L, tmp,
+      m = 8, ksub = 4), "commit markers survive the swap — replay must skip")
+    assert(nRows == 600L)
+    // the rebuilt codebooks FIT the formerly-drifted cluster: a new batch
+    // rates ~baseline and does not re-advise
+    assert(StreamingIngest.pqBatch(cluster(600, 700, 25.0), 5L, tmp,
+      m = 8, ksub = 4))
+    val hist = IvfIndex.fitHistory(spark, tmp)
+    assert(hist.map(_._1) == Seq(5L), s"got $hist")
+    assert(hist.head._2 < IvfIndex.DefaultFitRatioThreshold,
+      s"rebuilt codebooks must fit the drifted cluster: $hist")
+    assert(!IvfIndex.rebuildAdvised(spark, tmp))
+    // geometry preserved without being respecified: m=8, ksub=4 survive
+    val books = PqIndex.readCodebooks(spark, tmp)
+    assert(books.size == 8 && books.head.size == 4,
+      s"rebuild changed geometry: m=${books.size} ksub=${books.head.size}")
+  }
+
+  test("pq rebuild recovery: a stale _REBUILD_INPROGRESS bracket is " +
+    "repaired by re-running rebuildIndex, and the rebuilt index serves (r16)") {
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-rec")
+      .toString
+    assert(StreamingIngest.pqBatch(
+      cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0)),
+      0L, tmp, m = 8, ksub = 4))
+    assert(StreamingIngest.pqBatch(cluster(200, 300, 25.0), 1L, tmp))
+    IvfIndex.writeSmallFile(spark, s"$tmp/_REBUILD_INPROGRESS", "0")
+    val source = cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0))
+      .unionByName(cluster(200, 300, 25.0))
+    PqIndex.rebuildIndex(spark, tmp, source)
+    assert(!new java.io.File(s"$tmp/_REBUILD_INPROGRESS").exists(),
+      "recovery must clear the in-progress bracket")
+    assert(spark.read.parquet(s"$tmp/assignments").count() == 300)
+    // the recovered index serves through the PQ query path (refine against
+    // the fp32 source): a stored vector's top-1 is an exact-cosine hit
+    val q = cluster(250, 251, 25.0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = PqIndex.topK(spark, tmp, source, q, k = 1, nprobe = 64)
+      .collect()
+    assert(top.nonEmpty && top.head.getAs[Double]("sim") > 0.999,
+      s"${top.toSeq}")
+    // idempotent recovery: a second rebuild is a fixed point
+    PqIndex.rebuildIndex(spark, tmp, source)
+    assert(spark.read.parquet(s"$tmp/assignments").count() == 300)
+  }
 }
