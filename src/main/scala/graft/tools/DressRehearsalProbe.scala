@@ -122,19 +122,46 @@ object DressRehearsalProbe {
           .otherwise(noise)
       }).as("embedding")).repartition(32).cache()
     vecs.count()
+    val store = docs.select(col("doc_id").as("id"), col("text").as("content"))
+    var plan: DataFrame = null
     phase(s"maintenance dedupPlan n=$n") {
-      val plan = graft.jobs.MaintenanceJob.dedupPlan(
-        docs.select(col("doc_id").as("id"), col("text").as("content")),
-        Some(vecs))
+      plan = graft.jobs.MaintenanceJob.dedupPlan(store, Some(vecs))
+        .localCheckpoint()
       val planTotal = plan.groupBy(col("verdict")).count().collect()
       println(s"[dress] plan: " + planTotal
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
       assert(planTotal.map(_.getLong(1)).sum == n,
         "dedup plan must conserve the store")
     }
+    // the --apply leg AT SCALE (r16, VERDICT r15 item 8): write the kept
+    // store the way MaintenanceJob --apply does, then RE-AUDIT it — the
+    // fixed point (all keeps, zero verdict changes) must hold on the 10^6
+    // rehearsal corpus with both planted 10^5 blocks, not just in the
+    // spec fixture.
+    var keepCount = -1L
+    val applyTmp = java.nio.file.Files
+      .createTempDirectory("dress-apply").toString
+    phase(s"maintenance --apply write + re-audit n=$n") {
+      store.join(plan.filter(col("verdict") === "keep").select(col("id")),
+          Seq("id"))
+        .write.mode("overwrite").parquet(s"$applyTmp/kept")
+      val kept = spark.read.parquet(s"$applyTmp/kept")
+      keepCount = kept.count()
+      val keptVecs = vecs.join(kept.select(col("id").as("vec_id")),
+        Seq("vec_id"))
+      val re = graft.jobs.MaintenanceJob.dedupPlan(kept, Some(keptVecs))
+        .groupBy(col("verdict")).count().collect()
+      println(s"[dress] re-audit: " + re
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
+        s" (kept store = $keepCount rows)")
+      assert(re.length == 1 && re.head.getString(0) == "keep" &&
+        re.head.getLong(1) == keepCount,
+        s"apply must be a FIXED POINT at scale: ${re.toSeq}")
+    }
+    graft.functions.releaseCheckpoint(plan)
     spark.sparkContext.removeSparkListener(skew)
     docs.unpersist(); vecs.unpersist()
-    println("[dress] PASS zero errors, funnel conserved at 10x")
+    println("[dress] PASS zero errors, funnel conserved, apply fixed-point at 10x")
     spark.stop()
   }
 }
