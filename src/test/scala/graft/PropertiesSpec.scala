@@ -401,4 +401,72 @@ class PropertiesSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("applyPatches properties: id conservation, unpatched rows " +
+    "bit-identical, re-embed fires iff content changed (r16)") {
+    import spark.implicits._
+    import graft.domain.{Ingest, Memory}
+    def mem(id: String, content: String): Memory = {
+      val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      Memory(id, content, t, t, None, t, t, 0.5, 0.7, "Context",
+        Seq("base"), Seq("base"), "{}", None, enriched = false,
+        processed = false, 1.0, archived = false, protected_flag = false,
+        PlaceholderEmbedding.embed(content))
+    }
+    val caseGen = for {
+      n <- Gen.choose(2, 8)
+      // which ids get a patch row; some patch ids are ghosts (not stored)
+      patched <- Gen.listOfN(n, Gen.oneOf(true, false))
+      ghosts <- Gen.choose(0, 2)
+      // per patched id: Some(new content) (sometimes EQUAL to current),
+      // None = content not in payload
+      kinds <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield (n, patched, ghosts, kinds)
+    forSamples(caseGen, n = 12) { case (n, patched, ghosts, kinds) =>
+      val store = (0 until n).map(i => mem(s"m$i", s"original content $i"))
+      val patchRows = (0 until n).filter(patched).map { i =>
+        val content = kinds(i) match {
+          case 0 => None // absent -> keep, no re-embed
+          case 1 => Some(s"original content $i") // EQUAL -> no re-embed
+          case _ => Some(s"patched content $i") // changed -> re-embed
+        }
+        (s"m$i", content, Some(0.9))
+      } ++ (0 until ghosts).map(g => (s"ghost$g", Some("x"), Some(0.1)))
+      // a DISTINCT re-embed function makes the gate observable: a row
+      // that re-embeds carries the "redo:" vector, a row that keeps its
+      // stored vector carries the original embed — equal-content and
+      // absent-content patches must KEEP, changed-content must REDO
+      val redo: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => PlaceholderEmbedding.embedColumn()(concat(lit("redo:"), c))
+      val out = Ingest.applyPatches(store.toDF(),
+          patchRows.toDF("id", "content", "importance"),
+          now = to_timestamp(lit("2026-06-01 00:00:00")),
+          embed = Some(redo))
+        .collect().map(r => r.getAs[String]("id") -> r).toMap
+      // conservation: exactly the store's ids, ghosts dropped
+      assert(out.keySet == store.map(_.id).toSet)
+      (0 until n).foreach { i =>
+        val r = out(s"m$i")
+        val emb = r.getSeq[Float](r.fieldIndex("embedding"))
+        if (!patched(i)) {
+          // unpatched rows pass through bit-identically
+          assert(r.getAs[String]("content") == s"original content $i")
+          assert(r.getAs[Double]("importance") == 0.5)
+          assert(emb == PlaceholderEmbedding.embed(s"original content $i").toSeq)
+        } else {
+          assert(r.getAs[Double]("importance") == 0.9)
+          val expectContent =
+            if (kinds(i) == 2) s"patched content $i" else s"original content $i"
+          assert(r.getAs[String]("content") == expectContent)
+          val expectEmb =
+            if (kinds(i) == 2) // changed -> RE-EMBEDDED with the new fn
+              PlaceholderEmbedding.embed(s"redo:$expectContent").toSeq
+            else // absent or equal payload -> stored vector kept
+              PlaceholderEmbedding.embed(expectContent).toSeq
+          assert(emb == expectEmb,
+            s"m$i kind=${kinds(i)}: re-embed gate fired wrongly")
+        }
+      }
+    }
+  }
 }
