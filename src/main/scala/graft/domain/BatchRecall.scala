@@ -289,7 +289,8 @@ object BatchRecall {
       index: Option[RecallIndex] = None,
       singleRequest: Boolean = false,
       ivf: Option[IvfChannel] = None,
-      vectorCandidates: Option[DataFrame] = None): DataFrame = {
+      vectorCandidates: Option[DataFrame] = None,
+      keywordForm: String = "auto"): DataFrame = {
     val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
     val spark = memories.sparkSession
     val q = requestRelation(queries)
@@ -491,8 +492,26 @@ object BatchRecall {
       .select(col("qid"), col("id"), lit("keyword").as("match_type"),
         col("channel_score"))
     // mode split (see kwSingle's comment): the index amortizes over many
-    // queries; a single request takes the one-scan expression form
-    val kw = if (singleRequest) kwSingle else kwIndexed
+    // queries; a single request takes the one-scan expression form.
+    // `keywordForm` (r16) overrides the split: the KeywordStageProbe
+    // decomposition showed the index form's cost at corpus scale is the
+    // COMMON-TOKEN FAN-OUT — `hits ⋈ qtok` materializes
+    // O(sum_t df(t) x queries_sharing(t)) (qid, id) pairs through a
+    // near-unique-key aggregate (10^8 pairs at 10^6 docs x 100 queries
+    // sharing two corpus-wide tokens) — while the scan form is one
+    // corpus pass with per-row token arithmetic and NO pair
+    // materialization (both expressions are qid-generic and provably
+    // compute the same raw score; spec-pinned bitwise-equal). "auto"
+    // keeps the measured small-corpus default; "scan" is the
+    // high-df/many-queries escape hatch (measured 61.7 -> 23.5 s
+    // end-to-end, 2.6x, on the million-row fan-out corpus —
+    // tools.KeywordFormProbe, bitwise-equal results). Auto-selecting by
+    // a queries x df estimate is the recorded next step.
+    val kw = keywordForm match {
+      case "scan" => kwSingle
+      case "index" => kwIndexed
+      case _ => if (singleRequest) kwSingle else kwIndexed
+    }
 
     // ---- Q5 metadata channel: batch twin of Recall.metadataChannel
     // (`runtime_recall_helpers.py:727-868`). Cheap contains-prefilter on the

@@ -742,6 +742,43 @@ class DomainSpec extends AnyFunSuite {
     }
   }
 
+  test("batch keyword forms are bitwise interchangeable across the query " +
+    "classes (index vs scan, r16)") {
+    import spark.implicits._
+    // the same five-class query mix the batch-vs-single parity test uses
+    // (keyword, metadata-carrying, trending via "*", phrase) — both forms
+    // must produce IDENTICAL rows, scores included: the scan form is the
+    // measured escape hatch for the common-token fan-out at corpus scale
+    // (tools.KeywordFormProbe: 61.7 -> 23.5 s at 10^6 docs) and may never
+    // diverge from the oracle-gated index form
+    val memsMd = memories.withColumn("metadata",
+      when(col("id") === "m1", lit("""{"project": "alpha"}"""))
+        .otherwise(col("metadata")))
+    val queries = Seq((1, "postgres database"), (2, "dark mode editors"),
+      (3, "project"), (4, "*"), (5, "project alpha"), (6, "the of and a"))
+      .toDF("qid", "query")
+    def run(form: String): Seq[String] =
+      BatchRecall.batchRecall(memsMd, edgesDf, queries, limit = 5,
+        now = now, keywordForm = form)
+        .collect().map(_.toString).sorted.toSeq
+    val a = run("index")
+    val b = run("scan")
+    assert(a.nonEmpty && a == b,
+      s"forms diverged: ${a.diff(b)} vs ${b.diff(a)}")
+    // and against the ORACLE corpus + request mix (roundScores, qvec):
+    val (mems, qdf) = graft.operators.RecallPipeline
+      .batchRecall100Inputs(spark, "/root/testdata/sf0.001")
+    def run100(form: String): Seq[String] =
+      BatchRecall.batchRecall(mems, spark.emptyDataFrame, qdf, limit = 5,
+        now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        roundScores = true, keywordForm = form)
+        .collect().map(_.toString).sorted.toSeq
+    val ai = run100("index")
+    val bs = run100("scan")
+    mems.unpersist()
+    assert(ai.nonEmpty && ai == bs, "forms diverged on the oracle corpus")
+  }
+
   test("entity bridge boosts rows spoken-by or mentioning a top-seed " +
     "entity, opt-in only") {
     import spark.implicits._
