@@ -510,7 +510,9 @@ object BatchRecall {
     val kw = keywordForm match {
       case "scan" => kwSingle
       case "index" => kwIndexed
-      case _ => if (singleRequest) kwSingle else kwIndexed
+      case "auto" => if (singleRequest) kwSingle else kwIndexed
+      case other => throw new IllegalArgumentException(
+        s"keywordForm must be auto|index|scan, got '$other'")
     }
 
     // ---- Q5 metadata channel: batch twin of Recall.metadataChannel
