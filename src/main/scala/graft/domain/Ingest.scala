@@ -288,10 +288,20 @@ object Ingest {
     *
     * Patch rows whose id is not in the store are dropped — the reference
     * 404s those requests (memory.py:801-803). One patch row per id
-    * (the HTTP handler's unit); callers merging several patches to one id
-    * coalesce them first. Scale shape: one equi-join on id (patches are
-    * request-sized — AQE broadcasts them), the embed stage runs on the
-    * changed subset only.
+    * (the HTTP handler's unit) is ENFORCED in-plan (ADVICE r16): a
+    * duplicate-id batch used to fan out the left join and silently
+    * duplicate store rows; it now fails loudly at execution, naming an
+    * offending id — callers merging several patches to one id coalesce
+    * them first. A null MERGED metadata coerces to "{}" on patched rows
+    * (the handler re-serializes `metadata or {}` — memory.py's
+    * json.dumps({}) floor). Remaining documented divergence: an EXPLICIT
+    * null patch value is indistinguishable from an absent key here
+    * (coalesce), so a field cannot be cleared through this twin — the
+    * HTTP handler can un-invalidate via a present t_invalid: null;
+    * callers needing a clear route it as a full re-store. Scale shape:
+    * one equi-join on id (patches are request-sized — AQE broadcasts
+    * them; the guard's window count is bounded the same way), the embed
+    * stage runs on the changed subset only.
     */
   def applyPatches(memories: DataFrame, patches: DataFrame,
       now: Column = current_timestamp(),
@@ -302,7 +312,18 @@ object Ingest {
       if (d.columns.contains(f)) d
       else d.withColumn(f, lit(null).cast(memories.schema(f).dataType))
     }
-    val p = p0.select(col("id") +: lit(true).as("_patched") +:
+    // duplicate-id guard: assert_true returns NULL when the predicate
+    // holds, so the filter keeps every row of a well-formed batch and
+    // RAISES on the first duplicate — living in a Filter keeps it safe
+    // from column pruning, which would silently drop a projected guard
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val pGuarded = p0
+      .withColumn("_dup", count(lit(1)).over(dupW))
+      .filter(assert_true(col("_dup") <= 1,
+        concat(lit("applyPatches: more than one patch row for id "),
+          col("id"))).isNull)
+      .drop("_dup")
+    val p = pGuarded.select(col("id") +: lit(true).as("_patched") +:
       PatchableFields.map(f => col(f).as(s"_p_$f")): _*)
     val joined = memories.join(p, Seq("id"), "left")
     def merged(f: String): Column = coalesce(col(s"_p_$f"), col(f))
@@ -323,7 +344,9 @@ object Ingest {
       "timestamp" -> merged("timestamp"),
       "t_valid" -> merged("t_valid"),
       "t_invalid" -> merged("t_invalid"),
-      "metadata" -> merged("metadata"),
+      // "{}" floor on patched rows: the handler re-serializes
+      // `metadata or {}`, never writes SQL NULL back (memory.py PATCH)
+      "metadata" -> coalesce(col("_p_metadata"), col("metadata"), lit("{}")),
       "updated_at" -> coalesce(col("_p_updated_at"), col("updated_at"),
         now.cast("timestamp")),
       "last_accessed" -> merged("last_accessed"),

@@ -271,9 +271,19 @@ object PqIndex {
     fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation/_SUCCESS"))
   }
 
+  /** Cell geometry of the stored index. REQUIRED, never guessed (ADVICE
+    * r16): an index written before the CELLBITS marker existed, built with
+    * non-default bits, would otherwise route appended rows into a
+    * DIFFERENT sign-bucket geometry than the resident cell partitions —
+    * silently corrupting probe pruning. The recovery for a marker-less
+    * index is one [[rebuildIndex]] run, which re-writes the marker.
+    */
   private def storedCellBits(spark: SparkSession, path: String): Int =
     IvfIndex.readSmallFile(spark, s"$path/CELLBITS")
-      .map(_.trim.toInt).getOrElse(6)
+      .map(_.trim.toInt).getOrElse(throw new IllegalStateException(
+        s"no CELLBITS marker at $path — the index predates the geometry " +
+          "marker; rebuild it (build/buildRotated at the original " +
+          "cellBits) to adopt the marker before append/rebuild"))
 
   /** Vectors mapped into the index's own space: identity for a plain PQ
     * index, the stored OPQ rotation for a [[buildRotated]] one — appends

@@ -1026,4 +1026,31 @@ class DomainSpec extends AnyFunSuite {
       "unpatched rows are byte-identical — no prefix recompute")
     assert(p3.getAs[Double]("importance") == 0.5)
   }
+
+  test("applyPatches guards (ADVICE r16): duplicate-id batch fails loudly; " +
+    "null merged metadata takes the handler's {} floor on patched rows") {
+    import spark.implicits._
+    val store = Seq(
+      mem("p1", "content one", "2026-01-01 10:00:00", Seq("keep")),
+      mem("p2", "content two", "2026-01-02 10:00:00", Seq("keep"))).toDF()
+      // NULL stored metadata on both rows: p1 gets patched (no metadata in
+      // the payload), p2 does not
+      .withColumn("metadata", lit(null).cast("string"))
+    val patches = Seq(("p1", 0.9)).toDF("id", "importance")
+    val out = Ingest.applyPatches(store, patches).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("metadata")).toMap
+    assert(out("p1") == "{}",
+      "patched row with null merged metadata re-serializes as {} " +
+        "(memory.py json.dumps(metadata or {}))")
+    assert(out("p2") == null,
+      "unpatched rows stay byte-identical — no {} rewrite")
+    val dup = Seq(("p1", 0.9), ("p1", 0.8)).toDF("id", "importance")
+    val e = intercept[Exception] {
+      Ingest.applyPatches(store, dup).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("more than one patch row"),
+      s"expected the duplicate-id guard, got: ${messages(e).take(300)}")
+  }
 }

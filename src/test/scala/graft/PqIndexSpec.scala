@@ -256,4 +256,21 @@ class PqIndexSpec extends AnyFunSuite {
     PqIndex.rebuildIndex(spark, tmp, source)
     assert(spark.read.parquet(s"$tmp/assignments").count() == 300)
   }
+
+  test("append/rebuild REQUIRE the CELLBITS geometry marker — a marker-less " +
+    "pre-r16 index fails loudly instead of guessing the default (ADVICE r16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-cb").toString
+    val source = cluster(0, 100, 0.0).unionByName(cluster(100, 200, 1.0))
+    PqIndex.build(source, tmp, m = 8, ksub = 4)
+    // simulate an index written before the marker existed
+    assert(new java.io.File(s"$tmp/CELLBITS").delete())
+    val e = intercept[IllegalStateException] {
+      PqIndex.append(cluster(200, 300, 1.0), tmp)
+    }
+    assert(e.getMessage.contains("CELLBITS"), e.getMessage)
+    // full build() re-adopts the marker; append works again
+    PqIndex.build(source, tmp, m = 8, ksub = 4)
+    PqIndex.append(cluster(200, 300, 1.0), tmp)
+    assert(spark.read.parquet(s"$tmp/assignments").count() == 300)
+  }
 }
