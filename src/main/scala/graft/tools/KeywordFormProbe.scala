@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   * the FULL batch plan, interleaved, with a bitwise result compare.
   *
   * Run: `sbt "runMain graft.tools.KeywordFormProbe [nDocs] [nQueries]"`
+  * — or `KeywordFormProbe /root/testdata/sf0.01` for the ORACLE corpus
+  * (the exact q_batch_recall_100q inputs), which measures the crossover's
+  * other side: the regime where the index form should win and `auto`
+  * must keep it.
   */
 object KeywordFormProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val oracleDir = args.headOption.filter(_.contains("/"))
+    val n = if (oracleDir.isDefined) 0L
+      else args.headOption.map(_.toLong).getOrElse(1000000L)
     val nq = args.drop(1).headOption.map(_.toInt).getOrElse(100)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -22,27 +28,55 @@ object KeywordFormProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val ts0 = to_timestamp(lit("2026-01-01 00:00:00"))
-    val mems = spark.range(n).select(
-      col("id").cast("string").as("id"),
-      concat(lit("scale note number "), col("id").cast("string"),
-        lit(" in group "), (col("id") % 64).cast("string")).as("content"),
-      ts0.as("timestamp"), ts0.as("t_valid"),
-      lit(null).cast("timestamp").as("t_invalid"),
-      ts0.as("updated_at"), ts0.as("last_accessed"),
-      lit(0.5).as("importance"), lit(0.7).as("confidence"),
-      lit("Context").as("type"), array(lit("scale")).as("tags"),
-      array(lit("scale")).as("tag_prefixes"), lit("{}").as("metadata"),
-      lit(1.0).as("relevance_score"), lit(false).as("archived"),
-      lit(false).as("protected_flag"),
-      array_repeat(lit(0.1f), 8).as("embedding"))
-      .repartition(32).cache()
-    println(s"corpus rows = ${mems.count()}")
     import spark.implicits._
-    val queries = (0 until nq).map(q =>
-      (q.toLong, s"note number ${(q.toLong * 9973) % n}")).toDF("qid", "query")
+    val ts0 = to_timestamp(lit("2026-01-01 00:00:00"))
+    val (mems, queries) = oracleDir match {
+      case Some(dir) =>
+        val (m, q) = graft.operators.RecallPipeline
+          .batchRecall100Inputs(spark, dir)
+        (m, q.select(col("qid"), col("query")))
+      case None =>
+        val m = spark.range(n).select(
+          col("id").cast("string").as("id"),
+          concat(lit("scale note number "), col("id").cast("string"),
+            lit(" in group "), (col("id") % 64).cast("string")).as("content"),
+          ts0.as("timestamp"), ts0.as("t_valid"),
+          lit(null).cast("timestamp").as("t_invalid"),
+          ts0.as("updated_at"), ts0.as("last_accessed"),
+          lit(0.5).as("importance"), lit(0.7).as("confidence"),
+          lit("Context").as("type"), array(lit("scale")).as("tags"),
+          array(lit("scale")).as("tag_prefixes"), lit("{}").as("metadata"),
+          lit(1.0).as("relevance_score"), lit(false).as("archived"),
+          lit(false).as("protected_flag"),
+          array_repeat(lit(0.1f), 8).as("embedding"))
+          .repartition(32).cache()
+        // query shape (3rd arg): "common" = every query shares the two
+        // corpus-wide tokens (the measured fan-out case); "rare" = each
+        // query is ONE near-unique id token (the regime where the
+        // inverted index should win — tiny pair fan-out, no corpus scan)
+        val rare = args.drop(2).headOption.contains("rare")
+        val q = (0 until nq).map { i =>
+          val id = (100000L + i.toLong * 9973) % math.max(n, 200000L)
+          (i.toLong, if (rare) s"$id" else s"note number $id")
+        }.toDF("qid", "query")
+        (m, q)
+    }
+    println(s"corpus rows = ${mems.count()}")
     val idx = BatchRecall.buildIndex(mems).cache().materialize()
     val now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+
+    // the r17 auto chooser's own view of this corpus: estimate from the
+    // persisted stats (materialize() collected them) vs the scan rows
+    val st = idx.kwStats.get
+    val toks = queries.collect().map { r =>
+      val t = graft.domain.Recall.keywords(r.getString(1))
+      (t: Seq[String], t.isEmpty && r.getString(1).trim.length < 3)
+    }.toSeq
+    val est = BatchRecall.estimateKeywordPairs(st, toks)
+    val scanRows = st.corpusRows * toks.count(!_._2)
+    println(f"[kwform] est pairs = $est%,d, scan rows = $scanRows%,d, " +
+      f"ratio = ${est.toDouble / scanRows}%.3f -> auto picks " +
+      s"${BatchRecall.chooseKeywordForm(st, toks)}")
 
     def run(form: String): (Double, Seq[String]) = {
       val t = System.nanoTime()
@@ -51,23 +85,24 @@ object KeywordFormProbe {
         .collect()
       ((System.nanoTime() - t) / 1e9, rows.map(_.toString).sorted.toSeq)
     }
+    val forms = Seq("index", "scan", "auto")
     run("index"); run("scan") // warm
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     var results = Map[String, Seq[String]]()
-    for (_ <- 1 to 2; form <- Seq("index", "scan")) {
+    for (_ <- 1 to 2; form <- forms) {
       val (secs, rows) = run(form)
       times(form) = secs :: times(form)
       results += form -> rows
     }
-    Seq("index", "scan").foreach { f =>
+    forms.foreach { f =>
       println(f"[kwform] $f%-6s best ${times(f).min}%6.1f s " +
         f"(${times(f).min * 1000 / nq}%6.1f ms/q)")
     }
-    val same = results("index") == results("scan")
+    val same = forms.map(results(_)).distinct.size == 1
     println(s"[kwform] bitwise equal results: $same " +
       s"(${results("index").size} rows)")
-    require(same, "the two keyword forms must produce identical results")
+    require(same, "all keyword forms must produce identical results")
     mems.unpersist(); idx.unpersist()
     spark.stop()
   }

@@ -1,0 +1,156 @@
+package graft.tools
+
+import graft.domain.BatchRecall
+import graft.operators.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed index-lifecycle + serving rehearsal (r17, VERDICT r16 item 7):
+  * DressRehearsalProbe composes pipeline + maintenance and
+  * IvfServeScaleProbe serves from a FRESH index — this probe closes the
+  * remaining seam by running the streaming lifecycle and the serving
+  * channel against the SAME index end-to-end at 10^6:
+  *
+  *  1. build the IVF index through the streaming batch path
+  *     (`StreamingIngest.ivfBatch`, k-means quantizer) over the base
+  *     corpus;
+  *  2. stream three DRIFTED append batches (new cluster directions the
+  *     frozen centroids never saw) — the drift rule must trip
+  *     REBUILD_ADVISED on exactly the third consecutive drifted batch;
+  *  3. serve batch recall with `IvfChannel` against the STALE index
+  *     (drifted rows all pile into the few nearest frozen cells — the
+  *     probed-cell scan reads the whole drifted mass per query);
+  *  4. answer the advisory with `IvfIndex.rebuildIndex` (geometry
+  *     preserved, centroids re-trained on everything appended);
+  *  5. serve again — recall@10 vs the brute channel must not degrade
+  *     (post >= pre) and the probed cells shrink back to ~corpus/k.
+  *
+  * Run: `sbt "runMain graft.tools.LifecycleServeProbe [nBase] [nQueries]"`
+  */
+object LifecycleServeProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(800000L)
+    val nq = args.drop(1).headOption.map(_.toInt).getOrElse(50)
+    val nDrift = n / 12 // per drifted batch; 3 batches = n/4 appended rows
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    // base: 64 cluster directions; drift: 16 NEW directions (phase-shifted
+    // pattern — same magnitude, so cosine stays discriminative, but the
+    // frozen k-means centroids have no cell near them)
+    def baseVec(idCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(31)), d =>
+        (sin((idCol % 64).cast("double") * 7.3 + d.cast("double") * 1.1) +
+          ((abs(xxhash64(idCol * 33 + d)) % 1000).cast("double") / 1000.0
+            - 0.5) * 0.1).cast("float"))
+    def driftVec(idCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(31)), d =>
+        (sin((idCol % 16).cast("double") * 2.7 + d.cast("double") * 2.3
+          + 0.5) +
+          ((abs(xxhash64(idCol * 57 + d)) % 1000).cast("double") / 1000.0
+            - 0.5) * 0.1).cast("float"))
+
+    val ts0 = to_timestamp(lit("2026-01-01 00:00:00"))
+    def memFrame(ids: DataFrame, vec: org.apache.spark.sql.Column)
+        : DataFrame = ids.select(
+      col("id").cast("string").as("id"),
+      concat(lit("lifecycle note "), col("id").cast("string")).as("content"),
+      ts0.as("timestamp"), ts0.as("t_valid"),
+      lit(null).cast("timestamp").as("t_invalid"),
+      ts0.as("updated_at"), ts0.as("last_accessed"),
+      lit(0.5).as("importance"), lit(0.7).as("confidence"),
+      lit("Context").as("type"), array(lit("scale")).as("tags"),
+      array(lit("scale")).as("tag_prefixes"), lit("{}").as("metadata"),
+      lit(1.0).as("relevance_score"), lit(false).as("archived"),
+      lit(false).as("protected_flag"), vec.as("embedding"))
+
+    val base = memFrame(spark.range(n).toDF("id"), baseVec(col("id")))
+    def driftBatch(b: Int): DataFrame = memFrame(
+      spark.range(n + (b - 1) * nDrift, n + b * nDrift).toDF("id"),
+      driftVec(col("id")))
+    val mems = base.unionByName(driftBatch(1)).unionByName(driftBatch(2))
+      .unionByName(driftBatch(3)).repartition(32).cache()
+    println(s"store rows = ${mems.count()} (base $n + 3 x $nDrift drifted)")
+
+    // 1-2. lifecycle: stream-build on base, then three drifted appends
+    val path = java.nio.file.Files
+      .createTempDirectory("lifecycle_serve").toString
+    def idxBatch(df: DataFrame, id: Long): Boolean =
+      graft.streaming.StreamingIngest.ivfBatch(
+        df.select(col("id"), xxhash64(col("id")).as("vec_id"),
+          col("embedding")),
+        id, path, kMeansK = Some(64))
+    val t0 = System.nanoTime()
+    assert(idxBatch(base, 0L), "batch 0 must build")
+    println(f"[lifecycle] stream build (kmeans k=64, n=$n): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(idxBatch(driftBatch(1), 1L))
+    assert(idxBatch(driftBatch(2), 2L))
+    assert(!IvfIndex.rebuildAdvised(spark, path),
+      "two drifted batches must not trip a K=3 rule")
+    assert(idxBatch(driftBatch(3), 3L))
+    assert(IvfIndex.rebuildAdvised(spark, path),
+      "three consecutive drifted batches must advise a rebuild")
+    val fits = IvfIndex.fitHistory(spark, path)
+    println(s"[lifecycle] REBUILD_ADVISED after batch 3; fit ratios = " +
+      fits.map { case (b, r) => f"$b:$r%.1f" }.mkString(", "))
+
+    // serving inputs: drifted-cluster queries with explicit qvecs
+    import spark.implicits._
+    val queries = spark.range(nq).select(
+      col("id").as("qid"),
+      lit("lifecycle note").as("query"),
+      driftVec(col("id") * 104729 + 13).as("qvec"))
+    val idx = BatchRecall.buildIndex(mems).cache().materialize()
+    val now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    def topIds(ivf: Option[BatchRecall.IvfChannel])
+        : (Double, Map[Long, Seq[String]]) = {
+      val t = System.nanoTime()
+      val rows = BatchRecall.batchRecall(mems, spark.emptyDataFrame, queries,
+        limit = 10, now = now, index = Some(idx), ivf = ivf).collect()
+      ((System.nanoTime() - t) / 1e9,
+        rows.groupBy(_.getAs[Long]("qid")).view
+          .mapValues(_.sortBy(_.getAs[Long]("rank"))
+            .map(_.getAs[String]("id")).toSeq).toMap)
+    }
+    def recallVs(brute: Map[Long, Seq[String]],
+        got: Map[Long, Seq[String]]): Double = {
+      val per = brute.keys.toSeq.map { qid =>
+        val w = brute(qid).toSet
+        if (w.isEmpty) 1.0
+        else (w & got.getOrElse(qid, Nil).toSet).size.toDouble / w.size
+      }
+      per.sum / per.size
+    }
+    def maxProbedCell(): Long =
+      spark.read.parquet(s"$path/assignments")
+        .groupBy("cell").count().agg(max("count")).head.getLong(0)
+
+    val (_, brute) = topIds(None)
+    // 3. serve against the STALE index
+    val preCell = maxProbedCell()
+    val (preSecs, pre) = topIds(Some(BatchRecall.IvfChannel(path, 4)))
+    val preRecall = recallVs(brute, pre)
+    // 4. answer the advisory
+    val t1 = System.nanoTime()
+    IvfIndex.rebuildIndex(spark, path)
+    println(f"[lifecycle] rebuild: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    assert(!IvfIndex.rebuildAdvised(spark, path),
+      "rebuild must clear the advisory")
+    // 5. serve against the rebuilt index
+    val postCell = maxProbedCell()
+    val (postSecs, post) = topIds(Some(BatchRecall.IvfChannel(path, 4)))
+    val postRecall = recallVs(brute, post)
+    println(f"[lifecycle] pre-rebuild : recall@10 $preRecall%.3f " +
+      f"${preSecs * 1000 / nq}%7.1f ms/q  max cell rows $preCell%,d")
+    println(f"[lifecycle] post-rebuild: recall@10 $postRecall%.3f " +
+      f"${postSecs * 1000 / nq}%7.1f ms/q  max cell rows $postCell%,d")
+    assert(postRecall >= preRecall - 1e-9,
+      f"rebuild must not degrade drifted recall: $postRecall%.3f < $preRecall%.3f")
+    println("[lifecycle] PASS lifecycle and serving channel agree end-to-end")
+    mems.unpersist(); idx.unpersist()
+    spark.stop()
+  }
+}

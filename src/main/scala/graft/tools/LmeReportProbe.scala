@@ -4,21 +4,31 @@ import org.apache.spark.sql.SparkSession
 
 /** One-shot printer of [[LongMemEvalMini.report]] — used to derive the
   * spec goldens; kept so a golden drift can be re-derived in one command.
-  * Run: `sbt "runMain graft.tools.LmeReportProbe"`
+  * Run: `sbt "runMain graft.tools.LmeReportProbe"` — pass `full` to print
+  * the 120-question [[LongMemEvalFull]] tier instead (r17).
   */
 object LmeReportProbe {
   def main(args: Array[String]): Unit = {
+    val full = args.headOption.contains("full")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rep = LongMemEvalMini.report(spark)
+    val rep = if (full) LongMemEvalFull.report(spark)
+      else LongMemEvalMini.report(spark)
     println(s"[lme] recall5 = ${rep.recall5.toSeq.sortBy(_._1)}")
     println(s"[lme] mrr     = ${rep.mrr.toSeq.sortBy(_._1)}")
     println(f"[lme] ceiling=${rep.abstentionCeiling} floor=${rep.answerableFloor} separated=${rep.separated}")
     println(f"[lme] answered@5=${rep.answeredAt5} abstainedOk=${rep.abstainedOk} accuracy=${rep.accuracyPct}%.2f%%")
-    val ranked = LongMemEvalMini.scoredRankings(spark)
-    LongMemEvalMini.questions.zipWithIndex.foreach { case (q, i) =>
+    val qset = if (full) LongMemEvalFull.questions
+      else LongMemEvalMini.questions
+    val ranked = if (full) {
+      val mem = LongMemEvalFull.memories(spark).cache()
+      mem.count()
+      try LongMemEvalMini.scoredRankingsOver(spark, mem, qset)
+      finally mem.unpersist()
+    } else LongMemEvalMini.scoredRankings(spark)
+    qset.zipWithIndex.foreach { case (q, i) =>
       val top = ranked(i).take(5)
       val hit = q.evidence.forall(top.map(_._1).contains)
       val t1 = top.headOption.map(x => f"${x._2}%.3f").getOrElse("-")

@@ -230,14 +230,22 @@ object LongMemEvalMini {
     Question("abs5_abs", "abstention", 2,
       "What is the manager's name?", Nil))
 
-  def memories(spark: SparkSession): DataFrame = {
+  def memories(spark: SparkSession): DataFrame =
+    memoriesFor(spark, turns, (c, s) => SessionStart((c, s)))
+
+  /** The fixture store builder, parameterized over turns and session
+    * start times so the full-tier generator ([[LongMemEvalFull]]) shares
+    * the exact ingest shape (tags, metadata sidecar, lexical embeddings).
+    */
+  def memoriesFor(spark: SparkSession, turns: Seq[Turn],
+      start: (Int, Int) => Timestamp): DataFrame = {
     import spark.implicits._
     val rows = turns.map { u =>
-      val start = SessionStart((u.conv, u.session))
-      val ts = new Timestamp(start.getTime + u.idx * 60000L)
+      val st = start(u.conv, u.session)
+      val ts = new Timestamp(st.getTime + u.idx * 60000L)
       val tags = Seq("longmemeval-test", s"conversation:conv-${u.conv}",
         s"session:${u.session}", s"role:${u.role}")
-      val sessionIso = start.toLocalDateTime.toString + "Z"
+      val sessionIso = st.toLocalDateTime.toString + "Z"
       val metadata =
         s"""{"source": "longmemeval_benchmark", "conversation_id": "conv-${u.conv}",
            | "session_id": "${u.session}", "dialog_id": "${u.dialogId}",
@@ -284,21 +292,29 @@ object LongMemEvalMini {
     * for golden determinism (the LocomoMini doctrine).
     */
   def scoredRankings(spark: SparkSession): Map[Int, Seq[(String, Double)]] = {
-    import spark.implicits._
     val mem = memories(spark).cache()
     mem.count()
+    try scoredRankingsOver(spark, mem, questions)
+    finally mem.unpersist()
+  }
+
+  /** [[scoredRankings]] over an explicit (cached) fixture store and
+    * question set — shared with the full tier ([[LongMemEvalFull]]).
+    */
+  def scoredRankingsOver(spark: SparkSession, mem: DataFrame,
+      qs: Seq[Question]): Map[Int, Seq[(String, Double)]] = {
+    import spark.implicits._
     val es = Seq.empty[graft.domain.Edge].toDF()
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try questions.zipWithIndex.map { case (q, i) =>
+    try qs.zipWithIndex.map { case (q, i) =>
       i -> answerScored(mem, es, q)
     }.toMap
     finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      mem.unpersist()
     }
   }
 
@@ -321,9 +337,15 @@ object LongMemEvalMini {
     def accuracyPct: Double = 100.0 * (answeredAt5 + abstainedOk) / nQuestions
   }
 
-  def report(spark: SparkSession): Report = {
-    val scored = scoredRankings(spark)
-    val qs = questions
+  def report(spark: SparkSession): Report =
+    reportOver(scoredRankings(spark), questions)
+
+  /** The per-type scorer as a pure function of rankings + questions —
+    * shared with the full tier so its goldens use the IDENTICAL metric
+    * definitions (including the single-session-user answerable floor).
+    */
+  def reportOver(scored: Map[Int, Seq[(String, Double)]],
+      qs: Seq[Question]): Report = {
     val answerable = Types.filterNot(_ == "abstention")
     def perType(f: (Seq[String], Seq[String]) => Double): Map[String, Double] =
       answerable.map { t =>

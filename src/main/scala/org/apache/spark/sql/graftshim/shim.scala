@@ -47,6 +47,14 @@ object GraftShim {
     * `Rule.conf` to read `session.sessionState.conf` directly (verified
     * against the 4.1.2 bytecode), bypassing `SQLConf.get`.
     */
+  /** Drain the async listener bus (`listenerBus` is `private[spark]`) —
+    * a SparkListener-based job counter is only deterministic after the
+    * queued events have been delivered; specs asserting jobs-per-call
+    * (KeywordAutoFormSpec) call this between the action and the read.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def sessionWithConf(spark: SparkSession,
       kv: (String, String)*): SparkSession = {
     val cloned =
