@@ -355,8 +355,20 @@ object BatchRecall {
     * candidate cut — at nprobe = all cells and
     * overfetch · refine >= corpus the channel is bitwise the brute one
     * (PqChannelSpec pins it), and on a clustered corpus a small nprobe
-    * keeps recall@10 high while reading ~nprobe/cells of a 32x-smaller
-    * relation (IvfServeScaleProbe's pq arm reports the bytes).
+    * keeps recall@10 high while reading ~nprobe/cells of a much smaller
+    * relation (raw 16-32x at dim 32-64; measured 5.8x ON DISK at dim 32
+    * where per-row id overhead and parquet fp32 compression mute it —
+    * IvfServeScaleProbe's bytes gauge).
+    *
+    * Failure mode to know (IvfServeScaleProbe, r17): a corpus of
+    * REPEATED vector patterns with an undersized codebook (64 identical
+    * clusters at ksub=16) collapses distinct clusters onto shared codes;
+    * ADC scores then tie EXACTLY and the deterministic asc-id cut fills
+    * the candidate set with wrong-cluster rows whose ids are globally
+    * smaller (measured overlap@5 = 0.000). The cure is codebook
+    * resolution, not the plan: ksub=32 + refine=16 restored the probe's
+    * overlap. Real continuous embeddings rarely tie, but size ksub to
+    * the corpus' pattern multiplicity.
     */
   final case class PqChannel(path: String, nprobe: Int, refine: Int = 4)
 
@@ -364,12 +376,27 @@ object BatchRecall {
     * to (id, vec_id, embedding) — `vec_id` is the deterministic numeric
     * surrogate the sub-codebook k-means seeds from — encoded and
     * cell-partitioned by [[graft.operators.PqIndex.build]].
+    *
+    * Embeddings are L2-NORMALIZED before encoding: the channel's
+    * candidate cut ranks by the ADC DOT product, but the brute channel
+    * it stands in for ranks by COSINE — on a corpus whose clusters carry
+    * different norms an unnormalized code table systematically promotes
+    * large-norm wrong-cluster candidates over the query's own cluster
+    * (the FAISS cosine doctrine: index normalized vectors, search with
+    * inner product). Cosine is scale-invariant, so cell routing and the
+    * exact fp32 refine (which reads the LIVE unnormalized base) are
+    * unaffected.
     */
   def buildPqVectorIndex(memories: DataFrame, path: String, m: Int = 8,
       ksub: Int = 16, cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
       iters: Int = 4): Unit = {
+    val norm = sqrt(aggregate(col("embedding"),
+      lit(0.0), (acc, x) => acc + x * x))
     val base = Recall.baseFilter(memories, RecallRequest())
-      .select(col("id"), xxhash64(col("id")).as("vec_id"), col("embedding"))
+      .select(col("id"), xxhash64(col("id")).as("vec_id"),
+        transform(col("embedding"),
+          x => (x / greatest(norm, lit(1e-12))).cast("float"))
+          .as("embedding"))
     graft.operators.PqIndex.build(base, path, cellBits, m, ksub, iters)
   }
 

@@ -67,8 +67,15 @@ object IvfServeScaleProbe {
     val pqPath = java.nio.file.Files
       .createTempDirectory("pq_scale_probe").toString
     val t2 = System.nanoTime()
-    BatchRecall.buildPqVectorIndex(mems, pqPath, m = 8, ksub = 16)
-    println(f"pq index build (m=8 ksub=16, dim 32, n=$n): ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    // ksub=32: at ksub=16 this corpus' 64 repeated cluster patterns
+    // collide into shared codes, ADC scores tie exactly, and the
+    // deterministic asc-id tie-break fills the candidate cut with
+    // wrong-cluster rows whose ids are globally smaller — measured
+    // overlap@5 = 0.000 at refine=4. Doubling the sub-codebooks breaks
+    // the code collisions (the PqKnobProbe/r16-bench doctrine: PQ's
+    // honest setting on hard corpora is ksub=32 + refine=16).
+    BatchRecall.buildPqVectorIndex(mems, pqPath, m = 8, ksub = 32)
+    println(f"pq index build (m=8 ksub=32, dim 32, n=$n): ${(System.nanoTime() - t2) / 1e9}%.1f s")
     val ivfBytes = graft.operators.PqIndex.assignBytes(path)
     val pqBytes = graft.operators.PqIndex.assignBytes(pqPath)
     println(f"assignments on disk: ivf fp32 ${ivfBytes / 1048576.0}%.1f MiB, " +
@@ -76,33 +83,45 @@ object IvfServeScaleProbe {
       f"(${ivfBytes.toDouble / pqBytes}%.1fx smaller)")
 
     val now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    // id overlap AND top-5 vector-score sums: this corpus' clusters are
+    // 15k-row NEAR-TIE PLATEAUS (members differ by ~1e-3 noise), so the
+    // exact top-5 ids are decided below any quantized index's resolution
+    // — id overlap is the wrong ruler for the PQ arm (the IVF arms score
+    // exactly inside probed cells and reproduce ids bitwise). The score
+    // REGRET (1 - pq_top5_scores / brute_top5_scores) measures what a
+    // user actually loses: near-zero means equivalently-good neighbors
+    // under different ids.
     def run(ivf: Option[BatchRecall.IvfChannel],
         pq: Option[BatchRecall.PqChannel] = None)
-        : (Double, Map[Long, Seq[String]]) = {
+        : (Double, Map[Long, Seq[String]], Map[Long, Double]) = {
       val t = System.nanoTime()
       val rows = BatchRecall.batchRecall(mems, spark.emptyDataFrame, queries,
         limit = 5, now = now, index = Some(idx), ivf = ivf, pq = pq).collect()
       val secs = (System.nanoTime() - t) / 1e9
-      (secs, rows.groupBy(_.getAs[Long]("qid")).view
-        .mapValues(_.sortBy(_.getAs[Long]("rank"))
-          .map(_.getAs[String]("id")).toSeq).toMap)
+      val byQid = rows.groupBy(_.getAs[Long]("qid"))
+      (secs,
+        byQid.view.mapValues(_.sortBy(_.getAs[Long]("rank"))
+          .map(_.getAs[String]("id")).toSeq).toMap,
+        byQid.view.mapValues(_.map(_.getAs[Double]("s_vector")).sum).toMap)
     }
     run(None); run(Some(BatchRecall.IvfChannel(path, 8))) // warm
-    run(None, Some(BatchRecall.PqChannel(pqPath, 8)))
+    run(None, Some(BatchRecall.PqChannel(pqPath, 8, refine = 16)))
     val arms: Seq[(String, Option[BatchRecall.IvfChannel],
         Option[BatchRecall.PqChannel])] = Seq(
       ("brute", None, None),
       ("ivf_n4", Some(BatchRecall.IvfChannel(path, 4)), None),
       ("ivf_n8", Some(BatchRecall.IvfChannel(path, 8)), None),
-      ("pq_n4", None, Some(BatchRecall.PqChannel(pqPath, 4))),
-      ("pq_n8", None, Some(BatchRecall.PqChannel(pqPath, 8))))
+      ("pq_n4", None, Some(BatchRecall.PqChannel(pqPath, 4, refine = 16))),
+      ("pq_n8", None, Some(BatchRecall.PqChannel(pqPath, 8, refine = 16))))
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     var results = Map[String, Map[Long, Seq[String]]]()
+    var scores = Map[String, Map[Long, Double]]()
     for (_ <- 1 to 2; (name, iv, pqc) <- arms) {
-      val (secs, byQid) = run(iv, pqc)
+      val (secs, byQid, sc) = run(iv, pqc)
       times(name) = secs :: times(name)
       results += name -> byQid
+      scores += name -> sc
     }
     val brute = results("brute")
     def overlap(m: Map[Long, Seq[String]]): Double = {
@@ -113,10 +132,19 @@ object IvfServeScaleProbe {
       }
       per.sum / per.size
     }
-    println(f"${"arm"}%-8s ${"best s"}%8s ${"ms/q"}%8s ${"overlap@5"}%10s")
+    def regret(sc: Map[Long, Double]): Double = {
+      val bs = scores("brute")
+      val per = bs.keys.toSeq.map { qid =>
+        val b = bs(qid)
+        if (b <= 0) 0.0 else 1.0 - sc.getOrElse(qid, 0.0) / b
+      }
+      per.sum / per.size
+    }
+    println(f"${"arm"}%-8s ${"best s"}%8s ${"ms/q"}%8s ${"overlap@5"}%10s ${"score regret"}%13s")
     arms.foreach { case (name, _, _) =>
       val best = times(name).min
-      println(f"$name%-8s $best%8.1f ${best * 1000 / nq}%8.1f ${overlap(results(name))}%10.3f")
+      println(f"$name%-8s $best%8.1f ${best * 1000 / nq}%8.1f " +
+        f"${overlap(results(name))}%10.3f ${regret(scores(name))}%13.5f")
     }
     mems.unpersist(); idx.unpersist()
     spark.stop()
