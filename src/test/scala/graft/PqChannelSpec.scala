@@ -111,6 +111,44 @@ class PqChannelSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("normalized encoding: a large-norm wrong cluster cannot crowd the " +
+    "ADC candidate cut (the FAISS cosine doctrine, r17)") {
+    import spark.implicits._
+    // two clusters in nearly-orthogonal directions; the WRONG one carries
+    // 10x the norm. Unnormalized ADC ranks by dot product and would fill
+    // a tight candidate cut with the big-norm cluster; the channel
+    // encodes L2-normalized codes, so ADC ranks as cosine and the
+    // query's own (small-norm) cluster survives the cut.
+    // off-component 0.3 on the big cluster makes its raw dot with the
+    // query (~56) STRICTLY dominate the small cluster's (~16) while its
+    // cosine (~0.34) stays far below (~1.0) — the two rankings disagree
+    // decisively, so the assertion genuinely discriminates the encodings
+    def vec(dir: Int, i: Int, scale: Float, off: Float): Array[Float] = {
+      val r = new scala.util.Random(dir * 5003 + i)
+      Array.tabulate(Dim)(d =>
+        ((if (d % 2 == dir) 1.0f else off) +
+          (r.nextDouble() * 0.02 - 0.01).toFloat) * scale)
+    }
+    val rows =
+      (0 until 40).map(i => mem(f"small_$i%03d", vec(0, i, 1f, 0.05f))) ++
+      (0 until 40).map(i => mem(f"big_$i%03d", vec(1, i, 10f, 0.3f)))
+    val mems = rows.toDF().repartition(4).cache()
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_batch_norm").toString
+    BatchRecall.buildPqVectorIndex(mems, path, m = 8, ksub = 16)
+    val qs = Seq((1, "clustered corpus row", vec(0, 99, 1f, 0.05f).toSeq))
+      .toDF("qid", "query", "qvec")
+    // refine=1: candidates = exactly the ADC top-overfetch — the cut an
+    // unnormalized code table loses to the big-norm cluster
+    val top = BatchRecall
+      .batchRecall(mems, spark.emptyDataFrame, qs, limit = 10, now = now,
+        pq = Some(BatchRecall.PqChannel(path, nprobe = 64, refine = 1)))
+      .orderBy("rank").select("id").collect().map(_.getString(0))
+    assert(top.nonEmpty && top.forall(_.startsWith("small_")),
+      s"ADC cut must rank by cosine, not raw dot: ${top.toSeq}")
+    mems.unpersist()
+  }
+
   test("refined scores are full precision: a stored vector's own query " +
     "returns it at sim exactly 1.0 through the channel") {
     val path = java.nio.file.Files
