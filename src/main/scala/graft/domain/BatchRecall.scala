@@ -174,9 +174,22 @@ object BatchRecall {
     * BOUNDED parameter read collected once at index build — the
     * request-time estimate is then pure driver arithmetic over the query
     * tokens, adding ZERO Spark jobs to a serving call.
+    *
+    * Tail matching mass (r18, ADVICE r17): a query token contained in MANY
+    * below-topK corpus tokens fans out by (matching tail tokens × their
+    * df), which a single `tailDf` allowance undercounts by orders of
+    * magnitude on long-tail vocabularies. The stats therefore also carry
+    * `tailTokens` (distinct tokens outside the table), `tailPostings`
+    * (their total postings mass) and `tailSample` — a bounded,
+    * deterministic (hash-ordered) sample of tail tokens. The estimator
+    * rates each query token's substring-match fraction against the sample
+    * and charges `frac × tailPostings`, floored at the old `tailDf`
+    * single-token allowance. All bounded: ≤ [[TailSampleK]] extra strings.
     */
   final case class KeywordStats(corpusRows: Long,
-      topDf: Array[(String, Long)], tailDf: Long)
+      topDf: Array[(String, Long)], tailDf: Long,
+      tailTokens: Long = 0L, tailPostings: Long = 0L,
+      tailSample: Array[String] = Array.empty)
 
   /** topDf table size: large enough that every fan-out-relevant (high-df)
     * token is in the table — a token outside it contributes at most
@@ -184,6 +197,13 @@ object BatchRecall {
     * by construction. 2048 strings x ~8 bytes df: noise on the driver.
     */
   val DfTopK: Int = 2048
+
+  /** Bounded tail-token sample size for the matching-mass estimate: at
+    * 2048 sampled strings the match-fraction standard error is under
+    * ~1.1% — far tighter than the order-of-magnitude decision the
+    * chooser makes — and the driver cost is another ~16 KB.
+    */
+  val TailSampleK: Int = 2048
 
   final case class RecallIndex(base: DataFrame, postings: DataFrame,
       vocab: DataFrame, baseKw: DataFrame, baseHydrate: DataFrame) {
@@ -205,7 +225,24 @@ object BatchRecall {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val (kept, cut) = dfTop.splitAt(topK)
       val tail = cut.headOption.map(_._2).getOrElse(0L)
-      val st = KeywordStats(base.count(), kept, tail)
+      // tail matching mass (r18, ADVICE r17) — only when a tail exists:
+      // total postings minus the kept table's mass, distinct-token count
+      // via the vocab relation, and a deterministic hash-ordered sample
+      // of tail tokens for the request-time substring-match fraction
+      val (tailToks, tailMass, sample) =
+        if (cut.isEmpty) (0L, 0L, Array.empty[String])
+        else {
+          val keptSet = kept.map(_._1).toSeq
+          val total = postings.count()
+          val distinctToks = vocab.count()
+          val smp = vocab.filter(!col("ptok").isin(keptSet: _*))
+            .orderBy(xxhash64(col("ptok")), col("ptok"))
+            .limit(TailSampleK)
+            .collect().map(_.getString(0))
+          (distinctToks - kept.length, total - kept.map(_._2).sum, smp)
+        }
+      val st = KeywordStats(base.count(), kept, tail, tailToks, tailMass,
+        sample)
       _kwStats = Some(st)
       st
     }
@@ -257,9 +294,13 @@ object BatchRecall {
     * shares it, through the `hits ⋈ qtok` join and into the per-(qid, id)
     * aggregate shuffle (measured 10⁸ pairs / ~39 s of a 62 s request at
     * 10⁶ docs × 100 queries sharing two corpus-wide tokens). Computed
-    * against the bounded [[KeywordStats.topDf]] table: a token outside
-    * the table takes the `tailDf` upper bound — by construction the
-    * high-df mass that CAUSES fan-out is inside the table. Token-less
+    * against the bounded [[KeywordStats.topDf]] table plus the sampled
+    * tail matching mass (r18, ADVICE r17): a token outside the table
+    * charges its sampled substring-match fraction of the tail's total
+    * postings, floored at the `tailDf` single-token allowance — by
+    * construction the high-df mass that CAUSES fan-out per matching
+    * token is inside the table, and the sample catches a token matching
+    * MANY tail tokens at once. Token-less
     * non-trend (phrase-only) queries charge a full corpus pass each
     * (the `emptyTokPairs` fallback). Pure driver arithmetic:
     * |distinct query tokens| × topK substring probes, no Spark job.
@@ -271,8 +312,25 @@ object BatchRecall {
     nonTrend.foreach(_._1.distinct.foreach(t =>
       share.update(t, share.getOrElse(t, 0L) + 1L)))
     val tokenMass = share.iterator.map { case (tok, nq) =>
-      var df = stats.tailDf // tail allowance for corpus tokens ⊇ tok
-      val top = stats.topDf // outside the bounded table
+      // tail allowance for corpus tokens ⊇ tok OUTSIDE the bounded table
+      // (r18, ADVICE r17): rate the token's substring-match fraction
+      // against the sampled tail and charge frac × tailPostings, floored
+      // at the old single-token tailDf allowance — a token matching many
+      // long-tail corpus tokens (e.g. a short substring over a unique-id
+      // vocabulary) now charges its real fan-out instead of one token's
+      var df = if (stats.tailSample.isEmpty) stats.tailDf
+        else {
+          var matches = 0
+          var s = 0
+          while (s < stats.tailSample.length) {
+            if (stats.tailSample(s).contains(tok)) matches += 1
+            s += 1
+          }
+          math.max(stats.tailDf,
+            math.round(matches.toDouble / stats.tailSample.length *
+              stats.tailPostings))
+        }
+      val top = stats.topDf
       var i = 0
       while (i < top.length) {
         if (top(i)._1.contains(tok)) df += top(i)._2
@@ -368,7 +426,12 @@ object BatchRecall {
     * smaller (measured overlap@5 = 0.000). The cure is codebook
     * resolution, not the plan: ksub=32 + refine=16 restored the probe's
     * overlap. Real continuous embeddings rarely tie, but size ksub to
-    * the corpus' pattern multiplicity.
+    * the corpus' pattern multiplicity — [[buildPqVectorIndex]]'s default
+    * is ksub=32 since r18 (VERDICT r17) so the DEFAULT build stays out
+    * of the measured trap, and `PqIndex.build` writes a
+    * CODE_COLLISION_ADVISORY marker when a full code spans multiple
+    * coarse cells (distinct directions colliding onto one code — the
+    * exact-tie hazard, detected at build time).
     */
   final case class PqChannel(path: String, nprobe: Int, refine: Int = 4)
 
@@ -388,7 +451,7 @@ object BatchRecall {
     * unaffected.
     */
   def buildPqVectorIndex(memories: DataFrame, path: String, m: Int = 8,
-      ksub: Int = 16, cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
+      ksub: Int = 32, cellBits: Int = graft.operators.IvfIndex.DefaultCellBits,
       iters: Int = 4): Unit = {
     val norm = sqrt(aggregate(col("embedding"),
       lit(0.0), (acc, x) => acc + x * x))
@@ -445,6 +508,73 @@ object BatchRecall {
     val score = cosineSim(col("embedding"), typedlit(qvec))
     spark.read.parquet(s"${iv.path}/assignments")
       .filter(col("cell").isin(cells: _*))
+      .select(col("id"),
+        (if (roundScores) graft.functions.round4(score) else score)
+          .as("channel_score"))
+      .orderBy(desc("channel_score"), asc("id"))
+      .limit(overfetch)
+      .collect()
+      .map(r => org.apache.spark.sql.Row(qid, r.get(0), r.getDouble(1)))
+      .toSeq
+  }
+
+  /** One request's PQ vector-channel candidates (r18, VERDICT r17 item 1)
+    * — the [[pqCandidateRows]] twin of [[ivfCandidateRows]] for the
+    * [[PreparedRecall]] serving handle: probe cells driver-side, compute
+    * the query's m × ksub ADC table on the driver (both bounded
+    * parameters), ADC-score ONLY the probed cells' code partitions
+    * (static partition pruning, m byte-sized lookups per row via the
+    * codegen'd kernel), keep the top `overfetch · refine` by the
+    * approximate cut key, then re-rank those EXACTLY against the live
+    * base's fp32 embeddings — a bounded `IN` probe of the cached base —
+    * and return the top `overfetch` plantable (qid, id, channel_score)
+    * rows. At the 100 TB point the fp32 relation is what this avoids
+    * scanning: per request the code scan reads ~nprobe/cells of a
+    * 16-32× smaller relation and fp32 I/O is `overfetch · refine` rows.
+    *
+    * `codebooks` is the bounded build-time parameter ([[graft.operators.
+    * PqIndex.readCodebooks]]) — the caller loads it once per handle, not
+    * per request. `live` must be the SAME filtered corpus the brute
+    * channel scans (the recall base) so nprobe = all cells + covering
+    * refine is bitwise the brute channel (PreparedRecallSpec pins it).
+    */
+  def pqCandidateRows(spark: org.apache.spark.sql.SparkSession,
+      pqc: PqChannel, qz: graft.operators.IvfIndex.Quantizer,
+      codebooks: Seq[Seq[Seq[Double]]], live: DataFrame, qid: Any,
+      qvec: Array[Float], overfetch: Int, roundScores: Boolean)
+      : Seq[org.apache.spark.sql.Row] = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+      codebooks.head.head.nonEmpty,
+      s"no codebooks at ${pqc.path} — build the PQ index first")
+    val m = codebooks.size
+    val dsub = codebooks.head.head.size
+    // routing/LUT view of the query: zero-pad/truncate to the index dim
+    // (the CosineSimilarity zero-pad doctrine). A dim-mismatched query —
+    // e.g. the prepared handle's placeholder-embedded template marker —
+    // degrades the approximate cut's recall, never correctness: the
+    // refine below is exact on the ORIGINAL vector.
+    val rq = if (qvec.length == m * dsub) qvec
+      else java.util.Arrays.copyOf(qvec, m * dsub)
+    val cells = graft.operators.IvfIndex.probeCellsLocal(qz, rq, pqc.nprobe)
+    val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map {
+      case (book, j) => book.map { c =>
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) { dot += rq(j * dsub + t) * c(t); t += 1 }
+        dot
+      }
+    }
+    val candidateIds = spark.read.parquet(s"${pqc.path}/assignments")
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("asim", graft.functions.VectorFunctions
+        .adcScore(col("code"), typedlit(lut)))
+      .orderBy(desc("asim"), asc("id"))
+      .limit(overfetch * math.max(pqc.refine, 1))
+      .select(col("id"))
+      .collect().map(_.get(0)).toSeq
+    val score = cosineSim(col("embedding"), typedlit(qvec))
+    live.select(col("id"), col("embedding"))
+      .filter(col("id").isin(candidateIds: _*))
       .select(col("id"),
         (if (roundScores) graft.functions.round4(score) else score)
           .as("channel_score"))
@@ -524,6 +654,12 @@ object BatchRecall {
         val qz = graft.operators.IvfIndex.loadQuantizer(spark, pqc.path)
         val codebooks =
           graft.operators.PqIndex.readCodebooks(spark, pqc.path)
+        // named errors before any .head dereference (ADVICE r17): an
+        // empty/corrupt codebooks table dies here with the path, not with
+        // a bare NoSuchElementException three lines down
+        require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+          codebooks.head.head.nonEmpty,
+          s"no codebooks at ${pqc.path} — build the PQ index first")
         val m = codebooks.size
         val dsub = codebooks.head.head.size
         val probeRows = q.select(col("qid"), col("qvec")).collect()
@@ -544,6 +680,15 @@ object BatchRecall {
             graft.operators.IvfIndex.probeCellsLocal(qz, qv, pqc.nprobe)
               .map(cell => Row(r.get(0), cell, lut, qv.toSeq))
           }
+        // zero-query request: nothing to probe — an empty candidate
+        // relation short-circuits the code scan entirely (ADVICE r17)
+        if (probeRows.isEmpty)
+          spark.createDataFrame(Seq.empty[Row].asJava, StructType(Seq(
+            StructField("qid", q.schema("qid").dataType),
+            StructField("id", base.schema("id").dataType),
+            StructField("channel_score", DoubleType))))
+            .select(col("qid"), col("id"), col("channel_score"))
+        else {
         val qcells = spark.createDataFrame(probeRows.toSeq.asJava,
           StructType(Seq(
             StructField("qid", q.schema("qid").dataType),
@@ -559,10 +704,11 @@ object BatchRecall {
           .filter(col("cell").isin(allCells: _*))
           .select(col("cell").cast("long").as("cell"), col("id"), col("code"))
           .join(broadcast(qcells), Seq("cell"))
-          .withColumn("asim", aggregate(
-            zip_with(col("code"), col("lut"),
-              (cj, lutJ) => element_at(lutJ, cj + 1)),
-            lit(0.0), (acc, v) => acc + v))
+          // codegen'd ADC kernel (r18, VERDICT r17 item 2) — m array
+          // lookups + adds per row, bitwise-equal to the interpreted
+          // zip_with fold it replaces (PqChannelSpec pins the swap)
+          .withColumn("asim", graft.functions.VectorFunctions
+            .adcScore(col("code"), col("lut")))
         cutPerQid(adc, Seq(desc("asim"), asc("id")),
           overfetch * math.max(pqc.refine, 1))
           .select(col("qid"), col("id"), col("qvec"))
@@ -570,6 +716,7 @@ object BatchRecall {
           .select(col("qid"), col("id"),
             rounded(cosineSim(col("embedding"), col("qvec")))
               .as("channel_score"))
+        }
       case (None, Some(iv), _) =>
         import scala.jdk.CollectionConverters._
         import org.apache.spark.sql.Row

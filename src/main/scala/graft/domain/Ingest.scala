@@ -315,11 +315,15 @@ object Ingest {
     // duplicate-id guard: assert_true returns NULL when the predicate
     // holds, so the filter keeps every row of a well-formed batch and
     // RAISES on the first duplicate — living in a Filter keeps it safe
-    // from column pruning, which would silently drop a projected guard
+    // from column pruning, which would silently drop a projected guard.
+    // NULL ids are EXEMPT (ADVICE r17): partitionBy(id) groups nulls
+    // together, but null-id patch rows are inert by construction (null
+    // never equi-joins — both rows fall out of the join below), so two of
+    // them must not abort an otherwise well-formed batch.
     val dupW = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val pGuarded = p0
       .withColumn("_dup", count(lit(1)).over(dupW))
-      .filter(assert_true(col("_dup") <= 1,
+      .filter(assert_true(col("id").isNull || col("_dup") <= 1,
         concat(lit("applyPatches: more than one patch row for id "),
           col("id"))).isNull)
       .drop("_dup")

@@ -43,7 +43,11 @@ class PreparedRecall(
     roundScores: Boolean = false,
     vocabParallelism: Int = 0,
     prebuildClasses: Boolean = true,
-    ivf: Option[BatchRecall.IvfChannel] = None) {
+    ivf: Option[BatchRecall.IvfChannel] = None,
+    pq: Option[BatchRecall.PqChannel] = None) {
+
+  require(ivf.isEmpty || pq.isEmpty,
+    "ivf and pq are alternative vector-channel indexes — supply one")
 
   private val spark = memories.sparkSession
 
@@ -68,6 +72,23 @@ class PreparedRecall(
       (BatchRecall.IvfChannel, graft.operators.IvfIndex.Quantizer)] =
     ivf.map(iv => (iv, graft.operators.IvfIndex.loadQuantizer(spark, iv.path)))
 
+  // PQ twin (r18, VERDICT r17 item 1): same planted-candidate contract as
+  // ivfState — the quantizer AND the codebooks are bounded parameters
+  // loaded once per handle; each call probes cells + computes its ADC
+  // table driver-side and runs the partition-pruned CODE scan
+  // (BatchRecall.pqCandidateRows) instead of any fp32 corpus scan, exact-
+  // refining only overfetch·refine rows against the cached recall base.
+  private val pqState: Option[(BatchRecall.PqChannel,
+      graft.operators.IvfIndex.Quantizer, Seq[Seq[Seq[Double]]])] =
+    pq.map(p => (p, graft.operators.IvfIndex.loadQuantizer(spark, p.path),
+      graft.operators.PqIndex.readCodebooks(spark, p.path)))
+
+  /** Either planted-candidate mode — the template consumes a per-call
+    * candidate relation instead of the corpus × query cosine scan.
+    */
+  private def plantedCandidates: Boolean =
+    ivfState.isDefined || pqState.isDefined
+
   private val overfetch =
     math.min(limit * Recall.OverfetchFactor, Recall.OverfetchCap)
 
@@ -78,10 +99,16 @@ class PreparedRecall(
       : DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
-    val (iv, qz) = ivfState.get
     val qv = qvec.getOrElse(PlaceholderEmbedding.embed(query))
-    val rows = BatchRecall.ivfCandidateRows(spark, iv, qz, 0, qv,
-      overfetch, roundScores)
+    val rows = (ivfState, pqState) match {
+      case (Some((iv, qz)), _) =>
+        BatchRecall.ivfCandidateRows(spark, iv, qz, 0, qv,
+          overfetch, roundScores)
+      case (_, Some((p, qz, books))) =>
+        BatchRecall.pqCandidateRows(spark, p, qz, books, index.base, 0, qv,
+          overfetch, roundScores)
+      case _ => throw new IllegalStateException("no candidate channel")
+    }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("qid", IntegerType),
       StructField("id", memories.schema("id").dataType),
@@ -114,11 +141,12 @@ class PreparedRecall(
       memories, edges, marker, limit, weights, now, roundScores,
       index = Some(index), singleRequest = true,
       vectorCandidates =
-        ivfState.map(_ => candidateFrame(markerQuery, None))))
-    if (ivfState.isDefined)
+        if (plantedCandidates) Some(candidateFrame(markerQuery, None))
+        else None))
+    if (plantedCandidates)
       require(plan.collectFirst {
         case lr: LocalRelation if isCandidateRelation(lr) => lr }.nonEmpty,
-        "no vector-candidate relation found in the IVF template plan")
+        "no vector-candidate relation found in the IVF/PQ template plan")
     // the request relation appears once per join branch (analysis
     // deduplicates each occurrence with fresh expr ids); the swap below
     // rewrites every occurrence, so only existence is asserted here. The
@@ -175,17 +203,17 @@ class PreparedRecall(
       // the whole plan); only the rows change
       case lr: LocalRelation if isRequestRelation(lr) => lr.copy(data = qData)
     }
-    // IVF mode: the vector-candidate relation swaps the same way — its
+    // IVF/PQ mode: the vector-candidate relation swaps the same way — its
     // rows come from this call's partition-pruned candidate scan
-    val swapped = ivfState match {
-      case None => swapped0
-      case Some(_) =>
+    val swapped =
+      if (!plantedCandidates) swapped0
+      else {
         val cData = candidateData(query, qvec)
         swapped0.transform {
           case lr: LocalRelation if isCandidateRelation(lr) =>
             lr.copy(data = cData)
         }
-    }
+      }
     GraftShim.ofRows(spark, swapped).drop("qid")
   }
 
@@ -509,12 +537,12 @@ class PreparedRecall(
     def fail(reason: String): Option[FastState] = {
       fastGates.put(cls, reason); None
     }
-    // IVF mode serves replanned-only (see ivfState's comment): the
+    // IVF/PQ mode serves replanned-only (see ivfState's comment): the
     // candidate relation is not request-derived, so the fast path's
     // fold-and-swap evidence machinery cannot feed it — validation would
     // reject every class with frozen marker candidates. Decline up front.
-    if (ivfState.isDefined)
-      return fail("ivf channel: candidates are planted per call — replanned serving")
+    if (plantedCandidates)
+      return fail("ivf/pq channel: candidates are planted per call — replanned serving")
     // degenerate markers ("", "*") would make the contains-based leak
     // checks vacuous or always-firing — skip those two checks for them
     // (feeds resolution + end-to-end validation still gate)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.{CosineSimilarity, GraftShim, Int8CosineSimilarity}
+import org.apache.spark.sql.graftshim.{AdcScore, CosineSimilarity, GraftShim, Int8CosineSimilarity}
 import org.apache.spark.sql.types.DoubleType
 
 /** Column-level vector helpers over `ARRAY<FLOAT>` embedding columns. The hot
@@ -69,6 +69,17 @@ object VectorFunctions {
     transform(qv.getField("q"), b =>
       ((b.cast("double") + 127.0) * qv.getField("scale") + qv.getField("offset"))
         .cast("float"))
+
+  /** PQ asymmetric-distance score: Σ_j lut(j)(code(j)) over an ARRAY<INT>
+    * code column and an ARRAY<ARRAY<DOUBLE>> per-query lookup table
+    * (codegen'd — m array lookups + adds per row, no per-row HOF
+    * machinery). Bitwise-equal to the interpreted
+    * `aggregate(zip_with(code, lut, element_at), 0.0, +)` form it
+    * replaces (same j-ascending fold order).
+    */
+  def adcScore(code: Column, lut: Column): Column =
+    GraftShim.column(AdcScore(
+      GraftShim.expression(code), GraftShim.expression(lut)))
 
   /** Cosine similarity between a PACKED int8 vector (binary bytes +
     * per-vector scale/offset, the [[quantizeInt8]] struct flattened for

@@ -90,6 +90,36 @@ object PqIndex {
     IvfIndex.writeSmallFile(spark, s"$path/CELLBITS", cellBits.toString)
     IvfIndex.writeSmallFile(spark, s"$path/BASELINE_FIT",
       fitInIndexSpace(vectors, codebooks).toString)
+    // code-collision advisory (r18, VERDICT r17 item 5): the measured
+    // collapse mode is DISTINCT vector patterns sharing one full code —
+    // their ADC scores then tie EXACTLY and the deterministic asc-id
+    // candidate cut can fill with wrong-pattern rows (IvfServeScaleProbe:
+    // overlap@5 = 0.000 at 64 patterns on ksub=16). Raw per-subspace
+    // saturation (the obvious check) fires BENIGNLY on every continuous
+    // corpus — k-means always uses all ksub clusters — so the signal here
+    // is a full-code group spanning MULTIPLE coarse cells: rows in
+    // different sign-bucket cells point in genuinely different directions,
+    // and different directions sharing one code is exactly the tie
+    // hazard. Same-cluster rows sharing a code stay silent (they share a
+    // cell — honest ties). One aggregate over the (cell, code) columns of
+    // the just-written table; advisory, never fatal — the breadcrumb an
+    // operator investigating bad recall should find first.
+    val collided = spark.read.parquet(s"$path/assignments")
+      .groupBy(col("code"))
+      .agg(countDistinct(col("cell")).as("ncells"))
+      .filter(col("ncells") > 1)
+      .count()
+    val fsPath = new org.apache.hadoop.fs.Path(s"$path/CODE_COLLISION_ADVISORY")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (collided > 0) {
+      IvfIndex.writeSmallFile(spark, s"$path/CODE_COLLISION_ADVISORY",
+        s"codes_spanning_multiple_cells=$collided ksub=$ksub m=$m")
+      Console.err.println(s"[PqIndex] WARNING: $collided full code(s) are " +
+        s"shared across different coarse cells at ksub=$ksub — distinct " +
+        "vector patterns collide onto one code, so exact ADC ties can " +
+        "evict right-cluster candidates from a tight candidate cut; " +
+        "consider a larger ksub or refine (see CODE_COLLISION_ADVISORY)")
+    } else fs.delete(fsPath, false)
     // cell routing centroids from the ORIGINAL vectors (same as the other
     // variants: quantization error stays out of the routing structure)
     val routed = vectors.withColumn("cell",
@@ -220,10 +250,10 @@ object PqIndex {
     val lutLit = typedlit(lut.map(_.toSeq).toSeq)
     val candidateIds = spark.read.parquet(s"$path/assignments")
       .filter(col("cell").isin(cells: _*))
-      // ADC: approximate dot = sum over subspaces of lut(j)(code(j))
-      .withColumn("asim", aggregate(
-        zip_with(col("code"), lutLit, (cj, lutJ) => element_at(lutJ, cj + 1)),
-        lit(0.0), (acc, v) => acc + v))
+      // ADC: approximate dot = sum over subspaces of lut(j)(code(j)) —
+      // the codegen'd kernel (r18; bitwise-equal fold order)
+      .withColumn("asim",
+        graft.functions.VectorFunctions.adcScore(col("code"), lutLit))
       .orderBy(desc("asim"), asc("vec_id"))
       .limit(k * refine)
       .select(col("vec_id"))

@@ -17,11 +17,98 @@ import org.apache.spark.sql.functions._
   * must keep it.
   */
 object KeywordFormProbe {
+
+  /** Crossover sweep (r18, VERDICT r17 item 6): the 0.5 pairs-per-scan-row
+    * crossover was pinned from two regimes measured FAR from the boundary
+    * (ratios ~2.0 and ~0.0). This arm generates corpora whose estimated
+    * ratio lands ON the 0.2–1.0 range — a shared 4-char token carried by a
+    * tunable fraction p of docs (ratio ≈ p: fan-out = p·n·nq pairs over
+    * n·nq scan rows) plus one fixed-width unique token per doc (equal
+    * length, so no substring cross-matching) — and measures both forms
+    * end-to-end at each point, bitwise-compared. Run:
+    * `sbt "runMain graft.tools.KeywordFormProbe sweep [nDocs] [nQueries]"`
+    */
+  private def runSweep(spark: SparkSession, n: Long, nq: Int): Unit = {
+    import spark.implicits._
+    val ts0 = to_timestamp(lit("2026-01-01 00:00:00"))
+    def corpus(pMille: Int) = spark.range(n).select(
+      col("id").cast("string").as("id"),
+      concat(lit("doc "),
+        when(pmod(col("id"), lit(1000)) < pMille, lit("shpt "))
+          .otherwise(lit("")),
+        format_string("u%08d", col("id"))).as("content"),
+      ts0.as("timestamp"), ts0.as("t_valid"),
+      lit(null).cast("timestamp").as("t_invalid"),
+      ts0.as("updated_at"), ts0.as("last_accessed"),
+      lit(0.5).as("importance"), lit(0.7).as("confidence"),
+      lit("Context").as("type"), array(lit("scale")).as("tags"),
+      array(lit("scale")).as("tag_prefixes"), lit("{}").as("metadata"),
+      lit(1.0).as("relevance_score"), lit(false).as("archived"),
+      lit(false).as("protected_flag"),
+      array_repeat(lit(0.1f), 8).as("embedding"))
+    // every query carries the shared token + one real unique token
+    val queries = (0 until nq).map { i =>
+      val id = (i.toLong * 9973) % n
+      (i.toLong, f"shpt u$id%08d")
+    }.toDF("qid", "query").cache()
+    queries.count()
+    val now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    println(f"[sweep] n=$n%,d docs x $nq queries; crossover constant = " +
+      f"${BatchRecall.KeywordScanCrossover}")
+    println("[sweep]  p_shared  est_ratio  auto   index_s   scan_s  winner")
+    for (pMille <- Seq(200, 350, 500, 650, 800, 1000)) {
+      val mems = corpus(pMille).repartition(32).cache()
+      mems.count()
+      val idx = BatchRecall.buildIndex(mems).cache().materialize()
+      val st = idx.kwStats.get
+      val toks = queries.collect().map { r =>
+        val t = graft.domain.Recall.keywords(r.getString(1))
+        (t: Seq[String], false)
+      }.toSeq
+      val ratio = BatchRecall.estimateKeywordPairs(st, toks).toDouble /
+        (st.corpusRows * nq)
+      val auto = BatchRecall.chooseKeywordForm(st, toks)
+      def run(form: String): (Double, Seq[String]) = {
+        val t = System.nanoTime()
+        val rows = BatchRecall.batchRecall(mems, spark.emptyDataFrame,
+          queries, limit = 5, now = now, index = Some(idx),
+          keywordForm = form).collect()
+        ((System.nanoTime() - t) / 1e9, rows.map(_.toString).sorted.toSeq)
+      }
+      run("index"); run("scan") // warm codegen for both shapes
+      // interleaved 2x each; best-of to shed one-off phase noise
+      val samples = (1 to 2).map(_ => (run("index"), run("scan")))
+      val idxS = samples.map(_._1._1).min
+      val scanS = samples.map(_._2._1).min
+      val equal = samples.forall(s => s._1._2 == s._2._2)
+      require(equal, "sweep: forms must stay bitwise-equal")
+      val winner = if (idxS < scanS) "index" else "scan"
+      println(f"[sweep]     ${pMille / 1000.0}%.2f      $ratio%6.3f  " +
+        f"$auto%-5s  $idxS%7.2f  $scanS%7.2f  $winner%-5s" +
+        (if ((winner == "scan") != (auto == "scan")) "  <-- auto differs"
+         else ""))
+      idx.unpersist(); mems.unpersist()
+    }
+    queries.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sweep")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      runSweep(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(200000L),
+        args.drop(2).headOption.map(_.toInt).getOrElse(100))
+      spark.stop()
+      return
+    }
     val oracleDir = args.headOption.filter(_.contains("/"))
     val n = if (oracleDir.isDefined) 0L
       else args.headOption.map(_.toLong).getOrElse(1000000L)
-    val nq = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val nqArg = args.drop(1).headOption.map(_.toInt).getOrElse(100)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -55,12 +142,16 @@ object KeywordFormProbe {
         // query is ONE near-unique id token (the regime where the
         // inverted index should win — tiny pair fan-out, no corpus scan)
         val rare = args.drop(2).headOption.contains("rare")
-        val q = (0 until nq).map { i =>
+        val q = (0 until nqArg).map { i =>
           val id = (100000L + i.toLong * 9973) % math.max(n, 200000L)
           (i.toLong, if (rare) s"$id" else s"note number $id")
         }.toDF("qid", "query")
         (m, q)
     }
+    // ms/q divides by the ACTUAL query count (ADVICE r17): in oracle mode
+    // the query set size is fixed by the corpus, and a stray second CLI
+    // argument used to silently skew the printed per-query figure
+    val nq = queries.count().toInt
     println(s"corpus rows = ${mems.count()}")
     val idx = BatchRecall.buildIndex(mems).cache().materialize()
     val now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")

@@ -118,106 +118,142 @@ object LongMemEvalFull {
 
   /** The generated turns: 27 per conversation, 270 total. */
   def turns: Seq[Turn] = (0 until NumConvs).flatMap { c =>
-    val conv = ConvBase + c
+    turnsForConv(ConvBase + c, _ => c)
+  }
+
+  /** One conversation's turns, slot tables indexed per-salt by `si`
+    * (identity over the conversation ordinal for the 120-q tier; the
+    * per-table mixing function for the 500-q tier). Salts are assigned
+    * to tables in declaration order — changing them changes goldens.
+    */
+  private def turnsForConv(conv: Int, si: Int => Int): Seq[Turn] = {
+    val c = si(0); val cDish = si(1); val cDr1 = si(2); val cDr2 = si(3)
+    val cG1 = si(4); val cG2 = si(5); val cStreet = si(6); val cRest = si(7)
+    val cRace = si(8); val cFin = si(9); val cAct = si(10); val cCt = si(11)
+    val cWd = si(12); val cCity = si(13); val cTm = si(14); val cThing = si(15)
+    val cProb = si(16); val cFix = si(17); val cPet = si(18); val cPm = si(19)
     def t(s: Int, i: Int, r: String, tx: String) = Turn(conv, s, i, r, tx)
+    turnsTemplate(t, c, cDish, cDr1, cDr2, cG1, cG2, cStreet, cRest, cRace,
+      cFin, cAct, cCt, cWd, cCity, cTm, cThing, cProb, cFix, cPet, cPm)
+  }
+
+  private def turnsTemplate(t: (Int, Int, String, String) => Turn,
+      c: Int, cDish: Int, cDr1: Int, cDr2: Int, cG1: Int, cG2: Int,
+      cStreet: Int, cRest: Int, cRace: Int, cFin: Int, cAct: Int, cCt: Int,
+      cWd: Int, cCity: Int, cTm: Int, cThing: Int, cProb: Int, cFix: Int,
+      cPet: Int, cPm: Int): Seq[Turn] =
     Seq(
       // session 1: allergy, stale club + cafe order, recommendation,
       // race signup, class schedule
       t(1, 1, "user", s"I am allergic to ${allergens(c)} so most " +
-        s"${dishes(c)} dishes are off the table for me"),
-      t(1, 2, "assistant", s"Noted, I will keep ${dishes(c)} suggestions " +
+        s"${dishes(cDish)} dishes are off the table for me"),
+      t(1, 2, "assistant", s"Noted, I will keep ${dishes(cDish)} suggestions " +
         s"light on ${allergens(c)}"),
-      t(1, 3, "user", s"My usual order at the cafe is a ${drinks1(c)}"),
-      t(1, 4, "user", s"I train at the ${gyms1(c)} club on " +
-        s"${streets(c)} street these days"),
+      t(1, 3, "user", s"My usual order at the cafe is a ${drinks1(cDr1)}"),
+      t(1, 4, "user", s"I train at the ${gyms1(cG1)} club on " +
+        s"${streets(cStreet)} street these days"),
       t(1, 5, "assistant", s"For a ${allergens(c)} free dinner I " +
-        s"recommend the ${restaurants(c)} on ${streets((c + 3) % 10)} street"),
-      t(1, 6, "user", s"I signed up for the ${races(c)} yesterday morning"),
+        s"recommend the ${restaurants(cRest)} on ${streets((cStreet + 3) % 10)} street"),
+      t(1, 6, "user", s"I signed up for the ${races(cRace)} yesterday morning"),
       t(1, 7, "assistant", s"A steady build of weekly distance will have " +
-        s"you ready for the ${races(c)}"),
-      t(1, 8, "user", s"My weekly ${activities(c)} class is at " +
-        s"${classTimes(c)} every ${weekdays(c)}"),
+        s"you ready for the ${races(cRace)}"),
+      t(1, 8, "user", s"My weekly ${activities(cAct)} class is at " +
+        s"${classTimes(cCt)} every ${weekdays(cWd)}"),
       // session 2: trip booking, build project start, assistant tip,
       // pet adoption
-      t(2, 1, "user", s"I booked a trip to ${cities(c)} in " +
-        s"${tripMonths(c)} for later this year"),
-      t(2, 2, "assistant", s"${cities(c)} is lovely, the old town market " +
+      t(2, 1, "user", s"I booked a trip to ${cities(cCity)} in " +
+        s"${tripMonths(cTm)} for later this year"),
+      t(2, 2, "assistant", s"${cities(cCity)} is lovely, the old town market " +
         "is worth a slow morning"),
-      t(2, 3, "user", s"I started building a ${things(c)} for the " +
+      t(2, 3, "user", s"I started building a ${things(cThing)} for the " +
         "spare room"),
-      t(2, 4, "assistant", s"For the ${problems(c)} try ${fixes(c)} " +
+      t(2, 4, "assistant", s"For the ${problems(cProb)} try ${fixes(cFix)} " +
         "before anything drastic"),
-      t(2, 5, "user", s"The ${problems(c)} got better after one week " +
+      t(2, 5, "user", s"The ${problems(cProb)} got better after one week " +
         "of that"),
-      t(2, 6, "user", s"I adopted a ${pets(c)} in early ${petMonths(c)}"),
-      t(2, 7, "assistant", s"A ${pets(c)} settles faster with a fixed " +
+      t(2, 6, "user", s"I adopted a ${pets(cPet)} in early ${petMonths(cPm)}"),
+      t(2, 7, "assistant", s"A ${pets(cPet)} settles faster with a fixed " +
         "feeding routine"),
       // session 3: both knowledge updates + project/racing confusers
-      t(3, 1, "user", s"I now train at the ${gyms2(c)} club near the " +
+      t(3, 1, "user", s"I now train at the ${gyms2(cG2)} club near the " +
         "park after switching this week"),
-      t(3, 2, "assistant", s"${gyms2(c)} has better morning hours, " +
+      t(3, 2, "assistant", s"${gyms2(cG2)} has better morning hours, " +
         "good pick"),
-      t(3, 3, "user", s"My cafe order is now a ${drinks2(c)}, " +
+      t(3, 3, "user", s"My cafe order is now a ${drinks2(cDr2)}, " +
         "trying to cut back"),
-      t(3, 4, "user", s"The ${things(c)} build hit a snag with the " +
+      t(3, 4, "user", s"The ${things(cThing)} build hit a snag with the " +
         "corner joints"),
       t(3, 5, "assistant", s"Clamp the corner joints overnight and the " +
-        s"${things(c)} frame will hold"),
-      t(3, 6, "user", s"Training for the ${races(c)} is up to long " +
+        s"${things(cThing)} frame will hold"),
+      t(3, 6, "user", s"Training for the ${races(cRace)} is up to long " +
         "weekend sessions now"),
       // session 4: race finish, project done, trip/pet confusers
-      t(4, 1, "user", s"I finished the ${races(c)} in ${finishTimes(c)}"),
+      t(4, 1, "user", s"I finished the ${races(cRace)} in ${finishTimes(cFin)}"),
       t(4, 2, "assistant", "Strong result, recovery walks this week " +
         "will pay off"),
-      t(4, 3, "user", s"The ${things(c)} is finally done and standing " +
+      t(4, 3, "user", s"The ${things(cThing)} is finally done and standing " +
         "in the spare room"),
       t(4, 4, "assistant", s"Nice work, a coat of oil will keep the " +
-        s"${things(c)} sharp looking"),
-      t(4, 5, "user", s"${cities(c)} packing list is started, the trip " +
+        s"${things(cThing)} sharp looking"),
+      t(4, 5, "user", s"${cities(cCity)} packing list is started, the trip " +
         "is close now"),
-      t(4, 6, "user", s"The ${pets(c)} learned to come when called"))
-  }
+      t(4, 6, "user", s"The ${pets(cPet)} learned to come when called"))
 
   /** 120 questions: 20 per type (2 per type per conversation). */
   def questions: Seq[Question] = (0 until NumConvs).flatMap { c =>
-    val conv = ConvBase + c
+    questionsForConv(ConvBase + c, _ => c, includeAbstention = true)
+  }
+
+  /** One conversation's questions under the same `si` indexing as
+    * [[turnsForConv]] (salts match the tables each question quotes).
+    * `includeAbstention = false` drops the two abstention questions —
+    * the 500-q tier's trim mechanism.
+    */
+  private def questionsForConv(conv: Int, si: Int => Int,
+      includeAbstention: Boolean): Seq[Question] = {
+    val c = si(0); val cRace = si(8); val cAct = si(10); val cCity = si(13)
+    val cThing = si(15); val cProb = si(16); val cPet = si(18)
+    val cAbs1 = si(20); val cAbs2 = si(21)
     def ev(s: Int, i: Int) = s"L$conv:$s:$i"
     Seq(
       Question(s"f${conv}_ssu1", "single-session-user", conv,
         s"Is the user allergic to ${allergens(c)}?", Seq(ev(1, 1))),
       Question(s"f${conv}_ssu2", "single-session-user", conv,
-        s"What time is the user's weekly ${activities(c)} class?",
+        s"What time is the user's weekly ${activities(cAct)} class?",
         Seq(ev(1, 8))),
       Question(s"f${conv}_ssa1", "single-session-assistant", conv,
         s"Which restaurant did the assistant recommend for a " +
           s"${allergens(c)} free dinner?", Seq(ev(1, 5))),
       Question(s"f${conv}_ssa2", "single-session-assistant", conv,
-        s"What did the assistant suggest trying for the ${problems(c)}?",
-        Seq(ev(2, 4))),
+        s"What did the assistant suggest trying for the " +
+          s"${problems(cProb)}?", Seq(ev(2, 4))),
       Question(s"f${conv}_ms1", "multi-session", conv,
         s"Tell me about the user signing up for and finishing the " +
-          s"${races(c)}", Seq(ev(1, 6), ev(4, 1))),
+          s"${races(cRace)}", Seq(ev(1, 6), ev(4, 1))),
       Question(s"f${conv}_ms2", "multi-session", conv,
-        s"What happened with the ${things(c)} the user started building?",
-        Seq(ev(2, 3), ev(4, 3))),
+        s"What happened with the ${things(cThing)} the user started " +
+          "building?", Seq(ev(2, 3), ev(4, 3))),
       Question(s"f${conv}_tr1", "temporal-reasoning", conv,
-        s"When did the user book the trip to ${cities(c)}?", Seq(ev(2, 1))),
+        s"When did the user book the trip to ${cities(cCity)}?",
+        Seq(ev(2, 1))),
       Question(s"f${conv}_tr2", "temporal-reasoning", conv,
-        s"When did the user adopt the ${pets(c)}?", Seq(ev(2, 6))),
+        s"When did the user adopt the ${pets(cPet)}?", Seq(ev(2, 6))),
       Question(s"f${conv}_ku1", "knowledge-update", conv,
         "Which club does the user train at?", Seq(ev(3, 1))),
       Question(s"f${conv}_ku2", "knowledge-update", conv,
-        "What is the user's cafe order?", Seq(ev(3, 3))),
-      // abstention questions must avoid the word "user": every stored
-      // turn is "user:"/"assistant:"-prefixed, so that token alone
-      // keyword-matches most of the corpus and lifts the abstention
-      // top-1 above the answerable floor (measured 0.498 vs 0.429 —
-      // separation broken; the mini tier's abstention phrasing avoids
-      // the word for the same reason)
+        "What is the user's cafe order?", Seq(ev(3, 3)))) ++
+    // abstention questions must avoid the word "user": every stored
+    // turn is "user:"/"assistant:"-prefixed, so that token alone
+    // keyword-matches most of the corpus and lifts the abstention
+    // top-1 above the answerable floor (measured 0.498 vs 0.429 —
+    // separation broken; the mini tier's abstention phrasing avoids
+    // the word for the same reason)
+    (if (includeAbstention) Seq(
       Question(s"f${conv}_abs1_abs", "abstention", conv,
-        s"What is the name of the ${absTopics1(c)}?", Nil),
+        s"What is the name of the ${absTopics1(cAbs1)}?", Nil),
       Question(s"f${conv}_abs2_abs", "abstention", conv,
-        s"What is the ${absTopics2(c)}'s first name?", Nil))
+        s"What is the ${absTopics2(cAbs2)}'s first name?", Nil))
+     else Nil)
   }
 
   /** The stale-distractor turn each knowledge-update question must beat
@@ -243,6 +279,73 @@ object LongMemEvalFull {
     val mem = memories(spark).cache()
     mem.count()
     try LongMemEvalMini.scoredRankingsOver(spark, mem, questions)
+      .view.mapValues(_.map(_._1)).toMap
+    finally mem.unpersist()
+  }
+
+  // ---- 500-question tier (r18, VERDICT r17 item 7) -----------------------
+  // The reference full tier's size (500 questions,
+  // `tests/benchmarks/longmemeval/test_longmemeval.py:77`; published
+  // anchors accuracy 87.00%, recall@5 97.00%): 42 generated conversations
+  // through the SAME template and scoring machinery, trimmed to exactly
+  // 500 by dropping the two abstention questions of the last two
+  // conversations (84 per answerable type + 80 abstention).
+
+  /** Conversations 101..142 — disjoint from mini (1..3) and 120-q
+    * (11..20).
+    */
+  val NumConvs500 = 42
+  private val ConvBase500 = 101
+
+  /** Decade-mixed slot index: the same 10-entry pinned tables, each salt
+    * (= table) walking its own decade stride, so no two of the 42
+    * conversations share a full slot tuple (strides 2..6 distinguish
+    * every decade pair; the residue term every within-decade pair).
+    * Pure arithmetic — the tier stays bitwise-stable, no RNG.
+    */
+  private def slot500(c: Int, salt: Int): Int =
+    (c % 10 + (c / 10) * ((salt % 5) + 2) + salt) % 10
+
+  /** Session starts for the 500-q tier: 1-day conversation stagger (42
+    * conversations; the 120-q tier's 2-day stagger would push the last
+    * sessions past [[LongMemEvalMini.Now]]).
+    */
+  def sessionStart500(conv: Int, session: Int): Timestamp = {
+    val c = conv - ConvBase500
+    val base = Timestamp.valueOf("2026-01-02 09:00:00").getTime
+    val dayMs = 86400000L
+    val sessionOffsetDays = Seq(0L, 21L, 49L, 84L)(session - 1)
+    val hourMs = Seq(0L, 5L, 2L, 7L)(session - 1) * 3600000L
+    new Timestamp(base + c * dayMs + sessionOffsetDays * dayMs + hourMs)
+  }
+
+  /** 42 x 27 = 1134 turns. */
+  def turns500: Seq[Turn] = (0 until NumConvs500).flatMap { c =>
+    turnsForConv(ConvBase500 + c, slot500(c, _))
+  }
+
+  /** Exactly 500 questions: 84 per answerable type, 80 abstention. */
+  def questions500: Seq[Question] = (0 until NumConvs500).flatMap { c =>
+    questionsForConv(ConvBase500 + c, slot500(c, _),
+      includeAbstention = c < NumConvs500 - 2)
+  }
+
+  def memories500(spark: SparkSession): DataFrame =
+    LongMemEvalMini.memoriesFor(spark, turns500, sessionStart500)
+
+  def report500(spark: SparkSession): Report = {
+    val mem = memories500(spark).cache()
+    mem.count()
+    try LongMemEvalMini.reportOver(
+      LongMemEvalMini.scoredRankingsOver(spark, mem, questions500),
+      questions500)
+    finally mem.unpersist()
+  }
+
+  def rankings500(spark: SparkSession): Map[Int, Seq[String]] = {
+    val mem = memories500(spark).cache()
+    mem.count()
+    try LongMemEvalMini.scoredRankingsOver(spark, mem, questions500)
       .view.mapValues(_.map(_._1)).toMap
     finally mem.unpersist()
   }

@@ -102,6 +102,63 @@ case class Int8CosineSimilarity(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = fo)
 }
 
+/** Asymmetric-distance (ADC) score of a PQ code row against a query's
+  * per-subspace lookup table (Jégou et al. 2011 §III.B; FAISS IVFADC) as a
+  * native codegen'd expression — the hot loop of the PQ serving channel's
+  * code scan (`graft.domain.BatchRecall.PqChannel`). `code` is the stored
+  * `ARRAY<INT>` (m sub-centroid indexes), `lut` the query's m × ksub
+  * `ARRAY<ARRAY<DOUBLE>>` dot-product table (a bounded driver-computed
+  * parameter); the score is Σ_j lut(j)(code(j)) — m array lookups + adds
+  * per row.
+  *
+  * Replaces the r17 interpreted `aggregate(zip_with(code, lut,
+  * element_at), 0.0, +)` form, whose per-row HOF overhead made the PQ
+  * channel LOSE on compute against a page-cached fp32 brute scan
+  * (IvfServeScaleProbe, 10⁶ rows: 464-686 vs 301 ms/q — the r17 VERDICT's
+  * one `weak` grade). The accumulation order (j ascending from 0.0) is
+  * IDENTICAL to the old fold, so results are bitwise-unchanged
+  * (PqChannelSpec pins the swap).
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+      ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(c: Any, l: Any): Any =
+    AdcScore.compute(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.AdcScore.compute($c, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcScore {
+  /** Shared by interpreted eval and generated code. Runs over the common
+    * prefix of (code, lut) — same as the zip_with it replaces, which
+    * zips to the longer side but a null-padded pair would have nulled the
+    * whole sum; well-formed rows always have |code| = |lut| = m. Operates
+    * on ArrayData directly (no array materialization per row).
+    */
+  def compute(code: ArrayData, lut: ArrayData): Double = {
+    val m = math.min(code.numElements(), lut.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getArray(j).getDouble(code.getInt(j))
+      j += 1
+    }
+    acc
+  }
+}
+
 object Int8CosineSimilarity {
   /** Same contract as [[CosineSimilarity.compute]] (zero-pad the shorter
     * side in the norms), with the stored side dequantized element-wise.

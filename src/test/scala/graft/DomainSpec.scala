@@ -1052,5 +1052,14 @@ class DomainSpec extends AnyFunSuite {
       if (t == null) "" else t.toString + messages(t.getCause)
     assert(messages(e).contains("more than one patch row"),
       s"expected the duplicate-id guard, got: ${messages(e).take(300)}")
+    // ADVICE r17: two NULL-id patch rows are inert (null never equi-joins)
+    // — they must pass the guard and leave the store untouched, not abort
+    // the batch as a "duplicate"
+    val nullIds = Seq((null.asInstanceOf[String], 0.9),
+      (null.asInstanceOf[String], 0.8)).toDF("id", "importance")
+    val outNull = Ingest.applyPatches(store, nullIds).collect()
+    assert(outNull.length == 2, "null-id patches leave the store intact")
+    assert(outNull.forall(_.getAs[Double]("importance") == 0.5),
+      "null-id patch rows match no store row — nothing is patched")
   }
 }

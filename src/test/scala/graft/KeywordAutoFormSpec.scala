@@ -104,6 +104,43 @@ class KeywordAutoFormSpec extends AnyFunSuite {
     idx.unpersist(); mems.unpersist()
   }
 
+  test("tail matching mass (r18, ADVICE r17): a token contained in many " +
+    "below-topK tokens charges its sampled fan-out, not one tailDf") {
+    // hand-built stats: top table of 2 irrelevant tokens; tail of 10_000
+    // tokens / 50_000 postings, sampled at 4 tokens of which 2 contain
+    // the query token -> charge max(tailDf, 0.5 x 50_000) = 25_000
+    val st = BatchRecall.KeywordStats(corpusRows = 100000L,
+      topDf = Array(("alpha", 500L), ("beta", 400L)), tailDf = 5L,
+      tailTokens = 10000L, tailPostings = 50000L,
+      tailSample = Array("u00017", "u99917", "zzz", "qqq"))
+    val est = BatchRecall.estimateKeywordPairs(st, Seq((Seq("17"), false)))
+    assert(est == 25000L, s"sampled tail mass: got $est, want 25000")
+    // floor: a token matching NO sampled tail token keeps the old
+    // single-token tailDf allowance
+    val estFloor =
+      BatchRecall.estimateKeywordPairs(st, Seq((Seq("alph"), false)))
+    assert(estFloor == 5L + 500L, s"floor + top match: got $estFloor")
+    // sample-less stats (old index layout / no tail) behave exactly as r17
+    val stOld = BatchRecall.KeywordStats(100000L,
+      Array(("alpha", 500L)), tailDf = 7L)
+    assert(BatchRecall.estimateKeywordPairs(stOld,
+      Seq((Seq("nomatch"), false))) == 7L)
+    // and collectStats populates the tail fields on a long-tail corpus
+    val mems = corpus(3000).cache() // 3000 unique id tokens > DfTopK=2048
+    mems.count()
+    val idx = BatchRecall.buildIndex(mems).cache().materialize()
+    val stats = idx.kwStats.get
+    assert(stats.tailTokens > 0 && stats.tailPostings > 0 &&
+      stats.tailSample.nonEmpty,
+      s"long-tail corpus must populate tail stats: $stats")
+    assert(stats.tailSample.length <= BatchRecall.TailSampleK)
+    // deterministic: a rebuild collects the identical sample
+    val stats2 = BatchRecall.buildIndex(mems).cache().materialize().kwStats.get
+    assert(stats.tailSample.toSeq == stats2.tailSample.toSeq,
+      "hash-ordered tail sample must be deterministic")
+    idx.unpersist(); mems.unpersist()
+  }
+
   test("a stats-less ad-hoc index keeps the r16 default (index form): the " +
     "oracle path q_batch_recall_100q is plan-identical") {
     val mems = corpus(500).cache()
@@ -120,11 +157,17 @@ class KeywordAutoFormSpec extends AnyFunSuite {
     val mems = corpus(2000).cache()
     mems.count()
     val idx = BatchRecall.buildIndex(mems).cache().materialize()
+    // count ONLY jobs carrying this test's job group (ADVICE r17): a
+    // session-global onJobStart counter would also count any concurrent
+    // suite's jobs on the shared test session — flaky under parallel
+    // test execution. The group id is set around each counted run.
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val groupId = s"kw-auto-form-${System.nanoTime()}"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        counter.incrementAndGet()
+        if (groupId == j.properties.getProperty("spark.jobGroup.id"))
+          counter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     def jobsOf(form: String, qs: DataFrame): Int = {
@@ -134,7 +177,9 @@ class KeywordAutoFormSpec extends AnyFunSuite {
       run(mems, qs, Some(idx), form).collect()
       org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
       counter.set(0)
-      run(mems, qs, Some(idx), form).collect()
+      spark.sparkContext.setJobGroup(groupId, "counted keyword-form run")
+      try run(mems, qs, Some(idx), form).collect()
+      finally spark.sparkContext.clearJobGroup()
       org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
       counter.get()
     }
