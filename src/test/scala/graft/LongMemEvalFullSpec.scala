@@ -104,4 +104,68 @@ class LongMemEvalFullSpec extends AnyFunSuite {
             s"revision at rank $evRank")
       }
   }
+
+  // ---- 500-question tier (r18, VERDICT r17 item 7): the reference full
+  // tier's size. Goldens derived with `runMain graft.tools.LmeReportProbe
+  // full500`; reference full anchors alongside
+  // (`benchmarks/EXPERIMENT_LOG.md:92-93`: accuracy 87.00%, recall@5
+  // 97.00% over 500 questions).
+
+  private lazy val report500 = LongMemEvalFull.report500(spark)
+
+  test("500-q fixture shape: exactly 500 questions (84 per answerable " +
+    "type, 80 abstention), 42 distinct conversations, deterministic") {
+    val qs = LongMemEvalFull.questions500
+    assert(qs.size == 500)
+    val byType = qs.groupBy(_.qtype).view.mapValues(_.size).toMap
+    LongMemEvalMini.Types.filterNot(_ == "abstention").foreach(t =>
+      assert(byType(t) == 84, s"$t: ${byType(t)}"))
+    assert(byType("abstention") == 80)
+    // evidence resolves into the 500-tier turn set
+    val byId = LongMemEvalFull.turns500.map(t => t.dialogId -> t).toMap
+    assert(byId.size == LongMemEvalFull.turns500.size, "dialog ids unique")
+    qs.foreach(_.evidence.foreach(e =>
+      assert(byId.contains(e), s"evidence $e is not a turn")))
+    // no two conversations share a full slot tuple: their turn TEXTS
+    // (conv-id-independent part) must differ pairwise
+    val texts = LongMemEvalFull.turns500.groupBy(_.conv).view
+      .mapValues(_.sortBy(t => (t.session, t.idx)).map(_.text).mkString("|"))
+      .values.toSeq
+    assert(texts.distinct.size == texts.size,
+      "decade-mixed slots must make all 42 conversations distinct")
+    // all sessions predate Now
+    LongMemEvalFull.turns500.foreach { t =>
+      assert(LongMemEvalFull.sessionStart500(t.conv, t.session)
+        .before(LongMemEvalMini.Now), s"conv ${t.conv} s${t.session}")
+    }
+    // the generator is pure: two invocations are identical
+    assert(LongMemEvalFull.questions500 == LongMemEvalFull.questions500)
+  }
+
+  test("500-q pinned per-type goldens next to the reference full anchors " +
+    "(87.00% accuracy / 97.00% recall@5)") {
+    Seq("single-session-user", "single-session-assistant", "multi-session",
+      "temporal-reasoning", "knowledge-update").foreach(t =>
+      assertPinned(s"$t recall@5 (500q)", report500.recall5(t), 1.0))
+    assertPinned("single-session-user mrr (500q)",
+      report500.mrr("single-session-user"), 0.9583333333333334)
+    assertPinned("single-session-assistant mrr (500q)",
+      report500.mrr("single-session-assistant"), 1.0)
+    assertPinned("multi-session mrr (500q)",
+      report500.mrr("multi-session"), 0.8472222222222221)
+    assertPinned("temporal-reasoning mrr (500q)",
+      report500.mrr("temporal-reasoning"), 0.6037698412698413)
+    assertPinned("knowledge-update mrr (500q)",
+      report500.mrr("knowledge-update"), 0.8333333333333331)
+    assert(report500.separated,
+      f"ceiling ${report500.abstentionCeiling}%.4f must sit under the " +
+        f"floor ${report500.answerableFloor}%.4f")
+    assertPinned("abstention ceiling (500q)", report500.abstentionCeiling,
+      0.35969212399692796)
+    assertPinned("answerable floor (500q)", report500.answerableFloor,
+      0.40710382831935515)
+    assert(report500.answeredAt5 == 420 && report500.abstainedOk == 80,
+      s"${report500.answeredAt5}/${report500.abstainedOk}")
+    assertPinned("accuracy_pct (500q)", report500.accuracyPct, 100.0)
+  }
 }
