@@ -343,15 +343,27 @@ object BatchRecall {
 
   /** Crossover for [[chooseKeywordForm]], in estimated index-form pairs
     * per scan-form row (scan rows = corpusRows × non-trend queries).
-    * Measured (tools.KeywordFormProbe sweep, local[32]): at ratio 2.0
-    * (10⁶ docs × 100 queries, corpus-wide shared tokens) the index form
-    * is 2.6× slower end-to-end (61.7 vs 23.5 s); at ratio ~0.1 and below
-    * (the oracle corpus shape — mostly rare tokens) the index form wins.
-    * A shuffled+aggregated pair costs more than a scanned row's register
-    * arithmetic, so the break-even sits WELL under 1 pair/row; 0.5 splits
-    * the measured regimes with margin on both sides.
+    *
+    * r18 re-pin (VERDICT r17 item 6): the original 0.5 was set from two
+    * regimes measured FAR from the boundary (ratios ~2.0 and ~0.0). The
+    * boundary sweep (tools.KeywordFormProbe sweep mode, 200k docs × 100
+    * queries, a shared token carried by a tunable doc fraction p so the
+    * estimated ratio ≈ p — the estimate tracked p exactly at every
+    * point) measured, best-of-2 interleaved end-to-end seconds:
+    *
+    *   ratio  0.000  0.005  0.01  0.02  0.05  0.10  0.20  0.35  0.50  1.0
+    *   index   3.07   3.48  3.67  4.12  4.65  5.15  6.70  8.21  9.48 12.6
+    *   scan    3.26   3.38  3.34  3.69  3.96  4.12  3.71  4.50  4.26  4.8
+    *
+    * The scan pass is ~flat in ratio (one corpus pass) while the index
+    * form's pair fan-out grows linearly, so the forms cross at ratio
+    * ≈ 0.005 — the index form only wins on near-pure rare-token
+    * workloads where it skips the corpus pass entirely. 0.01 splits the
+    * measured boundary: picking "wrong" inside [0.005, 0.02] costs ≤10%
+    * either way, while the old 0.5 left scan-winning regimes (1.2-1.8×
+    * at ratios 0.05-0.35) on the slow form.
     */
-  val KeywordScanCrossover: Double = 0.5
+  val KeywordScanCrossover: Double = 0.01
 
   /** Pick the batch keyword form for `keywordForm = "auto"` from the
     * index's own persisted stats: `"scan"` when the estimated index-form
@@ -662,24 +674,27 @@ object BatchRecall {
           s"no codebooks at ${pqc.path} — build the PQ index first")
         val m = codebooks.size
         val dsub = codebooks.head.head.size
-        val probeRows = q.select(col("qid"), col("qvec")).collect()
-          .flatMap { r =>
-            val qv = r.getSeq[Float](1).toArray
-            require(qv.length == m * dsub,
-              s"query dim ${qv.length} != PQ index dim ${m * dsub}")
-            // lut(j)(c) = <qvec's j-th subvector, codebook(j)(c)> — the
-            // asymmetric-distance table (Jégou et al. 2011 §III.B)
-            val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map {
-              case (book, j) => book.map { c =>
-                var dot = 0.0
-                var t = 0
-                while (t < dsub) { dot += qv(j * dsub + t) * c(t); t += 1 }
-                dot
-              }
+        val qRows = q.select(col("qid"), col("qvec")).collect()
+        val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { r =>
+          val qv = r.getSeq[Float](1).toArray
+          require(qv.length == m * dsub,
+            s"query dim ${qv.length} != PQ index dim ${m * dsub}")
+          // lut(j)(c) = <qvec's j-th subvector, codebook(j)(c)> — the
+          // asymmetric-distance table (Jégou et al. 2011 §III.B)
+          codebooks.zipWithIndex.map { case (book, j) =>
+            book.map { c =>
+              var dot = 0.0
+              var t = 0
+              while (t < dsub) { dot += qv(j * dsub + t) * c(t); t += 1 }
+              dot
             }
-            graft.operators.IvfIndex.probeCellsLocal(qz, qv, pqc.nprobe)
-              .map(cell => Row(r.get(0), cell, lut, qv.toSeq))
           }
+        }
+        val probeRows = qRows.zipWithIndex.flatMap { case (r, qidx) =>
+          graft.operators.IvfIndex
+            .probeCellsLocal(qz, r.getSeq[Float](1).toArray, pqc.nprobe)
+            .map(cell => Row(r.get(0), cell, qidx))
+        }
         // zero-query request: nothing to probe — an empty candidate
         // relation short-circuits the code scan entirely (ADVICE r17)
         if (probeRows.isEmpty)
@@ -689,14 +704,17 @@ object BatchRecall {
             StructField("channel_score", DoubleType))))
             .select(col("qid"), col("id"), col("channel_score"))
         else {
+        // the scanned row carries ONLY (qid, qidx): the per-query m × ksub
+        // tables ride as ONE literal indexed by qidx inside the codegen'd
+        // kernel (r18 — a per-row `lut` column materialized ~2 KB onto
+        // every joined row, gigabytes through the scoring stage and the
+        // per-qid cut's shuffle at 10⁶; see AdcScoreAt), and the query
+        // vector joins back AFTER the cut from a request-sized relation.
         val qcells = spark.createDataFrame(probeRows.toSeq.asJava,
           StructType(Seq(
             StructField("qid", q.schema("qid").dataType),
             StructField("cell", LongType),
-            StructField("lut", ArrayType(
-              ArrayType(DoubleType, containsNull = false),
-              containsNull = false)),
-            StructField("qvec", ArrayType(FloatType, containsNull = false)))))
+            StructField("qidx", IntegerType))))
         val allCells = probeRows.map(_.getLong(1)).distinct.toSeq
         val adc = spark.read.parquet(s"${pqc.path}/assignments")
           // literal IN before the cast — static partition pruning, the
@@ -708,10 +726,11 @@ object BatchRecall {
           // lookups + adds per row, bitwise-equal to the interpreted
           // zip_with fold it replaces (PqChannelSpec pins the swap)
           .withColumn("asim", graft.functions.VectorFunctions
-            .adcScore(col("code"), col("lut")))
+            .adcScoreAt(col("code"), col("qidx"), typedlit(luts)))
         cutPerQid(adc, Seq(desc("asim"), asc("id")),
           overfetch * math.max(pqc.refine, 1))
-          .select(col("qid"), col("id"), col("qvec"))
+          .select(col("qid"), col("id"))
+          .join(broadcast(q.select(col("qid"), col("qvec"))), Seq("qid"))
           .join(base.select(col("id"), col("embedding")), Seq("id"))
           .select(col("qid"), col("id"),
             rounded(cosineSim(col("embedding"), col("qvec")))

@@ -81,6 +81,16 @@ object VectorFunctions {
     GraftShim.column(AdcScore(
       GraftShim.expression(code), GraftShim.expression(lut)))
 
+  /** [[adcScore]] with the table selected from a LITERAL per-query LUT
+    * table by a per-row 4-byte index — the batch-channel form: the row
+    * carries `idx`, never the ~2 KB table (see AdcScoreAt's scaladoc for
+    * the measured row-width cost this avoids).
+    */
+  def adcScoreAt(code: Column, idx: Column, luts: Column): Column =
+    GraftShim.column(org.apache.spark.sql.graftshim.AdcScoreAt(
+      GraftShim.expression(code), GraftShim.expression(idx),
+      GraftShim.expression(luts)))
+
   /** Cosine similarity between a PACKED int8 vector (binary bytes +
     * per-vector scale/offset, the [[quantizeInt8]] struct flattened for
     * storage) and a float query — codegen'd, dequantizes inside the loop.

@@ -56,7 +56,10 @@ object KeywordFormProbe {
     println(f"[sweep] n=$n%,d docs x $nq queries; crossover constant = " +
       f"${BatchRecall.KeywordScanCrossover}")
     println("[sweep]  p_shared  est_ratio  auto   index_s   scan_s  winner")
-    for (pMille <- Seq(200, 350, 500, 650, 800, 1000)) {
+    val points = sys.env.get("GRAFT_SWEEP_PMILLE")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(200, 350, 500, 650, 800, 1000))
+    for (pMille <- points) {
       val mems = corpus(pMille).repartition(32).cache()
       mems.count()
       val idx = BatchRecall.buildIndex(mems).cache().materialize()

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType}
 
@@ -157,6 +157,43 @@ object AdcScore {
     }
     acc
   }
+}
+
+/** [[AdcScore]] with the lookup table selected from a LITERAL table of
+  * per-query LUTs by a per-row index: Σ_j luts(idx)(j)(code(j)).
+  *
+  * Why a third argument instead of a `lut` column: the batch PQ channel
+  * joins each scanned code row with its query's probe row, and a
+  * per-row `lut` COLUMN materializes the m × ksub double table
+  * (~2 KB) onto every joined row — at 10⁶ rows × nprobe cells that is
+  * gigabytes through the scoring stage and the per-qid cut's shuffle,
+  * and it dominated the channel's serving cost (IvfServeScaleProbe r18:
+  * pq_n4 393 ms/q vs brute 278 with the row-carried table). As a
+  * literal, the full nq × m × ksub table is ONE object per task; the
+  * row carries a 4-byte index.
+  */
+case class AdcScoreAt(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.IntegerType,
+      ArrayType(ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score_at"
+
+  override def nullSafeEval(c: Any, i: Any, ls: Any): Any =
+    AdcScore.compute(c.asInstanceOf[ArrayData],
+      ls.asInstanceOf[ArrayData].getArray(i.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, i, ls) =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.AdcScore.compute(" +
+        s"$c, $ls.getArray($i));")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 object Int8CosineSimilarity {
