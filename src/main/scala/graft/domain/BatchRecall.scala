@@ -727,10 +727,16 @@ object BatchRecall {
           // zip_with fold it replaces (PqChannelSpec pins the swap)
           .withColumn("asim", graft.functions.VectorFunctions
             .adcScoreAt(col("code"), col("qidx"), typedlit(luts)))
+        // the refine candidate set is BOUNDED by construction
+        // (≤ overfetch · refine · |queries| rows — parameters, not data),
+        // so broadcasting it is safe at any corpus size and the exact
+        // refine streams the cached base instead of shuffling it into a
+        // sort-merge join (the one unbounded relation in this branch)
         cutPerQid(adc, Seq(desc("asim"), asc("id")),
           overfetch * math.max(pqc.refine, 1))
           .select(col("qid"), col("id"))
           .join(broadcast(q.select(col("qid"), col("qvec"))), Seq("qid"))
+          .hint("broadcast")
           .join(base.select(col("id"), col("embedding")), Seq("id"))
           .select(col("qid"), col("id"),
             rounded(cosineSim(col("embedding"), col("qvec")))
