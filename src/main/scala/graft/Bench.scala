@@ -30,6 +30,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_BENCH_MODE=serving (r19, VERDICT r18 item 2): run ONLY
+    // the serving anchors + canaries on an otherwise-idle JVM/box and
+    // print a single `{"metric":"serving_anchor",...}` line. Every prior
+    // warm-serving pin was taken minutes after heavy work (the oracle
+    // suite here, a 40-min test suite in the judge's run) — this mode
+    // exists to pin the quiet-box anchor the adj-lcu band is defined
+    // against. The measurement code is the SAME serving block the full
+    // bench runs (one definition, two entry conditions).
+    val servingOnly =
+      sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("serving")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,8 +61,10 @@ object Bench {
     // measures QUERY latency against the index. The build cost is recorded
     // as load_phase_secs (near-zero when a prior run's index is fresh).
     val loadT0 = System.nanoTime()
-    try operators.Similarity.ivfTopKAll(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    if (!servingOnly) {
+      try operators.Similarity.ivfTopKAll(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val loadSecs = (System.nanoTime() - loadT0) / 1e9
 
     // Reduced-nprobe IVF rows (VERDICT r7 item 7, r9 item 5): fp32 vs int8,
@@ -71,7 +83,7 @@ object Bench {
       ivfTmpDirs += d
       d
     }
-    val ivfReduced: Map[String, Double] = try {
+    val ivfReduced: Map[String, Double] = if (servingOnly) Map.empty else try {
       val docVecs = tools.ClusteredVectors.fromDocuments(spark, sfDir)
       val tmpF = ivfTmp("bench-ivf-f32")
       val tmpQ = ivfTmp("bench-ivf-q8")
@@ -270,7 +282,8 @@ object Bench {
     // blocks, so a heavy query's debris does not inflate its successors.
     // Measured: q_sim_topk 1.43 s inside the accumulated-state bench vs
     // 0.48 s isolated before this; the two now agree.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = (if (servingOnly) Seq.empty
+                 else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
       val cold = timeOnce(fn)
@@ -278,9 +291,11 @@ object Bench {
       name -> (cold, warm)
     }
     // Warm single-recall latency: best of 3 further runs, in milliseconds.
-    val singleRecallMs = SparkEntry.queries.get("q_recall_pipeline")
-      .map(fn => (1 to 3).map(_ => timeOnceOr(fn)).min * 1000.0)
-      .getOrElse(-1.0)
+    val singleRecallMs =
+      if (servingOnly) -1.0
+      else SparkEntry.queries.get("q_recall_pipeline")
+        .map(fn => (1 to 3).map(_ => timeOnceOr(fn)).min * 1000.0)
+        .getOrElse(-1.0)
     // Same measurement AT THE ANCHOR'S OWN CORPUS SIZE: the reference's
     // only latency anchor is 189-204 ms per recall on a 10k-memory corpus
     // (`benchmarks/EXPERIMENT_LOG.md:126`); the sf-dir figure above mixes
@@ -307,7 +322,8 @@ object Bench {
     // the optimizer and executes afresh.
     val (singleRecall10kAdhocRuns, singleRecall10kPrepareMs,
         singleRecall10kRuns, singleRecall10kReplanRuns,
-        singleRecallFastPath, servingGapCanaries, servingAdjLcuRuns) = {
+        singleRecallFastPath, servingGapCanaries, servingAdjLcuRuns,
+        adhocAdjLcuRuns) = {
       // a 10k-row corpus does not want 32 cache partitions: every scan
       // stage would pay 32 task launches for ~300 rows each. ONE partition
       // measured fastest end-to-end at this corpus size (r13 A/B via
@@ -340,7 +356,17 @@ object Bench {
         // median self-adjudicates one noisy run in either direction. The
         // raw samples ride out of this block so the artifact publishes
         // their spread next to the median (r17, VERDICT r16 item 3).
-        val adhocRuns = (1 to 3).map(_ => adhocOnce(qs.head) * 1000.0)
+        // Each adhoc sample carries its OWN adjacent canary since r19
+        // (VERDICT r18 item 7): the code-frozen adhoc validator's
+        // block-adjacent lcu envelope drifted to 7.2-11.2 across r18's
+        // three box states — same per-sample normalization as the warm
+        // path, so the validator adjudicates again.
+        val adhocTriples = (1 to 3).map { _ =>
+          val c = latencyCanary(3, 11)
+          (adhocOnce(qs.head) * 1000.0, c)
+        }
+        val adhocRuns = adhocTriples.map(_._1)
+        val adhocAdj = adhocTriples.map(t => t._1 / t._2)
         val tPrep = System.nanoTime()
         val prepared = new domain.PreparedRecall(memories, spark.emptyDataFrame,
           limit = 10, now = tools.LabCorpus.Now, vocabParallelism = 4)
@@ -393,7 +419,7 @@ object Bench {
         val fastOn = prepared.fastPathEnabled
         prepared.close()
         (adhocRuns, prepMs, servedRuns, replanRuns, fastOn, gapCanaries,
-          adjLcuRuns)
+          adjLcuRuns, adhocAdj)
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
@@ -418,7 +444,8 @@ object Bench {
     // I/O metric that scales: the 30-day window reads ~2 of ~5 month
     // partitions. At 100 TB (>= ~100k rows/day) the same writer picks day
     // granularity and the window prunes ~30 of ~365 partitions.
-    val (windowFlatMs, windowLayoutMs, partsScanned, partsTotal, layoutGran) = {
+    val (windowFlatMs, windowLayoutMs, partsScanned, partsTotal, layoutGran) =
+      if (servingOnly) (-1.0, -1.0, 0, 0, "skipped") else {
       val mem = tools.LabCorpus.corpus(spark)
       val tmp = java.nio.file.Files.createTempDirectory("bench-layout")
       mem.write.mode("overwrite").parquet(s"$tmp/flat")
@@ -500,6 +527,18 @@ object Bench {
     // the interleaved per-sample normalization — the PRIMARY band metric
     // since r18 (each serving sample divided by ITS OWN adjacent canary)
     val singleRecall10kWarmLcuAdj = medianOf(servingAdjLcuRuns)
+    // same normalization for the code-frozen adhoc validator (r19,
+    // VERDICT r18 item 7) — the old block-adjacent `_lcu` stays published
+    // for series continuity but the adj series is the adjudicating one
+    val singleRecall10kAdhocLcuAdj = medianOf(adhocAdjLcuRuns)
+
+    if (servingOnly) {
+      // Quiet-box serving pin: one line, the adjudicable serving fields
+      // only (same names as the full-bench records so tooling diffs work).
+      println(s"""{"metric":"serving_anchor","canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_warm_lcu_adj":$singleRecall10kWarmLcuAdj,"latency_canary_gap_spread":${spreadJson(servingGapCanaries)},"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_warm_spread":${spreadJson(singleRecall10kRuns)},"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_replan_spread":${spreadJson(singleRecall10kReplanRuns)},"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_10k_adhoc_lcu_adj":$singleRecall10kAdhocLcuAdj,"single_recall_10k_adhoc_spread":${spreadJson(singleRecall10kAdhocRuns)},"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
 
     def jsonMap(m: Iterable[(String, Double)]): String =
       // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
@@ -526,7 +565,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalWarm = timed.collect { case (_, (_, Right(w))) => w }.sum
     val totalCold = timed.collect { case (_, (Right(c), _)) => c }.sum
-    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu_adj":$singleRecall10kWarmLcuAdj,"latency_canary_gap_spread":${spreadJson(servingGapCanaries)},"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"batch_recall_spread":${spreadJson(batchRecallRuns)},"single_recall_10k_warm_spread":${spreadJson(singleRecall10kRuns)},"single_recall_10k_replan_spread":${spreadJson(singleRecall10kReplanRuns)},"single_recall_10k_adhoc_spread":${spreadJson(singleRecall10kAdhocRuns)},"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":$totalWarm,"unit":"sec","total_cold":$totalCold,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_lcu_adj":$singleRecall10kWarmLcuAdj,"latency_canary_gap_spread":${spreadJson(servingGapCanaries)},"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_10k_adhoc_lcu_adj":$singleRecall10kAdhocLcuAdj,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"batch_recall_spread":${spreadJson(batchRecallRuns)},"single_recall_10k_warm_spread":${spreadJson(singleRecall10kRuns)},"single_recall_10k_replan_spread":${spreadJson(singleRecall10kReplanRuns)},"single_recall_10k_adhoc_spread":${spreadJson(singleRecall10kAdhocRuns)},"load_phase_secs":$loadSecs,"ivf_reduced":${jsonMap(ivfReduced)},"single_recall_warm_ms":$singleRecallMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_fast_path":$singleRecallFastPath,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"recall_window_flat_ms":$windowFlatMs,"recall_window_layout_ms":$windowLayoutMs,"layout_granularity":"$layoutGran","layout_parts_scanned":$partsScanned,"layout_parts_total":$partsTotal,"queries":$warmQs,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     // LoCoMo-mini retrieval-quality anchor (r15, VERDICT r14 item 7): the
     // per-category recall@5/MRR of the 174-question fixture plus the
     // adversarial abstention ceiling / answerable floor, restated in the
@@ -621,6 +660,33 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         s""""longmemeval_mini":{"error":${jsonStr(e.toString.take(120))}}"""
     }
+    // 500-question LongMemEval tier in the artifact (r19, VERDICT r18
+    // item 6): the reference-full-shaped tier exists and is spec-pinned
+    // (LongMemEvalFullSpec); emitting its accuracy/recall@5 next to the
+    // reference's 87.00/97.00 makes cross-round drift in the FULL shape
+    // artifact-visible, not just spec-visible. Cost: one extra ~3-7 min
+    // scoring pass (500 questions, per-question driver planning) AFTER
+    // every latency pin is already taken — it inflates bench wall-clock,
+    // never a published metric. SPARK_GRAFT_SKIP_FULL500=1 opts out.
+    val lmeFullJson =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_FULL500"))
+        s""""longmemeval_full500":{"skipped":true}"""
+      else try {
+        val rep = graft.tools.LongMemEvalFull.report500(spark)
+        def m(mm: Map[String, Double]): String =
+          mm.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+            .mkString("{", ",", "}")
+        s""""longmemeval_full500":{"n_questions":${rep.nQuestions},""" +
+          s""""accuracy_pct":${rep.accuracyPct},"recall5":${m(rep.recall5)},""" +
+          s""""mrr":${m(rep.mrr)},"abstention_ceiling":${rep.abstentionCeiling},""" +
+          s""""answerable_floor":${rep.answerableFloor},""" +
+          s""""abstention_separated":${rep.separated},""" +
+          s""""reference_full_pct":87.00,""" +
+          s""""reference_full_recall5_pct":97.00}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          s""""longmemeval_full500":{"error":${jsonStr(e.toString.take(120))}}"""
+      }
     // Compact headline record, printed LAST (VERDICT r12 item 2): the
     // driver's bench artifact keeps only the tail of stdout, and the full
     // record above is one ~8 KB line whose leading headline fields
@@ -632,7 +698,7 @@ object Bench {
     val top5Slowest = jsonMap(timed
       .collect { case (k, (_, Right(w))) => k -> w }
       .toSeq.sortBy(-_._2).take(5))
-    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},$locomoJson,$lmeJson,"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu_adj":$singleRecall10kWarmLcuAdj,"latency_canary_gap_spread":${spreadJson(servingGapCanaries)},"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"batch_recall_spread":${spreadJson(batchRecallRuns)},"single_recall_10k_warm_spread":${spreadJson(singleRecall10kRuns)},"single_recall_10k_replan_spread":${spreadJson(singleRecall10kReplanRuns)},"single_recall_10k_adhoc_spread":${spreadJson(singleRecall10kAdhocRuns)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","total_warm":$totalWarm,"n_queries":${timed.size},$locomoJson,$lmeJson,$lmeFullJson,"top5_slowest":$top5Slowest,"errors":$errors,"canary_ms":$canaryMs,"latency_canary_ms":$latencyCanaryMs,"latency_canary_start_ms":$latencyCanaryStartMs,"single_recall_10k_warm_ms":$singleRecall10kMs,"single_recall_10k_replan_ms":$singleRecall10kReplanMs,"single_recall_10k_adhoc_ms":$singleRecall10kAdhocMs,"single_recall_10k_prepare_ms":$singleRecall10kPrepareMs,"single_recall_10k_warm_lcu_adj":$singleRecall10kWarmLcuAdj,"latency_canary_gap_spread":${spreadJson(servingGapCanaries)},"single_recall_10k_warm_lcu":${lcu(singleRecall10kMs)},"single_recall_10k_replan_lcu":${lcu(singleRecall10kReplanMs)},"single_recall_10k_adhoc_lcu":${lcu(singleRecall10kAdhocMs)},"single_recall_10k_adhoc_lcu_adj":$singleRecall10kAdhocLcuAdj,"single_recall_fast_path":$singleRecallFastPath,"batch_recall_ms_per_q":$batchRecallMsPerQ,"batch_recall_ms_per_q_lcu":${lcu(batchRecallMsPerQ)},"batch_recall_q1_units":$batchRecallQ1Units,"single_recall_10k_q1_units":$singleRecall10kQ1Units,"batch_recall_spread":${spreadJson(batchRecallRuns)},"single_recall_10k_warm_spread":${spreadJson(singleRecall10kRuns)},"single_recall_10k_replan_spread":${spreadJson(singleRecall10kReplanRuns)},"single_recall_10k_adhoc_spread":${spreadJson(singleRecall10kAdhocRuns)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -447,6 +447,17 @@ object BatchRecall {
     */
   final case class PqChannel(path: String, nprobe: Int, refine: Int = 4)
 
+  /** Ceiling on the per-plan ADC LUT literal (see the chunk guard in
+    * [[batchRecall]]'s PQ branch): query batches whose nq · m · ksub · 8
+    * bytes exceed this are split into bounded sub-batches whose channel
+    * outputs union — bitwise-invisible (the channel is per-qid) but it
+    * keeps task binaries and the per-chunk refine broadcast a few MB at
+    * ANY batch size. Var (not val) only so the spec can exercise the
+    * chunked path at test scale without a 2,000-query fixture being the
+    * minimum.
+    */
+  @volatile var PqLutChunkBytes: Long = 4L << 20
+
   /** Build the PQ twin of [[buildVectorIndex]]: the recall base projected
     * to (id, vec_id, embedding) — `vec_id` is the deterministic numeric
     * surrogate the sub-codebook k-means seeds from — encoded and
@@ -514,11 +525,20 @@ object BatchRecall {
     */
   def ivfCandidateRows(spark: org.apache.spark.sql.SparkSession,
       iv: IvfChannel, qz: graft.operators.IvfIndex.Quantizer, qid: Any,
-      qvec: Array[Float], overfetch: Int, roundScores: Boolean)
+      qvec: Array[Float], overfetch: Int, roundScores: Boolean,
+      assignments: Option[DataFrame] = None)
       : Seq[org.apache.spark.sql.Row] = {
     val cells = graft.operators.IvfIndex.probeCellsLocal(qz, qvec, iv.nprobe)
     val score = cosineSim(col("embedding"), typedlit(qvec))
-    spark.read.parquet(s"${iv.path}/assignments")
+    // `assignments`: the resolved index relation, held by the serving
+    // handle next to the quantizer (r19, VERDICT r18 item 4) — re-reading
+    // per call re-lists files and re-reads footers, a real per-request
+    // RPC fan-out against a 100 TB cell-partitioned index. The per-call
+    // cell `isin` filter below still prunes partitions statically either
+    // way. Freshness contract: like the quantizer, the relation snapshots
+    // the index at handle build — a rebuilt index requires a new handle
+    // (the IvfIndex variant-tag cache precedent).
+    assignments.getOrElse(spark.read.parquet(s"${iv.path}/assignments"))
       .filter(col("cell").isin(cells: _*))
       .select(col("id"),
         (if (roundScores) graft.functions.round4(score) else score)
@@ -553,7 +573,8 @@ object BatchRecall {
   def pqCandidateRows(spark: org.apache.spark.sql.SparkSession,
       pqc: PqChannel, qz: graft.operators.IvfIndex.Quantizer,
       codebooks: Seq[Seq[Seq[Double]]], live: DataFrame, qid: Any,
-      qvec: Array[Float], overfetch: Int, roundScores: Boolean)
+      qvec: Array[Float], overfetch: Int, roundScores: Boolean,
+      assignments: Option[DataFrame] = None)
       : Seq[org.apache.spark.sql.Row] = {
     require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
       codebooks.head.head.nonEmpty,
@@ -576,7 +597,11 @@ object BatchRecall {
         dot
       }
     }
-    val candidateIds = spark.read.parquet(s"${pqc.path}/assignments")
+    // resolved-once relation from the handle when supplied (see
+    // ivfCandidateRows — same per-call listing-RPC rationale, same
+    // rebuild-requires-new-handle freshness contract)
+    val candidateIds = assignments
+      .getOrElse(spark.read.parquet(s"${pqc.path}/assignments"))
       .filter(col("cell").isin(cells: _*))
       .withColumn("asim", graft.functions.VectorFunctions
         .adcScore(col("code"), typedlit(lut)))
@@ -674,74 +699,98 @@ object BatchRecall {
           s"no codebooks at ${pqc.path} — build the PQ index first")
         val m = codebooks.size
         val dsub = codebooks.head.head.size
+        val ksub = codebooks.head.size
         val qRows = q.select(col("qid"), col("qvec")).collect()
-        val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { r =>
-          val qv = r.getSeq[Float](1).toArray
-          require(qv.length == m * dsub,
-            s"query dim ${qv.length} != PQ index dim ${m * dsub}")
-          // lut(j)(c) = <qvec's j-th subvector, codebook(j)(c)> — the
-          // asymmetric-distance table (Jégou et al. 2011 §III.B)
-          codebooks.zipWithIndex.map { case (book, j) =>
-            book.map { c =>
-              var dot = 0.0
-              var t = 0
-              while (t < dsub) { dot += qv(j * dsub + t) * c(t); t += 1 }
-              dot
-            }
-          }
-        }
-        val probeRows = qRows.zipWithIndex.flatMap { case (r, qidx) =>
-          graft.operators.IvfIndex
-            .probeCellsLocal(qz, r.getSeq[Float](1).toArray, pqc.nprobe)
-            .map(cell => Row(r.get(0), cell, qidx))
-        }
-        // zero-query request: nothing to probe — an empty candidate
-        // relation short-circuits the code scan entirely (ADVICE r17)
-        if (probeRows.isEmpty)
-          spark.createDataFrame(Seq.empty[Row].asJava, StructType(Seq(
+        val emptyCand = spark.createDataFrame(Seq.empty[Row].asJava,
+          StructType(Seq(
             StructField("qid", q.schema("qid").dataType),
             StructField("id", base.schema("id").dataType),
             StructField("channel_score", DoubleType))))
-            .select(col("qid"), col("id"), col("channel_score"))
-        else {
-        // the scanned row carries ONLY (qid, qidx): the per-query m × ksub
-        // tables ride as ONE literal indexed by qidx inside the codegen'd
-        // kernel (r18 — a per-row `lut` column materialized ~2 KB onto
-        // every joined row, gigabytes through the scoring stage and the
-        // per-qid cut's shuffle at 10⁶; see AdcScoreAt), and the query
-        // vector joins back AFTER the cut from a request-sized relation.
-        val qcells = spark.createDataFrame(probeRows.toSeq.asJava,
-          StructType(Seq(
-            StructField("qid", q.schema("qid").dataType),
-            StructField("cell", LongType),
-            StructField("qidx", IntegerType))))
-        val allCells = probeRows.map(_.getLong(1)).distinct.toSeq
-        val adc = spark.read.parquet(s"${pqc.path}/assignments")
-          // literal IN before the cast — static partition pruning, the
-          // IvfChannel doctrine
-          .filter(col("cell").isin(allCells: _*))
-          .select(col("cell").cast("long").as("cell"), col("id"), col("code"))
-          .join(broadcast(qcells), Seq("cell"))
-          // codegen'd ADC kernel (r18, VERDICT r17 item 2) — m array
-          // lookups + adds per row, bitwise-equal to the interpreted
-          // zip_with fold it replaces (PqChannelSpec pins the swap)
-          .withColumn("asim", graft.functions.VectorFunctions
-            .adcScoreAt(col("code"), col("qidx"), typedlit(luts)))
-        // the refine candidate set is BOUNDED by construction
-        // (≤ overfetch · refine · |queries| rows — parameters, not data),
-        // so broadcasting it is safe at any corpus size and the exact
-        // refine streams the cached base instead of shuffling it into a
-        // sort-merge join (the one unbounded relation in this branch)
-        cutPerQid(adc, Seq(desc("asim"), asc("id")),
-          overfetch * math.max(pqc.refine, 1))
-          .select(col("qid"), col("id"))
-          .join(broadcast(q.select(col("qid"), col("qvec"))), Seq("qid"))
-          .hint("broadcast")
-          .join(base.select(col("id"), col("embedding")), Seq("id"))
-          .select(col("qid"), col("id"),
-            rounded(cosineSim(col("embedding"), col("qvec")))
-              .as("channel_score"))
+          .select(col("qid"), col("id"), col("channel_score"))
+        // one chunk's candidate pipeline: everything downstream of the
+        // ADC cut is per-qid, so chunking the query batch is semantically
+        // invisible (PqChannelSpec pins a chunked batch bitwise-equal to
+        // the single-chunk form)
+        def pqChunk(chunk: Array[Row]): DataFrame = {
+          val luts: Seq[Seq[Seq[Double]]] = chunk.toSeq.map { r =>
+            val qv = r.getSeq[Float](1).toArray
+            require(qv.length == m * dsub,
+              s"query dim ${qv.length} != PQ index dim ${m * dsub}")
+            // lut(j)(c) = <qvec's j-th subvector, codebook(j)(c)> — the
+            // asymmetric-distance table (Jégou et al. 2011 §III.B)
+            codebooks.zipWithIndex.map { case (book, j) =>
+              book.map { c =>
+                var dot = 0.0
+                var t = 0
+                while (t < dsub) { dot += qv(j * dsub + t) * c(t); t += 1 }
+                dot
+              }
+            }
+          }
+          val probeRows = chunk.zipWithIndex.flatMap { case (r, qidx) =>
+            graft.operators.IvfIndex
+              .probeCellsLocal(qz, r.getSeq[Float](1).toArray, pqc.nprobe)
+              .map(cell => Row(r.get(0), cell, qidx))
+          }
+          // zero-query request: nothing to probe — an empty candidate
+          // relation short-circuits the code scan entirely (ADVICE r17)
+          if (probeRows.isEmpty) emptyCand
+          else {
+          // the scanned row carries ONLY (qid, qidx): the per-query
+          // m × ksub tables ride as ONE literal indexed by qidx inside
+          // the codegen'd kernel (r18 — a per-row `lut` column
+          // materialized ~2 KB onto every joined row, gigabytes through
+          // the scoring stage and the per-qid cut's shuffle at 10⁶; see
+          // AdcScoreAt), and the query vector joins back AFTER the cut
+          // from a request-sized relation.
+          val qcells = spark.createDataFrame(probeRows.toSeq.asJava,
+            StructType(Seq(
+              StructField("qid", q.schema("qid").dataType),
+              StructField("cell", LongType),
+              StructField("qidx", IntegerType))))
+          val allCells = probeRows.map(_.getLong(1)).distinct.toSeq
+          val adc = spark.read.parquet(s"${pqc.path}/assignments")
+            // literal IN before the cast — static partition pruning, the
+            // IvfChannel doctrine
+            .filter(col("cell").isin(allCells: _*))
+            .select(col("cell").cast("long").as("cell"), col("id"),
+              col("code"))
+            .join(broadcast(qcells), Seq("cell"))
+            // codegen'd ADC kernel (r18, VERDICT r17 item 2) — m array
+            // lookups + adds per row, bitwise-equal to the interpreted
+            // zip_with fold it replaces (PqChannelSpec pins the swap)
+            .withColumn("asim", graft.functions.VectorFunctions
+              .adcScoreAt(col("code"), col("qidx"), typedlit(luts)))
+          // the refine candidate set is bounded PER QUERY by parameters
+          // (≤ overfetch · refine rows each); the broadcast total scales
+          // with the batch's query count — which the LUT chunk guard
+          // below also bounds (≤ PqLutChunkBytes of queries per plan), so
+          // one chunk's broadcast stays a few MB at any corpus size and
+          // the exact refine streams the cached base instead of shuffling
+          // it into a sort-merge join (the one unbounded relation here)
+          cutPerQid(adc, Seq(desc("asim"), asc("id")),
+            overfetch * math.max(pqc.refine, 1))
+            .select(col("qid"), col("id"))
+            .join(broadcast(q.select(col("qid"), col("qvec"))), Seq("qid"))
+            .hint("broadcast")
+            .join(base.select(col("id"), col("embedding")), Seq("id"))
+            .select(col("qid"), col("id"),
+              rounded(cosineSim(col("embedding"), col("qvec")))
+                .as("channel_score"))
+          }
         }
+        // LUT-literal growth guard (r19, VERDICT r18 wrong-item 1): the
+        // per-plan literal is nq · m · ksub doubles — ~2 KB/query at the
+        // bench point, fine at nq=100, but a 10⁴-query batch would embed
+        // ~20 MB into every serialized task binary. Chunk the query batch
+        // so each plan's literal stays under PqLutChunkBytes and union
+        // the per-chunk outputs (a per-qid channel is chunk-invariant).
+        val perQueryBytes = math.max(1L, m.toLong * ksub * 8L)
+        val chunkQueries = math.max(1L,
+          PqLutChunkBytes / perQueryBytes).toInt
+        if (qRows.length <= chunkQueries) pqChunk(qRows)
+        else qRows.grouped(chunkQueries).map(pqChunk)
+          .reduce(_ union _)
       case (None, Some(iv), _) =>
         import scala.jdk.CollectionConverters._
         import org.apache.spark.sql.Row

@@ -68,9 +68,18 @@ class PreparedRecall(
   // not — and at the index scale that justifies an IVF channel, the
   // candidate scan it eliminates dominates the ~100 ms replan constant.
   // ---------------------------------------------------------------------
-  private val ivfState: Option[
-      (BatchRecall.IvfChannel, graft.operators.IvfIndex.Quantizer)] =
-    ivf.map(iv => (iv, graft.operators.IvfIndex.loadQuantizer(spark, iv.path)))
+  // The resolved assignments relation rides in the handle next to the
+  // quantizer (r19, VERDICT r18 item 4): `spark.read.parquet` lists files
+  // and reads footers EAGERLY at this call — doing it per request was a
+  // per-call listing-RPC fan-out that a 100 TB cell-partitioned index
+  // turns into real serving latency. The per-call cell `isin` filter
+  // still prunes partitions statically. Freshness: the relation (like
+  // the quantizer and codebooks) snapshots the index at handle build —
+  // serving a REBUILT index requires a new handle.
+  private val ivfState: Option[(BatchRecall.IvfChannel,
+      graft.operators.IvfIndex.Quantizer, DataFrame)] =
+    ivf.map(iv => (iv, graft.operators.IvfIndex.loadQuantizer(spark, iv.path),
+      spark.read.parquet(s"${iv.path}/assignments")))
 
   // PQ twin (r18, VERDICT r17 item 1): same planted-candidate contract as
   // ivfState — the quantizer AND the codebooks are bounded parameters
@@ -79,9 +88,10 @@ class PreparedRecall(
   // (BatchRecall.pqCandidateRows) instead of any fp32 corpus scan, exact-
   // refining only overfetch·refine rows against the cached recall base.
   private val pqState: Option[(BatchRecall.PqChannel,
-      graft.operators.IvfIndex.Quantizer, Seq[Seq[Seq[Double]]])] =
+      graft.operators.IvfIndex.Quantizer, Seq[Seq[Seq[Double]]], DataFrame)] =
     pq.map(p => (p, graft.operators.IvfIndex.loadQuantizer(spark, p.path),
-      graft.operators.PqIndex.readCodebooks(spark, p.path)))
+      graft.operators.PqIndex.readCodebooks(spark, p.path),
+      spark.read.parquet(s"${p.path}/assignments")))
 
   /** Either planted-candidate mode — the template consumes a per-call
     * candidate relation instead of the corpus × query cosine scan.
@@ -101,12 +111,12 @@ class PreparedRecall(
     import org.apache.spark.sql.types._
     val qv = qvec.getOrElse(PlaceholderEmbedding.embed(query))
     val rows = (ivfState, pqState) match {
-      case (Some((iv, qz)), _) =>
+      case (Some((iv, qz, asg)), _) =>
         BatchRecall.ivfCandidateRows(spark, iv, qz, 0, qv,
-          overfetch, roundScores)
-      case (_, Some((p, qz, books))) =>
+          overfetch, roundScores, assignments = Some(asg))
+      case (_, Some((p, qz, books, asg))) =>
         BatchRecall.pqCandidateRows(spark, p, qz, books, index.base, 0, qv,
-          overfetch, roundScores)
+          overfetch, roundScores, assignments = Some(asg))
       case _ => throw new IllegalStateException("no candidate channel")
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(

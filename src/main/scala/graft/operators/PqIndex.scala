@@ -376,12 +376,47 @@ object PqIndex {
     require(exists(spark, path), s"no completed PQ index at $path — build()")
     val cellBits = storedCellBits(spark, path)
     val codebooks = readCodebooks(spark, path)
-    encode(inIndexSpace(vectors, path), codebooks)
+    val encoded = encode(inIndexSpace(vectors, path), codebooks)
       .withColumn("cell", signBucket(col("embedding"), cellBits))
       .drop("embedding")
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/assignments")
+      .persist()
+    try {
+      encoded.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$path/assignments")
+      // advisory refresh (r19, ADVICE r18): build() computes the
+      // cross-cell code-sharing advisory once, but a DRIFTED appended
+      // batch is exactly where new sharing appears — leaving the marker
+      // stale until the next rebuild weakens the "breadcrumb an operator
+      // finds first" contract. Any collision introduced by this append
+      // involves at least one batch row, hence one of the batch's
+      // distinct full codes — so the check is a broadcast semi-join of
+      // those (bounded, O(batch)) codes against the table's two narrow
+      // (code, cell) columns, never the full-width relation. The marker
+      // is UPDATED on a hit and left alone on zero: absence of
+      // batch-involved collisions says nothing about pre-existing ones
+      // (build()/rebuildIndex() own the clear).
+      val batchCodes = encoded.select(col("code")).distinct()
+      val newCollided = spark.read.parquet(s"$path/assignments")
+        .select(col("code"), col("cell"))
+        .join(broadcast(batchCodes), Seq("code"))
+        .groupBy(col("code"))
+        .agg(countDistinct(col("cell")).as("ncells"))
+        .filter(col("ncells") > 1)
+        .count()
+      if (newCollided > 0) {
+        val m = codebooks.size
+        val ksub = codebooks.head.size
+        IvfIndex.writeSmallFile(spark, s"$path/CODE_COLLISION_ADVISORY",
+          s"codes_spanning_multiple_cells=$newCollided ksub=$ksub m=$m " +
+            "source=append")
+        Console.err.println(s"[PqIndex] WARNING: after append, " +
+          s"$newCollided full code(s) involving this batch span multiple " +
+          s"coarse cells at ksub=$ksub — distinct vector patterns collide " +
+          "onto one code; consider rebuilding with a larger ksub " +
+          "(see CODE_COLLISION_ADVISORY)")
+      }
+    } finally encoded.unpersist()
   }
 
   /** OFFLINE rebuild of a drift-tripped PQ index: re-train codebooks (and

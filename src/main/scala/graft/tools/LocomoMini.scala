@@ -782,10 +782,19 @@ object LocomoMini {
     * (+ enrichment-style entity:people:<slug> tags for named third
     * parties), dialog-id + session-datetime metadata, importance 0.5.
     */
-  def memories(spark: SparkSession): DataFrame = {
+  def memories(spark: SparkSession): DataFrame =
+    memoriesFor(spark, turns, (c, s) => SessionStart((c, s)))
+
+  /** [[memories]] over an arbitrary turn set + session-start function — the
+    * seam the full-shaped tier ([[LocomoFull]]) ingests through so both
+    * tiers share one ingest shape (the [[LongMemEvalMini.memoriesFor]]
+    * precedent).
+    */
+  def memoriesFor(spark: SparkSession, turns: Seq[Turn],
+      sessionStart: (Int, Int) => Timestamp): DataFrame = {
     import spark.implicits._
     val rows = turns.map { u =>
-      val start = SessionStart((u.conv, u.session))
+      val start = sessionStart(u.conv, u.session)
       val ts = new Timestamp(start.getTime + u.idx * 60000L)
       val tags = Seq("locomo-test", s"conversation:conv-${u.conv}",
         s"session:${u.session}", s"speaker:${u.speaker.toLowerCase}") ++
@@ -919,19 +928,28 @@ object LocomoMini {
   def scoredRankings(spark: SparkSession): Map[Int, Seq[(String, Double)]] = {
     val mem = memories(spark).cache()
     mem.count()
-    val es = edges(spark)
+    try scoredRankingsOver(spark, mem, edges(spark), questions)
+    finally mem.unpersist()
+  }
+
+  /** [[scoredRankings]] over an arbitrary cached corpus + question set —
+    * the seam [[LocomoFull]] scores through, so metric inputs share one
+    * definition across tiers. Session tuning (AQE off, 4 shuffle
+    * partitions) is applied around the loop exactly as the mini tier does.
+    */
+  def scoredRankingsOver(spark: SparkSession, mem: DataFrame, es: DataFrame,
+      qs: Seq[Question]): Map[Int, Seq[(String, Double)]] = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      questions.zipWithIndex.map { case (q, i) =>
+      qs.zipWithIndex.map { case (q, i) =>
         i -> answerScored(mem, es, q)
       }.toMap
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      mem.unpersist()
     }
   }
 }

@@ -152,7 +152,19 @@ object AdcScore {
     var acc = 0.0
     var j = 0
     while (j < m) {
-      acc += lut.getArray(j).getDouble(code.getInt(j))
+      val sub = lut.getArray(j)
+      val c = code.getInt(j)
+      // named failure on a corrupt/oversized code (ADVICE r18): the
+      // replaced non-ANSI element_at returned NULL here (nulling the
+      // sum), while UnsafeArrayData.getDouble on an out-of-range index
+      // reads out of bounds and yields a silently GARBAGE ranking —
+      // worse than any crash. ksub is small (16-64), so the two bounds
+      // compares are noise next to the lookup itself.
+      if (c < 0 || c >= sub.numElements())
+        throw new IllegalArgumentException(
+          s"adc_score: code[$j] = $c out of range for its " +
+            s"${sub.numElements()}-entry LUT — corrupt PQ code data")
+      acc += sub.getDouble(c)
       j += 1
     }
     acc

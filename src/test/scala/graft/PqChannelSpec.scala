@@ -75,6 +75,39 @@ class PqChannelSpec extends AnyFunSuite {
         s"${pq.length} vs ${brute.length} rows")
   }
 
+  test("LUT chunk guard (r19, VERDICT r18 finding 1): a 2,000-query batch " +
+    "chunks the ADC literal and is bitwise the unchunked form") {
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_batch_chunk").toString
+    BatchRecall.buildPqVectorIndex(memories, path, m = 8, ksub = 16)
+    import spark.implicits._
+    // 2,000 queries x (m=8, ksub=16) = ~2 MB of LUT doubles: under the
+    // 4 MB default (single chunk) but 8 chunks at a 256 KB ceiling — the
+    // guard must be invisible in the results either way
+    val qs = (0 until 2000).map(i =>
+      (i, "clustered corpus row", jitter(i % K, 900 + i, 0.05).toSeq))
+      .toDF("qid", "query", "qvec")
+    val pqc = Some(BatchRecall.PqChannel(path, nprobe = 64, refine = 8))
+    def run(): Array[String] = BatchRecall
+      .batchRecall(memories, spark.emptyDataFrame, qs, limit = 5, now = now,
+        pq = pqc)
+      .collect().map(_.toString).sorted
+    val prior = BatchRecall.PqLutChunkBytes
+    val unchunked = try {
+      BatchRecall.PqLutChunkBytes = 1L << 30
+      run()
+    } finally BatchRecall.PqLutChunkBytes = prior
+    val chunked = try {
+      BatchRecall.PqLutChunkBytes = 256L << 10
+      run()
+    } finally BatchRecall.PqLutChunkBytes = prior
+    assert(unchunked.nonEmpty, "2,000-query batch must produce rows")
+    assert(chunked.length == unchunked.length &&
+      chunked.sameElements(unchunked),
+      s"chunked (${chunked.length} rows) must be bitwise the unchunked " +
+        s"form (${unchunked.length} rows)")
+  }
+
   test("recall@10 >= 0.9 at nprobe=2 on the clustered corpus") {
     val path = java.nio.file.Files
       .createTempDirectory("pq_batch_recall").toString
