@@ -167,13 +167,19 @@ object Consolidation {
           .withColumn("sim", simCol(cosineSim(col("a_emb"), col("b_emb"))))
           .select(col("src"), col("dst"), col("sim"))
       }
-      else Seq(0, 10, 20, 30).map { off =>
-        pairsWithin(base.withColumn("b",
-          concat_ws(":", lit(off.toString),
-            signBucketAt(col("embedding"), 10, off))))
-      }.reduce(_ unionByName _)
-        .groupBy(col("src"), col("dst"))
-        .agg(max(col("sim")).as("sim"))
+      else
+        // r19: the four bands ride ONE exploded relation (the bucket string
+        // carries its band prefix) through ONE self-join instead of four
+        // independent band pipelines — 8 scans / 4 joins collapse to 2 / 1
+        // of the same total bytes (guide §2.4). Rows are identical: a
+        // within-bucket pair of the exploded relation is exactly a
+        // within-band pair, and the groupBy-max dedup is unchanged.
+        pairsWithin(base.select(col("id"), col("embedding"),
+          explode(array(Seq(0, 10, 20, 30).map(off =>
+            concat_ws(":", lit(off.toString),
+              signBucketAt(col("embedding"), 10, off))): _*)).as("b")))
+          .groupBy(col("src"), col("dst"))
+          .agg(max(col("sim")).as("sim"))
     candidates.filter(col("sim") >= threshold)
       .select(col("src"), col("dst"), col("sim"))
   }

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Document deduplication family for training-data pipelines: exact,
   * fingerprint keep-best (reference R1 dedup, `automem/api/recall.py:310-389`),
@@ -90,33 +90,73 @@ object Dedup {
     // candidate bound pointless. Now the shingle sets semi-join into the
     // bounded candidate set, so the pair work is O(candidates), not
     // O(co-occurring pairs).
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shk"))
-      .distinct()
+    //
+    // r19: shingles come from [[shingleKeys]] (explode of a position range
+    // + element_at — zero shuffles) instead of a posexplode + lead-window
+    // pass that shuffled and sorted the whole token stream first. The
+    // distinct shingle table is pinned ONCE (lazy cache, no eager barrier)
+    // for its three consumers (per-doc counts + both sides of the
+    // intersection join) — it was re-derived per consumer before, a
+    // distinct shuffle each time.
+    val sh = shingleKeys(docs).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shk")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shk")), Seq("b_id", "shk"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    candidates
-      .join(inter, Seq("a_id", "b_id"), "left")
+    // r19: for threshold > 0 the spine builds from `inter` directly — a
+    // candidate pair sharing ZERO shingles has jaccard 0 and can never
+    // pass the threshold, so the old left-join back onto `candidates`
+    // (whose second consumption re-ran the whole minhash banding) only
+    // ever contributed rows the filter dropped. The threshold <= 0 path
+    // keeps the left join for callers that want non-sharing candidates
+    // listed. Rows are identical either way (oracle keeps its left join).
+    val spine =
+      if (threshold > 0) inter
+      else candidates.join(inter, Seq("a_id", "b_id"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    val result = spine
       .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")),
         Seq("a_id"))
       .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")),
         Seq("b_id"))
       .withColumn("jaccard", graft.functions.round4(
-        coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("a_n") + col("b_n") - coalesce(col("inter"), lit(0L)))))
+        col("inter").cast("double") /
+          (col("a_n") + col("b_n") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
+      .localCheckpoint() // bounded: verified pairs only — then release sh
+    sh.unpersist()
+    result
+  }
+
+  /** Distinct word-3-gram shingle keys per document, shuffle-free: explode
+    * a per-row position range and read the grams with `element_at` — the
+    * whole derivation is one codegen'd scan stage. The previous form
+    * (posexplode + two `lead` windows) shuffled and SORTED the entire
+    * token stream by (doc_id, pos) first, which at 100 TB is a full extra
+    * pass over the corpus' heaviest relation (guide §2.4: remove shuffles
+    * outright). Emits exactly the complete 3-grams (`i` ranges over
+    * 1..len-2, 1-based), so results are identical to the window form.
+    * An optional `blockKey` prepends block columns into the hash (the
+    * ngram-jaccard (lang, source) blocking).
+    */
+  private def shingleKeys(docs: DataFrame,
+      blockKey: Seq[Column] = Nil): DataFrame = {
+    val tk = col("_tk")
+    docs
+      .select((col("doc_id") +: blockKey) :+
+        tokens(col("text")).as("_tk"): _*)
+      .filter(size(tk) >= 3)
+      .select(((col("doc_id") +: blockKey) :+
+        explode(sequence(lit(1), size(tk) - 2)).as("_i")) :+ tk: _*)
+      .select(col("doc_id"),
+        xxhash64(blockKey :+
+          concat_ws(" ", element_at(tk, col("_i")),
+            element_at(tk, col("_i") + 1),
+            element_at(tk, col("_i") + 2)): _*).as("shk"))
+      .distinct()
   }
 
   /** Shared CTE chain: banded candidates -> exact-Jaccard `jacc` table.
@@ -275,45 +315,51 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    // Shingles via posexplode + lead windows (fully codegen'd) — an order of
-    // magnitude cheaper than building per-row shingle arrays with
-    // slice/concat higher-order functions. The shingle is then hashed with
-    // its (lang, source) block key into one 64-bit join key: far cheaper to
-    // shuffle than 3 string columns; collision probability ~n^2/2^64.
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val exploded = toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(col("lang"), col("source"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shk"))
-      .distinct()
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // Shingles via [[shingleKeys]] (r19): explode of a position range +
+    // element_at — one codegen'd scan stage, ZERO shuffles, where the
+    // previous posexplode + lead-window form shuffled and sorted the whole
+    // token stream by (doc_id, pos) first (guide §2.4). (An earlier draft
+    // that built per-row shingle ARRAYS with slice/concat higher-order
+    // functions measured an order of magnitude slower — the lambdas
+    // interpret per element; the range-explode form stays in whole-stage
+    // codegen.) The shingle is hashed with its (lang, source) block key
+    // into one 64-bit join key: far cheaper to shuffle than 3 string
+    // columns; collision probability ~n^2/2^64. The distinct shingle table
+    // is materialized once for its two consumers (per-doc sizes + group
+    // pairing), and per-doc sizes now attach to the PAIR table (bounded by
+    // co-occurrence) via two joins instead of riding every shingle row
+    // through a corpus-wide count window (guide §2.3: shuffle fewer bytes).
+    val docs = Tables.documents(spark, dir)
+    val shk = shingleKeys(docs, Seq(col("lang"), col("source")))
+      .cache()
+    val n = shk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Pair generation inside shingle groups (double explode over the tiny
     // per-shingle doc lists) — the expensive shingle subtree is computed
     // ONCE instead of twice as in a self-join, and only co-occurring docs
     // ever pair up.
-    val groups = exploded
+    val groups = shk
       .groupBy(col("shk"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-    groups
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"), min(col("a.n_sh")).as("a_n"),
-        min(col("b.n_sh")).as("b_n"))
+    val result = groups
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")),
+        Seq("a_id"))
+      .join(n.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")),
+        Seq("b_id"))
       .withColumn("jaccard",
         graft.functions.round4(col("inter").cast("double") /
           (col("a_n") + col("b_n") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
+      .localCheckpoint() // bounded: flagged pairs only — then release shk
+    shk.unpersist()
+    result
   }
 
   /** Asymmetric containment near-dup pairs: C(A,B) = |S(A) ∩ S(B)| /
@@ -333,22 +379,16 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, dir: String, maxDf: Int = 20,
       threshold: Double = 0.5): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // materialize the distinct shingle table ONCE: four consumers follow
     // (per-doc sizes, df filter, and both sides of the verify join), and
-    // recomputing the window-lead shingle pass per consumer dominated the
-    // runtime (12.9 -> measured below). At 100 TB this table is the
-    // pipeline's natural persisted artifact (write parquet once, read 4x);
-    // localCheckpoint is the single-job analog.
-    val shk = toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shk"))
-      .distinct()
+    // recomputing the shingle pass per consumer dominated the runtime
+    // (12.9 -> measured below). At 100 TB this table is the pipeline's
+    // natural persisted artifact (write parquet once, read 4x);
+    // localCheckpoint is the single-job analog. r19: the shingles
+    // themselves come from [[shingleKeys]] (range-explode + element_at,
+    // zero shuffles) instead of the posexplode + lead-window pass that
+    // shuffled and sorted the whole token stream first (guide §2.4).
+    val shk = shingleKeys(Tables.documents(spark, dir))
       .localCheckpoint()
     val n = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val byDf = shk.groupBy("shk").agg(count(lit(1)).as("df"))
@@ -433,26 +473,38 @@ object Dedup {
     */
   def winnowingPairs(spark: SparkSession, dir: String, w: Int = 4,
       maxDf: Int = 20, minShared: Int = 2): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // r19: gram hashes come from a range-explode + element_at projection
+    // (one codegen'd scan stage, no shuffle) instead of a posexplode +
+    // lead-window pass — the ONLY remaining window work is the w-window
+    // minimum itself, which genuinely needs the (doc_id, pos) sort, and
+    // its input is now the narrow (doc_id, pos, h) gram stream rather
+    // than the raw token stream with two lead columns (guide §2.3/§2.4).
+    val tk = col("_tk")
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = toks
-      .withColumn("t1", lead(col("tok"), 1).over(wd))
-      .withColumn("t2", lead(col("tok"), 2).over(wd))
-      .filter(col("t2").isNotNull)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(tk) - 2)).as("pos"), tk)
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))),
+        conv(substring(md5(concat_ws(" ", element_at(tk, col("pos")),
+          element_at(tk, col("pos") + 1), element_at(tk, col("pos") + 2))),
           1, 15), 16, 10).cast("long").as("h"))
+    // the fingerprint table has TWO consumers (the df filter's build side
+    // and the rare join's probe side) — pin it once (r19; lazy cache, not
+    // an eager checkpoint: the first consumer materializes it inside its
+    // own job, no extra barrier)
     val fp = grams
       .withColumn("wmin", min(col("h")).over(wd.rowsBetween(0, w - 1)))
       .withColumn("h_end", lead(col("h"), w - 1).over(wd))
       .filter(col("h_end").isNotNull)
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
+      .cache()
     val rare = fp.join(
       fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"), Seq("fp"))
-    rare.groupBy(col("fp"))
+    val result = rare.groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(col("ds")).as("a_id"), col("ds"))
@@ -461,6 +513,9 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("a_id", "b_id")
+      .localCheckpoint() // bounded: flagged pairs only — then release fp
+    fp.unpersist()
+    result
   }
 
   val winnowingPairsSql: String =

@@ -89,7 +89,14 @@ object GraphAnalytics {
     // callers that already deduplicated (ideally on narrower pre-formatted
     // keys — see supplierPartRank) skip the extra shuffle
     val e0 = edges.select(col("src"), col("dst"))
-    val e = if (dedup) e0.distinct() else e0
+    // materialize the edge list ONCE (r19): nodes, the degree join and the
+    // optional dangling anti-join are 3-4 separate consumers, and each one
+    // re-derived the full upstream scan + distinct before this (the same
+    // multi-consumer lesson as triangleCounts' edge checkpoint — guide
+    // §2.4: the recomputed exchange is a shuffle you can simply delete).
+    // At cluster scale this is the persisted/bucketed edge table
+    // ([[writeBucketedEdges]]); localCheckpoint is the single-job analog.
+    val e = (if (dedup) e0.distinct() else e0).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val withDeg = e
@@ -135,6 +142,7 @@ object GraphAnalytics {
       .orderBy(desc("rank"), asc("node")).limit(topK)
       .localCheckpoint()
     prev.foreach(graft.functions.releaseCheckpoint)
+    graft.functions.releaseCheckpoint(e)
     nodes.unpersist()
     withDeg.unpersist()
     dangling.foreach(_.unpersist())

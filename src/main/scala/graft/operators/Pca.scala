@@ -150,9 +150,17 @@ object Pca {
       .toDF("i", "j", "cov")
   }
 
-  /** Oracle query over the embeddings table. */
+  /** Oracle query over the embeddings table. Serves [[covarianceFast]] —
+    * the per-partition BLAS-style accumulation (spec-pinned bitwise-equal
+    * to the declarative [[covariance]], PcaSpec) — because the declarative
+    * pair-explode form materializes N·d(d+1)/2 rows through a shuffle
+    * where the fast form moves ≤ numPartitions bounded statistic rows
+    * (guide §2.3 "aggregate before you shuffle"; r19 bench: 3.0 s → 0.3 s
+    * warm at sf0.1, identical oracle hash). The declarative form stays as
+    * the readable reference the SQL mirror is derived from.
+    */
   def covarianceQuery(spark: SparkSession, dir: String): DataFrame =
-    covariance(Tables.embeddings(spark, dir)
+    covarianceFast(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")))
 
   val covarianceSql: String =

@@ -75,23 +75,31 @@ object Similarity {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       bits, threshold)
 
-  /** DataFrame-parametric form — the library API; needs (vec_id, embedding). */
+  /** DataFrame-parametric form — the library API; needs (vec_id, embedding).
+    *
+    * r19: the four bands ride ONE exploded relation (the bucket string
+    * carries its band offset prefix, so within-bucket pairing is exactly
+    * the old per-band pairing) through ONE self-join, where the previous
+    * form ran four independent band pipelines — 8 corpus scans and 4
+    * bucket-join shuffles collapse to 2 scans and 1 join of the same total
+    * bytes (guide §2.4: two operations keyed the same way share one
+    * exchange). Output is identical: per-pair rows per shared band-bucket,
+    * then the same groupBy-max + threshold.
+    */
   def bandedNearDupPairs(e: DataFrame, bits: Int,
       threshold: Double): DataFrame = {
-    def bandPairs(off: Int): DataFrame = {
-      val keyed = e.select(col("vec_id"), col("embedding"),
+    val banded = e.select(col("vec_id"), col("embedding"),
+      explode(array(Seq(0, 8, 16, 24).map(off =>
         concat_ws(":", lit(off.toString),
-          signBucketAt(col("embedding"), bits, off)).as("bucket"))
-      val a = keyed.select(col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-      val b = keyed.select(col("bucket"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
-      a.join(b, Seq("bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
-        .select(col("a_id"), col("b_id"), col("sim"))
-    }
-    Seq(0, 8, 16, 24).map(bandPairs).reduce(_ unionByName _)
+          signBucketAt(col("embedding"), bits, off))): _*)).as("bucket"))
+    val a = banded.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = banded.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
+      .select(col("a_id"), col("b_id"), col("sim"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(col("sim")).as("sim"))
       .filter(col("sim") >= threshold)
@@ -132,42 +140,55 @@ object Similarity {
     */
   def boundedBandedPairs(e: DataFrame, bits: Int = 8,
       threshold: Double = 0.9, salts: Int = 64): DataFrame = {
-    def bandPairs(off: Int): DataFrame = {
-      val keyed = e.select(col("vec_id"), col("embedding"),
+    // r19 restructure, rows bitwise-identical (SemanticDedup specs +
+    // oracle pin it): (a) the four bands ride ONE exploded relation — the
+    // bucket string carries its band prefix, so the (bucket, salt) window
+    // partitions exactly as the four per-band windows did — collapsing 8
+    // window shuffles + 4 anchor aggregates to 1 + 1 of the same total
+    // bytes (guide §2.4); (b) chain and star links are emitted in ONE pass
+    // over the windowed rows via a 2-struct explode — the previous
+    // chain/star filter-split re-ran the whole window subtree per consumer.
+    val banded = e.select(col("vec_id"), col("embedding"),
+      explode(array(Seq(0, 8, 16, 24).map(off =>
         concat_ws(":", lit(off.toString),
-          signBucketAt(col("embedding"), bits, off)).as("bucket"))
-        .withColumn("salt", pmod(col("vec_id"), lit(salts.toLong)))
-      val w = Window.partitionBy(col("bucket"), col("salt"))
-        .orderBy(col("vec_id"))
-      val nbrs = keyed
-        .withColumn("prev_id", lag(col("vec_id"), 1).over(w))
-        .withColumn("prev_emb", lag(col("embedding"), 1).over(w))
-        .withColumn("anchor_id", first(col("vec_id")).over(w))
-        .withColumn("anchor_emb", first(col("embedding")).over(w))
-      val chain = nbrs.filter(col("prev_id").isNotNull)
-        .select(col("prev_id").as("a_id"), col("vec_id").as("b_id"),
-          col("prev_emb").as("a_emb"), col("embedding").as("b_emb"))
-      val star = nbrs
-        .filter(col("anchor_id") =!= col("vec_id") &&
-          col("anchor_id") =!= col("prev_id"))
-        .select(col("anchor_id").as("a_id"), col("vec_id").as("b_id"),
-          col("anchor_emb").as("a_emb"), col("embedding").as("b_emb"))
-      // per-salt anchors chained in id order across the bucket: the only
-      // whole-bucket stage left, over <= `salts` rows per bucket
-      val wa = Window.partitionBy(col("bucket")).orderBy(col("anchor_id"))
-      val across = keyed.groupBy(col("bucket"), col("salt"))
-        .agg(min(col("vec_id")).as("anchor_id"),
-          min_by(col("embedding"), col("vec_id")).as("anchor_emb"))
-        .withColumn("pa_id", lag(col("anchor_id"), 1).over(wa))
-        .withColumn("pa_emb", lag(col("anchor_emb"), 1).over(wa))
-        .filter(col("pa_id").isNotNull)
-        .select(col("pa_id").as("a_id"), col("anchor_id").as("b_id"),
-          col("pa_emb").as("a_emb"), col("anchor_emb").as("b_emb"))
-      chain.unionByName(star).unionByName(across)
-        .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
-        .select(col("a_id"), col("b_id"), col("sim"))
-    }
-    Seq(0, 8, 16, 24).map(bandPairs).reduce(_ unionByName _)
+          signBucketAt(col("embedding"), bits, off))): _*)).as("bucket"))
+      .withColumn("salt", pmod(col("vec_id"), lit(salts.toLong)))
+    val w = Window.partitionBy(col("bucket"), col("salt"))
+      .orderBy(col("vec_id"))
+    val nbrs = banded
+      .withColumn("prev_id", lag(col("vec_id"), 1).over(w))
+      .withColumn("prev_emb", lag(col("embedding"), 1).over(w))
+      .withColumn("anchor_id", first(col("vec_id")).over(w))
+      .withColumn("anchor_emb", first(col("embedding")).over(w))
+    // chain = id-order neighbor (null prev on the group head drops out);
+    // star = salt anchor, with the exact guard of the old filter-split
+    // (anchor is not the row itself and not already its chain neighbor —
+    // the null-prev head row never star-links, it IS the anchor)
+    val cands = nbrs
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        explode(array(
+          struct(col("prev_id").as("a_id"), col("prev_emb").as("a_emb")),
+          struct(when(col("anchor_id") =!= col("vec_id") &&
+              col("anchor_id") =!= col("prev_id"), col("anchor_id"))
+            .as("a_id"),
+            col("anchor_emb").as("a_emb")))).as("c"))
+      .filter(col("c.a_id").isNotNull)
+      .select(col("c.a_id").as("a_id"), col("b_id"),
+        col("c.a_emb").as("a_emb"), col("b_emb"))
+    // per-salt anchors chained in id order across the bucket: the only
+    // whole-bucket stage left, over <= `salts` rows per bucket
+    val wa = Window.partitionBy(col("bucket")).orderBy(col("anchor_id"))
+    val across = banded.groupBy(col("bucket"), col("salt"))
+      .agg(min(col("vec_id")).as("anchor_id"),
+        min_by(col("embedding"), col("vec_id")).as("anchor_emb"))
+      .withColumn("pa_id", lag(col("anchor_id"), 1).over(wa))
+      .withColumn("pa_emb", lag(col("anchor_emb"), 1).over(wa))
+      .filter(col("pa_id").isNotNull)
+      .select(col("pa_id").as("a_id"), col("anchor_id").as("b_id"),
+        col("pa_emb").as("a_emb"), col("anchor_emb").as("b_emb"))
+    cands.unionByName(across)
+      .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
+      .select(col("a_id"), col("b_id"), col("sim"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(col("sim")).as("sim"))
       .filter(col("sim") >= threshold)
@@ -381,10 +402,17 @@ object Similarity {
     // cosine is symmetric: evaluate each pair ONCE on the src < dst half,
     // then mirror the surviving (thresholded) rows before the per-source
     // window — halves the O(n^2) similarity work, identical result
+    // r19: pin the thresholded half BEFORE mirroring — the mirror union
+    // has two consumers of `half`, and each one re-ran the whole O(n^2)
+    // crossJoin cosine pass (the query's entire cost) before this. Lazy
+    // cache (not an eager checkpoint): the first consumer materializes it
+    // inside its own job; the pinned set is bounded (thresholded
+    // survivors only).
     val half = a.crossJoin(b).filter(col("src") < col("dst"))
       .withColumn("sim", round4(cosineSim(col("a_emb"), col("b_emb"))))
       .filter(col("sim") >= threshold)
       .select(col("src"), col("dst"), col("sim"))
+      .cache()
     val sims = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
@@ -392,9 +420,13 @@ object Similarity {
     val knn = sims.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("src"), col("dst"), col("sim"))
-    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+    val result = knn
+      .unionByName(knn.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
       .orderBy("src", "dst")
+      .localCheckpoint() // bounded: <= 2nk edge rows — then release half
+    half.unpersist()
+    result
   }
 
   val semanticNeighborEdgesSql: String =

@@ -1173,10 +1173,28 @@ object TextAnalysis {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(spark, dir))
 
-  /** DataFrame-parametric form — needs (doc_id, source, text). */
-  def sourceOverlap(documents: DataFrame): DataFrame =
-    sourceOverlapFromTokens(documents.select(col("doc_id"), col("source"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok"))))
+  /** DataFrame-parametric form — needs (doc_id, source, text). r19: the
+    * per-doc shingles come from a range-explode + element_at over the
+    * token array (one codegen'd scan stage, zero shuffles) instead of the
+    * posexplode + lead-window pass, which shuffled and sorted the whole
+    * token stream by (doc_id, pos) first (guide §2.4). Shingle strings
+    * are identical, so the (source, sh) set — and every number
+    * downstream — is unchanged. The window form survives in
+    * [[sourceOverlapFromTokens]] for the corpus-report job, whose shared
+    * tokenize pass hands this operator an already-exploded relation.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val tk = col("_tk")
+    sourceOverlapFromShingles(documents
+      .select(col("source"), tokens(col("text")).as("_tk"))
+      .filter(size(tk) >= 3)
+      .select(col("source"),
+        explode(sequence(lit(1), size(tk) - 2)).as("_i"), tk)
+      .select(col("source"),
+        concat_ws(" ", element_at(tk, col("_i")),
+          element_at(tk, col("_i") + 1),
+          element_at(tk, col("_i") + 2)).as("sh")))
+  }
 
   /** [[sourceOverlap]] over a PRECOMPUTED (doc_id, source, pos, tok)
     * position-explode — the corpus-report composition point.
@@ -1185,18 +1203,23 @@ object TextAnalysis {
     // shingles derive per DOCUMENT (a lead over source-pooled tokens would
     // fabricate grams across doc boundaries), then dedup to (source, sh)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // localCheckpoint the deduped (source, shingle) table: it feeds THREE
-    // consumers (both self-join sides + totals), and the self-join's
-    // differing aliases defeat exchange reuse — without this the corpus
-    // scan + shingle window executed three times (seen in explain). At
-    // 100 TB write it to parquet and read back instead (the
-    // containmentPairs persisted-artifact note).
-    val sh = docToks
+    sourceOverlapFromShingles(docToks
       .withColumn("t1", lead(col("tok"), 1).over(wd))
       .withColumn("t2", lead(col("tok"), 2).over(wd))
       .filter(col("t2").isNotNull)
       .select(col("source"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh")))
+  }
+
+  /** Shared tail over a raw (source, sh) shingle stream. */
+  private def sourceOverlapFromShingles(rawSh: DataFrame): DataFrame = {
+    // localCheckpoint the deduped (source, shingle) table: it feeds THREE
+    // consumers (both self-join sides + totals), and the self-join's
+    // differing aliases defeat exchange reuse — without this the corpus
+    // scan + shingle derivation executed three times (seen in explain). At
+    // 100 TB write it to parquet and read back instead (the
+    // containmentPairs persisted-artifact note).
+    val sh = rawSh
       .distinct()
       .localCheckpoint()
     val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
