@@ -125,7 +125,15 @@ object TextFunctions {
     * engine-specific integer hash.
     */
   def minhashComponent(text: Column, seed: Int): Column =
-    array_min(transform(array_distinct(tokens(text)), t => md5(concat(t, lit("#" + seed)))))
+    // r19: ONE codegen'd expression instead of array_distinct + an
+    // interpreted md5 lambda per token (min over duplicates == min over
+    // distinct, so the dedup pass is dropped outright) — bitwise-identical
+    // by construction (see MinhashMinHex's scaladoc) and pinned by
+    // PropertiesSpec's HOF-parity case.
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      org.apache.spark.sql.graftshim.MinhashMinHex(
+        org.apache.spark.sql.graftshim.GraftShim.expression(tokens(text)),
+        "#" + seed))
 
   /** Full MinHash signature as a single concatenated string of `k` components. */
   def minhashSignature(text: Column, k: Int): Column =
@@ -147,13 +155,14 @@ object TextFunctions {
     * set-style MinHash: the cheap exact-sequence identity for incremental
     * dedup at scale.
     */
-  def rollingFingerprint(text: Column): Column = {
-    val hs = transform(tokens(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    when(size(hs) === 1, element_at(hs, 1))
-      .otherwise(aggregate(slice(hs, lit(2), size(hs) - 1), element_at(hs, 1),
-        (h, x) => (h * 31 + x) % 1000000007L))
-  }
+  def rollingFingerprint(text: Column): Column =
+    // r19: ONE codegen'd expression (thread-local digest, tight fold)
+    // instead of three interpreted higher-order lambdas per token —
+    // bitwise-identical by construction (see RollingFingerprintHash's
+    // scaladoc) and pinned by PropertiesSpec's HOF-parity case.
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      org.apache.spark.sql.graftshim.RollingFingerprintHash(
+        org.apache.spark.sql.graftshim.GraftShim.expression(tokens(text))))
 
   /** Every ':'-delimited prefix of every lowercased tag
     * (`project:foo:bar` → `[project, project:foo, project:foo:bar]`);

@@ -26,8 +26,15 @@ object TimeOne {
           val info = sc.stageInfo
           val ms = (for { s <- info.submissionTime; c <- info.completionTime }
             yield c - s).getOrElse(-1L)
+          // the first graft/operator frame in the callsite identifies the
+          // stage far better than the name (broadcast builds all share one
+          // opaque future name)
+          val site = info.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("TimeOne"))
+            .getOrElse(info.name).trim.take(90)
           stages.synchronized {
-            stages += St(info.stageId, info.name.take(70), ms, info.numTasks)
+            stages += St(info.stageId, s"${info.name.take(40)} | $site", ms,
+              info.numTasks)
           }
         }
       })

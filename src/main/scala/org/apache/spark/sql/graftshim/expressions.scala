@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
   * Catalyst expression with codegen — the hot loop of vector KNN, semantic
@@ -232,5 +232,147 @@ object Int8CosineSimilarity {
     while (k < q.length) { val y = q(k).toDouble; ny += y * y; k += 1 }
     if (nx == 0.0 || ny == 0.0) 0.0
     else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
+/** Rolling-hash document fingerprint over a token array as ONE codegen'd
+  * expression — the hot loop of `q_fp_rolling` / corpus fingerprinting.
+  * Bitwise-identical to the higher-order-function form it replaces
+  * (`transform(tokens, t -> conv(substring(md5(t),1,8),16,10)::long)`
+  * folded by `(h, x) -> (h*31 + x) % 1000000007`, single-token arrays
+  * return their own hash): the first 8 hex chars of an md5 are its first
+  * 4 bytes read as an unsigned int, and the fold runs in the same order
+  * with the same modulus. The HOF form evaluated three interpreted
+  * lambdas per token (transform + slice + aggregate are not codegen'd);
+  * this runs one tight loop sharing a thread-local MessageDigest.
+  * A null token anywhere nulls the result (md5(null) poisoned the HOF
+  * fold the same way); an empty array returns null (unreachable via
+  * `tokens()`, which yields >= 1 element for any string).
+  */
+case class RollingFingerprintHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp_hash"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    RollingFingerprintHash.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""java.lang.Long graftRfp = org.apache.spark.sql.graftshim
+         |  .RollingFingerprintHash.compute($a);
+         |if (graftRfp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graftRfp.longValue(); }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingFingerprintHash {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Null (boxed) when the array is empty or any token is null — the HOF
+    * form's null propagation. Otherwise the exact fold described above.
+    */
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val digest = md.get()
+    def tokHash(i: Int): Long = {
+      digest.reset()
+      val d = digest.digest(arr.getUTF8String(i).getBytes)
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    var h = tokHash(0)
+    var j = 1
+    while (j < n) { h = (h * 31L + tokHash(j)) % 1000000007L; j += 1 }
+    h
+  }
+}
+
+/** One MinHash component (min md5 over salted tokens) as ONE codegen'd
+  * expression — the hot loop of the MinHash/LSH dedup family. Bitwise-
+  * identical to the HOF form it replaces
+  * (`array_min(transform(array_distinct(tokens), t -> md5(t || salt)))`):
+  * the minimum over duplicates equals the minimum over distinct values
+  * (so the dedup pass is dropped, not emulated), md5 hex strings order
+  * exactly as their digest bytes (the nibble-to-hex-char map is monotone),
+  * and `array_min` skips null elements, as does this loop. Returns null
+  * for an empty array / all-null tokens, like `array_min`.
+  */
+case class MinhashMinHex(child: Expression, salt: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "minhash_min_hex"
+  override def nullable: Boolean = true
+
+  private lazy val saltBytes = salt.getBytes("UTF-8")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMinHex.compute(a.asInstanceOf[ArrayData], saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltBytes", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.graftshim
+         |  .MinhashMinHex.compute($a, $saltRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinhashMinHex {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData,
+      saltBytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    val digest = md.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        digest.reset()
+        digest.update(arr.getUTF8String(i).getBytes)
+        digest.update(saltBytes)
+        val d = digest.digest()
+        if (best == null || unsignedLess(d, best)) best = d
+      }
+      i += 1
+    }
+    if (best == null) null
+    else {
+      val out = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = hexChars((best(k) >> 4) & 0xf)
+        out(2 * k + 1) = hexChars(best(k) & 0xf)
+        k += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(new String(out))
+    }
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
   }
 }

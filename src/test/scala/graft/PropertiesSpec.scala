@@ -469,4 +469,40 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("native rolling-fp / minhash expressions are bitwise-equal to the " +
+      "HOF forms they replaced (r19)") {
+    import spark.implicits._
+    // the exact HOF formulas the r19 codegen expressions replaced
+    def hofRolling(text: org.apache.spark.sql.Column) = {
+      val hs = transform(TextFunctions.tokens(text),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      when(size(hs) === 1, element_at(hs, 1))
+        .otherwise(aggregate(slice(hs, lit(2), size(hs) - 1), element_at(hs, 1),
+          (h, x) => (h * 31 + x) % 1000000007L))
+    }
+    def hofMinhash(text: org.apache.spark.sql.Column, seed: Int) =
+      array_min(transform(array_distinct(TextFunctions.tokens(text)),
+        t => md5(concat(t, lit("#" + seed)))))
+    // real corpus + adversarial shapes: single token, empty string,
+    // whitespace-only, unicode, repeated tokens (distinct-vs-not), long doc
+    val edge = Seq("one", "", "   ", "a b a b a", "x " * 500,
+      "caf\u00e9 na\u00efve \u4e2d\u6587 tok", "UPPER lower MiXeD")
+      .toDF("text")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).unionByName(edge)
+    val rows = corpus.select(
+      TextFunctions.rollingFingerprint(col("text")).as("fp_new"),
+      hofRolling(col("text")).as("fp_old"),
+      TextFunctions.minhashComponent(col("text"), 1).as("mh1_new"),
+      hofMinhash(col("text"), 1).as("mh1_old"),
+      TextFunctions.minhashComponent(col("text"), 3).as("mh3_new"),
+      hofMinhash(col("text"), 3).as("mh3_old")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"rolling fp diverged: $r")
+      assert(r.get(2) == r.get(3), s"minhash seed1 diverged: $r")
+      assert(r.get(4) == r.get(5), s"minhash seed3 diverged: $r")
+    }
+  }
 }
