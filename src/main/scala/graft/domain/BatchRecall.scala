@@ -1097,7 +1097,17 @@ object BatchRecall {
       desc("final_score"),
       when(col("match_type") === "vector", 0).otherwise(1).asc,
       desc("importance"), desc("timestamp"), asc("id"))
-    val deduped = scored
+    // r19: one explicit qid exchange feeds BOTH final windows. The dedup
+    // window clusters by (qid, _fp) and the rank window by (qid);
+    // hashpartitioning(qid) satisfies both ClusteredDistributions, so the
+    // planner inserts no further exchange — previously each window
+    // re-shuffled the scored candidate set (2 exchanges -> 1, same rows;
+    // the candidate set is bounded by requests x channels x overfetch, so
+    // the pre-aggregation this bypasses is irrelevant). Batch mode only:
+    // the single-request path cuts with TakeOrderedAndProject instead.
+    val preDedup =
+      if (singleRequest) scored else scored.repartition(col("qid"))
+    val deduped = preDedup
       .withColumn("_fp", when(length(fp) > 0, fp).otherwise(col("id")))
       .withColumn("_dd", row_number().over(wDedup))
       .filter(col("_dd") === 1)
