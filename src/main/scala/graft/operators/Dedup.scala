@@ -314,7 +314,7 @@ object Dedup {
     * pairs with jaccard >= threshold, a < b.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, hotShingleCutoff: Int = 1024): DataFrame = {
     // Shingles via [[shingleKeys]] (r19): explode of a position range +
     // element_at — one codegen'd scan stage, ZERO shuffles, where the
     // previous posexplode + lead-window form shuffled and sorted the whole
@@ -337,14 +337,57 @@ object Dedup {
     // per-shingle doc lists) — the expensive shingle subtree is computed
     // ONCE instead of twice as in a self-join, and only co-occurring docs
     // ever pair up.
-    val groups = shk
+    //
+    // HOT-SHINGLE SKEW GUARD (r20, VERDICT r19 item 5, guide §2.2): the
+    // declared semantics need EVERY co-occurring pair (no df cap like
+    // containment's), but a boilerplate shingle shared by k documents used
+    // to materialize one k-element list in ONE task and explode k²/2 pairs
+    // there — the classic single-giant-key straggler AQE cannot split
+    // (it is an aggregation, not a join). Shingles with df above the
+    // cutoff now pair TWO-LEVEL: each doc hashes into one of
+    // m = ceil(df/cutoff) buckets, each doc row replicates to the m
+    // unordered bucket-pair tasks containing its bucket, and task (i, j)
+    // emits within-bucket pairs when i = j and strictly cross-bucket pairs
+    // when i < j — so every (a, b) pair of the hot shingle is emitted
+    // EXACTLY once (in task (min(g_a, g_b), max(g_a, g_b))), the emitted
+    // pair multiset is identical (oracle hash unchanged; pinned by a
+    // forced-low-cutoff equality test), and no task ever holds more than
+    // ~2·cutoff docs / ~cutoff² pairs. The bucket key derives
+    // deterministically from doc_id (pmod(xxhash64), guide §2.5 — never
+    // rand()). The hot-key table is df > cutoff only — bounded and tiny at
+    // any scale (it is the boilerplate set) — so it broadcasts; at bench
+    // SFs it is empty and the rare path is plan-identical modulo the
+    // anti-join.
+    val byDf = shk.groupBy(col("shk")).agg(count(lit(1)).as("df"))
+    val hotKeys = byDf.filter(col("df") > hotShingleCutoff)
+    val rarePairs = shk
+      .join(broadcast(hotKeys).select(col("shk")), Seq("shk"), "left_anti")
       .groupBy(col("shk"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-    val result = groups
       .select(explode(col("ds")).as("a_id"), col("ds"))
       .select(col("a_id"), explode(col("ds")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val hotPairs = shk
+      .join(broadcast(hotKeys), Seq("shk"))
+      .withColumn("m",
+        ceil(col("df") / lit(hotShingleCutoff.toDouble)).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("doc_id")), col("m")).cast("int"))
+      .select(col("shk"), col("doc_id"), col("g"),
+        explode(sequence(lit(0), col("m") - 1)).as("p"))
+      .select(col("shk"), col("doc_id"), col("g"),
+        least(col("g"), col("p")).as("i"),
+        greatest(col("g"), col("p")).as("j"))
+      .groupBy(col("shk"), col("i"), col("j"))
+      .agg(collect_list(struct(col("doc_id").as("d"), col("g").as("gg")))
+        .as("ds"))
+      .select(col("i"), col("j"), explode(col("ds")).as("a"), col("ds"))
+      .select(col("i"), col("j"), col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.d") < col("b.d") &&
+        (col("i") === col("j") || col("a.gg") =!= col("b.gg")))
+      .select(col("a.d").as("a_id"), col("b.d").as("b_id"))
+    val result = rarePairs.unionByName(hotPairs)
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
       .join(n.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")),

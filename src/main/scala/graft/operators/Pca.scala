@@ -35,6 +35,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pca {
 
+  /** Executor-side pre-merge group size for [[covarianceFast]]'s partials:
+    * above this many input partitions, runs of this many consecutive
+    * partitions merge on the executors (ascending-pid order) before the
+    * driver collect, bounding the driver payload at any scale. 64 keeps
+    * every bench/oracle configuration (≤ 32 partitions) on the exact
+    * pre-r20 code path.
+    */
+  val CovMergeGroup: Int = 64
+
   /** Upper-triangle covariance entries (i ≤ j) of the embedding column:
     * cov(i,j) = E[x_i x_j] − E[x_i]E[x_j], population form (divide by N).
     * Rounded (round4) so the oracle hash is engine-stable.
@@ -89,7 +98,7 @@ object Pca {
     // d=256 × 100k rows; 50 s after hoisting the unbox; 3 s reading
     // UnsafeArrayData.toDoubleArray directly — the accumulation itself is
     // ~3e9 fused multiply-adds and was never the cost)
-    val partials = vectors
+    val partialsRdd = vectors
       .select(col("embedding").cast("array<double>"))
       .queryExecution.toRdd
       .mapPartitions { it =>
@@ -118,7 +127,50 @@ object Pca {
         if (n == 0) Iterator.empty
         else Iterator((n, sums.toSeq, prods.toSeq))
       }
-      .collect() // ≤ numPartitions rows of d(d+3)/2 doubles — bounded
+    // Bounded driver payload (r20, VERDICT r19 item 6): collecting one
+    // partial per partition is fine at bench scale (≤32 rows) but at 100 TB
+    // with ~10⁵ input partitions and d = 64 it is ~1.7 GB of partials on
+    // the driver. Past CovMergeGroup partitions, a grouped pre-merge
+    // combines each run of CovMergeGroup consecutive partitions on the
+    // executors first, so the driver sees ≤ ceil(P / CovMergeGroup) rows
+    // (~26 MB at P = 10⁵, d = 64). NOT treeReduce: its foldByKey combines
+    // partials in task-ARRIVAL order, so float sums would differ run to
+    // run — exactly the reproducibility hazard ADVICE r19 flags for this
+    // operator. Here the group key is pid / CovMergeGroup and each group
+    // merges in ascending-pid order (repartitionAndSortWithinPartitions),
+    // so the summation order is a fixed function of the partition count,
+    // and below the threshold the path (and every driver-checked oracle
+    // hash) is byte-identical to before.
+    val numParts = partialsRdd.getNumPartitions
+    val partials =
+      if (numParts <= CovMergeGroup) partialsRdd.collect()
+      else partialsRdd
+        .mapPartitionsWithIndex((pid, it) => it.map(p => (pid, p)))
+        .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
+          override def numPartitions: Int =
+            (numParts + CovMergeGroup - 1) / CovMergeGroup
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[Int] / CovMergeGroup
+        })
+        .mapPartitions { it =>
+          var n = 0L
+          var sums: Array[Double] = null
+          var prods: Array[Double] = null
+          it.foreach { case (_, (pn, ps, pp)) =>
+            if (sums == null) {
+              sums = new Array[Double](ps.size)
+              prods = new Array[Double](pp.size)
+            }
+            n += pn
+            var i = 0
+            while (i < sums.length) { sums(i) += ps(i); i += 1 }
+            var k = 0
+            while (k < prods.length) { prods(k) += pp(k); k += 1 }
+          }
+          if (n == 0) Iterator.empty
+          else Iterator((n, sums.toSeq, prods.toSeq))
+        }
+        .collect() // ≤ ceil(P / CovMergeGroup) rows — bounded
     // empty input: mirror the declarative covariance (empty result, no
     // partials.head crash — Pca.fit delegates here and inherits the guard)
     if (partials.isEmpty)

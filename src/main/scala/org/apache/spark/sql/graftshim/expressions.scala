@@ -261,11 +261,19 @@ case class RollingFingerprintHash(child: Expression)
     RollingFingerprintHash.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"""java.lang.Long graftRfp = org.apache.spark.sql.graftshim
+    nullSafeCodeGen(ctx, ev, a => {
+      // ctx.freshName, not a fixed local (ADVICE r19): two instances of
+      // this expression compiled into one codegen scope (e.g. two
+      // fingerprint columns over a non-nullable child, where nullSafeExec
+      // emits no brace block) would declare the same variable twice and
+      // fall back to interpreted eval — the exact path this expression
+      // exists to remove.
+      val boxed = ctx.freshName("graftRfp")
+      s"""java.lang.Long $boxed = org.apache.spark.sql.graftshim
          |  .RollingFingerprintHash.compute($a);
-         |if (graftRfp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graftRfp.longValue(); }""".stripMargin)
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

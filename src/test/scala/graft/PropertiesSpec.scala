@@ -505,4 +505,32 @@ class PropertiesSpec extends AnyFunSuite {
       assert(r.get(4) == r.get(5), s"minhash seed3 diverged: $r")
     }
   }
+
+  test("two rolling-fp instances share one codegen scope without fallback " +
+      "(r20)") {
+    import spark.implicits._
+    // Regression for the fixed-name codegen local (ADVICE r19): with a
+    // NON-NULLABLE child, nullSafeExec emits no brace block, so two
+    // instances of the expression in one projection land their locals in
+    // the SAME Java scope. The old fixed `graftRfp` name made that a
+    // duplicate declaration — codegen compile failure and a silent
+    // interpreted fallback. fallback=false turns that silent cliff into a
+    // test failure. coalesce(col, lit) is the non-nullable wrapper (a bare
+    // lit would be constant-folded before codegen ever sees it).
+    val prior = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(("a b c", "d e f g"), ("solo", "x y")).toDF("t1", "t2")
+      val both = df.select(
+        TextFunctions.rollingFingerprint(coalesce(col("t1"), lit("z")))
+          .as("f1"),
+        TextFunctions.rollingFingerprint(coalesce(col("t2"), lit("z")))
+          .as("f2")).collect()
+      val one = df.select(
+        TextFunctions.rollingFingerprint(col("t1")).as("f1")).collect()
+      assert(both.map(_.getLong(0)).toSeq == one.map(_.getLong(0)).toSeq,
+        "two-instance projection diverged from single-instance results")
+      assert(both.forall(r => !r.isNullAt(1)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prior)
+  }
 }
